@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each <name> dir under verifyOutDir: read Spark's parquet result, run
+the matching oracle_sql.json query in DuckDB over the sfDir tables, sort
+columns by name, sort rows, and compare values cell-by-cell (exact for
+ints/strings/dates, bit-exact for floats — the engine is designed so
+aggregates are order-independent). Reports per-query PASS/FAIL.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"{name:40s} MISSING spark output"); fails += 1; continue
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        exp = con.sql(oracle[name]).df()
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"{name:40s} FAIL cols spark={list(g.columns)} duck={list(e.columns)}")
+            fails += 1; continue
+        if len(g) != len(e):
+            print(f"{name:40s} FAIL rows spark={len(g)} duck={len(e)}"); fails += 1; continue
+        # normalize dtypes for compare (timestamps ns vs us, etc.)
+        bad = None
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            if str(gv.dtype).startswith("datetime") or str(ev.dtype).startswith("datetime"):
+                gv = pd.to_datetime(gv); ev = pd.to_datetime(ev)
+            try:
+                same = (gv.values == ev.values) | (pd.isna(gv.values) & pd.isna(ev.values))
+            except Exception as ex:
+                bad = (c, f"compare error {ex}"); break
+            if not same.all():
+                i = int((~same).argmax())
+                bad = (c, f"row {i}: spark={gv.iloc[i]!r} duck={ev.iloc[i]!r}"); break
+        if bad:
+            print(f"{name:40s} FAIL col {bad[0]}: {bad[1]}"); fails += 1
+        else:
+            print(f"{name:40s} PASS ({len(g)} rows)")
+    print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
