@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Row-level transform operators from the reference's `transform_minimal`
+  * (etl_sales_analytics.py:171-209): NOT-NULL key filter, keep-last
+  * dedupe, and the FK semi/anti split that routes violations to rejects.
+  *
+  * Scale notes:
+  *  - [[dedupeKeepLast]] shuffles ONCE on the key columns (window
+  *    partitioning); at 100 TB this is the minimal-shuffle plan for
+  *    "latest version per key" and AQE handles skewed keys.
+  *  - [[fkSplit]] is two key-joins against the same dimension; Catalyst
+  *    broadcasts the dimension when it is under the broadcast threshold
+  *    (the reference's Python-set `isin` is exactly a hand-rolled
+  *    broadcast semi-join, etl_sales_analytics.py:193-203).
+  */
+object Transform {
+
+  /** P2 — drop rows with NULL in any primary-key column
+    * (pandas `dropna(subset=pk)`, etl_sales_analytics.py:183-186). */
+  def dropNullKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.na.drop("any", keys)
+
+  /** A10 — keep-last dedupe by key: among same-key rows the greatest
+    * `ord` wins (pandas `drop_duplicates(keep="last")` with `ord` standing
+    * in for file order — see SURVEY.md §7.5 on why the ordinal must be
+    * explicit in a distributed read).
+    *
+    * One hash-partitioning exchange on `keys`; the per-partition sort is
+    * local. row_number (not rank) guarantees exactly one survivor per key.
+    */
+  def dedupeKeepLast(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** J5/J6 — FK integrity split: rows whose `fkCols` exist in
+    * `dim[dimCols]` are valid (semi-join); the rest are rejects
+    * (anti-join). NULL FK values never match (reference: `isin` on a
+    * non-null key set), so they land in rejects.
+    *
+    * Returns (valid, rejects). Both sides reuse the same dimension scan;
+    * Catalyst plans broadcast-hash semi/anti when `dim` is small.
+    */
+  def fkSplit(df: DataFrame, dim: DataFrame, fkCols: Seq[String], dimCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val dimKeys = dim.select(dimCols.map(col): _*).na.drop("any").distinct()
+    val cond = fkCols.zip(dimCols).map { case (f, d) => df(f) === dimKeys(d) }
+      .reduce(_ && _)
+    val valid = df.join(dimKeys, cond, "left_semi")
+    val rejects = df.join(dimKeys, cond, "left_anti")
+    (valid, rejects)
+  }
+
+  /** F14 — CHECK-constraint style validation split: rows satisfying
+    * `pred` vs violations (Spark enforces no table constraints, so checks
+    * become pipeline filters — SURVEY.md §7.5). */
+  def checkSplit(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
+    (df.filter(pred), df.filter(!coalesce(pred, lit(false))))
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.{Transform, Upsert}
+
+/** The reference's ETL transform/load operators (SURVEY.md §2: P2-P8, A10,
+  * J5/J6, M1-M5) exposed as driver-checkable queries over the testdata.
+  * Each has an equivalent ANSI-SQL oracle so the semantics — not just row
+  * counts — are gated.
+  */
+object EtlQueries {
+
+  /** A10 — keep-last dedupe by (l_orderkey, l_partkey). The harness data
+    * carries duplicate keys (55 groups at sf0.01); "last" is defined by a
+    * deterministic ordinal (l_linenumber, then full-row tie-breaks) since
+    * file order is meaningless in a distributed read. */
+  def dedupeKeepLast(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+    Transform.dedupeKeepLast(l,
+      keys = Seq("l_orderkey", "l_partkey"),
+      ord = Seq(col("l_linenumber"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice")))
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
+  private def finishedOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+
+  /** J5 — FK semi-join: lineitem rows whose order exists in the (filtered)
+    * orders dimension. */
+  def fkSemi(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    val (valid, _) = Transform.fkSplit(l, finishedOrders(spark, dir),
+      Seq("l_orderkey"), Seq("o_orderkey"))
+    valid.orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+  }
+
+  /** J6 — FK anti-join: the reject side of the same split. */
+  def fkAnti(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    val (_, rejects) = Transform.fkSplit(l, finishedOrders(spark, dir),
+      Seq("l_orderkey"), Seq("o_orderkey"))
+    rejects.orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+  }
+
+  /** M1-M5 — MERGE upsert: target = even-keyed orders, stage = every third
+    * order with a bumped o_totalprice. Stage wins on match (including its
+    * NULLs), inserts on miss, never deletes. */
+  def upsertOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderkey") % 2 === 0)
+    val stage = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    Upsert.upsert(target, stage, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P5/P7 — predicate + projection pushdown: quantity and half-open
+    * date-range filters that must reach the parquet scan. */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45 &&
+        col("l_shipdate") >= lit("1998-01-01").cast("date") &&
+        col("l_shipdate") <  lit("1999-01-01").cast("date"))
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+  val oracle: Map[String, String] = Map(
+    "etl_dedupe_keep_last" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+        |           ORDER BY l_linenumber DESC, l_suppkey DESC, l_quantity DESC, l_extendedprice DESC) AS rn
+        |  FROM lineitem
+        |) WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
+    "etl_fk_semi" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM lineitem l WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity""".stripMargin,
+    "etl_fk_anti" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM lineitem l WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity""".stripMargin,
+    "etl_upsert_orders" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |     stage AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                      o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |               FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM target t FULL OUTER JOIN stage s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "etl_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dedupe_keep_last" -> dedupeKeepLast _,
+    "etl_fk_semi" -> fkSemi _,
+    "etl_fk_anti" -> fkAnti _,
+    "etl_upsert_orders" -> upsertOrders _,
+    "etl_filter_project" -> filterProject _,
+  )
+}

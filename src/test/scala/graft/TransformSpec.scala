@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Transform, Upsert}
+
+class TransformSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("dedupeKeepLast keeps the greatest-ordinal row per key") {
+    val df = Seq(
+      (1, 10, "a", 1L), (1, 10, "b", 2L), (1, 10, "c", 3L),
+      (2, 20, "x", 1L), (3, 30, "y", 5L))
+      .toDF("k1", "k2", "v", "ord")
+    val got = Transform.dedupeKeepLast(df, Seq("k1", "k2"), Seq(col("ord")))
+      .orderBy("k1").collect().map(r => (r.getInt(0), r.getString(2))).toSeq
+    assert(got == Seq((1, "c"), (2, "x"), (3, "y")))
+  }
+
+  test("dedupeKeepLast output keys are unique and cover input keys (randomized)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val rs = List.fill(200)((rnd.nextInt(20), rnd.nextInt(1000), rnd.nextLong(50)))
+      val df = rs.toDF("k", "v", "ord")
+      val out = Transform.dedupeKeepLast(df, Seq("k"), Seq(col("ord"), col("v")))
+      val keys = out.select("k").collect().map(_.getInt(0))
+      assert(keys.length == keys.distinct.length)
+      assert(keys.toSet == rs.map(_._1).toSet)
+    }
+  }
+
+  test("fkSplit: valid ∪ rejects == input, NULL FKs rejected") {
+    val df = Seq(
+      (Some(1), "ok"), (Some(2), "ok2"), (Some(99), "bad-fk"), (None, "null-fk"))
+      .toDF("fk", "v")
+    val dim = Seq(1, 2, 3).toDF("id")
+    val (valid, rejects) = Transform.fkSplit(df, dim, Seq("fk"), Seq("id"))
+    assert(valid.count() + rejects.count() == df.count())
+    assert(valid.select("v").collect().map(_.getString(0)).sorted.toSeq == Seq("ok", "ok2"))
+    assert(rejects.select("v").collect().map(_.getString(0)).sorted.toSeq == Seq("bad-fk", "null-fk"))
+  }
+
+  test("checkSplit routes violations including NULL-pred rows") {
+    val df = Seq(Some(5), Some(-1), None).toDF("x")
+    val (ok, bad) = Transform.checkSplit(df, col("x").isNull || col("x") >= 0)
+    assert(ok.count() == 2 && bad.count() == 1)
+  }
+
+  test("upsert: update-on-match (stage NULL wins), insert-on-miss, never deletes") {
+    val target = Seq((1, Some("t1"), 10), (2, Some("t2"), 20)).toDF("k", "s", "n")
+    val stage = Seq((2, None: Option[String], 99), (3, Some("s3"), 30)).toDF("k", "s", "n")
+    val got = Upsert.upsert(target, stage, Seq("k")).orderBy("k")
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)), r.getInt(2))).toSeq
+    assert(got == Seq((1, Some("t1"), 10), (2, None, 99), (3, Some("s3"), 30)))
+  }
+
+  test("upsert is idempotent: upsert(upsert(t,s),s) == upsert(t,s)") {
+    val target = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val stage = Seq((2, "B"), (3, "C")).toDF("k", "v")
+    val once = Upsert.upsert(target, stage, Seq("k"))
+    val twice = Upsert.upsert(once, stage, Seq("k"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("upsert row count = |target keys ∪ stage keys| (randomized)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val tk = List.fill(rnd.nextInt(30))(rnd.nextInt(30)).distinct
+      val sk = List.fill(rnd.nextInt(30))(rnd.nextInt(30)).distinct
+      val target = tk.map(k => (k, s"t$k")).toDF("k", "v")
+      val stage = sk.map(k => (k, s"s$k")).toDF("k", "v")
+      val n = Upsert.upsert(target, stage, Seq("k")).count()
+      assert(n == (tk.toSet ++ sk.toSet).size.toLong)
+    }
+  }
+}
