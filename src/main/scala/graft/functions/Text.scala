@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for document pipelines: normalization,
+  * tokenization, language-ID, quality scoring, fingerprinting. All are
+  * compositions of codegen'd built-ins (no UDFs) and all are expressible
+  * in ANSI SQL for the DuckDB oracle (Spark `regexp_replace` replaces all
+  * matches; the oracle uses the 'g' flag for the same semantics).
+  */
+object Text {
+
+  /** Canonical form for fingerprinting/dedup: lowercase, strip everything
+    * but [a-z0-9 ], collapse runs of spaces, trim. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Whitespace tokens (single-space split — matches DuckDB
+    * string_split semantics including empty tokens). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count approximation: alpha runs count ~1 token per
+    * 4 chars (ceil), digits and other symbols 1 each. A cheap, portable
+    * stand-in for a real BPE vocab (which would be a broadcast lookup). */
+  def bpeishTokenCount(c: Column): Column = {
+    val alpha = regexp_replace(lower(c), "[^a-z]", "")
+    val nonAlnumNonSpace = regexp_replace(lower(c), "[a-z0-9\\s]", "")
+    ceil(length(alpha) / lit(4.0)).cast("long") +
+      length(regexp_replace(lower(c), "[^0-9]", "")).cast("long") +
+      length(nonAlnumNonSpace).cast("long")
+  }
+
+  /** Share of [a-z] characters after lowercasing (0 for empty). */
+  def alphaRatio(c: Column): Column = {
+    val len = length(c)
+    when(len > 0, length(regexp_replace(lower(c), "[^a-z]", "")).cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** Share of punctuation characters. */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len > 0,
+      length(regexp_replace(c, "[^.,;:!?'\"()-]", "")).cast("double") / len)
+      .otherwise(lit(0.0))
+  }
+
+  /** Number of occurrences of `word` as a token (space-delimited match,
+    * counted via plain-`replace` length arithmetic so it is portable to
+    * ANSI SQL; non-overlapping left-to-right in both engines). */
+  def wordHits(c: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val target = s" $word "
+    val stripped = call_function("replace", padded, lit(target), lit(""))
+    ((length(padded) - length(stripped)) / lit(target.length)).cast("long")
+  }
+
+  /** Stopword ratio: hits of a small English stopword set / token count. */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")): Column = {
+    val hits = stopwords.map(wordHits(c, _)).reduce(_ + _)
+    val n = tokenCount(c)
+    when(n > 0, hits.cast("double") / n).otherwise(lit(0.0))
+  }
+
+  /** Language markers: tiny per-language stopword sets (public knowledge).
+    * CJK presence short-circuits to zh. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Heuristic language-ID: CJK characters → zh; else argmax of marker
+    * hits with 'unknown' when nothing matched. Ties break in the fixed
+    * [[langMarkers]] order, so the result is deterministic. */
+  def langId(c: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) =>
+      lang -> ws.map(wordHits(c, _)).reduce(_ + _)
+    }
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    val hasCjk = length(regexp_replace(c, "[^\\u4e00-\\u9fff]", "")) > 0
+    when(hasCjk, lit("zh"))
+      .when(best._2 > 0, best._1)
+      .otherwise(lit("unknown"))
+  }
+
+  /** Composite quality score in [0,1]: length band + alpha share +
+    * stopword signal. Weights are arbitrary but fixed; per-row double
+    * arithmetic only (deterministic across engines). */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val lengthScore = when(n >= 10 && n <= 10000, lit(1.0))
+      .when(n > 0, lit(0.5)).otherwise(lit(0.0))
+    val alpha = alphaRatio(c)
+    val stop = stopwordRatio(c)
+    val stopScore = when(stop > 0.01 && stop < 0.6, lit(1.0)).otherwise(lit(0.0))
+    lengthScore * 0.4 + alpha * 0.4 + stopScore * 0.2
+  }
+
+  /** Document fingerprint: md5 of the normalized text (hex string —
+    * identical in Spark and DuckDB). */
+  def fingerprint(c: Column): Column = md5(normalize(c).cast("binary"))
+
+  /** Word n-gram shingles via higher-order functions: contiguous n-token
+    * windows joined by a single space. Empty result for short docs. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalize(c))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, n))))
+      .otherwise(array())
+  }
+}
