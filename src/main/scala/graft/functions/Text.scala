@@ -115,7 +115,7 @@ object Text {
     val toks = tokens(normalize(c))
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, n))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array())
   }
 }
