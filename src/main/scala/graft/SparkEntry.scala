@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EtlQueries, SalesQueries}
+import graft.queries.{DocQueries, EtlQueries, EventQueries, SalesQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SalesQueries.q03SalesByDay(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline surface (docs, embeddings, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SalesQueries.all ++ EtlQueries.all
+    SalesQueries.all ++ EtlQueries.all ++
+      DocQueries.all ++ VectorQueries.all ++ EventQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    SalesQueries.oracle ++ EtlQueries.oracle
+    SalesQueries.oracle ++ EtlQueries.oracle ++
+      DocQueries.oracle ++ VectorQueries.oracle ++ EventQueries.oracle
 }

@@ -110,12 +110,15 @@ object Text {
   def fingerprint(c: Column): Column = md5(normalize(c).cast("binary"))
 
   /** Word n-gram shingles via higher-order functions: contiguous n-token
-    * windows joined by a single space. Empty result for short docs. */
+    * windows joined by a single space. Empty result for short docs —
+    * including an all-empty-token doc (empty tokens are filtered, so an
+    * empty normalized text yields [] rather than [""]). */
   def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(normalize(c))
+    require(n > 0, s"shingle size must be positive, got $n")
+    val toks = filter(tokens(normalize(c)), t => length(t) > 0)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array())
+      .otherwise(array().cast("array<string>"))
   }
 }

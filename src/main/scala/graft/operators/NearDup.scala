@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Near-duplicate detection operators for document corpora: exact
+  * (fingerprint hash-groupBy), MinHash+LSH band candidates with verified
+  * n-gram Jaccard, and SimHash. All hashing is md5-hex (identical in Spark
+  * and DuckDB/ANSI SQL), so every operator is oracle-checkable.
+  *
+  * Scale design (the reason these shapes were chosen for 100 TB):
+  *  - nothing here is all-pairs: candidate pairs come from an equi-join on
+  *    (band, band-hash) buckets — the shuffle carries one row per
+  *    (doc, band), and only docs agreeing on a full band ever meet;
+  *  - signatures are one hash-aggregate over exploded shingles (map-side
+  *    partial min per seed, so the shuffle carries k mins per doc, not the
+  *    shingle set);
+  *  - Jaccard verification joins shingles only for candidate pairs —
+  *    O(|candidates| · shingles/doc), not O(n²).
+  */
+object NearDup {
+
+  /** Exact-duplicate groups by normalized-text fingerprint: one row per
+    * distinct fingerprint with the canonical (minimum) id and group size.
+    * Single hash-aggregate — the classic exact-dedup plan at any scale. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle) pairs — word `n`-gram shingles of the
+    * normalized text (same semantics as Text.shingles). Docs with fewer
+    * than `n` tokens contribute nothing.
+    *
+    * The token array is materialized as its own projection first: inlined
+    * into Text.shingles' transform() lambda it would be re-evaluated
+    * (normalize regexes included) once per window element — measured 8×
+    * slower at sf0.1. CollapseProject leaves the projection alone because
+    * the array is referenced more than once and is not cheap. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    val toks = col("__toks")
+    df.select(col(idCol),
+        filter(Text.tokens(Text.normalize(col(textCol))), t => length(t) > 0).as("__toks"))
+      .select(col(idCol),
+        explode(
+          when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for seeds 0..numHashes-1, sig_i = min over the
+    * doc's shingles of md5("i|" + shingle). One groupBy with numHashes
+    * partial-min aggregates (map-side combine keeps the shuffle at
+    * numHashes values per doc per partition). Hex-string min is a valid
+    * uniform min-hash order and is engine-portable. */
+  def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    // One md5 per (row, seed) as its OWN projected column. Packing them
+    // into an array and extracting with element_at inside each min()
+    // makes CollapseProject inline the whole array into every aggregate
+    // — numHashes² md5 evaluations per row (measured 12×: 15 s → 2 s at
+    // sf0.1).
+    val hashed = shingles.select(
+      col(idCol) +: (0 until numHashes).map(i =>
+        md5(concat(lit(s"$i|"), col("shingle")).cast("binary")).as(s"__h$i")): _*)
+    hashed.groupBy(col(idCol))
+      .agg(
+        min(col("__h0")).as("sig_0"),
+        (1 until numHashes).map(i => min(col(s"__h$i")).as(s"sig_$i")): _*)
+  }
+
+  /** LSH band-bucket candidate pairs: signatures are cut into `bands`
+    * bands of numHashes/bands rows; docs sharing any band hash become a
+    * candidate pair (id_a < id_b). The join is an equi-join on
+    * (band, bandHash) — never a cartesian product. */
+  def candidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val bandHashes = (0 until bands).map { b =>
+      md5(concat((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
+        .cast("binary"))
+    }
+    val banded = sigs.select(col(idCol), posexplode(array(bandHashes: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col(s"a.band") === col(s"b.band") &&
+        col(s"a.band_hash") === col(s"b.band_hash") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full near-dup pipeline: shingle → minhash → band candidates →
+    * verified exact Jaccard over the candidates' shingle sets.
+    * Returns (doc_a, doc_b, jaccard) for every candidate pair. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+    // The shingle set feeds the signature aggregate, both sides of the
+    // Jaccard join, and the size lookup; the signatures feed both sides
+    // of the band self-join. Persist both or the scan→normalize→explode
+    // →distinct subtree re-executes up to 6× (measured 31 s → 6 s at
+    // sf0.1). Spark's CacheManager matches canonicalized plans, so
+    // repeated calls reuse these entries instead of stacking new ones.
+    // Materialize both caches EAGERLY (count): referenced from four
+    // subtrees of one job, an unpopulated cache is raced by concurrent
+    // tasks that each recompute it (measured 3× slower cold). Same
+    // pattern MLlib uses for reused intermediate RDDs (e.g. ALS).
+    import org.apache.spark.storage.StorageLevel
+    val sh = shingleSets(df, idCol, textCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val sigs = minhashSignatures(sh, idCol, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val pairs = candidatePairs(sigs, idCol, numHashes, bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val common = pairs
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+  }
+
+  /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's
+    * distinct normalized tokens. Bit b is the sign of Σ ±1 where each
+    * token votes +1 if hex digit b of md5(token) is >= '8' (the digit's
+    * high bit), else -1. Near-identical token sets differ in few bits.
+    * One explode + one groupBy with `bits` conditional sums. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits > 0 && bits <= 32, s"bits must be in 1..32, got $bits")
+    val tok = df
+      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("tk"))
+      .distinct()
+      .withColumn("__h", md5(col("tk").cast("binary")))
+    val sums = tok.groupBy(col(idCol))
+      .agg(
+        sum(when(substring(col("__h"), 1, 1) >= "8", 1).otherwise(-1)).as("b0"),
+        (1 until bits).map(b =>
+          sum(when(substring(col("__h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$b")): _*)
+    sums.select(col(idCol),
+      (0 until bits).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+}

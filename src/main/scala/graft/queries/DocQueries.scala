@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.model.Tables
+import graft.operators.NearDup
+
+/** Text-analysis and document-dedup queries over the `documents` table —
+  * the training-data-pipeline surface (language-ID, quality scoring, token
+  * counting, fingerprinting, exact + MinHash + SimHash dedup, multimodal
+  * binary stats). Every query has a DuckDB oracle that mirrors the Spark
+  * expression tree op-for-op: integer/string ops are exact, and every
+  * double is produced by the same literal sequence of IEEE operations on
+  * both engines (casts to DOUBLE are explicit in the SQL because DuckDB
+  * parses bare numeric literals as DECIMAL).
+  */
+object DocQueries {
+
+  /** doc_quality — per-document quality features: token counts (whitespace
+    * + BPE-ish), alpha/punct/stopword ratios, composite score, fingerprint. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = col("text")
+    d.select(
+      col("doc_id"),
+      Text.tokenCount(t).cast("long").as("token_count"),
+      Text.bpeishTokenCount(t).as("bpeish_tokens"),
+      Text.alphaRatio(t).as("alpha_ratio"),
+      Text.punctRatio(t).as("punct_ratio"),
+      Text.stopwordRatio(t).as("stopword_ratio"),
+      Text.qualityScore(t).as("quality_score"),
+      Text.fingerprint(t).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** doc_lang_id — heuristic language-ID next to the synthetic label. */
+  def docLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** doc_dedupe_exact — exact-dup groups by normalized-text fingerprint
+    * (group size 1 = unique doc; canonical = min doc_id). */
+  def docDedupeExact(spark: SparkSession, dir: String): DataFrame =
+    NearDup.exactDupGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("canonical_id")
+
+  /** doc_minhash_pairs — MinHash+LSH banded near-dup candidates with
+    * verified 3-gram Jaccard (12 hashes, 4 bands × 3 rows). */
+  def docMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 12, bands = 4)
+      .orderBy("doc_a", "doc_b")
+
+  /** doc_simhash — 16-bit SimHash fingerprint per document. */
+  def docSimhash(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
+      .orderBy("doc_id")
+
+  /** mm_blob_stats — multimodal plumbing over an opaque binary column:
+    * the text payload treated as a blob (byte length, content digest,
+    * digest-derived feature id). The same shape serves image/audio bytes;
+    * see graft.operators.MediaPipeline for the typed decode path. */
+  def mmBlobStats(spark: SparkSession, dir: String): DataFrame = {
+    val sha = sha2(col("text").cast("binary"), 256)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        lit("text").as("kind"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        sha.as("sha256"),
+        substring(sha, 1, 8).as("feature_prefix"))
+      .orderBy("doc_id")
+  }
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
+    * collapse spaces, trim. */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Token-hit count of `word` in the padded lowercase text `p`
+    * (Text.wordHits replace-length arithmetic). */
+  private def hitSql(word: String): String = {
+    val n = word.length + 2
+    s"CAST((length(p) - length(replace(p, ' $word ', ''))) / $n AS BIGINT)"
+  }
+
+  private def scoreSql(words: Seq[String]): String = words.map(hitSql).mkString(" + ")
+
+  private val stopHitsSql = scoreSql(Seq("the", "a", "of", "and", "to"))
+
+  private val qualityOracle: String = {
+    val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    s"""WITH pad AS (
+       |  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+       |), feat AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+       |    CAST(CEIL($alpha / 4.0) AS BIGINT)
+       |      + CAST(length(regexp_replace(lower(text), '[^0-9]', '', 'g')) AS BIGINT)
+       |      + CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS bpeish_tokens,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST($alpha AS DOUBLE) / length(text) ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length(text)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+       |    $stopHitsSql AS sw_hits,
+       |    md5($normSql) AS fingerprint
+       |  FROM pad
+       |), rat AS (
+       |  SELECT *, CASE WHEN token_count > 0 THEN CAST(sw_hits AS DOUBLE) / token_count
+       |                 ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio
+       |  FROM feat
+       |)
+       |SELECT doc_id, token_count, bpeish_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+       |  (CASE WHEN CAST(token_count AS DOUBLE) >= 10 AND CAST(token_count AS DOUBLE) <= 10000
+       |        THEN CAST(1.0 AS DOUBLE)
+       |        WHEN CAST(token_count AS DOUBLE) > 0 THEN CAST(0.5 AS DOUBLE)
+       |        ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+       |  + alpha_ratio * CAST(0.4 AS DOUBLE)
+       |  + (CASE WHEN stopword_ratio > CAST(0.01 AS DOUBLE) AND stopword_ratio < CAST(0.6 AS DOUBLE)
+       |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |    AS quality_score,
+       |  fingerprint
+       |FROM rat ORDER BY doc_id""".stripMargin
+  }
+
+  private val langIdOracle: String = {
+    // scores per Text.langMarkers, in its fixed order (en, es, de, fr);
+    // the CASE chain reproduces the fold's earliest-argmax tie-breaking.
+    val scores = Text.langMarkers.map { case (lang, ws) => s"s_$lang" -> scoreSql(ws) }
+    val scoreCols = scores.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    s"""WITH pad AS (
+       |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents
+       |), sc AS (
+       |  SELECT doc_id, lang, text,
+       |    $scoreCols
+       |  FROM pad
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |       WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+       |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS lang_pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared shingle CTE prefix (3-gram shingles of normalized text,
+    * empty tokens filtered — mirrors Text.shingles). */
+  private val shingleCtes =
+    s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
+       |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+       |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle FROM idx)""".stripMargin
+
+  private val minhashOracle: String =
+    s"""WITH $shingleCtes,
+       |hs AS (SELECT doc_id, seed, md5(seed || '|' || shingle) AS h FROM sh, range(0, 12) s(seed)),
+       |sig AS (SELECT doc_id, seed, min(h) AS sig FROM hs GROUP BY 1, 2),
+       |band AS (SELECT doc_id, seed // 3 AS band, md5(string_agg(sig, '' ORDER BY seed)) AS bh
+       |         FROM sig GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |common AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+       |           FROM pairs p
+       |           JOIN sh sa ON sa.doc_id = p.doc_a
+       |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |           GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
+       |FROM common c
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashOracle: String = {
+    val bits = 16
+    val sums = (0 until bits).map(b =>
+      s"SUM(CASE WHEN substr(hh, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$b")
+      .mkString(",\n       ")
+    val value = (0 until bits).map(b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
+       |h AS (SELECT doc_id, md5(tk) AS hh FROM tok),
+       |b AS (SELECT doc_id,
+       |       $sums
+       |      FROM h GROUP BY 1)
+       |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "doc_quality" -> qualityOracle,
+    "doc_lang_id" -> langIdOracle,
+    "doc_dedupe_exact" ->
+      s"""SELECT md5($normSql) AS fingerprint,
+         |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "doc_minhash_pairs" -> minhashOracle,
+    "doc_simhash" -> simhashOracle,
+    "mm_blob_stats" ->
+      """SELECT doc_id, 'text' AS kind,
+        |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha256,
+        |       substr(sha256(text), 1, 8) AS feature_prefix
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_quality" -> docQuality _,
+    "doc_lang_id" -> docLangId _,
+    "doc_dedupe_exact" -> docDedupeExact _,
+    "doc_minhash_pairs" -> docMinhashPairs _,
+    "doc_simhash" -> docSimhash _,
+    "mm_blob_stats" -> mmBlobStats _,
+  )
+}

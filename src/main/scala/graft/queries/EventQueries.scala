@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Event-stream analytics over the `events` table: tumbling-window
+  * aggregation and gap-based sessionization. The same `window`/
+  * `session_window` constructs run unchanged under Structured Streaming
+  * (see graft.streaming.StreamOps, which reuses them with a watermark);
+  * here they are driver-gated in batch against a DuckDB oracle.
+  *
+  * The parquet carries nanosecond timestamps, which Spark's reader
+  * rejects; [[Tables.events]] reads them as BIGINT nanos and converts via
+  * timestamp_micros(ns div 1000) — the oracle applies the identical
+  * truncation (epoch_ns // 1000) so both engines see the same microsecond
+  * instants.
+  */
+object EventQueries {
+
+  /** Order-independent exact sum of a 2-dp double column (same contract
+    * as SalesQueries: per-row DECIMAL(18,2) cast, exact sum, back to
+    * double). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** events_hourly — tumbling 1-hour windows per event type. At scale
+    * this is one partial+final hash aggregate; the window start is a
+    * deterministic truncation, so the shuffle key is (hour, type). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** events_sessionize — 30-minute-gap sessions per user via
+    * session_window (same operator Structured Streaming uses for
+    * streaming sessionization). One shuffle on user_id; session merge is
+    * per-key local. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS hour_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // gaps-and-islands: a session breaks when the gap is >= 30 min
+    // (session_window's end bound is exclusive: an event exactly at
+    // last_ts + gap starts a new session).
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value, event_id FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                      >= INTERVAL '30 minutes'
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly" -> eventsHourly _,
+    "events_sessionize" -> eventsSessionize _,
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.Ann
+
+/** Similarity-search queries over the `embeddings` table (ARRAY<FLOAT>,
+  * 64-dim): brute-force cosine top-k as the exactness baseline, the
+  * LSH-bucketed variant as the 100 TB path, embedding-cosine near-dup
+  * pairs, and per-label centroids (the IVF coarse quantizer).
+  *
+  * All scoring runs on quantized integers (see [[Ann]]), so the DuckDB
+  * oracles reproduce the exact same doubles; the hyperplane constants are
+  * embedded as literals in BOTH the Spark plan and the oracle SQL from the
+  * same [[Ann.hashPlanes]] array.
+  */
+object VectorQueries {
+
+  /** 4 hyperplanes → 16 buckets: ~N/16 candidates per probe. */
+  val Planes: Array[Array[Long]] = Ann.hashPlanes(nPlanes = 4, dim = 64)
+
+  private val ProbeMax = 10
+  private val K = 5
+
+  def embKnnBrute(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnBrute(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+
+  def embKnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnLsh(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        Planes, col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+
+  def embNearDup(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        Planes, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  def embCentroids(spark: SparkSession, dir: String): DataFrame =
+    Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
+      .orderBy("label", "dim_idx")
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  /** Quantized-embedding CTE (mirrors Ann.quantize). */
+  private val qCte =
+    """q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |FROM embeddings)""".stripMargin
+
+  /** Exact integer dot products stay < 2^53, so DuckDB's double-valued
+    * list_dot_product is exact; the BIGINT cast pins the type. */
+  private def dotSql(a: String, b: String) = s"CAST(list_dot_product($a, $b) AS BIGINT)"
+
+  private val cosineSql =
+    "CAST(d AS DOUBLE) / (sqrt(CAST(pn AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE)))"
+
+  private def knnOracle(pairSrc: String): String =
+    s"""WITH $qCte,
+       |$pairSrc,
+       |s AS (SELECT probe_id, neighbor_id, $cosineSql AS cosine_sim FROM p),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine_sim DESC, neighbor_id) AS "rank" FROM s)
+       |SELECT probe_id, neighbor_id, cosine_sim, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
+
+  private val bruteOracle: String = knnOracle(
+    s"""p AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM q a, q b WHERE a.vec_id < $ProbeMax AND b.vec_id <> a.vec_id)""".stripMargin)
+
+  /** LSH bucket expression over a quantized column named `qv` — the same
+    * plane literals the Spark plan uses. */
+  private def bucketSql(qv: String): String =
+    Planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql(qv, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val lshOracle: String = knnOracle(
+    s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket
+       |      WHERE a.vec_id < $ProbeMax AND c.vec_id <> a.vec_id)""".stripMargin)
+
+  private val nearDupOracle: String =
+    s"""WITH $qCte,
+       |b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |s AS (SELECT id_a, id_b, $cosineSql AS cosine_sim FROM p)
+       |SELECT id_a, id_b, cosine_sim FROM s
+       |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+
+  private val centroidsOracle: String =
+    s"""WITH $qCte,
+       |e AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |g AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |        CAST(SUM(qv[i]) AS BIGINT) AS qsum, COUNT(*) AS n
+       |      FROM e GROUP BY 1, 2)
+       |SELECT label, dim_idx,
+       |       CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1000.0 AS DOUBLE)) AS centroid
+       |FROM g ORDER BY label, dim_idx""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "emb_knn_brute" -> bruteOracle,
+    "emb_knn_lsh" -> lshOracle,
+    "emb_near_dup" -> nearDupOracle,
+    "emb_centroids" -> centroidsOracle,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_brute" -> embKnnBrute _,
+    "emb_knn_lsh" -> embKnnLsh _,
+    "emb_near_dup" -> embNearDup _,
+    "emb_centroids" -> embCentroids _,
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // axis-aligned unit-ish vectors with a known neighborhood structure
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.95f, 0.05f, 0.0f)), // closest to 2
+    (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("knnBrute ranks the known nearest neighbor first") {
+    val rows = Ann.knnBrute(vecs, "vec_id", "embedding", col("vec_id") < 1, k = 3)
+      .orderBy("rank").collect()
+    assert(rows.map(_.getAs[Long]("neighbor_id")).head == 1L)
+    val sims = rows.map(_.getAs[Double]("cosine_sim"))
+    assert(sims.head > 0.99 && sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("cosineQ is exact on quantized integers: orthogonal=0, opposite=-1") {
+    val got = Ann.knnBrute(vecs, "vec_id", "embedding", col("vec_id") < 1, k = 5)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine_sim")).toMap
+    assert(got(4L) == 0.0)
+    assert(got(5L) == -1.0)
+  }
+
+  test("knnLsh restricts to same-bucket candidates with an equi-join plan") {
+    val planes = Ann.hashPlanes(2, 4)
+    val out = Ann.knnLsh(vecs, "vec_id", "embedding", planes, col("vec_id") < 2, k = 3)
+    val plan = out.queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    // every returned neighbor really shares the probe's bucket
+    val bucketOf = vecs.select(col("vec_id"),
+        Ann.lshBucket(Ann.quantize(col("embedding")), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(bucketOf(r.getAs[Long]("probe_id")) == bucketOf(r.getAs[Long]("neighbor_id")))
+    }
+  }
+
+  test("hashPlanes is deterministic and engine-independent") {
+    val a = Ann.hashPlanes(4, 64)
+    val b = Ann.hashPlanes(4, 64)
+    assert(a.flatten.toSeq == b.flatten.toSeq)
+    assert(a.flatten.forall(v => v >= -(1L << 31) && v < (1L << 31)))
+  }
+
+  test("nearDupPairs finds the high-cosine pair and orders ids") {
+    val planes = Ann.hashPlanes(1, 4) // single plane: 2 buckets, high recall
+    val pairs = Ann.nearDupPairs(vecs, "vec_id", "embedding", planes, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((2L, 3L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("centroids: per-label exact means over quantized elements") {
+    val labeled = Seq(
+      (0, Array(1.0f, 3.0f)),
+      (0, Array(3.0f, 5.0f)),
+      (1, Array(10.0f, 20.0f))
+    ).toDF("label", "embedding")
+    val got = Ann.centroids(labeled, "label", "embedding")
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Long]("dim_idx")) -> r.getAs[Double]("centroid"))
+      .toMap
+    assert(got((0, 0L)) == 2.0 && got((0, 1L)) == 4.0)
+    assert(got((1, 0L)) == 10.0 && got((1, 1L)) == 20.0)
+  }
+}

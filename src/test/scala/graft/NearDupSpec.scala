@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
+import graft.operators.NearDup
+
+class NearDupSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    // near-dup of 1: one word changed
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    // exact dup of 1 modulo punctuation/case
+    (3L, "The QUICK brown fox... jumps over the lazy dog near the river bank today!"),
+    (4L, "completely different content about distributed query engines and shuffles"),
+    (5L, "another unrelated document mentioning vectors embeddings and analytics")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups groups normalization-equal docs under min id") {
+    val groups = NearDup.exactDupGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_docs"))).toMap
+    assert(groups(1L) == 2L) // docs 1 and 3
+    assert(groups(2L) == 1L && groups(4L) == 1L && groups(5L) == 1L)
+  }
+
+  test("minhashPairs finds near-dups and exact-dups, not unrelated docs") {
+    val pairs = NearDup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((1L, 3L)) == 1.0) // identical shingle sets
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5) // near-dup
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+  }
+
+  test("minhashPairs plan is banded: no cartesian product, no nested-loop join") {
+    val plan = NearDup.minhashPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("simhash: identical token sets agree; near-dups land within 3/16 bits") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val sh = NearDup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(3L))
+    assert(hamming(sh(1L), sh(2L)) <= 3)
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("simhash rejects out-of-range bit widths") {
+    intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 0))
+    intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 33))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Pins Text's column functions on literal inputs (the round-2 advice:
+  * shingles had zero tests when its slice bug zeroed round 1). */
+class TextSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def eval[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c).collect().head.getAs[T](0)
+
+  test("normalize lowercases, strips non-alnum, collapses spaces, trims") {
+    assert(eval[String](Text.normalize(lit("  Hello,   WORLD!! 42 "))) == "hello world 42")
+    assert(eval[String](Text.normalize(lit("...")))== "")
+  }
+
+  test("tokenCount counts single-space-delimited tokens") {
+    assert(eval[Int](Text.tokenCount(lit("a b c"))) == 3)
+    assert(eval[Int](Text.tokenCount(lit(""))) == 1) // [""] — DuckDB string_split parity
+  }
+
+  test("shingles('a b c', 2) == [a b, b c]; short and empty docs give []") {
+    def sh(s: String, n: Int): Seq[String] =
+      eval[scala.collection.Seq[String]](Text.shingles(lit(s), n)).toSeq
+    assert(sh("a b c", 2) == Seq("a b", "b c"))
+    assert(sh("a b", 3) == Seq.empty)
+    assert(sh("", 1) == Seq.empty)
+    assert(sh("!!!", 1) == Seq.empty)
+    intercept[IllegalArgumentException](Text.shingles(lit("a b"), 0))
+    intercept[IllegalArgumentException](Text.shingles(lit("a b"), -1))
+  }
+
+  test("wordHits counts token-delimited occurrences only") {
+    assert(eval[Long](Text.wordHits(lit("the cat the hat theory"), "the")) == 2L)
+    assert(eval[Long](Text.wordHits(lit("theory other"), "the")) == 0L)
+  }
+
+  test("langId picks marker-argmax with deterministic ties, CJK short-circuit") {
+    assert(eval[String](Text.langId(lit("the cat and the hat is here"))) == "en")
+    assert(eval[String](Text.langId(lit("el perro y la casa de los gatos"))) == "es")
+    assert(eval[String](Text.langId(lit("der hund und das haus ist gut"))) == "de")
+    assert(eval[String](Text.langId(lit("le chat et les maisons des chiens"))) == "fr")
+    assert(eval[String](Text.langId(lit("中文文本"))) == "zh")
+    assert(eval[String](Text.langId(lit("xyzzy plugh"))) == "unknown")
+  }
+
+  test("fingerprint is normalization-invariant") {
+    val a = eval[String](Text.fingerprint(lit("Hello,   World!")))
+    val b = eval[String](Text.fingerprint(lit("hello world")))
+    val c = eval[String](Text.fingerprint(lit("different text")))
+    assert(a == b && a != c && a.length == 32)
+  }
+
+  test("quality score lands in [0,1] and rewards normal prose") {
+    val good = eval[Double](Text.qualityScore(
+      lit("the quick brown fox jumps over the lazy dog and runs to the hills again")))
+    val junk = eval[Double](Text.qualityScore(lit("!!!! ???? ####")))
+    assert(good > 0.8 && good <= 1.0)
+    assert(junk < 0.3 && junk >= 0.0)
+  }
+}
