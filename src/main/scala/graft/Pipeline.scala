@@ -32,17 +32,39 @@ object Pipeline {
     val orders    = CsvExtract.loadCsvExact(spark, s"$dataDir/orders.csv", Schemas.orders)
     val details   = CsvExtract.loadCsvExact(spark, s"$dataDir/order_details.csv", Schemas.orderDetail)
 
-    // -- transform: NOT-NULL PK filter + keep-last dedupe (file order as
-    // the ordinal — valid here because each input is a single small CSV
-    // read as one partition; at scale the ordinal must be a real column).
+    // -- transform: NOT-NULL PK filter + keep-last dedupe. "Last" means
+    // file order, as in pandas keep="last" (etl_sales_analytics.py:183-186).
+    // The ordinal is reconstructed from scan metadata so it SURVIVES
+    // SPLIT FILES: (file, block offset, row-in-partition). Blocks of one
+    // file sort by their byte offset and rows within a block are emitted
+    // in file order, so the triple is totally ordered by file position —
+    // monotonically_increasing_id alone is only partition-ordered and
+    // breaks silently the moment a file splits into >1 partition.
+    def withFileOrdinal(df: DataFrame): DataFrame =
+      try df
+        .withColumn("__f", col("_metadata.file_path"))
+        .withColumn("__b", col("_metadata.file_block_start"))
+        .withColumn("__r", pmod(monotonically_increasing_id(), lit(1L << 33)))
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        // missing-file degradation path: an in-memory empty frame has no
+        // scan metadata; any ordinal is vacuously correct on zero rows.
+        df.withColumn("__f", lit(""))
+          .withColumn("__b", lit(0L))
+          .withColumn("__r", monotonically_increasing_id())
+      }
+
     def clean(df: DataFrame, keys: Seq[String]): DataFrame =
       Transform.dedupeKeepLast(
-        Transform.dropNullKeys(df.withColumn("__ord", monotonically_increasing_id()), keys),
-        keys, Seq(col("__ord"))).drop("__ord")
+        Transform.dropNullKeys(withFileOrdinal(df), keys),
+        keys, Seq(col("__f"), col("__b"), col("__r")))
+        .drop("__f", "__b", "__r")
 
     val cust = clean(customers, Seq("CustomerID"))
     val prod = clean(products, Seq("ProductID"))
-    val ord0 = clean(orders, Seq("OrderID"))
+    // reference drops orders with NULL OrderID *or* NULL CustomerID
+    // before dedupe (dropna subset, etl_sales_analytics.py:183-185) —
+    // such rows vanish rather than landing in the reject CSV.
+    val ord0 = clean(orders, Seq("OrderID", "CustomerID"))
     val det0 = clean(details, Seq("OrderID", "ProductID"))
 
     // -- FK integrity (J5/J6): violations → reject CSVs, like

@@ -1,5 +1,8 @@
 package graft.operators
 
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -39,28 +42,44 @@ object Upsert {
   /** Upsert against a parquet "table" directory with write-temp-then-swap
     * — the batch-engine approximation of the reference's transactional
     * MERGE (SURVEY.md §7.5: vanilla Spark has no multi-table
-    * transactions). Returns the post-merge row count. */
+    * transactions). The swap goes through Hadoop's FileSystem with every
+    * rename checked and rolled back on failure, so it works on any
+    * cluster filesystem (HDFS/S3A/local) and can never delete the only
+    * surviving copy of the table. Returns the post-merge row count. */
   def upsertParquet(spark: SparkSession, tablePath: String, stage: DataFrame,
       keys: Seq[String]): Long = {
-    val exists = new java.io.File(tablePath).exists()
+    val live = new Path(tablePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (exists) upsert(spark.read.parquet(tablePath), stage, keys)
+      if (fs.exists(live)) upsert(spark.read.parquet(tablePath), stage, keys)
       else stage
-    val tmp = tablePath + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(tablePath)
-    if (exists) {
-      val old = new java.io.File(tablePath + ".old")
-      deleteRecursively(old)
-      dir.renameTo(old)
-      new java.io.File(tmp).renameTo(dir)
-      deleteRecursively(old)
-    } else new java.io.File(tmp).renameTo(dir)
+    val tmp = new Path(tablePath + ".tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, live)
     spark.read.parquet(tablePath).count()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    if (f.exists) f.delete()
+  /** Checked two-phase swap: live → live.old, tmp → live. Any failed
+    * rename aborts with the previous table restored; the .old backup is
+    * dropped only after the new data is installed. (On object stores the
+    * rename is a copy, not atomic — a table format is the real fix; this
+    * is the strongest guarantee a plain-directory warehouse offers.) */
+  private[graft] def swapInto(fs: FileSystem, tmp: Path, live: Path): Unit = {
+    if (!fs.exists(tmp))
+      throw new IOException(s"upsert swap: staged data missing at $tmp; table untouched")
+    val old = new Path(live.toString + ".old")
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new IOException(s"upsert swap: cannot clear stale backup $old; table untouched")
+    val existed = fs.exists(live)
+    if (existed && !fs.rename(live, old))
+      throw new IOException(s"upsert swap: cannot move $live aside; table untouched")
+    if (!fs.rename(tmp, live)) {
+      if (existed && !fs.rename(old, live))
+        throw new IOException(
+          s"upsert swap: install failed AND rollback failed — previous table preserved at $old")
+      throw new IOException(s"upsert swap: cannot install $tmp at $live; previous table restored")
+    }
+    if (existed && !fs.delete(old, true))
+      System.err.println(s"[WARN] upsert swap: new table installed but backup $old not removed")
   }
 }

@@ -95,17 +95,23 @@ object SalesQueries {
   }
 
   /** q6 — top-10 customers by sales with distinct-order counts
-    * (queries.sql:66-75). customer is the dimension → broadcast. */
+    * (queries.sql:66-75). customer is the dimension → broadcast. The
+    * display name reproduces the reference's NULL-safe
+    * CONCAT(ISNULL(a,''),' ',ISNULL(b,'')) (queries.sql:68, F3+F4). */
   def q06TopCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
     val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .groupBy(col("c_custkey"), col("c_name"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(
         dsum(col("l_extendedprice")).as("sales_amount"),
         countDistinct(col("o_orderkey")).as("orders_count"))
+      .select(col("c_custkey"), col("c_name"),
+        concat(coalesce(col("c_name"), lit("")), lit(" "),
+          coalesce(col("c_mktsegment"), lit(""))).as("customer_display"),
+        col("sales_amount"), col("orders_count"))
       .orderBy(col("sales_amount").desc, col("c_custkey"))
       .limit(10)
   }
@@ -205,12 +211,15 @@ object SalesQueries {
   }
 
   /** q14 — date-range sales report (queries.sql:182-193); the reference's
-    * GETDATE()-relative window is parameterized to a fixed 1998 range so
-    * the result is reproducible. Half-open interval as in the reference. */
+    * GETDATE()-relative window is parameterized to a fixed anchor so the
+    * result is reproducible, but the range is still COMPUTED with date
+    * arithmetic exactly as the reference does (DATEADD(day, -n, @d) and
+    * the half-open DATEADD(day, 1, @d2) upper bound — F9). */
   def q14DateRangeSales(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("1998-12-31").cast("date") // stands in for GETDATE()
     val o = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
-              col("o_orderdate") <  lit("1999-01-01").cast("date"))
+      .filter(col("o_orderdate") >= date_add(anchor, -364) &&
+              col("o_orderdate") <  date_add(anchor, 1))
       .select("o_orderkey", "o_orderdate")
     val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
     o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -264,12 +273,13 @@ object SalesQueries {
         |GROUP BY 1, 2 ORDER BY sales_amount DESC, p.p_partkey LIMIT 10""".stripMargin,
     "q06_top_customers" ->
       """SELECT c.c_custkey, c.c_name,
+        |       COALESCE(c.c_name, '') || ' ' || COALESCE(c.c_mktsegment, '') AS customer_display,
         |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sales_amount,
         |       COUNT(DISTINCT o.o_orderkey) AS orders_count
         |FROM orders o
         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
-        |GROUP BY 1, 2 ORDER BY sales_amount DESC, c.c_custkey LIMIT 10""".stripMargin,
+        |GROUP BY 1, 2, 3 ORDER BY sales_amount DESC, c.c_custkey LIMIT 10""".stripMargin,
     "q07_status_distribution" ->
       """SELECT COALESCE(o_orderstatus, '(NULL)') AS status, COUNT(*) AS orders_count
         |FROM orders GROUP BY 1 ORDER BY orders_count DESC, status""".stripMargin,
@@ -319,8 +329,8 @@ object SalesQueries {
       """SELECT CAST(o.o_orderdate AS DATE) AS sale_date,
         |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        |WHERE o.o_orderdate >= DATE '1998-01-01'
-        |  AND o.o_orderdate <  DATE '1999-01-01'
+        |WHERE o.o_orderdate >= DATE '1998-12-31' - 364
+        |  AND o.o_orderdate <  DATE '1998-12-31' + 1
         |GROUP BY 1 ORDER BY sale_date DESC""".stripMargin,
     "v_order_totals" ->
       """SELECT l_orderkey,

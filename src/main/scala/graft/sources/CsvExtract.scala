@@ -44,18 +44,19 @@ object CsvExtract {
     raw.select(cols.toSeq: _*)
   }
 
-  /** Per-cell lenient coercion: parse-or-NULL for every declared type. */
+  /** Per-cell lenient coercion: parse-or-NULL for every declared type.
+    * Every branch must stay NULL-on-failure under Spark 4's default ANSI
+    * mode — raw to_timestamp/to_date throw CAST_INVALID_INPUT there, so
+    * temporal types go through the try_* variants. */
   private def coerce(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column =
     dt match {
       case StringType => c
-      // try_cast semantics: malformed numerics/dates → NULL (Spark's
-      // ANSI-off cast already yields NULL on bad input for these types).
       case _: DecimalType | IntegerType | LongType | DoubleType | FloatType =>
         c.try_cast(dt)
       case TimestampType =>
         // date-only strings (data/orders.csv) or full timestamps
-        coalesce(to_timestamp(c), to_timestamp(c, "yyyy-MM-dd"))
-      case DateType => to_date(c)
+        coalesce(try_to_timestamp(c), try_to_timestamp(c, lit("yyyy-MM-dd")))
+      case DateType => c.try_cast(DateType)
       case other => c.try_cast(other)
     }
 

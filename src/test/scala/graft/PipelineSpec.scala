@@ -26,6 +26,25 @@ class PipelineSpec extends SparkSpec {
     assert(r2.counts == r1.counts)
   }
 
+  test("keep-last ordinal survives split input files (golden winner unchanged)") {
+    // Force the 1.9 MB order_details.csv to split into many partitions:
+    // the file-metadata ordinal must still resolve dup key (1010,1332)
+    // to the LAST row in file order (TotalPrice 323.05), where a bare
+    // monotonically_increasing_id would silently pick a wrong winner.
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "65536")
+      val out = Files.createTempDirectory("graft-split").toString
+      val r = Pipeline.run(spark, "/root/reference/data", out)
+      assert(r.counts("order_details") == 60123L)
+      val od = spark.read.parquet(s"$out/warehouse/order_details")
+      val golden = od.filter("OrderID = 1010 AND ProductID = 1332")
+        .collect().map(_.getAs[java.math.BigDecimal]("TotalPrice"))
+      assert(golden.length == 1 && golden.head.doubleValue == 323.05)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("missing input file degrades to an empty typed table, not an error") {
     val out = Files.createTempDirectory("graft-empty").toString
     val empty = graft.sources.CsvExtract.loadCsvExact(
