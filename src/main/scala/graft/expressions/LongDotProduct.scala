@@ -1,0 +1,98 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+
+/** Exact integer dot product of two ARRAY<BIGINT> columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * The composable alternative — aggregate(zip_with(a, b, _*_), 0, _+_) —
+  * is semantically identical but evaluates through the higher-order-
+  * function interpreter: per pair it allocates the zipped array and boxes
+  * every lambda step. On the ANN pair joins (~10⁶ comparisons at sf0.1,
+  * arbitrarily many at scale) this expression generates a tight primitive
+  * long loop instead.
+  *
+  * Preconditions: equal-length arrays with no null elements (quantized
+  * embeddings by construction); on length mismatch the common prefix is
+  * used. NULL array input → NULL result (BinaryExpression contract).
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dotq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long graft_s = 0L;
+         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
+         |  graft_s += $a.getLong(graft_i) * $b.getLong(graft_i);
+         |}
+         |${ev.value} = graft_s;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongDotProduct {
+  private val ident = new FunctionIdentifier("graft_dotq")
+  private def info = new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dotq")
+  private val builder: FunctionBuilder = { exprs =>
+    require(exprs.length == 2, s"graft_dotq expects 2 arguments, got ${exprs.length}")
+    LongDotProduct(exprs.head, exprs(1))
+  }
+
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      LongDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Make `graft_dotq` callable from SQL text in an existing session. */
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, ident, info, builder)
+}
+
+/** Session-extensions hook for cluster deploys:
+  * --conf spark.sql.extensions=graft.expressions.GraftExtensions
+  * registers every graft native function at session build time. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_dotq"),
+        new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dotq"),
+        (exprs: Seq[Expression]) => LongDotProduct(exprs.head, exprs(1))))
+  }
+}

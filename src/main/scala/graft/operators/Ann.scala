@@ -35,9 +35,14 @@ object Ann {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd expression (see [[graft.expressions.LongDotProduct]]).
+    * Bit-identical to aggregate(zip_with(a,b,_*_), 0L, _+_) on the
+    * equal-length null-free arrays quantize produces, but runs as a
+    * primitive long loop inside whole-stage codegen instead of the HOF
+    * interpreter. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.expressions.LongDotProduct(a, b)
 
   /** Cosine similarity from quantized vectors: exact integer dots, then
     * sqrt+divide (4 IEEE ops — deterministic everywhere). */

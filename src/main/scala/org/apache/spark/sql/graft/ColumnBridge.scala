@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression glue so
+  * graft's native Catalyst expressions can be exposed through the public
+  * Column API. Living under org.apache.spark.sql is the established
+  * pattern for Spark-extension libraries that ship custom expressions;
+  * nothing here adds behavior — it only re-exports two converters and
+  * the session function registry.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+      ident: FunctionIdentifier, info: ExpressionInfo, builder: FunctionBuilder): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(ident, info, builder)
+}
