@@ -1,8 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.Tables
 
@@ -20,34 +18,20 @@ import graft.model.Tables
   */
 object EventQueries {
 
-  /** Order-independent exact sum of a 2-dp double column (same contract
-    * as SalesQueries: per-row DECIMAL(18,2) cast, exact sum, back to
-    * double). */
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
-
-  /** events_hourly — tumbling 1-hour windows per event type. At scale
-    * this is one partial+final hash aggregate; the window start is a
-    * deterministic truncation, so the shuffle key is (hour, type). */
+  /** events_hourly — tumbling 1-hour windows per event type; the body is
+    * the streaming operator (StreamOps.hourlyStats) run in batch. At
+    * scale this is one partial+final hash aggregate; the window start is
+    * a deterministic truncation, so the shuffle key is (hour, type). */
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+    graft.streaming.StreamOps.hourlyStats(Tables.events(spark, dir))
       .orderBy("hour_start", "event_type")
 
   /** events_sessionize — 30-minute-gap sessions per user via
-    * session_window (same operator Structured Streaming uses for
-    * streaming sessionization). One shuffle on user_id; session merge is
+    * session_window (the same operator Structured Streaming uses; see
+    * StreamOps.sessionize). One shuffle on user_id; session merge is
     * per-key local. */
   def eventsSessionize(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
-      .select(col("user_id"),
-        col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("n_events"), col("total_value"))
+    graft.streaming.StreamOps.sessionize(Tables.events(spark, dir))
       .orderBy("user_id", "session_start")
 
   val oracle: Map[String, String] = Map(

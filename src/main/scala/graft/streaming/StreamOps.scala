@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.DecimalType
+
+/** Streaming-first event operators. Each transform is written against an
+  * unbounded DataFrame and runs identically in batch — the batch-gated
+  * EventQueries reuse these bodies, and a readStream source can be piped
+  * through them unchanged (windows and session_window are the same
+  * Catalyst operators in both modes; only the watermark is
+  * streaming-specific state-GC metadata).
+  *
+  * Scale notes: windowed/session aggregation state is partitioned by
+  * (group keys) across executors; the watermark bounds state size — an
+  * unbounded-lateness stream would otherwise accumulate state forever at
+  * 100 TB/day rates. mapGroupsWithState keys state by user with the same
+  * shuffle partitioning.
+  */
+object StreamOps {
+
+  /** Typed view of the events table (ts in microseconds, tz-naive UTC). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Running per-user aggregate maintained by custom state. */
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Exact order-independent sum of a 2-dp double (same contract as the
+    * batch queries — decimal in flight, double at the surface). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Event-time watermark: tolerate `delay` of lateness, GC older state. */
+  def withEventWatermark(events: DataFrame, delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Tumbling 1-hour counts/sums per event type. Unordered (streaming
+    * sinks forbid global sort); batch callers add their own ORDER BY. */
+  def hourlyStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** 30-minute-gap sessions per user (session_window merges events whose
+    * time is within the gap of the session's end; end bound exclusive). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Custom keyed state: running per-user event count + value total,
+    * carried across micro-batches via mapGroupsWithState. The state is a
+    * single small record per user — bounded by cardinality, not stream
+    * length. In batch mode the state store starts empty and the result
+    * equals a plain groupBy. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          // exact accumulation: cents as longs, double only at the surface
+          var n = prev.n_events
+          var cents = math.round(prev.total_value * 100)
+          batch.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          val next = UserRunning(userId, n, cents / 100.0)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Drives the streaming operators through MemoryStream micro-batches —
+  * the same bodies the batch driver gates against DuckDB. */
+class StreamingSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyStats over a MemoryStream aggregates across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.hourlyStats(StreamOps.withEventWatermark(ms.toDF(), "2 hours"))
+      .writeStream.format("memory").queryName("hourly_t").outputMode("complete").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.50),
+        Event(2, ts("2024-01-01 00:45:00"), 2, "click", 2.25),
+        Event(3, ts("2024-01-01 01:10:00"), 1, "view", 4.00))
+      q.processAllAvailable()
+      ms.addData(Event(4, ts("2024-01-01 00:30:00"), 3, "click", 0.25)) // late, in-watermark
+      q.processAllAvailable()
+      val got = spark.table("hourly_t")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "click", 3L, 4.0),
+        ("2024-01-01 01:00:00.0", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize in streaming append mode emits sessions closed by the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.sessionize(StreamOps.withEventWatermark(ms.toDF(), "30 minutes"))
+      .writeStream.format("memory").queryName("sessions_t").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:20:00"), 7, "view", 2.0),  // same session
+        Event(3, ts("2024-01-01 12:00:00"), 7, "click", 3.0)) // new session
+      q.processAllAvailable()
+      // advance the watermark past both sessions so append finalizes them
+      ms.addData(Event(4, ts("2024-01-01 14:00:00"), 8, "click", 0.5))
+      q.processAllAvailable()
+      ms.addData(Event(5, ts("2024-01-01 16:00:00"), 8, "click", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sessions_t")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+        .toSet
+      assert(got.contains((7L, "2024-01-01 10:00:00.0", "2024-01-01 10:50:00.0", 2L)))
+      assert(got.contains((7L, "2024-01-01 12:00:00.0", "2024-01-01 12:30:00.0", 1L)))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals carries keyed state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.runningUserTotals(ms.toDS())
+      .writeStream.format("memory").queryName("running_t").outputMode("update").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.10),
+        Event(2, ts("2024-01-01 00:00:02"), 1, "view", 2.20),
+        Event(3, ts("2024-01-01 00:00:03"), 2, "click", 5.00))
+      q.processAllAvailable()
+      ms.addData(Event(4, ts("2024-01-01 00:00:04"), 1, "click", 3.30))
+      q.processAllAvailable()
+      // last emitted update per user reflects the accumulated state
+      val last = spark.table("running_t")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+      assert(last(1L) == ((1L, 3L, 6.60)))
+      assert(last(2L) == ((2L, 1L, 5.00)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming hourlyStats agree on the same data") {
+    val batch = Seq(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.50),
+      Event(2, ts("2024-01-01 00:45:00"), 2, "click", 2.25),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 4.00)).toDF()
+    val got = StreamOps.hourlyStats(batch)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.75),
+      ("2024-01-01 01:00:00.0", "view", 1L, 4.0)))
+  }
+}
