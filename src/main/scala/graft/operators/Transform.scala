@@ -39,6 +39,22 @@ object Transform {
       .drop("__rn")
   }
 
+  /** A10 at scale — keep-last as an AGGREGATE instead of a window:
+    * max_by(struct(data...), struct(ord...)) gets partial aggregation
+    * (map-side combine), so the shuffle carries one candidate row per
+    * key per partition instead of every raw row, and AQE can split a
+    * skewed aggregate where it cannot split a window partition. Same
+    * winner as [[dedupeKeepLast]] for any totally-ordering `ord` (ties
+    * broken by the greatest full ord-tuple in both). Preferred on
+    * hot-key data; the window form keeps exact plan parity with the
+    * ROW_NUMBER oracle. */
+  def dedupeKeepLastAgg(df: DataFrame, keys: Seq[String], ord: Seq[Column]): DataFrame = {
+    val dataCols = df.columns.filterNot(keys.contains)
+    val packed = df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(dataCols.map(col): _*), struct(ord: _*)).as("__row"))
+    packed.select(keys.map(col) ++ dataCols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** J5/J6 — FK integrity split: rows whose `fkCols` exist in
     * `dim[dimCols]` are valid (semi-join); the rest are rejects
     * (anti-join). NULL FK values never match (reference: `isin` on a

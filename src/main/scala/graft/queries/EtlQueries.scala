@@ -28,6 +28,20 @@ object EtlQueries {
       .orderBy("l_orderkey", "l_partkey")
   }
 
+  /** A10 (scale form) — same dedupe through the max_by aggregate (map-
+    * side combine; the plan that wins on hot keys at 100 TB). Gated
+    * against the SAME oracle as the window form: identical winners. */
+  def dedupeKeepLastAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice")
+    Transform.dedupeKeepLastAgg(l,
+      keys = Seq("l_orderkey", "l_partkey"),
+      ord = Seq(col("l_linenumber"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice")))
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
   private def finishedOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F")
@@ -83,6 +97,14 @@ object EtlQueries {
         |           ORDER BY l_linenumber DESC, l_suppkey DESC, l_quantity DESC, l_extendedprice DESC) AS rn
         |  FROM lineitem
         |) WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
+    "etl_dedupe_keep_last_agg" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+        |           ORDER BY l_linenumber DESC, l_suppkey DESC, l_quantity DESC, l_extendedprice DESC) AS rn
+        |  FROM lineitem
+        |) WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
     "etl_fk_semi" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
         |FROM lineitem l WHERE EXISTS (
@@ -115,6 +137,7 @@ object EtlQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_dedupe_keep_last" -> dedupeKeepLast _,
+    "etl_dedupe_keep_last_agg" -> dedupeKeepLastAgg _,
     "etl_fk_semi" -> fkSemi _,
     "etl_fk_anti" -> fkAnti _,
     "etl_upsert_orders" -> upsertOrders _,

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Catalog DDL for the parquet warehouse — the reference's idempotent
+  * `IF OBJECT_ID(...) IS NULL CREATE TABLE` block (`ensure_tables`,
+  * etl_sales_analytics.py:64-116) re-expressed as Spark catalog
+  * statements over external parquet locations. Like the reference
+  * (which gates DDL behind MSSQL_CREATE_DDL=1), registration is an
+  * optional layer over the path-addressed tables the pipeline writes.
+  */
+object Warehouse {
+
+  /** Idempotent CREATE TABLE IF NOT EXISTS on an external parquet
+    * location. A pre-existing registration wins (reference semantics:
+    * the object-id probe skips creation). */
+  def ensureTable(spark: SparkSession, table: String, path: String,
+      schema: StructType): Unit =
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $table (${schema.toDDL}) " +
+        s"USING parquet LOCATION '$path'")
+
+  /** DROP TABLE IF EXISTS — `drop_stage_tables`
+    * (etl_sales_analytics.py:285-293). Metadata-only for external
+    * tables: the parquet files stay. */
+  def dropTable(spark: SparkSession, table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  /** Row-count probe per table (`print_counts`,
+    * etl_sales_analytics.py:295-299). */
+  def tableCounts(spark: SparkSession, tables: Seq[String]): Map[String, Long] =
+    tables.map(t => t -> spark.table(t).count()).toMap
+}

@@ -29,6 +29,22 @@ class TransformSpec extends SparkSpec {
     }
   }
 
+  test("dedupeKeepLastAgg agrees with the window form (randomized)") {
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 5) {
+      // ord covers every data column, so equal ord-tuples are identical
+      // rows and both forms are deterministic
+      val rs = List.fill(300)((rnd.nextInt(25), rnd.nextInt(50), rnd.nextInt(50)))
+      val df = rs.toDF("k", "a", "b")
+      val ord = Seq(col("a"), col("b"))
+      val w = Transform.dedupeKeepLast(df, Seq("k"), ord)
+        .orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      val g = Transform.dedupeKeepLastAgg(df, Seq("k"), ord)
+        .orderBy("k").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(w == g)
+    }
+  }
+
   test("fkSplit: valid ∪ rejects == input, NULL FKs rejected") {
     val df = Seq(
       (Some(1), "ok"), (Some(2), "ok2"), (Some(99), "bad-fk"), (None, "null-fk"))
