@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.{Transform, Upsert}
+import graft.operators.{Salt, Transform, Upsert}
 
 /** The reference's ETL transform/load operators (SURVEY.md §2: P2-P8, A10,
   * J5/J6, M1-M5) exposed as driver-checkable queries over the testdata.
@@ -78,6 +78,17 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Skew-salted fact⋈dim join (graft.operators.Salt): row-identical to
+    * the plain join — which is exactly what the oracle checks. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    Salt.saltedJoin(l, o, Seq("l_orderkey"), factor = 8)
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+  }
+
   /** P5/P7 — predicate + projection pushdown: quantity and half-open
     * date-range filters that must reach the parquet scan. */
   def filterProject(spark: SparkSession, dir: String): DataFrame =
@@ -133,6 +144,10 @@ object EtlQueries {
         |FROM lineitem
         |WHERE l_quantity > 45 AND l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber""".stripMargin,
+    "etl_salted_join" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity, o.o_custkey
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -142,5 +157,6 @@ object EtlQueries {
     "etl_fk_anti" -> fkAnti _,
     "etl_upsert_orders" -> upsertOrders _,
     "etl_filter_project" -> filterProject _,
+    "etl_salted_join" -> saltedJoin _,
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{DocQueries, EtlQueries, SalesQueries}
+
+/** Plan-shape regression guards: the optimizations the engine claims
+  * (pushdown, pruning, broadcast, top-k, partial aggregation) must be
+  * visible in the executed plan, not just asserted in comments. A change
+  * that silently degrades one of these shapes fails here long before a
+  * benchmark would catch it. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // let AQE finalize before reading the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("etl_filter_project pushes predicates into the parquet scan") {
+    val plan = planOf(EtlQueries.filterProject(spark, dir))
+    assert(plan.contains("PushedFilters: ["))
+    assert(plan.contains("GreaterThan(l_quantity"))
+    assert(plan.contains("IsNotNull(l_quantity)"))
+  }
+
+  test("doc_quality scan is pruned to (doc_id, text)") {
+    val plan = planOf(DocQueries.docQuality(spark, dir))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("q05 top-k plans TakeOrderedAndProject over a broadcast dim join") {
+    val plan = planOf(SalesQueries.q05TopProducts(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q11 scalar pick stays a broadcast join, no driver collect") {
+    val plan = planOf(SalesQueries.q11LatestOrderDetail(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedupeKeepLastAgg aggregates partially before the shuffle") {
+    val plan = planOf(EtlQueries.dedupeKeepLastAgg(spark, dir))
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by")
+      || "HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("salted join result is row-identical to the plain join") {
+    val salted = EtlQueries.saltedJoin(spark, dir).collect().map(_.toSeq).toSeq
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "o_custkey")
+      .orderBy("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+}
