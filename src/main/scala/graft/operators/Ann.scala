@@ -145,6 +145,50 @@ object Ann {
       .select("id_a", "id_b", "cosine_sim")
   }
 
+  /** Quantized IVF coarse codebook from a labeling: per (label, dim) the
+    * FLOOR-average of the quantized elements — exact integer arithmetic,
+    * so any engine derives the identical codebook. In production the
+    * labels come from k-means iterations built on these same primitives;
+    * any deterministic partition of the collection works as an IVF
+    * codebook. Returns (cb_label, dim_idx, cq). */
+  def ivfCodebook(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("cb_label"), posexplode(quantize(col(vecCol))))
+      .withColumnsRenamed(Map("pos" -> "dim_idx", "col" -> "q"))
+      .groupBy(col("cb_label"), col("dim_idx").cast("long").as("dim_idx"))
+      .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
+
+  /** IVF(-flat) top-k: every vector is assigned to its nearest codebook
+    * centroid (exact integer L2, ties to the lowest label); each probe
+    * searches only the `nProbe` nearest inverted lists. The codebook is
+    * collected to the driver (it IS the model — tiny) and embedded as
+    * literals, so assignment is a per-row expression: dist(q,c) =
+    * q·q − 2·q·c + c·c via the codegen'd dot product, ranked with one
+    * sort_array over (dist, label) structs. Candidate search is an
+    * equi-join on the centroid id — inverted lists, never all-pairs. */
+  def knnIvf(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
+      probePred: Column, k: Int, nProbe: Int): DataFrame = {
+    val cb: Array[(Int, Array[Long])] = codebook
+      .orderBy("cb_label", "dim_idx").collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (lbl, rows) => (lbl, rows.map(_._2)) }
+    val qdf = quantized(df, idCol, vecCol)
+    def ranked(q: Column, qq: Column): Column = sort_array(array(cb.map { case (lbl, c) =>
+      val cl = array(c.map(lit): _*)
+      val cc = c.map(x => x * x).sum
+      struct((qq - lit(2L) * dotQ(q, cl) + lit(cc)).as("dist"), lit(lbl).as("lbl"))
+    }: _*))
+    val withRank = qdf.withColumn("__cranks", ranked(col("__q"), col("__n")))
+    val assigned = withRank
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"), col("__n").as("__nn"),
+        element_at(col("__cranks"), 1).getField("lbl").as("__cent"))
+    val probes = withRank.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"),
+        explode(transform(slice(col("__cranks"), 1, nProbe), s => s.getField("lbl")))
+          .as("__cent"))
+    topK(assigned.join(broadcast(probes), "__cent"), k)
+  }
+
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the
     * quantized vector, hash-aggregate exact integer sums per (label,
     * dimension), divide once at the end. The shuffle carries dim partial

@@ -43,6 +43,15 @@ object VectorQueries {
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
 
+  /** IVF-flat with the label partition as codebook, nProbe=2. */
+  def embKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val codebook = Ann.ivfCodebook(emb, "label", "embedding")
+    Ann.knnIvf(emb, "vec_id", "embedding", codebook,
+        col("vec_id") < ProbeMax, K, nProbe = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Quantized-embedding CTE (mirrors Ann.quantize). */
@@ -103,6 +112,39 @@ object VectorQueries {
        |SELECT id_a, id_b, cosine_sim FROM s
        |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
 
+  /** IVF oracle: derives the same integer codebook from the data (floor-
+    * averaged quantized dims), assigns by exact integer L2 (ties to the
+    * lowest label), probes the 2 nearest lists. The Spark side embeds the
+    * collected codebook as literals; values are identical because every
+    * step is exact integer arithmetic. */
+  private val ivfOracle: String =
+    s"""WITH $qCte,
+       |vd AS (SELECT vec_id, label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |vdim AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim_idx, qv[i] AS qe FROM vd),
+       |cb AS (SELECT label AS cb_label, dim_idx,
+       |         CAST(FLOOR(CAST(SUM(qe) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |       FROM vdim GROUP BY 1, 2),
+       |dist AS (SELECT v.vec_id, c.cb_label, SUM((v.qe - c.cq) * (v.qe - c.cq)) AS d2
+       |         FROM vdim v JOIN cb c ON c.dim_idx = v.dim_idx GROUP BY 1, 2),
+       |rankedc AS (SELECT vec_id, cb_label,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cb_label) AS crn
+       |            FROM dist),
+       |inv AS (SELECT vec_id, cb_label FROM rankedc WHERE crn = 1),
+       |probes AS (SELECT vec_id, cb_label FROM rankedc WHERE vec_id < $ProbeMax AND crn <= 2),
+       |p AS (SELECT pr.vec_id AS probe_id, i.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM probes pr
+       |      JOIN inv i ON i.cb_label = pr.cb_label AND i.vec_id <> pr.vec_id
+       |      JOIN q a ON a.vec_id = pr.vec_id
+       |      JOIN q b ON b.vec_id = i.vec_id),
+       |s AS (SELECT probe_id, neighbor_id, $cosineSql AS cosine_sim FROM p),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine_sim DESC, neighbor_id) AS "rank" FROM s)
+       |SELECT probe_id, neighbor_id, cosine_sim, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
+
   private val centroidsOracle: String =
     s"""WITH $qCte,
        |e AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
@@ -116,6 +158,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
+    "emb_knn_ivf" -> ivfOracle,
     "emb_near_dup" -> nearDupOracle,
     "emb_centroids" -> centroidsOracle,
   )
@@ -123,6 +166,7 @@ object VectorQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
+    "emb_knn_ivf" -> embKnnIvf _,
     "emb_near_dup" -> embNearDup _,
     "emb_centroids" -> embCentroids _,
   )

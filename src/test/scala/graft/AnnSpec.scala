@@ -62,6 +62,30 @@ class AnnSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("knnIvf assigns to nearest centroid lists and finds in-list neighbors") {
+    val labeled = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 0.95f, 0.05f, 0.0f)),
+      (4L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, 2, Array(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val codebook = Ann.ivfCodebook(labeled, "label", "embedding")
+    assert(codebook.count() == 3 * 4)
+    // nProbe=1: probe 0 must find its own-cluster neighbor 1 first
+    val got = Ann.knnIvf(labeled, "vec_id", "embedding", codebook,
+        col("vec_id") < 1, k = 2, nProbe = 1)
+      .orderBy("rank").collect()
+    assert(got.head.getAs[Long]("neighbor_id") == 1L)
+    // all results stay within the probed list (cluster 0)
+    assert(got.forall(r => Set(1L)(r.getAs[Long]("neighbor_id"))))
+    // nProbe=3 widens the search to every list: more neighbors reachable
+    val wide = Ann.knnIvf(labeled, "vec_id", "embedding", codebook,
+        col("vec_id") < 1, k = 5, nProbe = 3)
+    assert(wide.count() == 5)
+  }
+
   test("centroids: per-label exact means over quantized elements") {
     val labeled = Seq(
       (0, Array(1.0f, 3.0f)),
