@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Catalog DDL for the parquet warehouse — the reference's idempotent
@@ -31,4 +31,19 @@ object Warehouse {
     * etl_sales_analytics.py:295-299). */
   def tableCounts(spark: SparkSession, tables: Seq[String]): Map[String, Long] =
     tables.map(t => t -> spark.table(t).count()).toMap
+
+  /** Bucketed external-table write: pays the shuffle ONCE at write time
+    * (hash-bucketed and sorted by `keys`), after which every equi-join
+    * or aggregation between same-bucketed tables on those keys plans
+    * with no Exchange — the co-location strategy for fact⋈fact joins
+    * repeated across a 100 TB warehouse's query mix. WarehouseSpec
+    * asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      keys: Seq[String], nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the events parquet matches the batch rollup") {
+    // a parquet directory as a real streaming source; same ns→µs
+    // conversion the batch loader applies
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir.toString).schema
+    val src = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val q = StreamOps.hourlyStats(StreamOps.withEventWatermark(src, "2 hours"))
+      .writeStream.format("memory").queryName("file_hourly_t").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly_t").count()
+      val batch = StreamOps.hourlyStats(
+        graft.model.Tables.events(spark, "/root/testdata/sf0.001")).count()
+      assert(streamed == batch && streamed > 0)
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyStats agree on the same data") {
     val batch = Seq(
       Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.50),

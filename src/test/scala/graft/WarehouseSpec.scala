@@ -2,10 +2,40 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.Warehouse
 
 class WarehouseSpec extends SparkSpec {
   import sqlImplicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val base = Files.createTempDirectory("graft-bkt").toString
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    Warehouse.writeBucketed(l, "graft_bkt_l", s"$base/l", Seq("l_orderkey"), 4)
+    Warehouse.writeBucketed(o, "graft_bkt_o", s"$base/o", Seq("o_orderkey"), 4)
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcastKey)
+    try {
+      spark.conf.set(bcastKey, "-1") // force the sort-merge path
+      val joined = spark.table("graft_bkt_l")
+        .join(spark.table("graft_bkt_o"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == l.count())
+    } finally {
+      spark.conf.set(bcastKey, prev)
+      Warehouse.dropTable(spark, "graft_bkt_l")
+      Warehouse.dropTable(spark, "graft_bkt_o")
+    }
+  }
 
   test("ensureTable registers an external parquet table, idempotently") {
     val path = Files.createTempDirectory("graft-wh").toString + "/t"
