@@ -145,6 +145,27 @@ object Ann {
       .select("id_a", "id_b", "cosine_sim")
   }
 
+  /** Multi-probe LSH top-k: each probe searches its own bucket AND every
+    * bucket at Hamming distance 1 (the planes whose sign-boundary the
+    * vector sits closest to are the likeliest to flip — probing the
+    * 1-bit neighborhood recovers most of the recall lost to bucketing at
+    * (nPlanes+1)× the candidate cost, still an equi-join, never
+    * all-pairs). */
+  def knnLshMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame = {
+    val qdf = quantized(df, idCol, vecCol)
+      .withColumn("__bucket", lshBucket(col("__q"), planes))
+    val cands = qdf
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn"), col("__bucket"))
+    val probeBuckets = array(lit(0L) +: planes.indices.map(i => lit(1L << i)): _*)
+    val probes = qdf.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"),
+        explode(transform(probeBuckets, m => col("__bucket").bitwiseXOR(m)))
+          .as("__bucket"))
+    topK(cands.join(broadcast(probes), "__bucket"), k)
+  }
+
   /** Quantized IVF coarse codebook from a labeling: per (label, dim) the
     * FLOOR-average of the quantized elements — exact integer arithmetic,
     * so any engine derives the identical codebook. In production the

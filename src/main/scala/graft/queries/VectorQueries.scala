@@ -43,6 +43,12 @@ object VectorQueries {
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
 
+  /** Multi-probe LSH: own bucket + all Hamming-1 buckets. */
+  def embKnnLshMp(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnLshMultiProbe(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        Planes, col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+
   /** IVF-flat with the label partition as codebook, nProbe=2. */
   def embKnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -112,6 +118,20 @@ object VectorQueries {
        |SELECT id_a, id_b, cosine_sim FROM s
        |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
 
+  private val lshMpOracle: String = {
+    val expanded = ("bucket" +: Planes.indices.map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+    knnOracle(
+      s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+         |pb AS (SELECT vec_id, qv, unnest($expanded) AS bucket FROM b WHERE vec_id < $ProbeMax),
+         |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |        ${dotSql("a.qv", "c.qv")} AS d,
+         |        ${dotSql("a.qv", "a.qv")} AS pn,
+         |        ${dotSql("c.qv", "c.qv")} AS nn
+         |      FROM pb a JOIN b c ON a.bucket = c.bucket
+         |      WHERE c.vec_id <> a.vec_id)""".stripMargin)
+  }
+
   /** IVF oracle: derives the same integer codebook from the data (floor-
     * averaged quantized dims), assigns by exact integer L2 (ties to the
     * lowest label), probes the 2 nearest lists. The Spark side embeds the
@@ -158,6 +178,7 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
+    "emb_knn_lsh_mp" -> lshMpOracle,
     "emb_knn_ivf" -> ivfOracle,
     "emb_near_dup" -> nearDupOracle,
     "emb_centroids" -> centroidsOracle,
@@ -166,6 +187,7 @@ object VectorQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
+    "emb_knn_lsh_mp" -> embKnnLshMp _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_near_dup" -> embNearDup _,
     "emb_centroids" -> embCentroids _,

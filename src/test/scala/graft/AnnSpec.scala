@@ -47,6 +47,16 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH recall is a superset of single-bucket LSH") {
+    val planes = Ann.hashPlanes(2, 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = pairs(Ann.knnLsh(vecs, "vec_id", "embedding", planes, col("vec_id") < 2, k = 5))
+    val multi = pairs(Ann.knnLshMultiProbe(vecs, "vec_id", "embedding", planes, col("vec_id") < 2, k = 5))
+    assert(single.subsetOf(multi))
+    assert(multi.size >= single.size)
+  }
+
   test("hashPlanes is deterministic and engine-independent") {
     val a = Ann.hashPlanes(4, 64)
     val b = Ann.hashPlanes(4, 64)
