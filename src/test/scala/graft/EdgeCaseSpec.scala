@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Entities
+import graft.operators.{Ann, NearDup}
+
+/** Degenerate-input behavior: empty and singleton corpora must flow
+  * through every pipeline operator without errors — at 100 TB some
+  * partition, day, or source is always empty. */
+class EdgeCaseSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private val oneDoc = Seq((1L, "just one lonely document here")).toDF("doc_id", "text")
+
+  test("near-dup operators accept empty and singleton corpora") {
+    assert(NearDup.exactDupGroups(emptyDocs, "doc_id", "text").count() == 0)
+    assert(NearDup.minhashPairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(NearDup.simhash(emptyDocs, "doc_id", "text").count() == 0)
+    assert(NearDup.exactDupGroups(oneDoc, "doc_id", "text").count() == 1)
+    assert(NearDup.minhashPairs(oneDoc, "doc_id", "text").count() == 0) // no pairs
+    assert(NearDup.simhash(oneDoc, "doc_id", "text").count() == 1)
+  }
+
+  test("ANN operators accept empty collections and empty probe sets") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val planes = Ann.hashPlanes(2, 4)
+    assert(Ann.knnBrute(emptyVecs, "vec_id", "embedding", col("vec_id") < 10, 5).count() == 0)
+    assert(Ann.knnLsh(emptyVecs, "vec_id", "embedding", planes, col("vec_id") < 10, 5).count() == 0)
+    assert(Ann.nearDupPairs(emptyVecs, "vec_id", "embedding", planes, 0.5).count() == 0)
+    val vecs = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // probe predicate matches nothing → empty result, not an error
+    assert(Ann.knnBrute(vecs, "vec_id", "embedding", col("vec_id") < 0, 5).count() == 0)
+  }
+
+  test("docs with whitespace-only or symbol-only text survive the doc queries") {
+    val weird = Seq((1L, ""), (2L, "   "), (3L, "!!! ??? ###"), (4L, "normal text here"))
+      .toDF("doc_id", "text")
+    assert(NearDup.exactDupGroups(weird, "doc_id", "text").count() == 2) // "" norm x3 + normal
+    assert(NearDup.simhash(weird, "doc_id", "text").count() == 4)
+    assert(NearDup.minhashPairs(weird, "doc_id", "text")
+      .collect().forall(r => r.getAs[Double]("jaccard") >= 0.0))
+  }
+
+  test("typed entity layer round-trips the reference CSVs") {
+    val c = Entities.loadCustomers(spark, "/root/reference/data")
+    assert(c.count() == 5000)
+    assert(c.filter(_.CustomerID.isEmpty).count() == 0)
+    val o = Entities.loadOrders(spark, "/root/reference/data")
+    assert(o.count() == 20000)
+    val withDates = o.filter(_.OrderDate.isDefined).count()
+    assert(withDates > 0 && withDates <= 20000)
+  }
+}
