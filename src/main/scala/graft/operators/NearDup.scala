@@ -135,6 +135,40 @@ object NearDup {
           (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): hash every k-gram IN POSITION, slide a window of
+    * `w` consecutive hashes, keep each window's minimum, emit the
+    * distinct kept hashes. Any shared token run of length >= w+k-1
+    * between two documents is guaranteed to share a fingerprint, which
+    * is the local-match property a flat min-hash lacks. Docs with fewer
+    * than w k-grams emit nothing (too short to fingerprint).
+    *
+    * One window over a hash-partitioned (id, pos) frame — shuffle by
+    * doc, local sort; scales like any per-document window. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("__toks")
+    val positioned = df
+      .select(col(idCol),
+        filter(Text.tokens(Text.normalize(col(textCol))), t => length(t) > 0).as("__toks"))
+      .select(col(idCol),
+        posexplode(
+          when(size(toks) >= k,
+            transform(sequence(lit(0), size(toks) - k),
+              i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos"), md5(col("col").cast("binary")).as("__h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    positioned
+      .withColumn("__m", min(col("__h")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col(idCol), col("__m").as("fingerprint"))
+      .distinct()
+  }
+
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's
     * distinct normalized tokens. Bit b is the sign of Σ ±1 where each
     * token votes +1 if hex digit b of md5(token) is >= '8' (the digit's

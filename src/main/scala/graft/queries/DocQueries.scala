@@ -59,6 +59,12 @@ object DocQueries {
     NearDup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
       .orderBy("doc_id")
 
+  /** doc_winnow — winnowing (rolling k-gram window) fingerprints:
+    * (doc_id, fingerprint) distinct, k=3-gram hashes, window w=4. */
+  def docWinnow(spark: SparkSession, dir: String): DataFrame =
+    NearDup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id", "fingerprint")
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -180,6 +186,19 @@ object DocQueries {
        |JOIN sizes zb ON zb.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Winnowing oracle — positioned 3-gram md5s (the shingle CTEs WITHOUT
+    * the dedup), window-min over 4 rows, distinct survivors. The oracle's
+    * 1-based shingle start i equals Spark's 0-based pos + 1. */
+  private val winnowOracle: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+       |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+       |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3),
+       |shp AS (SELECT doc_id, i, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h FROM idx),
+       |w AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM shp)
+       |SELECT DISTINCT doc_id, m AS fingerprint FROM w WHERE i >= 4
+       |ORDER BY doc_id, fingerprint""".stripMargin
+
   private val simhashOracle: String = {
     val bits = 16
     val sums = (0 until bits).map(b =>
@@ -205,6 +224,7 @@ object DocQueries {
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
     "doc_simhash" -> simhashOracle,
+    "doc_winnow" -> winnowOracle,
     "mm_blob_stats" ->
       """SELECT doc_id, 'text' AS kind,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
@@ -219,6 +239,7 @@ object DocQueries {
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_simhash" -> docSimhash _,
+    "doc_winnow" -> docWinnow _,
     "mm_blob_stats" -> mmBlobStats _,
   )
 }

@@ -50,6 +50,22 @@ class NearDupSpec extends SparkSpec {
     assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
   }
 
+  test("winnowing: shared >= w+k-1 token run guarantees a shared fingerprint") {
+    val a = (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    // doc 2 embeds doc 1's 10-token run inside different surroundings
+    val b = (2L, "prefix words here alpha beta gamma delta epsilon zeta eta theta iota kappa suffix tail")
+    val c = (3L, "entirely different vocabulary with no overlap at all whatsoever present")
+    val fp = NearDup.winnowFingerprints(Seq(a, b, c).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp(1L).intersect(fp(2L)).nonEmpty) // shared run (10 >= 4+3-1=6)
+    assert(fp(1L).intersect(fp(3L)).isEmpty)
+    // too-short docs emit nothing rather than erroring
+    val short = NearDup.winnowFingerprints(
+      Seq((9L, "one two three")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(short.count() == 0)
+  }
+
   test("simhash rejects out-of-range bit widths") {
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 0))
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 33))
