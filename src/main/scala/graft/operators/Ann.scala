@@ -106,6 +106,40 @@ object Ann {
     topK(cands.join(broadcast(probes), "__bucket"), k)
   }
 
+  /** LSH top-k with the bounded top-k AGGREGATE instead of the
+    * row_number window (see [[graft.expressions.TopKByScore]]): the
+    * window form shuffles every scored candidate to its probe's
+    * partition; the aggregate runs partially on the map side, so the
+    * shuffle carries at most k candidates per probe per upstream
+    * partition. Identical selection — same total (score desc, id) order. */
+  def knnLshAgg(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame = {
+    val qdf = quantized(df, idCol, vecCol)
+      .withColumn("__bucket", lshBucket(col("__q"), planes))
+    val probes = qdf.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
+        col("__n").as("__pn"), col("__bucket"))
+    val cands = qdf
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn"), col("__bucket"))
+    topKAgg(cands.join(broadcast(probes), "__bucket"), k)
+  }
+
+  private def topKAgg(paired: DataFrame, k: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    val scored = paired
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim",
+        pairCosine(col("__pq"), col("__nq"), col("__pn"), col("__nn")))
+    scored.groupBy("probe_id")
+      .agg(TopKByScore(col("cosine_sim"), col("neighbor_id").cast("long"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")))
+      .select(col("probe_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine_sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Pairwise cosine from the precomputed norms: exact integer cross-dot,
     * then the same sqrt/divide sequence as [[cosineQ]]. */
   private def pairCosine(pq: Column, nq: Column, pn: Column, nn: Column): Column =

@@ -43,6 +43,14 @@ object VectorQueries {
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
 
+  /** Same LSH search through the bounded top-k AGGREGATE (map-side
+    * partial top-k) — gated against the same oracle as emb_knn_lsh
+    * because the selection is identical. */
+  def embKnnLshTopk(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnLshAgg(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        Planes, col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+
   /** Multi-probe LSH: own bucket + all Hamming-1 buckets. */
   def embKnnLshMp(spark: SparkSession, dir: String): DataFrame =
     Ann.knnLshMultiProbe(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -179,6 +187,7 @@ object VectorQueries {
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
+    "emb_knn_lsh_topk" -> lshOracle, // same selection, aggregate-shaped plan
     "emb_knn_ivf" -> ivfOracle,
     "emb_near_dup" -> nearDupOracle,
     "emb_centroids" -> centroidsOracle,
@@ -188,6 +197,7 @@ object VectorQueries {
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,
+    "emb_knn_lsh_topk" -> embKnnLshTopk _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_near_dup" -> embNearDup _,
     "emb_centroids" -> embCentroids _,
