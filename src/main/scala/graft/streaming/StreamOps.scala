@@ -55,6 +55,30 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup by key within the watermark horizon —
+    * duplicate events (at-least-once sources, retried producers) are
+    * dropped as long as they arrive within the lateness bound, and the
+    * dedup state is GC'd past it (unbounded state otherwise). */
+  def dedupeStream(events: DataFrame, keys: Seq[String], delay: String): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** CDC-style streaming MERGE: each micro-batch upserts into the
+    * parquet warehouse table through the same checked-swap Upsert the
+    * batch pipeline uses (update-on-match, insert-on-miss, never
+    * delete). foreachBatch is the bridge between a streaming source and
+    * a batch-only sink; exactly-once per key follows from upsert
+    * idempotence even when a batch is replayed after failure. The
+    * batch is deduped on the keys first — a micro-batch can carry
+    * several versions of one key and MERGE requires unique stage keys. */
+  def streamingUpsert(events: DataFrame, tablePath: String, keys: Seq[String],
+      ord: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val stage = graft.operators.Transform.dedupeKeepLast(batch, keys, ord)
+      graft.operators.Upsert.upsertParquet(batch.sparkSession, tablePath, stage, keys)
+      ()
+    }
+
   /** Custom keyed state: running per-user event count + value total,
     * carried across micro-batches via mapGroupsWithState. The state is a
     * single small record per user — bounded by cardinality, not stream

@@ -106,6 +106,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream drops in-watermark duplicate event ids") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.dedupeStream(ms.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_t").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:02"), 2, "view", 2.0))
+      q.processAllAvailable()
+      // retried producer: same event_id again in a later batch
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 00:00:03"), 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streamingUpsert merges micro-batches into the parquet warehouse") {
+    implicit val ctx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft-supsert").toString + "/t"
+    val ms = MemoryStream[Event]
+    val q = StreamOps.streamingUpsert(ms.toDF(), table,
+        keys = Seq("event_id"), ord = Seq(org.apache.spark.sql.functions.col("ts")))
+      .outputMode("update").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:02"), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).count() == 2)
+      // batch 2: update event 2 (later ts wins), insert event 3
+      ms.addData(
+        Event(2, ts("2024-01-01 00:10:00"), 2, "view", 9.99),
+        Event(3, ts("2024-01-01 00:00:03"), 3, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(table)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+      assert(rows == Map(1L -> 1.0, 2L -> 9.99, 3L -> 3.0))
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyStats agree on the same data") {
     val batch = Seq(
       Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.50),
