@@ -167,7 +167,8 @@ object DocQueries {
 
   private val minhashOracle: String =
     s"""WITH $shingleCtes,
-       |hs AS (SELECT doc_id, seed, md5(seed || '|' || shingle) AS h FROM sh, range(0, 12) s(seed)),
+       |hs AS (SELECT doc_id, seed, substr(md5(seed || '|' || shingle), 1, 16) AS h
+       |       FROM sh, range(0, 12) s(seed)),
        |sig AS (SELECT doc_id, seed, min(h) AS sig FROM hs GROUP BY 1, 2),
        |band AS (SELECT doc_id, seed // 3 AS band, md5(string_agg(sig, '' ORDER BY seed)) AS bh
        |         FROM sig GROUP BY 1, 2),
