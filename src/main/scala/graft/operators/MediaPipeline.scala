@@ -84,6 +84,46 @@ object MediaPipeline {
     }
   }
 
+  /** STUB resize — real impl decodes, scales, re-encodes. The fake keeps
+    * the plumbing honest: output metadata carries the new dimensions and
+    * the payload is deterministically derived from (bytes, w, h). */
+  def resizeStub(r: MediaRecord, width: Int, height: Int): MediaRecord = {
+    val target = math.max(1, (r.bytes.length.toLong * width * height /
+      math.max(1, r.meta.width.toLong * r.meta.height)).toInt)
+    val out = new Array[Byte](math.min(target, math.max(1, r.bytes.length)))
+    var i = 0
+    while (i < out.length) { out(i) = r.bytes(i % math.max(1, r.bytes.length)); i += 1 }
+    MediaRecord(r.media_id, r.meta.copy(width = width, height = height), out)
+  }
+
+  /** Distributed resize pass (same mapPartitions batch shape). */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizeStub(_, width, height)))
+  }
+
+  /** STUB frame sampling — real impl seeks keyframes in the container;
+    * the fake cuts the payload into `frameCount` equal chunks and emits
+    * every `stride`-th as (media_id, frame_idx, frame bytes). The output
+    * SHAPE (one row per sampled frame, ordered frame index) is what a
+    * downstream embedding stage consumes. */
+  def sampleFrames(media: Dataset[MediaRecord], frameCount: Int, stride: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    require(frameCount > 0 && stride > 0, "frameCount and stride must be positive")
+    media.flatMap { r =>
+      if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
+      else {
+        val sz = math.max(1, r.bytes.length / frameCount)
+        (0 until frameCount by stride).iterator.map { f =>
+          val from = f * sz
+          val until = math.min(r.bytes.length, from + sz)
+          (r.media_id, f, java.util.Arrays.copyOfRange(r.bytes, math.min(from, r.bytes.length), until))
+        }
+      }
+    }
+  }
+
   /** Demo wiring on harness data: documents' text bytes as the opaque
     * payload (kind "text"), so the pipeline runs end-to-end without any
     * codec. */

@@ -38,6 +38,25 @@ class MediaPipelineSpec extends SparkSpec {
     assert(one.kind == "text" && one.byte_len > 0 && one.features.length == 8)
   }
 
+  test("resize updates metadata dimensions and stays deterministic") {
+    val ds = Seq(rec(1, "0123456789abcdef")).toDS()
+    val out = MediaPipeline.resize(ds, 2, 2).collect().head
+    assert(out.meta.width == 2 && out.meta.height == 2)
+    assert(out.media_id == 1L && out.bytes.nonEmpty)
+    val again = MediaPipeline.resize(ds, 2, 2).collect().head
+    assert(out.bytes.toSeq == again.bytes.toSeq)
+  }
+
+  test("sampleFrames emits one row per sampled frame with ordered indices") {
+    val ds = Seq(rec(1, "aabbccddeeffgghh"), rec(2, "")).toDS()
+    val frames = MediaPipeline.sampleFrames(ds, frameCount = 8, stride = 2)
+      .collect().sortBy(f => (f._1, f._2))
+    assert(frames.map(_._1).forall(_ == 1L)) // empty payload emits nothing
+    assert(frames.map(_._2).toSeq == Seq(0, 2, 4, 6))
+    assert(frames.forall(_._3.length == 2)) // 16 bytes / 8 frames
+    assert(new String(frames.head._3, "UTF-8") == "aa")
+  }
+
   test("media parquet round-trip keeps the blob and struct columns") {
     val out = java.nio.file.Files.createTempDirectory("graft-media").toString + "/m"
     Seq(rec(1, "hello"), rec(2, "world")).toDS().write.parquet(out)
