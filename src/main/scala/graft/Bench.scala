@@ -19,7 +19,10 @@ object Bench {
     } catch { case _: Throwable => () }
     // A failing query must be VISIBLE: it is timed, but its error lands
     // in an "errors" map instead of silently reporting a fast run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted-key order: hash-map order changes as the query map grows,
+    // which confounds round-over-round per-query deltas with warmup /
+    // cache position. Sorted order is stable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }

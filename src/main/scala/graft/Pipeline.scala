@@ -76,8 +76,10 @@ object Pipeline {
     CsvExtract.writeRejects(ordRej, s"$outDir/rejects/orders")
     CsvExtract.writeRejects(detRej, s"$outDir/rejects/order_details")
 
-    // -- load (M1-M5): MERGE-style upsert per table
-    val loaded = Map(
+    // -- load (M1-M5): MERGE-style upsert per table, with the reference's
+    // per-branch telemetry (inserted/updated per MERGE,
+    // etl_sales_analytics.py:241-283).
+    val merges = Map(
       "customer" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/customer", cust, Seq("CustomerID")),
       "product" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/product", prod, Seq("ProductID")),
       "orders" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/orders", ordValid, Seq("OrderID")),
@@ -87,7 +89,9 @@ object Pipeline {
     val rejects = Map(
       "orders" -> ordRej.count(),
       "order_details" -> detRej.count())
-    loaded.foreach { case (t, n) => println(s"[COUNT] $t: $n") }
-    Result(loaded, rejects)
+    merges.foreach { case (t, m) =>
+      println(s"[MERGE] $t: inserted=${m.inserted} updated=${m.updated} total=${m.total}")
+    }
+    Result(merges.map { case (t, m) => t -> m.total }, rejects)
   }
 }

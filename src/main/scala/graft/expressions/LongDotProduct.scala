@@ -52,15 +52,24 @@ case class LongDotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Locals MUST come from ctx.freshName: with non-nullable inputs
+      // nullSafeCodeGen inlines this body unbraced, so two instances in
+      // one generated function (cosineQ emits three) would redeclare
+      // fixed names and fail Janino — silently falling back to the
+      // interpreter, exactly what this expression exists to avoid.
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long graft_s = 0L;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_s += $a.getLong(graft_i) * $b.getLong(graft_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = graft_s;
-       """.stripMargin)
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LongDotProduct =

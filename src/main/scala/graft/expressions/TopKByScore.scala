@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -33,14 +33,23 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
 
   require(k > 0, s"k must be positive, got $k")
 
-  // dequeue order = WORST first: lower score first, higher id on ties
+  // Analysis-time type enforcement: without this a wrong-typed score/id
+  // passes analysis and ClassCastExceptions in executors at runtime.
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+
+  // dequeue order = WORST first: lower score first, higher id on ties.
+  // Double.compare, not primitive <: it gives the NaN-greatest total
+  // order Spark's sort uses (a raw `>` treats NaN as tied with
+  // everything, diverging from the row_number-window baseline).
   private def worstFirst: Ordering[(Double, Long)] =
     Ordering.fromLessThan[(Double, Long)] { (a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
     }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
@@ -64,7 +73,12 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val best = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    // best-first with the same NaN-greatest total order as the heap
+    // (sortBy on -score would send NaN last instead of first)
+    val best = buf.toArray.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     new GenericArrayData(best.map { case (s, i) => InternalRow(s, i) })
   }
 

@@ -214,33 +214,51 @@ object Ann {
 
   /** IVF(-flat) top-k: every vector is assigned to its nearest codebook
     * centroid (exact integer L2, ties to the lowest label); each probe
-    * searches only the `nProbe` nearest inverted lists. The codebook is
-    * collected to the driver (it IS the model — tiny) and embedded as
-    * literals, so assignment is a per-row expression: dist(q,c) =
-    * q·q − 2·q·c + c·c via the codegen'd dot product, ranked with one
-    * sort_array over (dist, label) structs. Candidate search is an
-    * equi-join on the centroid id — inverted lists, never all-pairs. */
+    * searches only the `nProbe` nearest inverted lists.
+    *
+    * The codebook stays a DataFrame end to end: it is pivoted to one
+    * (label, centroid-vector, self-dot) row per centroid and BROADCAST
+    * against the collection — never collected into per-row literal
+    * expressions (a driver bottleneck and a codegen bomb at realistic
+    * nlist ≥ 1k centroids). Scoring is dist(q,c) = q·q − 2·q·c + c·c via
+    * the codegen'd dot product; assignment is a map-side-combined
+    * min(struct(dist, label)) per vector (deterministic tie to the
+    * lowest label); probe lists are rank-within-probe ≤ nProbe over the
+    * bounded probe×nlist frame. Candidate search is an equi-join on the
+    * centroid id — inverted lists, never all-pairs. */
   def knnIvf(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       probePred: Column, k: Int, nProbe: Int): DataFrame = {
-    val cb: Array[(Int, Array[Long])] = codebook
-      .orderBy("cb_label", "dim_idx").collect()
-      .map(r => (r.getInt(0), r.getLong(2)))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (lbl, rows) => (lbl, rows.map(_._2)) }
+    import org.apache.spark.sql.expressions.Window
+    // Pivot (cb_label, dim_idx, cq) → one row per centroid: vector in
+    // dim order + precomputed self-dot. array_sort on struct(dim_idx, cq)
+    // orders lexicographically by dim_idx — engine-portable.
+    val cvecs = codebook
+      .groupBy(col("cb_label"))
+      .agg(array_sort(collect_list(struct(col("dim_idx"), col("cq")))).as("__cs"))
+      .select(col("cb_label"),
+        transform(col("__cs"), s => s.getField("cq")).as("__cv"))
+      .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
     val qdf = quantized(df, idCol, vecCol)
-    def ranked(q: Column, qq: Column): Column = sort_array(array(cb.map { case (lbl, c) =>
-      val cl = array(c.map(lit): _*)
-      val cc = c.map(x => x * x).sum
-      struct((qq - lit(2L) * dotQ(q, cl) + lit(cc)).as("dist"), lit(lbl).as("lbl"))
-    }: _*))
-    val withRank = qdf.withColumn("__cranks", ranked(col("__q"), col("__n")))
-    val assigned = withRank
-      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"), col("__n").as("__nn"),
-        element_at(col("__cranks"), 1).getField("lbl").as("__cent"))
-    val probes = withRank.filter(probePred)
-      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"),
-        explode(transform(slice(col("__cranks"), 1, nProbe), s => s.getField("lbl")))
-          .as("__cent"))
+    val scored = qdf.crossJoin(broadcast(cvecs))
+      .withColumn("__dist",
+        col("__n") - lit(2L) * dotQ(col("__q"), col("__cv")) + col("__cc"))
+    // Nearest centroid per vector: min over (dist, label) structs runs
+    // partially on the map side, so the shuffle carries one candidate
+    // per vector per partition — not the N×nlist scored frame. first()
+    // is safe: __q/__n are functionally determined by the id.
+    val assigned = scored.groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("cb_label"))).as("__best"),
+        first(col("__q")).as("__q"), first(col("__n")).as("__n"))
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn"), col("__best").getField("cb_label").as("__cent"))
+    // Probe lists: the filtered probe set is bounded, so a row_number
+    // window over probes×nlist is tiny by construction.
+    val pw = Window.partitionBy(col(idCol)).orderBy(col("__dist"), col("cb_label"))
+    val probes = scored.filter(probePred)
+      .withColumn("__r", row_number().over(pw))
+      .filter(col("__r") <= nProbe)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
+        col("__n").as("__pn"), col("cb_label").as("__cent"))
     topK(assigned.join(broadcast(probes), "__cent"), k)
   }
 

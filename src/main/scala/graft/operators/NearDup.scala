@@ -115,6 +115,16 @@ object NearDup {
     // subtrees of one job, an unpopulated cache is raced by concurrent
     // tasks that each recompute it (measured 3× slower cold). Same
     // pattern MLlib uses for reused intermediate RDDs (e.g. ALS).
+    // CACHE LIFECYCLE: both persists are scoped to THIS call. The final
+    // pair result (near-dup pairs — orders of magnitude smaller than the
+    // shingle set) is materialized eagerly with localCheckpoint, which
+    // truncates its lineage off the cached subtrees, so both caches are
+    // released before returning. Without this the two MEMORY_AND_DISK
+    // entries stayed resident for the session and degraded every later
+    // job (measured: three unrelated sales queries 5–7× slower in the
+    // same bench run). Trade-off: lineage truncation means lost result
+    // blocks can't be recomputed — acceptable for a result this small;
+    // a durability-critical caller should write the result to a table.
     import org.apache.spark.storage.StorageLevel
     val sh = shingleSets(df, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -122,21 +132,27 @@ object NearDup {
     val sigs = minhashSignatures(sh, idCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val pairs = candidatePairs(sigs, idCol, numHashes, bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
-    val common = pairs
-      .join(shA, "doc_a")
-      .join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+    try {
+      val pairs = candidatePairs(sigs, idCol, numHashes, bands)
+      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
+      val common = pairs
+        .join(shA, "doc_a")
+        .join(shB, Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        .localCheckpoint(true)
+    } finally {
+      sh.unpersist(false)
+      sigs.unpersist(false)
+    }
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the

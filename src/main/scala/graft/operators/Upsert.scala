@@ -39,24 +39,40 @@ object Upsert {
       }: _*)
   }
 
+  /** Per-branch MERGE telemetry, matching the reference's printouts
+    * (inserted / updated per MERGE, etl_sales_analytics.py:241-283).
+    * `total` is the post-merge table rowcount. */
+  case class MergeStats(inserted: Long, updated: Long, total: Long)
+
   /** Upsert against a parquet "table" directory with write-temp-then-swap
     * — the batch-engine approximation of the reference's transactional
     * MERGE (SURVEY.md §7.5: vanilla Spark has no multi-table
     * transactions). The swap goes through Hadoop's FileSystem with every
     * rename checked and rolled back on failure, so it works on any
     * cluster filesystem (HDFS/S3A/local) and can never delete the only
-    * surviving copy of the table. Returns the post-merge row count. */
+    * surviving copy of the table.
+    *
+    * Returns [[MergeStats]]. Because `stage` is unique on `keys` (the
+    * MERGE precondition), every stage row either inserts or updates, so
+    * inserted = total_after − total_before and updated = |stage| −
+    * inserted — exact per-branch counts from three cheap counts (parquet
+    * counts are metadata-only), with no second pass over the join. */
   def upsertParquet(spark: SparkSession, tablePath: String, stage: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String]): MergeStats = {
     val live = new Path(tablePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(live)
+    val before = if (existed) spark.read.parquet(tablePath).count() else 0L
+    val staged = stage.count()
     val merged =
-      if (fs.exists(live)) upsert(spark.read.parquet(tablePath), stage, keys)
+      if (existed) upsert(spark.read.parquet(tablePath), stage, keys)
       else stage
     val tmp = new Path(tablePath + ".tmp")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     swapInto(fs, tmp, live)
-    spark.read.parquet(tablePath).count()
+    val total = spark.read.parquet(tablePath).count()
+    val inserted = total - before
+    MergeStats(inserted, staged - inserted, total)
   }
 
   /** Checked two-phase swap: live → live.old, tmp → live. Any failed

@@ -26,7 +26,12 @@ object CsvExtract {
   /** Read `path` keeping ONLY `schema`'s columns, coercing per-cell to the
     * declared types (parse failure → NULL, never an error). */
   def loadCsvExact(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    if (!new java.io.File(path).exists()) {
+    // Hadoop FileSystem, not java.io.File: the guard must see
+    // hdfs://-s3a://-style paths on a real cluster, where a local-disk
+    // check would report every input as missing.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
       System.err.println(s"[WARN] missing input file: $path — empty table")
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }

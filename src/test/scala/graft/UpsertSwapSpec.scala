@@ -19,10 +19,11 @@ class UpsertSwapSpec extends SparkSpec {
   test("upsertParquet round-trip: create, merge, idempotent re-merge") {
     val table = Files.createTempDirectory("graft-swap").toString + "/t"
     val s1 = Seq((1, "a"), (2, "b")).toDF("k", "v")
-    assert(Upsert.upsertParquet(spark, table, s1, Seq("k")) == 2L)
+    // per-branch MERGE telemetry: (inserted, updated, total) per call
+    assert(Upsert.upsertParquet(spark, table, s1, Seq("k")) == Upsert.MergeStats(2, 0, 2))
     val s2 = Seq((2, "B"), (3, "C")).toDF("k", "v")
-    assert(Upsert.upsertParquet(spark, table, s2, Seq("k")) == 3L)
-    assert(Upsert.upsertParquet(spark, table, s2, Seq("k")) == 3L)
+    assert(Upsert.upsertParquet(spark, table, s2, Seq("k")) == Upsert.MergeStats(1, 1, 3))
+    assert(Upsert.upsertParquet(spark, table, s2, Seq("k")) == Upsert.MergeStats(0, 2, 3))
     val got = spark.read.parquet(table).orderBy("k")
       .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
     assert(got == Seq((1, "a"), (2, "B"), (3, "C")))
