@@ -40,7 +40,10 @@ case class TopKByScore(
 
   // Analysis-time type enforcement: without this a wrong-typed score/id
   // passes analysis and ClassCastExceptions in executors at runtime.
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  // Covariant override: the parent signature names AbstractDataType, which
+  // is private[sql]; Seq is covariant so Seq[DataType] overrides it legally
+  // without naming the unreachable type.
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   // dequeue order = WORST first: lower score first, higher id on ties.
   // Double.compare, not primitive <: it gives the NaN-greatest total
