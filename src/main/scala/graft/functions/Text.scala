@@ -76,19 +76,27 @@ object Text {
 
   /** Heuristic language-ID: CJK characters → zh; else argmax of marker
     * hits with 'unknown' when nothing matched. Ties break in the fixed
-    * [[langMarkers]] order, so the result is deterministic. */
+    * [[langMarkers]] order, so the result is deterministic.
+    *
+    * The argmax runs over an array of (score, rev, lang) structs built
+    * once — array_max compares structs lexicographically, so it picks the
+    * highest score and, via the REVERSED index, the earliest language on
+    * ties. A pairwise when-fold would re-inline every earlier score
+    * expression into each comparison (the tree grows quadratically in the
+    * language count), which pushed the generated code for this projection
+    * past Janino's 64KB method limit and silently dropped the whole stage
+    * to interpreted eval. */
   def langId(c: Column): Column = {
-    val scores = langMarkers.map { case (lang, ws) =>
-      lang -> ws.map(wordHits(c, _)).reduce(_ + _)
-    }
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }
+    val n = langMarkers.size
+    val best = array_max(array(langMarkers.zipWithIndex.map { case ((lang, ws), i) =>
+      struct(
+        ws.map(wordHits(c, _)).reduce(_ + _).as("score"),
+        lit((n - 1 - i).toLong).as("rev"),
+        lit(lang).as("lang"))
+    }: _*))
     val hasCjk = length(regexp_replace(c, "[^\\u4e00-\\u9fff]", "")) > 0
     when(hasCjk, lit("zh"))
-      .when(best._2 > 0, best._1)
+      .when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("unknown"))
   }
 

@@ -70,7 +70,10 @@ object Ann {
   /** Brute-force top-k cosine neighbors for each probe row (the rows
     * matching `probePred`). Probes are broadcast; every (probe, candidate)
     * pair is scored — the exact baseline an ANN variant is judged against.
-    * Returns (probe_id, neighbor_id, cosine_sim, rank), rank 1..k. */
+    * Selection runs through the bounded top-k aggregate, so the shuffle
+    * after scoring carries ≤ k rows per probe per partition, not the full
+    * N·probes scored frame. Returns (probe_id, neighbor_id, cosine_sim,
+    * rank), rank 1..k. */
   def knnBrute(df: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int): DataFrame = {
     val qdf = quantized(df, idCol, vecCol)
@@ -78,7 +81,7 @@ object Ann {
       .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
     val cands = qdf
       .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"), col("__n").as("__nn"))
-    topK(cands.crossJoin(broadcast(probes)), k)
+    topKAgg(cands.crossJoin(broadcast(probes)), k)
   }
 
   /** (id, quantized vector, self-dot): the squared norm is computed ONCE
@@ -88,13 +91,11 @@ object Ann {
     df.select(col(idCol), quantize(col(vecCol)).as("__q"))
       .withColumn("__n", dotQ(col("__q"), col("__q")))
 
-  /** LSH-bucketed top-k: probes only meet candidates in their own
-    * hyperplane bucket, as an equi-join on bucket id (no cartesian
-    * product in the plan — asserted by AnnSpec). Recall < 1 by design;
-    * at scale this is the shape that survives, with multi-probe or more
-    * tables as the recall knob. */
-  def knnLsh(df: DataFrame, idCol: String, vecCol: String,
-      planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame = {
+  /** (candidate, probe) pairs meeting in their shared LSH bucket — the
+    * equi-join on bucket id every LSH variant selects from (no cartesian
+    * product in the plan — asserted by AnnSpec). */
+  private def lshPaired(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], probePred: Column): DataFrame = {
     val qdf = quantized(df, idCol, vecCol)
       .withColumn("__bucket", lshBucket(col("__q"), planes))
     val probes = qdf.filter(probePred)
@@ -103,27 +104,30 @@ object Ann {
     val cands = qdf
       .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
         col("__n").as("__nn"), col("__bucket"))
-    topK(cands.join(broadcast(probes), "__bucket"), k)
+    cands.join(broadcast(probes), "__bucket")
   }
 
-  /** LSH top-k with the bounded top-k AGGREGATE instead of the
-    * row_number window (see [[graft.expressions.TopKByScore]]): the
-    * window form shuffles every scored candidate to its probe's
-    * partition; the aggregate runs partially on the map side, so the
-    * shuffle carries at most k candidates per probe per upstream
-    * partition. Identical selection — same total (score desc, id) order. */
-  def knnLshAgg(df: DataFrame, idCol: String, vecCol: String,
-      planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame = {
-    val qdf = quantized(df, idCol, vecCol)
-      .withColumn("__bucket", lshBucket(col("__q"), planes))
-    val probes = qdf.filter(probePred)
-      .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
-        col("__n").as("__pn"), col("__bucket"))
-    val cands = qdf
-      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
-        col("__n").as("__nn"), col("__bucket"))
-    topKAgg(cands.join(broadcast(probes), "__bucket"), k)
-  }
+  /** LSH-bucketed top-k: probes only meet candidates in their own
+    * hyperplane bucket. Recall < 1 by design; at scale this is the shape
+    * that survives, with multi-probe or more tables as the recall knob.
+    *
+    * Selection runs through the bounded top-k AGGREGATE (see
+    * [[graft.expressions.TopKByScore]]): the aggregate runs partially on
+    * the map side, so the shuffle carries at most k candidates per probe
+    * per upstream partition instead of every scored bucket-mate. */
+  def knnLsh(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame =
+    topKAgg(lshPaired(df, idCol, vecCol, planes, probePred), k)
+
+  /** The row_number-window form of [[knnLsh]] — shuffles EVERY scored
+    * candidate to its probe's partition before ranking, so it exists only
+    * as the oracle-parity variant (its shape mirrors the ROW_NUMBER oracle
+    * SQL) and as the window-vs-aggregate equivalence anchor. Selection is
+    * provably identical: both rank by the same total (score desc, id asc)
+    * order. Use [[knnLsh]] everywhere else. */
+  def knnLshWindow(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame =
+    topK(lshPaired(df, idCol, vecCol, planes, probePred), k)
 
   private def topKAgg(paired: DataFrame, k: Int): DataFrame = {
     import graft.expressions.TopKByScore
@@ -184,7 +188,8 @@ object Ann {
     * vector sits closest to are the likeliest to flip — probing the
     * 1-bit neighborhood recovers most of the recall lost to bucketing at
     * (nPlanes+1)× the candidate cost, still an equi-join, never
-    * all-pairs). */
+    * all-pairs). Selection through the bounded top-k aggregate, same as
+    * [[knnLsh]]. */
   def knnLshMultiProbe(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame = {
     val qdf = quantized(df, idCol, vecCol)
@@ -197,7 +202,7 @@ object Ann {
       .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"),
         explode(transform(probeBuckets, m => col("__bucket").bitwiseXOR(m)))
           .as("__bucket"))
-    topK(cands.join(broadcast(probes), "__bucket"), k)
+    topKAgg(cands.join(broadcast(probes), "__bucket"), k)
   }
 
   /** Quantized IVF coarse codebook from a labeling: per (label, dim) the
@@ -259,7 +264,7 @@ object Ann {
       .filter(col("__r") <= nProbe)
       .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
         col("__n").as("__pn"), col("cb_label").as("__cent"))
-    topK(assigned.join(broadcast(probes), "__cent"), k)
+    topKAgg(assigned.join(broadcast(probes), "__cent"), k)
   }
 
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the

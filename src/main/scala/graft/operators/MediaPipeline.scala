@@ -88,6 +88,12 @@ object MediaPipeline {
     * the plumbing honest: output metadata carries the new dimensions and
     * the payload is deterministically derived from (bytes, w, h). */
   def resizeStub(r: MediaRecord, width: Int, height: Int): MediaRecord = {
+    // Degenerate payloads pass through with updated dimensions: null text
+    // in fromDocuments yields null bytes, and a distributed resize must
+    // not throw on them.
+    if (r.bytes == null || r.bytes.isEmpty)
+      return MediaRecord(r.media_id,
+        r.meta.copy(width = width, height = height), Array.emptyByteArray)
     val target = math.max(1, (r.bytes.length.toLong * width * height /
       math.max(1, r.meta.width.toLong * r.meta.height)).toInt)
     val out = new Array[Byte](math.min(target, math.max(1, r.bytes.length)))

@@ -43,11 +43,13 @@ object VectorQueries {
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
 
-  /** Same LSH search through the bounded top-k AGGREGATE (map-side
-    * partial top-k) — gated against the same oracle as emb_knn_lsh
-    * because the selection is identical. */
-  def embKnnLshTopk(spark: SparkSession, dir: String): DataFrame =
-    Ann.knnLshAgg(Tables.embeddings(spark, dir), "vec_id", "embedding",
+  /** The row_number-WINDOW form of the same LSH search — the shape the
+    * ROW_NUMBER oracle SQL uses. Gated against the same oracle as
+    * emb_knn_lsh (whose default path is now the bounded top-k aggregate)
+    * because the selection is identical; keeping both gated pins the
+    * window-vs-aggregate equivalence every round. */
+  def embKnnLshWindow(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnLshWindow(Tables.embeddings(spark, dir), "vec_id", "embedding",
         Planes, col("vec_id") < ProbeMax, K)
       .orderBy("probe_id", "rank")
 
@@ -187,7 +189,7 @@ object VectorQueries {
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
-    "emb_knn_lsh_topk" -> lshOracle, // same selection, aggregate-shaped plan
+    "emb_knn_lsh_window" -> lshOracle, // same selection, window-shaped plan
     "emb_knn_ivf" -> ivfOracle,
     "emb_near_dup" -> nearDupOracle,
     "emb_centroids" -> centroidsOracle,
@@ -197,7 +199,7 @@ object VectorQueries {
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,
-    "emb_knn_lsh_topk" -> embKnnLshTopk _,
+    "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_near_dup" -> embNearDup _,
     "emb_centroids" -> embCentroids _,

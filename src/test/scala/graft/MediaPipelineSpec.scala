@@ -47,6 +47,20 @@ class MediaPipelineSpec extends SparkSpec {
     assert(out.bytes.toSeq == again.bytes.toSeq)
   }
 
+  test("resize survives null and empty payloads from fromDocuments") {
+    val docs = Seq(
+        (0L, "some real text"),
+        (1L, null.asInstanceOf[String]), // null text → null bytes
+        (2L, ""))                        // empty text → empty bytes
+      .toDF("doc_id", "text")
+    val out = MediaPipeline.resize(MediaPipeline.fromDocuments(docs), 2, 2)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(0L, 1L, 2L))
+    assert(out.forall(r => r.meta.width == 2 && r.meta.height == 2))
+    assert(out(0).bytes.nonEmpty)
+    assert(out(1).bytes.isEmpty && out(2).bytes.isEmpty)
+  }
+
   test("sampleFrames emits one row per sampled frame with ordered indices") {
     val ds = Seq(rec(1, "aabbccddeeffgghh"), rec(2, "")).toDS()
     val frames = MediaPipeline.sampleFrames(ds, frameCount = 8, stride = 2)

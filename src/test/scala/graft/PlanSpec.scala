@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.queries.{DocQueries, EtlQueries, SalesQueries}
+import graft.queries.{DocQueries, EtlQueries, SalesQueries, VectorQueries}
 
 /** Plan-shape regression guards: the optimizations the engine claims
   * (pushdown, pruning, broadcast, top-k, partial aggregation) must be
@@ -47,6 +47,32 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(EtlQueries.dedupeKeepLastAgg(spark, dir))
     assert(plan.contains("partial_max_by") || plan.contains("partial max_by")
       || "HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("doc_lang_id expression tree stays codegen-sized") {
+    // The when-fold form of langId grew quadratically in the language
+    // count and blew Janino's 64KB method limit (whole stage silently
+    // dropped to interpreted eval). Guard the tree size, not the plan
+    // string: the codegen fallback happens at runtime, after the plan
+    // would already have printed a codegen'd stage.
+    val df = DocQueries.docLangId(spark, dir)
+    val nodes = df.queryExecution.optimizedPlan.expressions
+      .map(_.collect { case e => e }.size).sum
+    assert(nodes < 1500, s"lang_id expression tree has $nodes nodes")
+  }
+
+  test("emb_knn_lsh selects through the map-side bounded top-k aggregate") {
+    val plan = planOf(VectorQueries.embKnnLsh(spark, dir))
+    assert(plan.contains("partial_graft_topk_by_score")
+      || "ObjectHashAggregate".r.findAllIn(plan).size >= 2)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("emb_knn_lsh_mp selects through the map-side bounded top-k aggregate") {
+    val plan = planOf(VectorQueries.embKnnLshMp(spark, dir))
+    assert(plan.contains("partial_graft_topk_by_score")
+      || "ObjectHashAggregate".r.findAllIn(plan).size >= 2)
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("salted join result is row-identical to the plain join") {
