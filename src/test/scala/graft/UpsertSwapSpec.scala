@@ -51,4 +51,81 @@ class UpsertSwapSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "/t").count() == 1L)
     assert(!fs.exists(new Path(tmp)))
   }
+
+  test("duplicate stage keys fail loudly instead of skewing MERGE stats") {
+    val table = Files.createTempDirectory("graft-dup").toString + "/t"
+    val dup = Seq((1, "a"), (1, "b")).toDF("k", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.upsertParquet(spark, table, dup, Seq("k"))
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
+
+  /** Per-file (path, length, checksum) of every data file under each
+    * bucket directory — the identity evidence for the no-rewrite claim. */
+  private def bucketFiles(table: String, bucket: Int): Seq[(String, Long, String)] = {
+    val dir = new Path(s"$table/${Upsert.BucketCol}=$bucket")
+    fs.listStatus(dir).filter(_.isFile).map { st =>
+      val in = fs.open(st.getPath)
+      val bytes = new Array[Byte](st.getLen.toInt)
+      in.readFully(bytes); in.close()
+      (st.getPath.getName, st.getLen,
+        java.security.MessageDigest.getInstance("MD5").digest(bytes).map("%02x".format(_)).mkString)
+    }.toSeq.sortBy(_._1)
+  }
+
+  test("bucketed merge rewrites only touched buckets; untouched files byte-identical") {
+    val table = Files.createTempDirectory("graft-bkt").toString + "/t"
+    val nBuckets = 8
+    val s1 = (1 to 40).map(k => (k, s"v$k")).toDF("k", "v")
+    assert(Upsert.upsertParquetBucketed(spark, table, s1, Seq("k"), nBuckets) ==
+      Upsert.MergeStats(40, 0, 40))
+
+    // which bucket does k=1 land in? (same function the layout uses)
+    val touchedBucket = Seq(Tuple1(1)).toDF("k")
+      .select(Upsert.bucketOf(Seq("k"), nBuckets)).head().getInt(0)
+    val allBuckets = (0 until nBuckets).filter(b => fs.exists(
+      new Path(s"$table/${Upsert.BucketCol}=$b")))
+    assert(allBuckets.size > 1, "test needs >1 populated bucket to be meaningful")
+    val beforeFiles = allBuckets.map(b => b -> bucketFiles(table, b)).toMap
+
+    // merge touching exactly one key → exactly one bucket
+    val s2 = Seq((1, "UPDATED")).toDF("k", "v")
+    assert(Upsert.upsertParquetBucketed(spark, table, s2, Seq("k"), nBuckets) ==
+      Upsert.MergeStats(0, 1, 40))
+
+    allBuckets.filterNot(_ == touchedBucket).foreach { b =>
+      assert(bucketFiles(table, b) == beforeFiles(b),
+        s"untouched bucket $b was rewritten")
+    }
+    assert(bucketFiles(table, touchedBucket) != beforeFiles(touchedBucket),
+      "touched bucket should have new files")
+
+    // correctness of the merged content, layout column hidden
+    val got = Upsert.readBucketed(spark, table)
+    assert(!got.columns.contains(Upsert.BucketCol))
+    val rows = got.collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(rows.size == 40 && rows(1) == "UPDATED" && rows(2) == "v2")
+
+    // insert-only merge into a brand-new key: stats and content stay exact
+    val s3 = Seq((41, "fresh")).toDF("k", "v")
+    assert(Upsert.upsertParquetBucketed(spark, table, s3, Seq("k"), nBuckets) ==
+      Upsert.MergeStats(1, 0, 41))
+    // no stray swap artifacts
+    assert(!fs.exists(new Path(table + ".tmp")) && !fs.exists(new Path(table + ".bak")))
+  }
+
+  test("bucketed merge is idempotent per key (replay-safe)") {
+    val table = Files.createTempDirectory("graft-bkt2").toString + "/t"
+    val s1 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    Upsert.upsertParquetBucketed(spark, table, s1, Seq("k"), nBuckets = 4)
+    val s2 = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    assert(Upsert.upsertParquetBucketed(spark, table, s2, Seq("k"), 4) ==
+      Upsert.MergeStats(1, 1, 4))
+    assert(Upsert.upsertParquetBucketed(spark, table, s2, Seq("k"), 4) ==
+      Upsert.MergeStats(0, 2, 4))
+    val rows = Upsert.readBucketed(spark, table)
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(rows == Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "D"))
+  }
 }
