@@ -102,7 +102,15 @@ object NearDup {
 
   /** Full near-dup pipeline: shingle → minhash → band candidates →
     * verified exact Jaccard over the candidates' shingle sets.
-    * Returns (doc_a, doc_b, jaccard) for every candidate pair. */
+    * Returns (doc_a, doc_b, jaccard) for every candidate pair.
+    *
+    * EXECUTION SEMANTICS: the result is localCheckpoint'd, so the full
+    * job runs EAGERLY at call time (not at the caller's first action)
+    * and the returned frame is a scan of in-memory/disk blocks whose
+    * lineage is truncated — if an executor holding blocks is lost (e.g.
+    * under dynamic allocation), later actions fail instead of
+    * recomputing. Callers needing durability should write the result to
+    * a table immediately; the pair set is tiny relative to the input. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
     // The shingle set feeds the signature aggregate, both sides of the
@@ -132,27 +140,36 @@ object NearDup {
     val sigs = minhashSignatures(sh, idCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    try {
-      val pairs = candidatePairs(sigs, idCol, numHashes, bands)
-      val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
-      val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
-      val common = pairs
-        .join(shA, "doc_a")
-        .join(shB, Seq("doc_b", "shingle"))
-        .groupBy("doc_a", "doc_b")
-        .agg(count(lit(1)).as("n_common"))
-      common
-        .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          (col("n_common").cast("double") /
-            (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
-        .localCheckpoint(true)
-    } finally {
+    try verifiedJaccardPairs(sh, sigs, idCol, numHashes, bands).localCheckpoint(true)
+    finally {
       sh.unpersist(false)
       sigs.unpersist(false)
     }
+  }
+
+  /** The un-checkpointed pair pipeline behind [[minhashPairs]]: band
+    * candidates from `sigs`, exact Jaccard verified against `sh`.
+    * Exposed package-private so plan-shape tests can assert the
+    * no-cartesian invariant on the REAL join tree — the public method's
+    * localCheckpoint collapses its executedPlan to a scan of checkpointed
+    * blocks, where a cartesian regression would be invisible. */
+  private[graft] def verifiedJaccardPairs(sh: DataFrame, sigs: DataFrame,
+      idCol: String, numHashes: Int, bands: Int): DataFrame = {
+    val pairs = candidatePairs(sigs, idCol, numHashes, bands)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val common = pairs
+      .join(shA, "doc_a")
+      .join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
   }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the

@@ -60,6 +60,21 @@ object SalesQueries {
       .orderBy(col("o_orderkey").desc)
       .limit(10)
 
+  /** The reference's post-load verification samples ALL FOUR loaded
+    * tables, not just orders (Result Set del select de cada tabla
+    * cargada..sql:5-27). Same TakeOrderedAndProject shape per table;
+    * lineitem orders by its full composite key so the top-k is total. */
+  def q02SampleCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).orderBy(col("c_custkey").desc).limit(10)
+
+  def q02SamplePart(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).orderBy(col("p_partkey").desc).limit(10)
+
+  def q02SampleLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+      .limit(10)
+
   /** q3 — sales by day (queries.sql:28-34; also vw_SalesByDay). */
   def q03SalesByDay(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
@@ -244,6 +259,18 @@ object SalesQueries {
   def vSalesByDay(spark: SparkSession, dir: String): DataFrame =
     q03SalesByDay(spark, dir)
 
+  /** SQL-text parity with the reference's view OBJECTS
+    * (schema_sales_analytics.sql:101-121): registers vw_SalesByDay and
+    * vw_OrderTotals as session temp views, so a SQL-first user can run
+    * `spark.sql("SELECT * FROM vw_SalesByDay")` exactly as they would
+    * against the reference warehouse. Views are lazy plans — each query
+    * against them re-resolves against the parquet under `dir`, with the
+    * usual pushdown/pruning (a filter over the view reaches the scan). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    vSalesByDay(spark, dir).createOrReplaceTempView("vw_SalesByDay")
+    vOrderTotals(spark, dir).createOrReplaceTempView("vw_OrderTotals")
+  }
+
   /** DuckDB-equivalent ANSI SQL for each query above (driver oracle). */
   val oracle: Map[String, String] = Map(
     "q01_counts" ->
@@ -255,6 +282,12 @@ object SalesQueries {
         |) ORDER BY table_name""".stripMargin,
     "q02_sample" ->
       "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 10",
+    "q02_sample_customer" ->
+      "SELECT * FROM customer ORDER BY c_custkey DESC LIMIT 10",
+    "q02_sample_part" ->
+      "SELECT * FROM part ORDER BY p_partkey DESC LIMIT 10",
+    "q02_sample_lineitem" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 10",
     "q03_sales_by_day" ->
       """SELECT CAST(o.o_orderdate AS DATE) AS sale_date,
         |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
@@ -349,6 +382,9 @@ object SalesQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_counts" -> q01Counts _,
     "q02_sample" -> q02Sample _,
+    "q02_sample_customer" -> q02SampleCustomer _,
+    "q02_sample_part" -> q02SamplePart _,
+    "q02_sample_lineitem" -> q02SampleLineitem _,
     "q03_sales_by_day" -> q03SalesByDay _,
     "q04_sales_by_month" -> q04SalesByMonth _,
     "q05_top_products" -> q05TopProducts _,

@@ -1,8 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.joins.CartesianProductExec
-import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
-
 import graft.operators.NearDup
 
 class NearDupSpec extends SparkSpec {
@@ -34,11 +31,20 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
   }
 
-  test("minhashPairs plan is banded: no cartesian product, no nested-loop join") {
-    val plan = NearDup.minhashPairs(docs, "doc_id", "text")
-      .queryExecution.executedPlan
-    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
-    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  test("minhash pair pipeline plan is banded: no cartesian, no nested-loop join") {
+    // Assert on the pre-checkpoint pipeline: minhashPairs itself returns a
+    // localCheckpoint'd frame whose executedPlan is just a block scan, so
+    // asserting there would be vacuously green even with a cartesian join.
+    val sh = NearDup.shingleSets(docs, "doc_id", "text", 3)
+    val sigs = NearDup.minhashSignatures(sh, "doc_id", 12)
+    val df = NearDup.verifiedJaccardPairs(sh, sigs, "doc_id", 12, 4)
+    df.collect() // let AQE finalize before reading the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // sanity: the tree actually contains joins (guards against this test
+    // going vacuous again if the builder ever checkpoints internally)
+    assert(plan.contains("Join"), s"expected joins in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
   test("simhash: identical token sets agree; near-dups land within 3/16 bits") {

@@ -39,4 +39,16 @@ class QueriesSpec extends SparkSpec {
     val out = SparkEntry.queries("etl_dedupe_keep_last")(spark, dir)
     assert(out.count() == out.select("l_orderkey", "l_partkey").distinct().count())
   }
+
+  test("views are queryable BY NAME through spark.sql, like the reference's SQL objects") {
+    graft.queries.SalesQueries.registerViews(spark, dir)
+    val byDay = spark.sql("SELECT * FROM vw_SalesByDay")
+    assert(byDay.columns.toSeq == Seq("sale_date", "total_sales") && byDay.count() > 0)
+    val totals = spark.sql(
+      "SELECT l_orderkey, order_total FROM vw_OrderTotals WHERE order_total > 0")
+    assert(totals.count() > 0)
+    // the view is a lazy plan: SQL over it matches the function form
+    assert(spark.sql("SELECT count(*) FROM vw_OrderTotals").head().getLong(0) ==
+      graft.queries.SalesQueries.vOrderTotals(spark, dir).count())
+  }
 }
