@@ -206,6 +206,75 @@ object NearDup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every vertex starts labeled with its own id;
+    * each round every vertex takes the minimum of its label and its
+    * neighbors' labels; at fixpoint each component is labeled by its
+    * minimum vertex id. Returns one row per vertex: (id, component).
+    *
+    * Scale shape: each round is ONE shuffle (edge⋈label equi-join +
+    * map-side-combined min aggregate) over the label frame — O(|V|)
+    * rows, orders of magnitude smaller than the corpus for a dedup
+    * graph. Rounds needed = component diameter; near-dup components are
+    * shallow (dozens of docs, diameter ≲ 5), so this beats the
+    * O(log n)-round large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") for dedup graphs —
+    * alternation pays 2 shuffles/round to collapse long paths that LSH
+    * graphs don't have. Each round's result is localCheckpoint'd
+    * EAGERLY: the per-round job runs at call time, lineage is truncated
+    * so plans stay O(1) deep across rounds (un-truncated iterative plans
+    * grow exponentially in Catalyst analysis time).
+    *
+    * Converges when a full round changes no label; throws if `maxIter`
+    * rounds don't reach fixpoint (diameter > maxIter — raise it). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val sym = edges.select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+      .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("__u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = true
+    while (changed) {
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxIter rounds (component diameter exceeds maxIter)")
+      val nbrMin = sym
+        .join(labels.select(col("id").as("__v"), col("component").as("__nl")), "__v")
+        .groupBy(col("__u").as("id"))
+        .agg(min(col("__nl")).as("__cand"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__cand"), col("component"))).as("component"),
+          (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
+        .localCheckpoint(true)
+      changed = !next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters: minhash candidate pairs verified at
+    * `jaccard >= minJaccard`, grouped into connected components. One row
+    * per clustered doc: (idCol, cluster_id) where cluster_id is the
+    * minimum doc id of the cluster — the canonical survivor a dedup
+    * pipeline keeps. Docs with no qualifying near-dup don't appear
+    * (they're their own implicit singleton). */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5, shingleN: Int = 3, numHashes: Int = 12,
+      bands: Int = 4): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands)
+      .filter(col("jaccard") >= minJaccard)
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+  }
+
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's
     * distinct normalized tokens. Bit b is the sign of Σ ±1 where each
     * token votes +1 if hex digit b of md5(token) is >= '8' (the digit's

@@ -65,6 +65,15 @@ object DocQueries {
     NearDup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id", "fingerprint")
 
+  /** doc_dup_clusters — near-dup clusters: minhash pairs verified at
+    * jaccard >= 0.5, closed under connectivity (min-label propagation);
+    * cluster_id = the cluster's minimum doc_id (the canonical doc a
+    * dedup pipeline keeps). */
+  def docDupClusters(spark: SparkSession, dir: String): DataFrame =
+    NearDup.dupClusters(Tables.documents(spark, dir), "doc_id", "text",
+        minJaccard = 0.5)
+      .orderBy("doc_id")
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -165,8 +174,12 @@ object DocQueries {
        |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3),
        |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle FROM idx)""".stripMargin
 
-  private val minhashOracle: String =
-    s"""WITH $shingleCtes,
+  /** CTE chain producing verified-Jaccard candidate pairs (mirrors
+    * NearDup.minhashPairs): shingles → 12 minhash seeds → 4 bands →
+    * banded candidates → exact Jaccard. Shared by the pair query and the
+    * cluster query's recursive closure. */
+  private val pairCtes: String =
+    s"""$shingleCtes,
        |hs AS (SELECT doc_id, seed, substr(md5(seed || '|' || shingle), 1, 16) AS h
        |       FROM sh, range(0, 12) s(seed)),
        |sig AS (SELECT doc_id, seed, min(h) AS sig FROM hs GROUP BY 1, 2),
@@ -179,13 +192,32 @@ object DocQueries {
        |           FROM pairs p
        |           JOIN sh sa ON sa.doc_id = p.doc_a
        |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-       |           GROUP BY 1, 2)
-       |SELECT c.doc_a, c.doc_b,
-       |       CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
-       |FROM common c
-       |JOIN sizes za ON za.doc_id = c.doc_a
-       |JOIN sizes zb ON zb.doc_id = c.doc_b
+       |           GROUP BY 1, 2),
+       |jpairs AS (SELECT c.doc_a, c.doc_b,
+       |             CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
+       |           FROM common c
+       |           JOIN sizes za ON za.doc_id = c.doc_a
+       |           JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin
+
+  private val minhashOracle: String =
+    s"""WITH $pairCtes
+       |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components of the jaccard>=0.5 pair graph as a recursive
+    * reachability closure: min reachable doc_id = cluster id — the same
+    * fixpoint NearDup.connectedComponents' label propagation reaches. */
+  private val dupClustersOracle: String =
+    s"""WITH RECURSIVE $pairCtes,
+       |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
 
   /** Winnowing oracle — positioned 3-gram md5s (the shingle CTEs WITHOUT
     * the dedup), window-min over 4 rows, distinct survivors. The oracle's
@@ -224,6 +256,7 @@ object DocQueries {
          |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
+    "doc_dup_clusters" -> dupClustersOracle,
     "doc_simhash" -> simhashOracle,
     "doc_winnow" -> winnowOracle,
     "mm_blob_stats" ->
@@ -239,6 +272,7 @@ object DocQueries {
     "doc_lang_id" -> docLangId _,
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
+    "doc_dup_clusters" -> docDupClusters _,
     "doc_simhash" -> docSimhash _,
     "doc_winnow" -> docWinnow _,
     "mm_blob_stats" -> mmBlobStats _,

@@ -72,6 +72,31 @@ class NearDupSpec extends SparkSpec {
     assert(short.count() == 0)
   }
 
+  test("connectedComponents labels each component by its minimum id") {
+    // chain 1-2-3-4 (diameter 3), pair 7-8, self-loop 9-9
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L), (9L, 9L))
+      .toDF("src", "dst")
+    val cc = NearDup.connectedComponents(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("connectedComponents throws when maxIter is below the diameter") {
+    val chain = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("src", "dst")
+    intercept[IllegalStateException](
+      NearDup.connectedComponents(chain, "src", "dst", maxIter = 2).collect())
+    // and converges with enough rounds
+    val cc = NearDup.connectedComponents(chain, "src", "dst", maxIter = 10)
+    assert(cc.collect().map(_.getLong(1)).forall(_ == 1L))
+  }
+
+  test("dupClusters groups transitive near-dups under the min doc id") {
+    val clusters = NearDup.dupClusters(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1, 2, 3 are mutual near-dups; 4 and 5 have no qualifying pair
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("simhash rejects out-of-range bit widths") {
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 0))
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 33))
