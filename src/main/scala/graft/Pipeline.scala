@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
 import graft.operators.{Transform, Upsert}
-import graft.sources.CsvExtract
+import graft.sources.{CsvExtract, Snapshot}
 
 /** End-to-end ETL pipeline — the Spark-native equivalent of the
   * reference's `main` (etl_sales_analytics.py:302-333):
@@ -22,10 +22,44 @@ object Pipeline {
 
   case class Result(counts: Map[String, Long], rejectCounts: Map[String, Long])
 
+  /** The cleaned, FK-valid frames ready to load, keyed by table name
+    * with their MERGE keys; rejects already written. */
+  private case class Staged(loads: Seq[(String, DataFrame, Seq[String])],
+      rejectCounts: Map[String, Long])
+
   /** Run the pipeline: `dataDir` holds customers/products/orders/
     * order_details CSVs (reference layout); warehouse + rejects are
-    * written under `outDir`. */
+    * written under `outDir`. Tables load independently (per-table
+    * atomic swap) — see [[runTransactional]] for the all-or-nothing
+    * cross-table load. */
   def run(spark: SparkSession, dataDir: String, outDir: String): Result = {
+    val staged = extractTransform(spark, dataDir, outDir)
+    val merges = staged.loads.map { case (t, df, keys) =>
+      t -> Upsert.upsertParquet(spark, s"$outDir/warehouse/$t", df, keys)
+    }.toMap
+    merges.foreach { case (t, m) =>
+      println(s"[MERGE] $t: inserted=${m.inserted} updated=${m.updated} total=${m.total}")
+    }
+    Result(merges.map { case (t, m) => t -> m.total }, staged.rejectCounts)
+  }
+
+  /** Same pipeline, but the four MERGEs publish as ONE atomic snapshot
+    * commit (graft.sources.Snapshot) — the reference's single-transaction
+    * load (etl_sales_analytics.py runs all four MERGEs on one connection
+    * and commits once): a crash mid-load leaves the previous snapshot
+    * fully intact and mutually consistent across tables. */
+  def runTransactional(spark: SparkSession, dataDir: String, outDir: String): Result = {
+    val staged = extractTransform(spark, dataDir, outDir)
+    val (version, merges) = Snapshot.mergeCommit(spark, s"$outDir/snapshots",
+      staged.loads.map { case (t, df, keys) => t -> (df, keys) }.toMap)
+    merges.foreach { case (t, m) =>
+      println(s"[MERGE v$version] $t: inserted=${m.inserted} updated=${m.updated} total=${m.total}")
+    }
+    Result(merges.map { case (t, m) => t -> m.total }, staged.rejectCounts)
+  }
+
+  private def extractTransform(spark: SparkSession, dataDir: String,
+      outDir: String): Staged = {
     // -- extract (S1-S2): schema-pinned, trimmed, coerce-to-NULL
     val customers = CsvExtract.loadCsvExact(spark, s"$dataDir/customers.csv", Schemas.customer)
     val products  = CsvExtract.loadCsvExact(spark, s"$dataDir/products.csv", Schemas.product)
@@ -76,22 +110,16 @@ object Pipeline {
     CsvExtract.writeRejects(ordRej, s"$outDir/rejects/orders")
     CsvExtract.writeRejects(detRej, s"$outDir/rejects/order_details")
 
-    // -- load (M1-M5): MERGE-style upsert per table, with the reference's
-    // per-branch telemetry (inserted/updated per MERGE,
-    // etl_sales_analytics.py:241-283).
-    val merges = Map(
-      "customer" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/customer", cust, Seq("CustomerID")),
-      "product" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/product", prod, Seq("ProductID")),
-      "orders" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/orders", ordValid, Seq("OrderID")),
-      "order_details" -> Upsert.upsertParquet(spark, s"$outDir/warehouse/order_details", detValid,
-        Seq("OrderID", "ProductID")))
-
-    val rejects = Map(
-      "orders" -> ordRej.count(),
-      "order_details" -> detRej.count())
-    merges.foreach { case (t, m) =>
-      println(s"[MERGE] $t: inserted=${m.inserted} updated=${m.updated} total=${m.total}")
-    }
-    Result(merges.map { case (t, m) => t -> m.total }, rejects)
+    // -- load set (M1-M5): table, cleaned frame, MERGE keys — telemetry
+    // per branch as in the reference (etl_sales_analytics.py:241-283).
+    Staged(
+      loads = Seq(
+        ("customer", cust, Seq("CustomerID")),
+        ("product", prod, Seq("ProductID")),
+        ("orders", ordValid, Seq("OrderID")),
+        ("order_details", detValid, Seq("OrderID", "ProductID"))),
+      rejectCounts = Map(
+        "orders" -> ordRej.count(),
+        "order_details" -> detRej.count()))
   }
 }

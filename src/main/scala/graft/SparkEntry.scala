@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, EtlQueries, EventQueries, SalesQueries, VectorQueries}
+import graft.queries.{DocQueries, EtlQueries, EventQueries, OlapQueries, SalesQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline surface (docs, embeddings, events). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SalesQueries.all ++ EtlQueries.all ++
+    SalesQueries.all ++ EtlQueries.all ++ OlapQueries.all ++
       DocQueries.all ++ VectorQueries.all ++ EventQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    SalesQueries.oracle ++ EtlQueries.oracle ++
+    SalesQueries.oracle ++ EtlQueries.oracle ++ OlapQueries.oracle ++
       DocQueries.oracle ++ VectorQueries.oracle ++ EventQueries.oracle
 }

@@ -155,7 +155,7 @@ object Upsert {
     * full-outer join and misreport inserted/updated as plausible-looking
     * wrong numbers. Fail loudly instead. The count runs on the persisted
     * stage, so it costs one pass over cached data. */
-  private def requireUniqueKeys(stage: DataFrame, keys: Seq[String], staged: Long): Unit = {
+  private[graft] def requireUniqueKeys(stage: DataFrame, keys: Seq[String], staged: Long): Unit = {
     val distinct = stage.dropDuplicates(keys).count()
     if (distinct != staged)
       throw new IllegalArgumentException(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Text
 import graft.model.Tables
-import graft.operators.NearDup
+import graft.operators.{NearDup, Sampling}
 
 /** Text-analysis and document-dedup queries over the `documents` table —
   * the training-data-pipeline surface (language-ID, quality scoring, token
@@ -73,6 +73,21 @@ object DocQueries {
     NearDup.dupClusters(Tables.documents(spark, dir), "doc_id", "text",
         minJaccard = 0.5)
       .orderBy("doc_id")
+
+  /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
+    * on md5(doc_id): stable across runs, engines, and partitionings. */
+  def docHashSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.documents(spark, dir), "doc_id", threshold = 32)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  /** doc_shuffle_batches — global deterministic training shuffle:
+    * md5-keyed permutation, contiguous shuffle_idx (range-sort +
+    * zipWithIndex, no single-partition window), 100-row batches. */
+  def docShuffleBatches(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleBatches(Tables.documents(spark, dir).select("doc_id"),
+        "doc_id", batchSize = 100)
+      .orderBy("shuffle_idx")
 
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
@@ -257,6 +272,20 @@ object DocQueries {
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
     "doc_dup_clusters" -> dupClustersOracle,
+    "doc_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |ORDER BY doc_id""".stripMargin,
+    "doc_shuffle_batches" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents
+        |), idx AS (
+        |  SELECT doc_id, shuffle_key,
+        |         ROW_NUMBER() OVER (ORDER BY shuffle_key) - 1 AS shuffle_idx
+        |  FROM keyed
+        |)
+        |SELECT doc_id, shuffle_key, shuffle_idx, shuffle_idx // 100 AS batch
+        |FROM idx ORDER BY shuffle_idx""".stripMargin,
     "doc_simhash" -> simhashOracle,
     "doc_winnow" -> winnowOracle,
     "mm_blob_stats" ->
@@ -273,6 +302,8 @@ object DocQueries {
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_dup_clusters" -> docDupClusters _,
+    "doc_hash_sample" -> docHashSample _,
+    "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_simhash" -> docSimhash _,
     "doc_winnow" -> docWinnow _,
     "mm_blob_stats" -> mmBlobStats _,

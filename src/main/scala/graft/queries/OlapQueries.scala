@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** OLAP surface beyond the reference's flat GROUP BYs: hierarchical
+  * rollup, running/moving windows, pivot, and exact quantiles — the
+  * report shapes a warehouse user reaches for next, expressed with the
+  * operators Catalyst plans natively (Expand for rollup, a single
+  * post-aggregation window, partial+final hash aggregates).
+  *
+  * Determinism contract: every money aggregate runs in exact integer
+  * cent space (`round(x*100)` as BIGINT — the inputs are 2-dp doubles),
+  * and doubles only appear in a FINAL per-row division that both engines
+  * evaluate as the same single IEEE op. Running sums are integer sums,
+  * so window-frame summation ORDER (sequential in Spark, segment-tree in
+  * DuckDB) cannot change the result — a double running sum would diverge
+  * between engines even though both are "correct".
+  */
+object OlapQueries {
+
+  /** Exact cents (BIGINT) of a 2-dp double money column. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Cents→money: one exact cast + one IEEE division. */
+  private def money(c: Column): Column = c.cast("double") / 100.0
+
+  /** q15 — sales by (brand, category) with ROLLUP subtotals and grand
+    * total. Catalyst plans one Expand (3 grouping sets) into a single
+    * partial+final hash aggregate: one scan, one shuffle — the same
+    * cost as the flat GROUP BY at any scale. Grouping indicators are
+    * exposed (not NULL-mangled labels) so consumers can tell a subtotal
+    * row from a NULL group. */
+  def q15RollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_extendedprice")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_type")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .select(col("p_brand").as("brand"), col("p_type").as("category"),
+        col("l_extendedprice"))
+      .rollup(col("brand"), col("category"))
+      .agg(sum(cents(col("l_extendedprice"))).as("__c"), count(lit(1)).as("line_count"),
+        // grouping() is only resolvable inside the rollup's aggregate list
+        grouping(col("brand")).cast("long").as("g_brand"),
+        grouping(col("category")).cast("long").as("g_category"))
+      .select(col("brand"), col("category"), col("g_brand"), col("g_category"),
+        money(col("__c")).as("sales_amount"), col("line_count"))
+      .orderBy("g_brand", "g_category", "brand", "category")
+  }
+
+  /** q16 — daily sales with running total and 7-day moving average. The
+    * window runs AFTER aggregation, over one row per day — at 100 TB the
+    * fact scan feeds a hash aggregate (shuffle on day) and the ordered
+    * window sees only ~years×365 rows; running totals stay in integer
+    * cents so frame-summation order can't perturb them. */
+  def q16RunningSales(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("sale_date"), cents(col("o_totalprice")).as("__c"))
+      .groupBy("sale_date")
+      .agg(sum(col("__c")).as("__day_c"), count(lit(1)).as("orders_count"))
+    val byDate = Window.orderBy("sale_date")
+    val last7 = byDate.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("__run_c", sum(col("__day_c")).over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__w7_c", sum(col("__day_c")).over(last7))
+      .withColumn("__w7_n", count(lit(1)).over(last7))
+      .select(col("sale_date"), money(col("__day_c")).as("day_sales"), col("orders_count"),
+        money(col("__run_c")).as("running_sales"),
+        (col("__w7_c").cast("double") / (lit(100.0) * col("__w7_n"))).as("ma7_sales"))
+      .orderBy("sale_date")
+  }
+
+  /** q17 — month × order-status pivot (explicit status values, so the
+    * plan is a single aggregate with three conditional sums — no
+    * distinct-values pre-pass, which is what an implicit pivot costs). */
+  def q17StatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("year_month"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("__c"))
+      .groupBy("year_month")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("__c")))
+      .select(col("year_month"),
+        money(col("F")).as("f_sales"), money(col("O")).as("o_sales"),
+        money(col("P")).as("p_sales"))
+      .orderBy("year_month")
+
+  /** q18 — exact order-value quartiles per status. `percentile` is
+    * Spark's EXACT sort-based aggregate (partial per-partition value
+    * maps, merged); memory is O(distinct values per group), fine for
+    * per-status groups here. At 100 TB with high-cardinality groups the
+    * scale path is approx_percentile (t-digest sketch, bounded memory) —
+    * same call shape, no oracle parity since sketches are
+    * engine-specific. Quartile fractions are dyadic (0.25/0.5/0.75), so
+    * interpolating between integer cents is EXACT in both engines no
+    * matter how each writes the lerp — the doubles agree bit-for-bit. */
+  def q18ValueQuartiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("status"), cents(col("o_totalprice")).as("__c"))
+      .groupBy("status")
+      .agg(
+        expr("percentile(__c, array(0.25D, 0.5D, 0.75D))").as("__q"),
+        count(lit(1)).as("orders_count"))
+      .select(col("status"),
+        money(element_at(col("__q"), 1)).as("p25"),
+        money(element_at(col("__q"), 2)).as("median"),
+        money(element_at(col("__q"), 3)).as("p75"),
+        col("orders_count"))
+      .orderBy("status")
+
+  val oracle: Map[String, String] = Map(
+    "q15_rollup_sales" ->
+      """SELECT p.p_brand AS brand, p.p_type AS category,
+        |       CAST(GROUPING(p.p_brand) AS BIGINT) AS g_brand,
+        |       CAST(GROUPING(p.p_type) AS BIGINT) AS g_category,
+        |       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sales_amount,
+        |       COUNT(*) AS line_count
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |GROUP BY ROLLUP (p.p_brand, p.p_type)
+        |ORDER BY g_brand, g_category, brand, category""".stripMargin,
+    "q16_running_sales" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS sale_date,
+        |         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS day_c,
+        |         COUNT(*) AS orders_count
+        |  FROM orders GROUP BY 1
+        |), win AS (
+        |  SELECT sale_date, day_c, orders_count,
+        |         SUM(day_c) OVER (ORDER BY sale_date
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c,
+        |         SUM(day_c) OVER (ORDER BY sale_date
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w7_c,
+        |         COUNT(*) OVER (ORDER BY sale_date
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS w7_n
+        |  FROM daily
+        |)
+        |SELECT sale_date, CAST(day_c AS DOUBLE) / 100.0 AS day_sales, orders_count,
+        |       CAST(run_c AS DOUBLE) / 100.0 AS running_sales,
+        |       CAST(w7_c AS DOUBLE) / (100.0 * w7_n) AS ma7_sales
+        |FROM win ORDER BY sale_date""".stripMargin,
+    "q17_status_pivot" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS f_sales,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS o_sales,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p_sales
+        |FROM orders GROUP BY 1 ORDER BY year_month""".stripMargin,
+    "q18_value_quartiles" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |)
+        |SELECT status,
+        |       quantile_cont(cents, 0.25) / 100.0 AS p25,
+        |       quantile_cont(cents, 0.5) / 100.0 AS median,
+        |       quantile_cont(cents, 0.75) / 100.0 AS p75,
+        |       COUNT(*) AS orders_count
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_rollup_sales" -> q15RollupSales _,
+    "q16_running_sales" -> q16RunningSales _,
+    "q17_status_pivot" -> q17StatusPivot _,
+    "q18_value_quartiles" -> q18ValueQuartiles _,
+  )
+}

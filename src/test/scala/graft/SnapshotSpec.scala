@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import graft.sources.Snapshot
+
+class SnapshotSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("snapshot-spec").toString
+
+  test("commit/read roundtrip across multiple tables, versions increment") {
+    val root = freshRoot()
+    assert(Snapshot.currentVersion(spark, root).isEmpty)
+    val v1 = Snapshot.commit(spark, root, Map(
+      "a" -> Seq((1L, "x")).toDF("id", "v"),
+      "b" -> Seq((10L, "y")).toDF("id", "v")))
+    assert(v1 == 1L)
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    assert(Snapshot.read(spark, root, "a").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // updating one table keeps the other's data visible
+    val v2 = Snapshot.commit(spark, root, Map("a" -> Seq((2L, "z")).toDF("id", "v")))
+    assert(v2 == 2L)
+    assert(Snapshot.read(spark, root, "a").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Snapshot.read(spark, root, "b").collect().map(_.getLong(0)).toSeq == Seq(10L))
+    intercept[IllegalArgumentException](Snapshot.read(spark, root, "nope"))
+  }
+
+  test("uncommitted data dirs are invisible; torn manifests are skipped") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))
+    // crash simulation 1: data written but no manifest → invisible
+    Seq((99L, 9.9)).toDF("id", "v").write
+      .parquet(s"$root/data/t/orphan-never-committed")
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // crash simulation 2: torn manifest at a higher version (no END
+    // footer) → readers fall back to the last complete version
+    Files.write(Paths.get(root, "_commits", "v0000000007.manifest"),
+      "GRAFT-SNAPSHOT v1\nt\tdata/t/orphan-never-committed".getBytes(UTF_8))
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // but version numbering moves past the torn claim
+    val v = Snapshot.commit(spark, root, Map("t" -> Seq((2L, 2.0)).toDF("id", "v")))
+    assert(v == 8L)
+  }
+
+  test("mergeCommit: all tables publish in one version with MERGE semantics") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map(
+      "orders" -> Seq((1L, 10.0), (2L, 20.0)).toDF("id", "total"),
+      "details" -> Seq((1L, 1), (2L, 2)).toDF("id", "qty")))
+    val (v, stats) = Snapshot.mergeCommit(spark, root, Map(
+      "orders" -> (Seq((2L, 99.0), (3L, 30.0)).toDF("id", "total"), Seq("id")),
+      "details" -> (Seq((3L, 3)).toDF("id", "qty"), Seq("id"))))
+    assert(v == 2L)
+    assert(stats("orders") == graft.operators.Upsert.MergeStats(1, 1, 3))
+    assert(stats("details") == graft.operators.Upsert.MergeStats(1, 0, 3))
+    val orders = Snapshot.read(spark, root, "orders")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(orders == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    // time travel: the previous snapshot is still a complete, readable set
+    assert(Snapshot.currentVersion(spark, root).contains(2L))
+  }
+
+  test("mergeCommit enforces the stage-unique-on-keys precondition") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException](
+      Snapshot.mergeCommit(spark, root, Map(
+        "t" -> (Seq((1L, 1), (1L, 2)).toDF("id", "v"), Seq("id")))))
+    // nothing published
+    assert(Snapshot.currentVersion(spark, root).isEmpty)
+  }
+
+  test("optimistic concurrency: a stale base aborts without publishing") {
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root, Map("t" -> Seq((1L, 1)).toDF("id", "v")))
+    // another writer advances the snapshot under us
+    Snapshot.commit(spark, root, Map("t" -> Seq((2L, 2)).toDF("id", "v")))
+    val ex = intercept[IllegalStateException](
+      Snapshot.commit(spark, root, Map("t" -> Seq((3L, 3)).toDF("id", "v")),
+        expectBase = Some(v1)))
+    assert(ex.getMessage.contains("conflict"))
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("vacuum keeps the newest versions and sweeps unreferenced data") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, 1)).toDF("id", "v")))
+    Snapshot.commit(spark, root, Map("t" -> Seq((2L, 2)).toDF("id", "v")))
+    Snapshot.commit(spark, root, Map("t" -> Seq((3L, 3)).toDF("id", "v")))
+    Seq((9L, 9)).toDF("id", "v").write.parquet(s"$root/data/t/orphan")
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    val dataDirs = Files.list(Paths.get(root, "data", "t")).toArray.map(_.toString)
+    assert(dataDirs.length == 1, s"expected one surviving data dir, got: ${dataDirs.toSeq}")
+    val manifests = Files.list(Paths.get(root, "_commits")).toArray
+      .map(_.toString).filter(_.endsWith(".manifest"))
+    assert(manifests.length == 1)
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // numbering continues from the vacuumed high-water mark
+    assert(Snapshot.commit(spark, root, Map("t" -> Seq((4L, 4)).toDF("id", "v"))) == 4L)
+  }
+
+  test("runTransactional loads the 4-table warehouse in one snapshot commit") {
+    val out = freshRoot()
+    val res = Pipeline.runTransactional(spark, "/root/reference/data", out)
+    assert(Snapshot.currentVersion(spark, s"$out/snapshots").contains(1L))
+    val tables = Snapshot.tables(spark, s"$out/snapshots").keySet
+    assert(tables == Set("customer", "product", "orders", "order_details"))
+    res.counts.foreach { case (t, n) =>
+      assert(Snapshot.read(spark, s"$out/snapshots", t).count() == n, s"count mismatch for $t")
+    }
+    // idempotent: re-running publishes v2 with identical contents
+    val res2 = Pipeline.runTransactional(spark, "/root/reference/data", out)
+    assert(Snapshot.currentVersion(spark, s"$out/snapshots").contains(2L))
+    assert(res2.counts == res.counts)
+  }
+}
