@@ -296,4 +296,44 @@ object NearDup {
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
   }
+
+  /** SimHash near-dup pairs, LSH-banded: fingerprints are cut into
+    * `bands` contiguous bit-bands; docs agreeing on any whole band meet
+    * through an equi-join on (band, band bits) — never all-pairs — and
+    * survive if full Hamming distance <= `maxHamming`. Pigeonhole makes
+    * the bucketing LOSSLESS here: fewer than `bands` differing bits
+    * cannot dirty every band, so any pair within maxHamming < bands
+    * shares at least one band verbatim. Hamming itself is
+    * `bit_count(a XOR b)` on the candidates — two codegen'd integer ops.
+    * Same shuffle shape (and scale story) as [[candidatePairs]].
+    *
+    * Band width sets the bucket keyspace (2^(bits/bands) values) and
+    * buckets fill as the corpus grows: candidate volume per band is
+    * Σ C(bucket,2). The 32/4 default gives 256-value bands — right for
+    * ~10⁵-doc corpora; at larger scale WIDEN the fingerprint (the
+    * construction generalizes to 64 bits) rather than cutting bands,
+    * since maxHamming < bands is what keeps the bucketing lossless. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > 0 && bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for lossless banding")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val banded = simhash(df, idCol, textCol, bits)
+      .select(col(idCol), col("simhash"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -74,6 +74,14 @@ object DocQueries {
         minJaccard = 0.5)
       .orderBy("doc_id")
 
+  /** doc_simhash_pairs — banded SimHash near-dup pairs: 32-bit
+    * fingerprint, 4×8-bit bands, Hamming <= 3 (lossless by pigeonhole),
+    * bit_count(xor) verify. */
+  def docSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
     * on md5(doc_id): stable across runs, engines, and partitionings. */
   def docHashSample(spark: SparkSession, dir: String): DataFrame =
@@ -247,21 +255,42 @@ object DocQueries {
        |SELECT DISTINCT doc_id, m AS fingerprint FROM w WHERE i >= 4
        |ORDER BY doc_id, fingerprint""".stripMargin
 
-  private val simhashOracle: String = {
-    val bits = 16
+  /** CTE chain producing sim(doc_id, simhash) — `bits`-bit SimHash,
+    * shared by the fingerprint query (16) and the banded pair query
+    * (32; wider fingerprint → 256-value bands, see
+    * NearDup.simhashPairs' scale note). */
+  private def simCtes(bits: Int): String = {
     val sums = (0 until bits).map(b =>
       s"SUM(CASE WHEN substr(hh, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n       ")
     val value = (0 until bits).map(b =>
       s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+    s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
        |h AS (SELECT doc_id, md5(tk) AS hh FROM tok),
        |b AS (SELECT doc_id,
        |       $sums
-       |      FROM h GROUP BY 1)
-       |SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+       |      FROM h GROUP BY 1),
+       |sim AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM b)""".stripMargin
   }
+
+  private val simhashOracle: String =
+    s"""WITH ${simCtes(16)}
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  /** Banded SimHash pairs: 4 bands of 8 bits; band agreement via
+    * shift/mask equi-join, Hamming verified with bit_count(xor). */
+  private val simhashPairsOracle: String =
+    s"""WITH ${simCtes(32)},
+       |bd AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+       |       FROM sim, range(0, 4) r(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+       |                b.doc_id AS doc_b, b.simhash AS sb
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "doc_quality" -> qualityOracle,
@@ -287,6 +316,7 @@ object DocQueries {
         |SELECT doc_id, shuffle_key, shuffle_idx, shuffle_idx // 100 AS batch
         |FROM idx ORDER BY shuffle_idx""".stripMargin,
     "doc_simhash" -> simhashOracle,
+    "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_winnow" -> winnowOracle,
     "mm_blob_stats" ->
       """SELECT doc_id, 'text' AS kind,
@@ -305,6 +335,7 @@ object DocQueries {
     "doc_hash_sample" -> docHashSample _,
     "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_simhash" -> docSimhash _,
+    "doc_simhash_pairs" -> docSimhashPairs _,
     "doc_winnow" -> docWinnow _,
     "mm_blob_stats" -> mmBlobStats _,
   )

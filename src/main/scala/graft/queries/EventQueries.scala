@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.operators.AsOf
 
 /** Event-stream analytics over the `events` table: tumbling-window
   * aggregation and gap-based sessionization. The same `window`/
@@ -34,7 +36,41 @@ object EventQueries {
     graft.streaming.StreamOps.sessionize(Tables.events(spark, dir))
       .orderBy("user_id", "session_start")
 
+  /** events_asof_purchase — point-in-time join: every click annotated
+    * with the user's latest purchase at or before the click
+    * (graft.operators.AsOf: one shuffle on user_id + per-key sort; no
+    * range-join explosion). The purchase side is pre-aggregated to one
+    * row per (user_id, ts) — the as-of determinism precondition. */
+  def eventsAsofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("purchase_event_id"),
+        max(col("value")).as("purchase_value"))
+    AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Seq("purchase_event_id", "purchase_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_asof_purchase" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         event_type, value
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id, user_id, ts, value FROM e WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, MAX(event_id) AS purchase_event_id,
+        |         MAX(value) AS purchase_value
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT c.event_id, c.user_id, c.ts, c.value,
+        |       p.ts AS asof_ts, p.purchase_event_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
     "events_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', make_timestamp(epoch_ns(ts) // 1000)) AS hour_start,
         |       event_type, COUNT(*) AS n_events,
@@ -67,5 +103,6 @@ object EventQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly _,
     "events_sessionize" -> eventsSessionize _,
+    "events_asof_purchase" -> eventsAsofPurchase _,
   )
 }

@@ -97,6 +97,18 @@ class NearDupSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("simhashPairs: banded buckets find close fingerprints, verify Hamming") {
+    val pairs = NearDup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(pairs((1L, 3L)) == 0L) // identical token sets
+    assert(pairs.get((1L, 2L)).exists(_ <= 3L)) // near-dup within 3 bits
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+    intercept[IllegalArgumentException](
+      NearDup.simhashPairs(docs, "doc_id", "text", bands = 5))
+    intercept[IllegalArgumentException](
+      NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 4))
+  }
+
   test("simhash rejects out-of-range bit widths") {
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 0))
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 33))
