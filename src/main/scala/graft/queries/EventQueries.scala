@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.AsOf
+import graft.operators.{AsOf, RangeJoin}
 
 /** Event-stream analytics over the `events` table: tumbling-window
   * aggregation and gap-based sessionization. The same `window`/
@@ -54,7 +54,50 @@ object EventQueries {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** events_purchase_window — range join: clicks landing inside any
+    * purchase's ±30-minute window, aggregated per window
+    * (graft.operators.RangeJoin: interval-bucketed equi-join, never the
+    * BroadcastNestedLoopJoin a raw BETWEEN join plans to). Window sums
+    * run in DECIMAL(18,2) so partition order can't perturb the double. */
+  def eventsPurchaseWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val windows = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("purchase_event_id"))
+      .select(col("user_id"), col("purchase_event_id"),
+        (col("ts") - expr("INTERVAL '30' MINUTE")).as("win_start"),
+        (col("ts") + expr("INTERVAL '30' MINUTE")).as("win_end"))
+    RangeJoin.pointInInterval(clicks, windows, Seq("user_id"),
+        "click_ts", "win_start", "win_end", bucketSeconds = 1800)
+      .groupBy("user_id", "purchase_event_id", "win_start")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("click_value").cast("decimal(18,2)")).cast("double").as("click_value"))
+      .orderBy("user_id", "win_start", "purchase_event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_purchase_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         event_type, value
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, ts AS click_ts, value FROM e WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, MAX(event_id) AS purchase_event_id,
+        |         ts - INTERVAL '30 minutes' AS win_start,
+        |         ts + INTERVAL '30 minutes' AS win_end
+        |  FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT p.user_id, p.purchase_event_id, p.win_start,
+        |       COUNT(*) AS n_clicks,
+        |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |             AND c.click_ts >= p.win_start AND c.click_ts < p.win_end
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 3, 2""".stripMargin,
     "events_asof_purchase" ->
       """WITH e AS (
         |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
@@ -104,5 +147,6 @@ object EventQueries {
     "events_hourly" -> eventsHourly _,
     "events_sessionize" -> eventsSessionize _,
     "events_asof_purchase" -> eventsAsofPurchase _,
+    "events_purchase_window" -> eventsPurchaseWindow _,
   )
 }
