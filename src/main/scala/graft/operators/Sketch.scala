@@ -59,13 +59,18 @@ object Sketch {
     // smallest hashes (exact: 48-bit magnitudes are lossless in Double).
     val top = hashes.groupBy(grp: _*)
       .agg(TopKByScore(-col("__h").cast("double"), col("__h"), k).as("__top"))
-    val n = size(col("__top"))
-    val kth = get(col("__top"), lit(k - 1)).getField("id")
-    top.select(grp ++ Seq(
-      n.cast("long").as("n_kept"),
-      kth.as("kth_min_hash"),
-      when(n < k, n.cast("long"))
-        .otherwise(expr(s"${(k - 1).toLong * HashSpace}L div ${""}__kth"))
+    // Materialize the k-th hash as a real column: expr() resolves against
+    // the frame's schema, so the divisor must exist there by name.
+    val ranked = top
+      .withColumn("__n", size(col("__top")))
+      .withColumn("__kth", get(col("__top"), lit(k - 1)).getField("id"))
+    ranked.select(grp ++ Seq(
+      col("__n").cast("long").as("n_kept"),
+      col("__kth").as("kth_min_hash"),
+      // Both operands are positive, so Spark's truncating `div` and the
+      // oracle's flooring `//` agree exactly.
+      when(col("__n") < k, col("__n").cast("long"))
+        .otherwise(expr(s"${(k - 1).toLong * HashSpace}L div __kth"))
         .as("est_distinct")): _*)
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.operators.Sketch
 
 /** OLAP surface beyond the reference's flat GROUP BYs: hierarchical
   * rollup, running/moving windows, pivot, and exact quantiles — the
@@ -110,6 +111,17 @@ object OlapQueries {
         col("orders_count"))
       .orderBy("status")
 
+  /** q19 — KMV distinct-count sketch of order keys per return flag. The
+    * estimate path (groups hold >> k distinct keys at every test SF) is
+    * what's gated: portable md5-derived 48-bit hashes and integer
+    * division make the estimate bit-identical across engines, while the
+    * shuffle carries at most k hashes per group (see
+    * [[graft.operators.Sketch.kmvDistinct]]). */
+  def q19KmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketch.kmvDistinct(Tables.lineitem(spark, dir), "l_orderkey",
+      groupCols = Seq("l_returnflag"), k = 256)
+      .orderBy("l_returnflag")
+
   val oracle: Map[String, String] = Map(
     "q15_rollup_sales" ->
       """SELECT p.p_brand AS brand, p.p_type AS category,
@@ -146,6 +158,22 @@ object OlapQueries {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS o_sales,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / 100.0 AS p_sales
         |FROM orders GROUP BY 1 ORDER BY year_month""".stripMargin,
+    "q19_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |         CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL
+        |), r AS (
+        |  SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h
+        |)
+        |SELECT l_returnflag,
+        |       CAST(LEAST(COUNT(*), 256) AS BIGINT) AS n_kept,
+        |       MAX(CASE WHEN rn = 256 THEN h END) AS kth_min_hash,
+        |       CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |            ELSE 71776119061217280 // MAX(CASE WHEN rn = 256 THEN h END) END AS est_distinct
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q18_value_quartiles" ->
       """WITH c AS (
         |  SELECT o_orderstatus AS status,
@@ -165,5 +193,6 @@ object OlapQueries {
     "q16_running_sales" -> q16RunningSales _,
     "q17_status_pivot" -> q17StatusPivot _,
     "q18_value_quartiles" -> q18ValueQuartiles _,
+    "q19_kmv_distinct" -> q19KmvDistinct _,
   )
 }
