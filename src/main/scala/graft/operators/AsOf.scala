@@ -25,7 +25,14 @@ object AsOf {
     * timestamp is attached as `asof_ts`. The right side must be unique
     * per (keys, rightTs) — with duplicates, which right row wins is
     * nondeterministic (pre-aggregate the right side to make it so).
-    * Ties `rightTs == leftTs` match (inclusive, as in SQL ASOF JOIN). */
+    * Ties `rightTs == leftTs` match (inclusive, as in SQL ASOF JOIN).
+    * NULL semantics follow SQL ASOF JOIN: a right row with a NULL key
+    * or NULL `rightTs` matches nothing (dropped before the union — the
+    * window would otherwise group NULL keys together and carry a
+    * NULLS-FIRST NULL-ts payload onto every left row of its partition);
+    * a left row with a NULL key or NULL `leftTs` keeps NULL payload
+    * (it sorts before every surviving right row in its partition, or
+    * shares a partition no right row survives into). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
     val reserved = Seq("__ts", "__side", "__r", "__m")
@@ -36,7 +43,9 @@ object AsOf {
     // right rows collapse to a single struct so the carry-forward is
     // row-atomic: a NULL INSIDE a matched payload must not fall through
     // to an older row's value, which per-column last(ignoreNulls) would do
-    val r = right.select(
+    val r = right
+      .filter((keys :+ rightTs).map(col(_).isNotNull).reduce(_ && _))
+      .select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(0).as("__side"),

@@ -22,6 +22,20 @@ import graft.functions.Text
   */
 object NearDup {
 
+  /** The persisted RDD behind an eagerly localCheckpoint'd frame (the
+    * LogicalRDD leaf survives projections/filters layered on top). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
+  /** Release a localCheckpoint's storage blocks NOW instead of waiting
+    * for the driver's ContextCleaner to notice the RDD is unreachable —
+    * on a long-lived session the lazy path leaves MEMORY_AND_DISK blocks
+    * resident for minutes and degrades every subsequent job. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+
   /** Exact-duplicate groups by normalized-text fingerprint: one row per
     * distinct fingerprint with the canonical (minimum) id and group size.
     * Single hash-aggregate — the classic exact-dedup plan at any scale. */
@@ -254,9 +268,18 @@ object NearDup {
           (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
         .localCheckpoint(true)
       changed = !next.filter(col("__changed")).isEmpty
+      // `next` is materialized: the previous round's blocks are now dead.
+      // Without this the loop leaks one label frame per round and `sym`
+      // forever (measured in a 52-query bench session: queries AFTER a
+      // clustering call degraded 2-25× from the accumulated blocks).
+      freeCheckpoint(labels)
       labels = next.drop("__changed")
       iter += 1
     }
+    freeCheckpoint(sym)
+    // The returned frame stays backed by the final round's (tiny — one
+    // row per vertex) checkpoint blocks; the ContextCleaner reclaims
+    // them when the caller drops the frame.
     labels
   }
 
@@ -271,8 +294,11 @@ object NearDup {
       bands: Int = 4): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands)
       .filter(col("jaccard") >= minJaccard)
-    connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    // connectedComponents copies the edges into its own checkpoint (sym)
+    // on entry, so the pair frame's blocks are dead once it returns.
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    freeCheckpoint(pairs)
+    cc.select(col("id").as(idCol), col("component").as("cluster_id"))
   }
 
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's

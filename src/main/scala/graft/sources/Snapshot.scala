@@ -60,7 +60,7 @@ object Snapshot {
   }
 
   /** (version, path) of every commit-log file, newest first — including
-    * torn ones, so version numbering always moves forward. */
+    * torn ones (a torn file still occupies its version slot). */
   private def versions(fs: FileSystem, root: String): Seq[(Long, Path)] = {
     val dir = new Path(root, CommitsDir)
     if (!fs.exists(dir)) Seq.empty
@@ -198,14 +198,26 @@ object Snapshot {
     rel
   }
 
-  /** Claim the next version with `updates` layered over the newest
-    * complete manifest. Retries past version-number collisions (another
-    * committer claimed the number first) up to 5 times, re-reading the
-    * base each attempt; with `expectBase` set, any base advance beyond
-    * it aborts instead (the caller's read snapshot went stale). */
+  /** How long a committer waits for an in-flight claim on its target
+    * slot to complete before giving up (overridable for tests). */
+  private[graft] var claimWaitMs: Long = 30000L
+
+  /** Claim version baseV+1 with `updates` layered over the newest
+    * complete manifest — NEVER a higher slot. Skipping past an occupied
+    * slot is the lost-update race: a slow writer holding slot N (file
+    * created, body still flushing — it parses as torn) would let us
+    * claim N+1 layered over base N-1, permanently shadowing N's tables
+    * the moment it completes, even though both commits "succeeded".
+    * Claiming ONLY baseV+1 serializes commits on the version number
+    * itself: while a claim is in flight we wait for it to complete (our
+    * base then advances — `expectBase` callers abort as stale, blind
+    * callers retry on the new base). A claim that never completes (its
+    * writer crashed) blocks committers until `claimWaitMs`, then this
+    * throws — loud, not silent; [[vacuum]] sweeps the dead claim file
+    * and unblocks the slot. */
   private def commitManifest(fs: FileSystem, root: String,
       updates: Map[String, String], expectBase: Option[Long]): Long = {
-    var attempts = 0
+    val deadline = System.currentTimeMillis() + claimWaitMs
     while (true) {
       val base = current(fs, root)
       val baseV = base.map(_._1).getOrElse(0L)
@@ -214,28 +226,37 @@ object Snapshot {
           s"snapshot commit conflict at $root: expected base version $e, found $baseV")
       }
       val merged = base.map(_._2).getOrElse(Map.empty) ++ updates
-      val next = versions(fs, root).headOption.map(_._1).getOrElse(0L) + 1L
+      val next = baseV + 1L
       val target = manifestPath(root, next)
       fs.mkdirs(target.getParent)
-      val claimed =
-        try {
-          val out = fs.create(target, false)
+      if (fs.exists(target)) {
+        // The slot is claimed but not complete (complete would have
+        // advanced baseV). Wait for the claimant rather than jumping
+        // over it with a stale base.
+        if (System.currentTimeMillis() >= deadline) throw new IllegalStateException(
+          s"snapshot commit: version slot $next at $root held by an incomplete claim " +
+            s"for over ${claimWaitMs}ms — claimant crashed? run vacuum to clear it")
+        Thread.sleep(50L)
+      } else {
+        val claimed =
           try {
-            val body = (Header +:
-              merged.toSeq.sorted.map { case (t, rel) => s"$t\t$rel" } :+
-              s"END ${merged.size}").mkString("\n")
-            out.write(body.getBytes(UTF_8))
-          } finally out.close()
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: IOException if e.getMessage != null &&
-            e.getMessage.contains("already exists") => false
-        }
-      if (claimed) return next
-      attempts += 1
-      if (attempts >= 5) throw new IllegalStateException(
-        s"snapshot commit: lost the version race $attempts times at $root; giving up")
+            val out = fs.create(target, false)
+            try {
+              val body = (Header +:
+                merged.toSeq.sorted.map { case (t, rel) => s"$t\t$rel" } :+
+                s"END ${merged.size}").mkString("\n")
+              out.write(body.getBytes(UTF_8))
+            } finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case e: IOException if e.getMessage != null &&
+              e.getMessage.contains("already exists") => false
+          }
+        if (claimed) return next
+        // Lost the create race for this slot — loop: the winner's commit
+        // will advance our base (or show up as the in-flight claim above).
+      }
     }
     throw new IllegalStateException("unreachable")
   }

@@ -48,6 +48,25 @@ class AsOfSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("price")), "matched row's own NULL must win")
   }
 
+  test("NULL keys and NULL timestamps never match, as in SQL ASOF JOIN") {
+    val right = Seq(
+      (Option(1L), Option(ts("2024-01-01 09:00:00")), 100.0),
+      (Option(1L), Option.empty[Timestamp], 666.0),  // NULL ts: matches nothing
+      (Option.empty[Long], Option(ts("2024-01-01 09:00:00")), 777.0) // NULL key
+    ).toDF("key", "qts", "price")
+    val left = Seq(
+      (30L, Option(1L), Option(ts("2024-01-01 10:00:00"))), // → 09:00 quote
+      (31L, Option(1L), Option.empty[Timestamp]),           // NULL left ts → NULL
+      (32L, Option.empty[Long], Option(ts("2024-01-01 10:00:00"))) // NULL key → NULL
+    ).toDF("trade_id", "key", "tts")
+    val out = AsOf.asofJoin(left, right, Seq("key"), "tts", "qts", Seq("price"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("price"))).toMap
+    assert(out(30L) == Some(100.0), "the NULL-ts right row must not shadow the real quote")
+    assert(out(31L).isEmpty)
+    assert(out(32L).isEmpty)
+    assert(out.size == 3)
+  }
+
   test("reserved column names and empty payload are rejected") {
     intercept[IllegalArgumentException](
       AsOf.asofJoin(trades, quotes, Seq("key"), "tts", "qts", Seq.empty))
