@@ -36,6 +36,29 @@ object Sampling {
     else df.filter(substring(hashKey(col(idCol)), 1, 2) < lit(f"$threshold%02x"))
   }
 
+  /** Stratified deterministic sample: per-stratum keep rates out of 256
+    * hash buckets (e.g. `Map("en" -> 64)` keeps ~25% of English docs),
+    * `defaultThreshold` for unlisted strata. This is how a training-mix
+    * is rebalanced — oversample rare languages/sources, downsample the
+    * dominant one — while keeping every property of [[hashSample]]:
+    * membership is a pure per-row predicate on md5(id) (no shuffle, no
+    * per-stratum pass, scales to any number of strata in ONE scan), and
+    * the strata thresholds are NESTED — raising a threshold only ADDS
+    * rows, so mix ablations share their common subset.
+    *
+    * The first hash byte is compared numerically (not as hex text) so
+    * threshold 256 ("keep all") needs no lexicographic special case. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      thresholds: Map[String, Int], defaultThreshold: Int): DataFrame = {
+    (thresholds.values.toSeq :+ defaultThreshold).foreach(t =>
+      require(t >= 0 && t <= 256, s"thresholds must be in 0..256, got $t"))
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (stratum, t)) => when(col(strataCol) === stratum, lit(t)).otherwise(acc)
+    }
+    val bucket = conv(substring(hashKey(col(idCol)), 1, 2), 16, 10).cast("int")
+    df.filter(bucket < thr)
+  }
+
   /** Global deterministic shuffle with batch assignment: orders the
     * dataset by md5(id) (a reproducible pseudo-random permutation),
     * assigns a contiguous 0-based `shuffle_idx`, and groups every

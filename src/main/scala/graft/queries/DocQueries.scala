@@ -89,6 +89,17 @@ object DocQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** doc_stratified_sample — per-language rebalanced sample: the dominant
+    * language (en) downsampled to 64/256, zh kept whole (the threshold=256
+    * keep-all edge), every other stratum at the 128/256 default. Same
+    * stability contract as doc_hash_sample — a pure md5(doc_id) predicate,
+    * no shuffle, engine-independent membership. */
+  def docStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang",
+        thresholds = Map("en" -> 64, "zh" -> 256), defaultThreshold = 128)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** doc_shuffle_batches — global deterministic training shuffle:
     * md5-keyed permutation, contiguous shuffle_idx (range-sort +
     * zipWithIndex, no single-partition window), 100-row batches. */
@@ -305,6 +316,11 @@ object DocQueries {
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |ORDER BY doc_id""".stripMargin,
+    "doc_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) <
+        |      CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END
+        |ORDER BY doc_id""".stripMargin,
     "doc_shuffle_batches" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents
@@ -333,6 +349,7 @@ object DocQueries {
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_dup_clusters" -> docDupClusters _,
     "doc_hash_sample" -> docHashSample _,
+    "doc_stratified_sample" -> docStratifiedSample _,
     "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.{Salt, Transform, Upsert}
+import graft.operators.{IncrementalAgg, Salt, Transform, Upsert}
 
 /** The reference's ETL transform/load operators (SURVEY.md §2: P2-P8, A10,
   * J5/J6, M1-M5) exposed as driver-checkable queries over the testdata.
@@ -99,6 +99,25 @@ object EtlQueries {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
+  /** Incremental rollup maintenance: history (pre-1997 orders) folded
+    * into state once, then the 1997+ "new batch" merged as a delta —
+    * gated against the full recompute, which is exactly the invariant
+    * that makes delta refresh sound (state is a commutative monoid). */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val split = lit("1997-01-01").cast("timestamp")
+    val keys = Seq("o_orderstatus")
+    val measures = Seq("o_totalprice")
+    // The two filters must EXHAUST the table (NULL dates fail both `<`
+    // and `>=`) or the merged state silently drops rows vs the oracle.
+    val history = IncrementalAgg.state(
+      o.filter(col("o_orderdate") < split || col("o_orderdate").isNull), keys, measures)
+    val batch = IncrementalAgg.state(o.filter(col("o_orderdate") >= split), keys, measures)
+    IncrementalAgg.finish(
+        IncrementalAgg.merge(keys, measures)(history, batch), keys, measures)
+      .orderBy("o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
     "etl_dedupe_keep_last" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
@@ -148,6 +167,11 @@ object EtlQueries {
       """SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity, o.o_custkey
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity""".stripMargin,
+    "etl_incremental_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |         AS o_totalprice_sum
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,5 +182,6 @@ object EtlQueries {
     "etl_upsert_orders" -> upsertOrders _,
     "etl_filter_project" -> filterProject _,
     "etl_salted_join" -> saltedJoin _,
+    "etl_incremental_agg" -> incrementalAgg _,
   )
 }

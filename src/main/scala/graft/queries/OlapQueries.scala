@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.Sketch
+import graft.operators.{Profile, Sketch}
 
 /** OLAP surface beyond the reference's flat GROUP BYs: hierarchical
   * rollup, running/moving windows, pivot, and exact quantiles — the
@@ -122,6 +122,21 @@ object OlapQueries {
       groupCols = Seq("l_returnflag"), k = 256)
       .orderBy("l_returnflag")
 
+  /** q20 — one-pass profile of the orders table (row/null/distinct
+    * counts, value ranges) — the post-load data-quality summary. The
+    * profiled projection pre-casts types whose string rendering differs
+    * across engines: the timestamp to DATE and the double price to exact
+    * cents, so min/max render identically in Spark and the oracle. */
+  def q20ProfileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      cents(col("o_totalprice")).as("o_totalprice_cents"))
+    Profile.profile(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_totalprice_cents"))
+      .orderBy("col_name")
+  }
+
   val oracle: Map[String, String] = Map(
     "q15_rollup_sales" ->
       """SELECT p.p_brand AS brand, p.p_type AS category,
@@ -174,6 +189,32 @@ object OlapQueries {
         |       CASE WHEN COUNT(*) < 256 THEN COUNT(*)
         |            ELSE 71776119061217280 // MAX(CASE WHEN rn = 256 THEN h END) END AS est_distinct
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q20_profile_orders" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(o_orderdate AS DATE) AS o_orderdate,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+        |  FROM orders
+        |)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_nonnull,
+        |         COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |         CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+        |         CAST(MAX(o_orderkey) AS VARCHAR) AS max_value FROM t
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |         CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+        |         CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM t
+        |  UNION ALL
+        |  SELECT 'o_totalprice_cents', COUNT(*), COUNT(o_totalprice_cents),
+        |         COUNT(DISTINCT o_totalprice_cents),
+        |         CAST(MIN(o_totalprice_cents) AS VARCHAR), CAST(MAX(o_totalprice_cents) AS VARCHAR) FROM t
+        |) ORDER BY col_name""".stripMargin,
     "q18_value_quartiles" ->
       """WITH c AS (
         |  SELECT o_orderstatus AS status,
@@ -194,5 +235,6 @@ object OlapQueries {
     "q17_status_pivot" -> q17StatusPivot _,
     "q18_value_quartiles" -> q18ValueQuartiles _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
+    "q20_profile_orders" -> q20ProfileOrders _,
   )
 }

@@ -23,6 +23,38 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.hashSample(rows, "id", 257))
   }
 
+  private val strat = (1L to 900L)
+    .map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+    .toDF("id", "lang")
+
+  test("stratifiedSample: per-stratum thresholds, nesting, keep-all edge") {
+    val out = Sampling.stratifiedSample(strat, "id", "lang",
+      thresholds = Map("en" -> 64, "zh" -> 256), defaultThreshold = 128)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // zh hits the 256 keep-all edge: every zh row survives
+    assert(byLang("zh") == 300)
+    // en at 64/256 (~25% of 300) and fr at the 128/256 default (~50%)
+    assert(byLang("en") > 40 && byLang("en") < 110, s"en=${byLang("en")}")
+    assert(byLang("fr") > 110 && byLang("fr") < 190, s"fr=${byLang("fr")}")
+    // membership is partition-independent
+    val again = Sampling.stratifiedSample(strat.repartition(11), "id", "lang",
+      Map("en" -> 64, "zh" -> 256), 128).collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+    // thresholds NEST: raising en's rate only ADDS rows
+    val enLow = Sampling.stratifiedSample(strat, "id", "lang", Map("en" -> 64), 0)
+      .collect().map(_.getLong(0)).toSet
+    val enHigh = Sampling.stratifiedSample(strat, "id", "lang", Map("en" -> 128), 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(enLow.subsetOf(enHigh))
+    // a stratum sample agrees with the flat hashSample at the same rate
+    val flat = Sampling.hashSample(strat.filter(col("lang") === "en"), "id", 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(enLow == flat)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(strat, "id", "lang", Map("en" -> 300), 0))
+  }
+
   test("shuffleBatches: contiguous index, md5 order, full batches, stable") {
     val out = Sampling.shuffleBatches(rows, "id", batchSize = 64)
       .orderBy("shuffle_idx").collect()
