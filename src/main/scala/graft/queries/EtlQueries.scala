@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.{IncrementalAgg, Salt, Transform, Upsert}
+import graft.operators.{Bloom, IncrementalAgg, Salt, Transform, Upsert}
 
 /** The reference's ETL transform/load operators (SURVEY.md §2: P2-P8, A10,
   * J5/J6, M1-M5) exposed as driver-checkable queries over the testdata.
@@ -99,6 +99,18 @@ object EtlQueries {
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
 
+  /** J5 through the Bloom runtime-filter path: same finished-order
+    * semi-join as etl_fk_semi — and gated against the SAME oracle, which
+    * is the operator's whole contract (the Bloom filter only prunes;
+    * the exact join removes its false positives). */
+  def bloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    Bloom.bloomSemiJoin(l, finishedOrders(spark, dir),
+        "l_orderkey", "o_orderkey", expectedItems = 200000L)
+      .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+  }
+
   /** Incremental rollup maintenance: history (pre-1997 orders) folded
     * into state once, then the 1997+ "new batch" merged as a delta —
     * gated against the full recompute, which is exactly the invariant
@@ -167,6 +179,11 @@ object EtlQueries {
       """SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity, o.o_custkey
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |ORDER BY l_orderkey, l_partkey, l_linenumber, l_quantity""".stripMargin,
+    "etl_bloom_semi" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM lineitem l WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
@@ -183,5 +200,6 @@ object EtlQueries {
     "etl_filter_project" -> filterProject _,
     "etl_salted_join" -> saltedJoin _,
     "etl_incremental_agg" -> incrementalAgg _,
+    "etl_bloom_semi" -> bloomSemi _,
   )
 }
