@@ -28,6 +28,14 @@ object EventQueries {
     graft.streaming.StreamOps.hourlyStats(Tables.events(spark, dir))
       .orderBy("hour_start", "event_type")
 
+  /** events_sliding — sliding 1-hour/15-minute windows per event type
+    * (StreamOps.slidingStats in batch). The oracle reconstructs Spark's
+    * window assignment from first principles: the 4 slide-aligned starts
+    * S with S <= ts < S+1h are bucket15(ts) - k·15min for k ∈ 0..3. */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.slidingStats(Tables.events(spark, dir))
+      .orderBy("win_start", "event_type")
+
   /** events_sessionize — 30-minute-gap sessions per user via
     * session_window (the same operator Structured Streaming uses; see
     * StreamOps.sessionize). One shuffle on user_id; session merge is
@@ -119,6 +127,15 @@ object EventQueries {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+        |)
+        |SELECT time_bucket(INTERVAL '15 minutes', e.ts) - t.k * INTERVAL '15 minutes' AS win_start,
+        |       e.event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM e CROSS JOIN range(4) t(k)
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // gaps-and-islands: a session breaks when the gap is >= 30 min
     // (session_window's end bound is exclusive: an event exactly at
     // last_ts + gap starts a new session).
@@ -145,6 +162,7 @@ object EventQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly _,
+    "events_sliding" -> eventsSliding _,
     "events_sessionize" -> eventsSessionize _,
     "events_asof_purchase" -> eventsAsofPurchase _,
     "events_purchase_window" -> eventsPurchaseWindow _,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.TopKByScore
 import graft.model.Tables
 import graft.operators.{Profile, Sketch}
 
@@ -137,6 +138,31 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
+  /** q21 — top-3 parts per brand by revenue, selected by the bounded
+    * top-k AGGREGATE ([[graft.expressions.TopKByScore]]) instead of a
+    * row_number window: the window shuffles every (brand, part) row to
+    * its brand's partition before ranking; the aggregate's map-side
+    * partial sends ≤3 candidates per brand per partition. Revenue ranks
+    * in exact cents (lossless in the aggregate's double score up to
+    * 2^53), tie-broken by part id ascending — the same total order the
+    * oracle's ROW_NUMBER spells out. */
+  def q21TopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), cents(col("l_extendedprice")).as("__c"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val rev = li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(sum("__c").as("__rev"))
+    rev.groupBy("p_brand")
+      .agg(TopKByScore(col("__rev").cast("double"), col("p_partkey"), 3).as("__top"))
+      .select(col("p_brand"), posexplode(col("__top")))
+      .select(col("p_brand"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("p_partkey"),
+        money(col("col.score").cast("long")).as("revenue"))
+      .orderBy("p_brand", "rank")
+  }
+
   val oracle: Map[String, String] = Map(
     "q15_rollup_sales" ->
       """SELECT p.p_brand AS brand, p.p_type AS category,
@@ -189,6 +215,20 @@ object OlapQueries {
         |       CASE WHEN COUNT(*) < 256 THEN COUNT(*)
         |            ELSE 71776119061217280 // MAX(CASE WHEN rn = 256 THEN h END) END AS est_distinct
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q21_top_per_group" ->
+      """WITH r AS (
+        |  SELECT p.p_brand, p.p_partkey,
+        |         SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  GROUP BY p.p_brand, p.p_partkey
+        |), k AS (
+        |  SELECT p_brand, p_partkey, rev,
+        |         ROW_NUMBER() OVER (PARTITION BY p_brand
+        |           ORDER BY rev DESC, p_partkey ASC) AS rank
+        |  FROM r
+        |)
+        |SELECT p_brand, rank, p_partkey, CAST(rev AS DOUBLE) / 100.0 AS revenue
+        |FROM k WHERE rank <= 3 ORDER BY p_brand, rank""".stripMargin,
     "q20_profile_orders" ->
       """WITH t AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -236,5 +276,6 @@ object OlapQueries {
     "q18_value_quartiles" -> q18ValueQuartiles _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
+    "q21_top_per_group" -> q21TopPerGroup _,
   )
 }

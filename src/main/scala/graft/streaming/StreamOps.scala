@@ -44,6 +44,19 @@ object StreamOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding 1-hour windows every 15 minutes per event type — the
+    * "smooth" form of [[hourlyStats]] a monitoring surface wants. Each
+    * event lands in window/slide = 4 windows (Spark's window() generates
+    * them inline — a 4× Expand before the aggregate, no self-join), then
+    * the same partial+final hash aggregate as tumbling. */
+  def slidingStats(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** 30-minute-gap sessions per user (session_window merges events whose
     * time is within the gap of the session's end; end bound exclusive). */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -37,6 +37,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStats assigns each event to window/slide sliding windows") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.slidingStats(StreamOps.withEventWatermark(ms.toDF(), "2 hours"))
+      .writeStream.format("memory").queryName("sliding_t").outputMode("complete").start()
+    try {
+      ms.addData(Event(1, ts("2024-01-01 00:35:00"), 1, "click", 2.00))
+      q.processAllAvailable()
+      val got = spark.table("sliding_t")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // one event → exactly 4 windows, starts every 15 min back from 00:30
+      assert(got == Set(
+        ("2023-12-31 23:45:00.0", "click", 1L, 2.0),
+        ("2024-01-01 00:00:00.0", "click", 1L, 2.0),
+        ("2024-01-01 00:15:00.0", "click", 1L, 2.0),
+        ("2024-01-01 00:30:00.0", "click", 1L, 2.0)))
+    } finally q.stop()
+  }
+
   test("sessionize in streaming append mode emits sessions closed by the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
