@@ -37,6 +37,48 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout localizes BOTH dimensions; single sort only one") {
+    val base = Files.createTempDirectory("graft-zord").toString
+    // 64×64 grid: x and y independent and uniform
+    val grid = (0 until 4096).map(i => (i % 64, i / 64, i)).toDF("x", "y", "id")
+
+    def meanRangeFraction(path: String, column: String): Double = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      assert(files.length > 1, s"expected a multi-file layout at $path")
+      val fracs = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.min(column),
+            org.apache.spark.sql.functions.max(column)).head
+        (r.getInt(1) - r.getInt(0) + 1).toDouble / 64.0
+      }
+      fracs.sum / fracs.length
+    }
+
+    Warehouse.writeZOrdered(grid, s"$base/z", Seq("x", "y"), numFiles = 16, bits = 6)
+    // 16 files over a 2-D z-curve ≈ a 4×4 tiling: each file sees ~1/4 of
+    // each dimension (plus curve-boundary slop)
+    val zx = meanRangeFraction(s"$base/z", "x")
+    val zy = meanRangeFraction(s"$base/z", "y")
+    assert(zx < 0.5, s"z-order x mean range fraction $zx")
+    assert(zy < 0.5, s"z-order y mean range fraction $zy")
+
+    // the layout is lossless: same rows, no clustering column leaked
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.columns.toSet == Set("x", "y", "id"))
+    assert(back.count() == 4096)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == (0 until 4096).map(_.toLong).sum)
+
+    // baseline: a single-column range sort localizes x but leaves every
+    // file spanning (almost) all of y — no skipping on the second dim
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/xsort")
+    assert(meanRangeFraction(s"$base/xsort", "x") < 0.2)
+    assert(meanRangeFraction(s"$base/xsort", "y") > 0.9)
+  }
+
   test("ensureTable registers an external parquet table, idempotently") {
     val path = Files.createTempDirectory("graft-wh").toString + "/t"
     Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(path)
