@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.expressions.TopKByScore
+import graft.expressions.{FreqItems, TopKByScore}
 import graft.model.Tables
 import graft.operators.{Profile, Sketch}
 
@@ -163,6 +163,25 @@ object OlapQueries {
       .orderBy("p_brand", "rank")
   }
 
+  /** q22 — frequent order priorities per status via the Misra-Gries
+    * summary ([[graft.expressions.FreqItems]]): O(capacity) state per
+    * group, map-side partials ship ≤ capacity counters — the hot-key
+    * detector that feeds Salt's factor choice at 100 TB. Gated on its
+    * EXACTNESS precondition (capacity 8 > 5 distinct priorities ⇒ MG
+    * counts equal true counts), so the full-recompute oracle matches
+    * bit-for-bit; the approximate over-capacity path is spec-gated with
+    * its n/(capacity+1) error bound. */
+  def q22FreqPriorities(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(FreqItems(col("o_orderpriority"), 8).as("__f"))
+      .select(col("o_orderstatus"), posexplode(col("__f")))
+      .select(col("o_orderstatus"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("o_orderpriority"),
+        col("col.est_count").as("n_orders"))
+      .orderBy("o_orderstatus", "rank")
+
   val oracle: Map[String, String] = Map(
     "q15_rollup_sales" ->
       """SELECT p.p_brand AS brand, p.p_type AS category,
@@ -215,6 +234,17 @@ object OlapQueries {
         |       CASE WHEN COUNT(*) < 256 THEN COUNT(*)
         |            ELSE 71776119061217280 // MAX(CASE WHEN rn = 256 THEN h END) END AS est_distinct
         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q22_freq_priorities" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_orderpriority IS NOT NULL
+        |  GROUP BY o_orderstatus, o_orderpriority
+        |)
+        |SELECT o_orderstatus,
+        |       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |         ORDER BY n_orders DESC, o_orderpriority ASC) AS rank,
+        |       o_orderpriority, n_orders
+        |FROM c ORDER BY o_orderstatus, rank""".stripMargin,
     "q21_top_per_group" ->
       """WITH r AS (
         |  SELECT p.p_brand, p.p_partkey,
@@ -277,5 +307,6 @@ object OlapQueries {
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
     "q21_top_per_group" -> q21TopPerGroup _,
+    "q22_freq_priorities" -> q22FreqPriorities _,
   )
 }

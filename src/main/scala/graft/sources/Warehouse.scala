@@ -48,6 +48,25 @@ object Warehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-style partitioned write — the coarsest and cheapest pruning
+    * layer of a 100 TB warehouse (typically `dt=`/region): a predicate
+    * on a partition column eliminates whole DIRECTORIES at planning
+    * time (the scan's PartitionFilters — zero I/O, not even footers are
+    * read), before bucketing ([[writeBucketed]]) or Z-order
+    * ([[writeZOrdered]]) prune within what's left. Partition columns
+    * must be low-cardinality: each value is a directory, and a
+    * high-cardinality partition key is the classic small-files failure.
+    * `maxRecordsPerFile` bounds the other failure mode (one giant file
+    * per partition). */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String],
+      maxRecordsPerFile: Long = 0L): Unit = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
+
   /** Z-ORDER clustered write: multi-dimensional data clustering so that
     * selective predicates on ANY of `cols` skip most files via parquet
     * min/max footer stats. A single-column sort gives perfect skipping

@@ -37,6 +37,30 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout prunes directories at planning time") {
+    val base = Files.createTempDirectory("graft-part").toString
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    Warehouse.writePartitioned(orders, s"$base/t", Seq("o_orderstatus"))
+    // one directory per status value
+    val dirs = new java.io.File(s"$base/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("o_orderstatus=")) && dirs.size >= 2)
+
+    val q = spark.read.parquet(s"$base/t").filter(col("o_orderstatus") === "F")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    // the predicate lands in PartitionFilters (directory pruning), not
+    // as a data filter evaluated per row
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("o_orderstatus"),
+      s"status predicate should prune partitions:\n$scan")
+    assert(q.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+    // round-trip preserves content (partition col comes back typed string)
+    assert(spark.read.parquet(s"$base/t").count() == orders.count())
+  }
+
   test("z-ordered layout localizes BOTH dimensions; single sort only one") {
     val base = Files.createTempDirectory("graft-zord").toString
     // 64×64 grid: x and y independent and uniform
