@@ -139,4 +139,22 @@ object FreqItems {
   def apply(item: Column, capacity: Int): Column =
     ColumnBridge.column(
       FreqItems(ColumnBridge.expression(item), capacity).toAggregateExpression())
+
+  private[expressions] val ident =
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_freq_items")
+  private[expressions] def info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[FreqItems].getName, "graft_freq_items")
+  // The analyzer wraps a bare AggregateFunction from a registry builder
+  // into its AggregateExpression — return the function itself.
+  private[expressions] val builder
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder = { exprs =>
+    require(exprs.length == 2, "graft_freq_items(item, capacity) takes 2 arguments")
+    require(exprs(1).foldable, "capacity must be a literal")
+    FreqItems(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue)
+  }
+
+  /** Make `graft_freq_items` callable from SQL text in a live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, ident, info, builder)
 }

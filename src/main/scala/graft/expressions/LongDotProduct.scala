@@ -103,5 +103,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_dotq"),
         new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dotq"),
         (exprs: Seq[Expression]) => LongDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((TopKByScore.ident, TopKByScore.info, TopKByScore.builder))
+    ext.injectFunction((FreqItems.ident, FreqItems.info, FreqItems.builder))
   }
 }

@@ -123,4 +123,20 @@ object TopKByScore {
     ColumnBridge.column(
       TopKByScore(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+
+  private[expressions] val ident =
+    new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")
+  private[expressions] def info =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TopKByScore].getName, "graft_topk")
+  private[expressions] val builder
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder = { exprs =>
+    require(exprs.length == 3, "graft_topk(score, id, k) takes 3 arguments")
+    require(exprs(2).foldable, "k must be a literal")
+    TopKByScore(exprs.head, exprs(1), exprs(2).eval().asInstanceOf[Number].intValue)
+  }
+
+  /** Make `graft_topk` callable from SQL text in a live session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, ident, info, builder)
 }

@@ -42,6 +42,20 @@ class FreqItemsSpec extends SparkSpec {
     assert(r.getSeq[Row](0).isEmpty)
   }
 
+  test("SQL registration: graft_freq_items and graft_topk callable from spark.sql") {
+    graft.expressions.FreqItems.register(spark)
+    graft.expressions.TopKByScore.register(spark)
+    Seq("a", "a", "b").toDF("v").createOrReplaceTempView("fi_t")
+    val f = spark.sql("SELECT graft_freq_items(v, 4) AS f FROM fi_t").head
+      .getSeq[Row](0).map(e => (e.getString(0), e.getLong(1)))
+    assert(f == Seq(("a", 2L), ("b", 1L)))
+    Seq((1.0, 10L), (3.0, 30L), (2.0, 20L)).toDF("s", "i")
+      .createOrReplaceTempView("tk_t")
+    val t = spark.sql("SELECT graft_topk(s, i, 2) AS t FROM tk_t").head
+      .getSeq[Row](0).map(e => (e.getDouble(0), e.getLong(1)))
+    assert(t == Seq((3.0, 30L), (2.0, 20L)))
+  }
+
   test("grouped: per-group summaries are independent and exact under capacity") {
     val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "z")).toDF("g", "v")
     val out = df.groupBy("g").agg(FreqItems(col("v"), 4).as("f"))
