@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.queries.{DocQueries, EtlQueries, SalesQueries, VectorQueries}
+import graft.queries.{DocQueries, EtlQueries, OlapQueries, SalesQueries, VectorQueries}
 
 /** Plan-shape regression guards: the optimizations the engine claims
   * (pushdown, pruning, broadcast, top-k, partial aggregation) must be
@@ -73,6 +73,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_graft_topk_by_score")
       || "ObjectHashAggregate".r.findAllIn(plan).size >= 2)
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q21 per-group top-k aggregates partially before the shuffle") {
+    val plan = planOf(OlapQueries.q21TopPerGroup(spark, dir))
+    assert(plan.contains("partial_graft_topk_by_score")
+      || plan.contains("partial graft_topk_by_score"), plan)
+  }
+
+  test("q22 frequent items aggregates partially before the shuffle") {
+    val plan = planOf(OlapQueries.q22FreqPriorities(spark, dir))
+    assert(plan.contains("partial_graft_freq_items")
+      || plan.contains("partial graft_freq_items"), plan)
+  }
+
+  test("bloom semi-join probes before the join and never goes cartesian") {
+    val plan = planOf(EtlQueries.bloomSemi(spark, dir))
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the probe must sit BELOW the join: on the streamed (fact) side,
+    // not applied to the join output
+    val probeLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(_.contains("Join"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"expected the bloom probe under the join:\n$plan")
   }
 
   test("salted join result is row-identical to the plain join") {
