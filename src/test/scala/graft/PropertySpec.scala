@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.operators.{Salt, Transform, Upsert}
+import graft.operators.{Bloom, IncrementalAgg, Salt, Sampling, Transform, Upsert}
 
 /** ScalaCheck-generator property coverage of the algebraic invariants
   * SURVEY §5.2 calls for: dedupe key-uniqueness/coverage, semi ∪ anti =
@@ -64,6 +64,69 @@ class PropertySpec extends SparkSpec {
         sk.foreach(k => assert(out(k) == s"s$k"))
         tk.filterNot(sk.contains).foreach(k => assert(out(k) == s"t$k"))
       }
+    }
+  }
+
+  test("incremental agg: merge(state(batches)) == state(whole) for any split") {
+    val gen = for {
+      rows <- Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("x", "y", "z")
+        cents <- Gen.chooseNum(-100000L, 100000L)
+      } yield (g, cents / 100.0))
+      cut <- Gen.chooseNum(0, 30)
+    } yield (rows, cut min rows.length)
+    samples(gen, 5).foreach { case (rows, cut) =>
+      val (a, b) = rows.splitAt(cut)
+      val keys = Seq("g"); val ms = Seq("amt")
+      def st(rs: List[(String, Double)]) =
+        IncrementalAgg.state(
+          if (rs.isEmpty) rows.toDF("g", "amt").limit(0) else rs.toDF("g", "amt"),
+          keys, ms)
+      val merged = IncrementalAgg.merge(keys, ms)(st(a), st(b))
+        .orderBy("g").collect().map(_.toSeq).toSeq
+      val whole = st(rows).orderBy("g").collect().map(_.toSeq).toSeq
+      assert(merged == whole)
+    }
+  }
+
+  test("stratified sample: membership == per-stratum flat sample, nested in rate") {
+    val gen = for {
+      n <- Gen.chooseNum(50, 300)
+      tEn <- Gen.chooseNum(0, 256)
+      tOther <- Gen.chooseNum(0, 256)
+    } yield (n, tEn, tOther)
+    samples(gen, 5).foreach { case (n, tEn, tOther) =>
+      val df = (1 to n).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+        .toDF("id", "lang")
+      val out = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> tEn), tOther)
+        .collect().map(_.getLong(0)).toSet
+      val flat =
+        Sampling.hashSample(df.filter(col("lang") === "en"), "id", tEn)
+          .collect().map(_.getLong(0)).toSet ++
+        Sampling.hashSample(df.filter(col("lang") =!= "en"), "id", tOther)
+          .collect().map(_.getLong(0)).toSet
+      assert(out == flat)
+      // monotone: a lower threshold is a subset of a higher one
+      val lower = Sampling.stratifiedSample(df, "id", "lang",
+        Map("en" -> (tEn / 2)), tOther / 2).collect().map(_.getLong(0)).toSet
+      assert(lower.subsetOf(out))
+    }
+  }
+
+  test("bloomSemiJoin == plain semi-join for any keys and any fpp") {
+    val gen = for {
+      fact <- Gen.nonEmptyListOf(Gen.chooseNum(0L, 40L))
+      dim <- Gen.listOf(Gen.chooseNum(0L, 40L))
+      fpp <- Gen.oneOf(0.01, 0.2, 0.8)
+    } yield (fact, dim, fpp)
+    samples(gen, 5).foreach { case (fact, dim, fpp) =>
+      val f = fact.map(k => (k, s"p$k")).toDF("k", "p")
+      val d = (if (dim.isEmpty) List(999L) else dim).toDF("dk")
+      val out = Bloom.bloomSemiJoin(f, d, "k", "dk", expectedItems = 64, fpp = fpp)
+        .orderBy("k", "p").collect().map(_.toSeq).toSeq
+      val plain = f.join(d.select(col("dk").as("k")), Seq("k"), "left_semi")
+        .orderBy("k", "p").collect().map(_.toSeq).toSeq
+      assert(out == plain)
     }
   }
 
