@@ -154,8 +154,14 @@ object NearDup {
     val sigs = minhashSignatures(sh, idCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    try verifiedJaccardPairs(sh, sigs, idCol, numHashes, bands).localCheckpoint(true)
-    finally {
+    try {
+      // Materialize the (small) candidate set once: it feeds both the
+      // broadcast doc-pruning semi-join and the verify joins, and an
+      // unmaterialized subtree would run the band self-join twice.
+      val cand = candidatePairs(sigs, idCol, numHashes, bands).localCheckpoint(true)
+      try verifyJaccard(sh, cand, idCol).localCheckpoint(true)
+      finally freeCheckpoint(cand)
+    } finally {
       sh.unpersist(false)
       sigs.unpersist(false)
     }
@@ -168,11 +174,25 @@ object NearDup {
     * localCheckpoint collapses its executedPlan to a scan of checkpointed
     * blocks, where a cartesian regression would be invisible. */
   private[graft] def verifiedJaccardPairs(sh: DataFrame, sigs: DataFrame,
-      idCol: String, numHashes: Int, bands: Int): DataFrame = {
-    val pairs = candidatePairs(sigs, idCol, numHashes, bands)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col(idCol).as("doc_a"), col("shingle"))
-    val shB = sh.select(col(idCol).as("doc_b"), col("shingle"))
+      idCol: String, numHashes: Int, bands: Int): DataFrame =
+    verifyJaccard(sh, candidatePairs(sigs, idCol, numHashes, bands), idCol)
+
+  /** Exact Jaccard for the given candidate pairs. The shingle set is
+    * first PRUNED to the candidates' docs with a broadcast semi-join
+    * (the candidate doc set is orders of magnitude smaller than the
+    * corpus — that asymmetry is the whole point of LSH), so the verify
+    * joins shuffle only candidate docs' shingles, not the corpus's.
+    * (If a pathological parameter choice ever made the candidate set
+    * corpus-sized, drop the broadcast hint and the planner falls back
+    * to a shuffled semi-join — correctness is unaffected.) */
+  private def verifyJaccard(sh: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val candDocs = pairs.select(col("doc_a").as(idCol))
+      .union(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val shC = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val sizes = shC.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shA = shC.select(col(idCol).as("doc_a"), col("shingle"))
+    val shB = shC.select(col(idCol).as("doc_b"), col("shingle"))
     val common = pairs
       .join(shA, "doc_a")
       .join(shB, Seq("doc_b", "shingle"))
