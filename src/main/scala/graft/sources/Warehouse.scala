@@ -67,6 +67,31 @@ object Warehouse {
       .parquet(path)
   }
 
+  /** Small-files compaction — the maintenance pass every long-lived
+    * warehouse table needs: streaming upserts, partitioned appends, and
+    * per-batch writes accrete files far below the scan-efficient size,
+    * and a 100 TB table with millions of tiny files bottlenecks on
+    * listing + open() long before row throughput matters. Rewrites the
+    * table into ceil(bytes / targetFileBytes) files and swaps them in
+    * with the same checked two-phase rename as the MERGE path (crash
+    * leaves either the old or the new table, never a mix). Returns
+    * (filesBefore, filesAfter). Content is preserved row-for-row; file-
+    * internal order is not (parquet tables carry no order contract). */
+  def compact(spark: SparkSession, path: String, targetFileBytes: Long): (Int, Int) = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    graft.operators.Upsert.swapInto(fs, tmp, p)
+    (files.length, nOut)
+  }
+
   /** Z-ORDER clustered write: multi-dimensional data clustering so that
     * selective predicates on ANY of `cols` skip most files via parquet
     * min/max footer stats. A single-column sort gives perfect skipping

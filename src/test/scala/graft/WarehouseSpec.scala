@@ -37,6 +37,28 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("compact coalesces small files and preserves rows") {
+    val base = Files.createTempDirectory("graft-cpt").toString
+    val t = s"$base/t"
+    // 64 tiny files
+    (1 to 1000).toDF("v").repartition(64).write.parquet(t)
+    val before = new java.io.File(t).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val (nBefore, nAfter) = Warehouse.compact(spark, t, targetFileBytes = 64 * 1024)
+    assert(nBefore == 64 && nAfter < 64 && nAfter >= 1)
+    val live = new java.io.File(t).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(live == nAfter, s"expected $nAfter files, found $live")
+    // row-for-row preservation
+    val back = spark.read.parquet(t)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 500500L)
+    // the checked swap cleans its backup after a successful install
+    // (mid-crash recovery semantics live in UpsertSwapSpec)
+    assert(!new java.io.File(s"$t.old").exists())
+  }
+
   test("partitioned layout prunes directories at planning time") {
     val base = Files.createTempDirectory("graft-part").toString
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
