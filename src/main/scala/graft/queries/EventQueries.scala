@@ -85,6 +85,33 @@ object EventQueries {
       .orderBy("user_id", "win_start", "purchase_event_id")
   }
 
+  /** events_sql_topk — top-5 users by total value per event type, written
+    * in SQL TEXT against the registered `graft_topk` aggregate: this
+    * gates the SQL-registration path itself (a SQL-first user's view of
+    * the bounded top-k), not just the Column API. Totals aggregate in
+    * exact cents; ties break (total DESC, user ASC) — the same order the
+    * oracle's ROW_NUMBER spells out. */
+  def eventsSqlTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.TopKByScore.register(spark)
+    Tables.events(spark, dir).createOrReplaceTempView("graft_events_sql")
+    spark.sql("""
+      WITH s AS (
+        SELECT event_type, user_id,
+               SUM(CAST(value AS DECIMAL(18,2))) AS total
+        FROM graft_events_sql
+        WHERE user_id IS NOT NULL
+        GROUP BY event_type, user_id
+      ), k AS (
+        SELECT event_type,
+               graft_topk(CAST(total * 100 AS DOUBLE), user_id, 5) AS top
+        FROM s WHERE total IS NOT NULL GROUP BY event_type
+      )
+      SELECT event_type, CAST(pos + 1 AS BIGINT) AS rank, t.id AS user_id,
+             CAST(CAST(t.score AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+      FROM k LATERAL VIEW posexplode(top) x AS pos, t
+      ORDER BY event_type, rank""")
+  }
+
   val oracle: Map[String, String] = Map(
     "events_purchase_window" ->
       """WITH e AS (
@@ -127,6 +154,20 @@ object EventQueries {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "events_sql_topk" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY event_type, user_id
+        |), k AS (
+        |  SELECT event_type, user_id, total,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |           ORDER BY total DESC, user_id ASC) AS rank
+        |  FROM s WHERE total IS NOT NULL
+        |)
+        |SELECT event_type, rank, user_id,
+        |       CAST(CAST(total * 100 AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+        |FROM k WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "events_sliding" ->
       """WITH e AS (
         |  SELECT event_type, value, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
@@ -163,6 +204,7 @@ object EventQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly" -> eventsHourly _,
     "events_sliding" -> eventsSliding _,
+    "events_sql_topk" -> eventsSqlTopk _,
     "events_sessionize" -> eventsSessionize _,
     "events_asof_purchase" -> eventsAsofPurchase _,
     "events_purchase_window" -> eventsPurchaseWindow _,
