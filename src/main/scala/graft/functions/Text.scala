@@ -129,4 +129,21 @@ object Text {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Occurrence count of the MOST FREQUENT element of an array column,
+    * computed entirely inside the row: for each distinct element, count
+    * its occurrences, take the max. O(distinct × total) comparisons per
+    * row — documents are short (10³–10⁴ grams), so this in-row quadratic
+    * beats the alternative (explode → two shuffled aggregates) by
+    * keeping repetition scoring a PURE MAP over the corpus: at 100 TB
+    * there is no shuffle at all, every executor streams its split.
+    * 0 for an empty array. IMPORTANT caller contract (see
+    * graft-spark-perf-pitfalls): pass a column REFERENCE (project the
+    * array first), not an expression — HOF lambdas re-evaluate captured
+    * subexpressions per element. */
+  def topElementCount(arr: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(arr),
+        x => size(filter(arr, y => y === x)))),
+      lit(0)).cast("long")
 }

@@ -108,6 +108,42 @@ object DocQueries {
         "doc_id", batchSize = 100)
       .orderBy("shuffle_idx")
 
+  /** doc_decontam — benchmark decontamination: documents of the corpus
+    * (md5(doc_id) >= '10', ~94%) sharing >= 8 distinct normalized word
+    * 3-grams with the held-out "benchmark" slice (md5(doc_id) < '10',
+    * ~6% — in production this is the eval suite, here a deterministic
+    * hash slice so the oracle can derive the same split). Benchmark
+    * grams broadcast; corpus never shuffles (see operators.Decontam). */
+  def docDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hk = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    graft.operators.Decontam.contamination(
+      corpus = docs.filter(hk >= lit("10")),
+      bench = docs.filter(hk < lit("10")),
+      idCol = "doc_id", textCol = "text", n = 3, minHits = 8)
+      .orderBy("doc_id")
+  }
+
+  /** doc_repetition — Gopher-style repetition features, computed as a
+    * PURE MAP (no shuffle, no explode — the grams stay inside their
+    * row): most-frequent-2-gram count and share (exact ppm integer),
+    * distinct/total token counts. Docs under 2 tokens are excluded
+    * (no grams to score). */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.shingles(col("text"), 2).as("__g"), toks.as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(
+        col("doc_id"),
+        Text.topElementCount(col("__g")).as("top_gram_count"),
+        size(col("__g")).cast("long").as("total_grams"),
+        size(array_distinct(col("__tk"))).cast("long").as("distinct_tokens"),
+        size(col("__tk")).cast("long").as("total_tokens"))
+      .withColumn("rep_ppm", expr("top_gram_count * 1000000 div total_grams"))
+      .orderBy("doc_id")
+  }
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -331,6 +367,33 @@ object DocQueries {
         |)
         |SELECT doc_id, shuffle_key, shuffle_idx, shuffle_idx // 100 AS batch
         |FROM idx ORDER BY shuffle_idx""".stripMargin,
+    "doc_decontam" ->
+      s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+         |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+         |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3),
+         |grams AS (SELECT DISTINCT doc_id, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g FROM idx),
+         |bench AS (SELECT DISTINCT g FROM grams
+         |          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10'),
+         |hits AS (SELECT g.doc_id, COUNT(*) AS hits
+         |         FROM grams g JOIN bench b ON g.g = b.g
+         |         WHERE substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) >= '10'
+         |         GROUP BY 1)
+         |SELECT doc_id, hits FROM hits WHERE hits >= 8
+         |ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+         |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+         |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2),
+         |grams AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM idx),
+         |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram_count,
+         |               CAST(SUM(c) AS BIGINT) AS total_grams FROM cnt GROUP BY 1)
+         |SELECT doc_id, top_gram_count, total_grams,
+         |       CAST(len(list_distinct(tk)) AS BIGINT) AS distinct_tokens,
+         |       CAST(len(tk) AS BIGINT) AS total_tokens,
+         |       (top_gram_count * 1000000) // total_grams AS rep_ppm
+         |FROM rep JOIN toks USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "doc_simhash" -> simhashOracle,
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_winnow" -> winnowOracle,
@@ -351,6 +414,8 @@ object DocQueries {
     "doc_hash_sample" -> docHashSample _,
     "doc_stratified_sample" -> docStratifiedSample _,
     "doc_shuffle_batches" -> docShuffleBatches _,
+    "doc_decontam" -> docDecontam _,
+    "doc_repetition" -> docRepetition _,
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,
     "doc_winnow" -> docWinnow _,

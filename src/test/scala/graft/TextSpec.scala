@@ -61,4 +61,17 @@ class TextSpec extends SparkSpec {
     assert(good > 0.8 && good <= 1.0)
     assert(junk < 0.3 && junk >= 0.0)
   }
+
+  test("topElementCount: max multiplicity in-row, 0 for empty") {
+    def top(xs: Seq[String]): Long =
+      eval[Long](Text.topElementCount(
+        if (xs.isEmpty) array().cast("array<string>")
+        else array(xs.map(lit): _*)))
+    assert(top(Seq("a", "b", "a", "c", "a")) == 3)
+    assert(top(Seq("a", "b", "c")) == 1)   // all distinct
+    assert(top(Seq("x", "x", "x")) == 3)   // fully repeated
+    assert(top(Seq.empty) == 0)
+    // over 2-gram shingles: "x x x x" -> grams {x x, x x, x x} -> top 3
+    assert(eval[Long](Text.topElementCount(Text.shingles(lit("x x x x"), 2))) == 3)
+  }
 }
