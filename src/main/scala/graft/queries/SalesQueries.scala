@@ -112,17 +112,29 @@ object SalesQueries {
   /** q6 — top-10 customers by sales with distinct-order counts
     * (queries.sql:66-75). customer is the dimension → broadcast. The
     * display name reproduces the reference's NULL-safe
-    * CONCAT(ISNULL(a,''),' ',ISNULL(b,'')) (queries.sql:68, F3+F4). */
+    * CONCAT(ISNULL(a,''),' ',ISNULL(b,'')) (queries.sql:68, F3+F4).
+    *
+    * Scale shape: lineitem is PRE-AGGREGATED per order below the join
+    * (partial-agg pushdown the optimizer won't do for us). The orderkey
+    * shuffle it costs is one the plain join pays anyway, but with
+    * map-side combine it ships per-order partials instead of raw line
+    * items; the fact side entering the customer aggregate is then one
+    * row per ORDER (not per line item), and COUNT(DISTINCT o_orderkey)
+    * becomes a plain count(*) — no doubling Expand. Exact by decimal
+    * associativity: sum of per-order exact sums = the flat sum. */
   def q06TopCustomers(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_mktsegment")
-    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
+    val perOrder = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__order_sales"))
+    o.join(perOrder, o("o_orderkey") === perOrder("l_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(
-        dsum(col("l_extendedprice")).as("sales_amount"),
-        countDistinct(col("o_orderkey")).as("orders_count"))
+        sum(col("__order_sales")).cast("double").as("sales_amount"),
+        count(lit(1)).as("orders_count"))
       .select(col("c_custkey"), col("c_name"),
         concat(coalesce(col("c_name"), lit("")), lit(" "),
           coalesce(col("c_mktsegment"), lit(""))).as("customer_display"),
