@@ -85,4 +85,59 @@ object Sampling {
     spark.createDataFrame(indexed, schema)
       .withColumn("batch", expr(s"shuffle_idx div $batchSize"))
   }
+
+  /** Sequence packing (concat-and-chunk): documents are laid out in the
+    * deterministic md5(id) shuffle order, token counts are prefix-summed,
+    * and each document is assigned to the fixed-`budget` training
+    * sequence its first token lands in (`seq_id = token_start div
+    * budget`) — the document→shard map a "pack to 2048/4096/8192 tokens"
+    * pretraining loader consumes. A document straddling a boundary
+    * belongs to the sequence where it STARTS (assignment stays per-doc
+    * and engine-portable; the loader handles the intra-doc split).
+    *
+    * Scale shape: the global prefix sum is NOT a single-partition
+    * window. It is the classic two-pass distributed scan —
+    *   1. range-partitioned sort by `pack_key` (how Spark sorts 100 TB);
+    *   2. one O(partitions) job collects per-partition token totals,
+    *      whose scan gives each partition its global starting offset;
+    *   3. a map over the sorted partitions emits offset + local running
+    *      sum. The second pass re-reads the sort's SHUFFLE FILES (Spark
+    *      reuses the exchange across the two jobs), not the source.
+    * Output adds `pack_key`, `token_start` (exclusive global prefix) and
+    * `seq_id`. `tokenCol` must be non-negative. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("pack_key", hashKey(col(idCol)))
+      .withColumn("__tok", col(tokenCol).cast(LongType))
+      .orderBy("pack_key")
+    val rdd = sorted.rdd
+    val tokIdx = sorted.schema.fieldIndex("__tok")
+    val partSums = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach { r =>
+          val t = r.getLong(tokIdx)
+          require(t >= 0, s"negative token count $t in $tokenCol")
+          s += t
+        }
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val schema = sorted.schema
+      .add("token_start", LongType, nullable = false)
+      .add("seq_id", LongType, nullable = false)
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets.value(pid)
+      it.map { r =>
+        val start = cum
+        cum += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq :+ start :+ (start / budget))
+      }
+    }
+    spark.createDataFrame(packed, schema).drop("__tok")
+  }
 }

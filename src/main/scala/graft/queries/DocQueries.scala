@@ -144,6 +144,17 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_pack — sequence packing: documents in md5(doc_id) shuffle
+    * order, concat-and-chunked into 2048-token training sequences via a
+    * distributed two-pass prefix sum (range sort + per-partition offsets
+    * — never a single-partition window). */
+  def docPack(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), Text.tokenCount(col("text")).cast("long").as("token_count")),
+      "doc_id", "token_count", budget = 2048)
+      .orderBy("token_start")
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -394,6 +405,20 @@ object DocQueries {
          |       (top_gram_count * 1000000) // total_grams AS rep_ppm
          |FROM rep JOIN toks USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "doc_pack" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+        |         md5(CAST(doc_id AS VARCHAR)) AS pack_key
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, token_count, pack_key,
+        |         CAST(COALESCE(SUM(token_count) OVER (ORDER BY pack_key
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+        |  FROM keyed
+        |)
+        |SELECT doc_id, token_count, pack_key, token_start,
+        |       token_start // 2048 AS seq_id
+        |FROM c ORDER BY token_start""".stripMargin,
     "doc_simhash" -> simhashOracle,
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_winnow" -> winnowOracle,
@@ -415,6 +440,7 @@ object DocQueries {
     "doc_stratified_sample" -> docStratifiedSample _,
     "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_decontam" -> docDecontam _,
+    "doc_pack" -> docPack _,
     "doc_repetition" -> docRepetition _,
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,

@@ -72,4 +72,42 @@ class SamplingSpec extends SparkSpec {
       .orderBy("shuffle_idx").collect().map(_.getLong(0)).toSeq
     assert(again == out.map(_.getLong(0)).toSeq)
   }
+
+  private val docs = (1L to 500L).map(i => (i, 1L + (i * 7) % 120))
+    .toDF("id", "tok")
+
+  test("packSequences: exact distributed prefix sum and bin assignment") {
+    val out = Sampling.packSequences(docs, "id", "tok", budget = 512)
+      .orderBy("token_start").collect()
+    assert(out.length == 500)
+    // reference computation: single-threaded prefix sum in md5(id) order
+    val local = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString }
+    var cum = 0L
+    val expected = local.map { case (id, t) =>
+      val start = cum; cum += t; (id, start, start / 512)
+    }
+    val got = out.map(r => (r.getAs[Long]("id"),
+      r.getAs[Long]("token_start"), r.getAs[Long]("seq_id"))).toSeq
+    assert(got == expected.toSeq)
+    // seq_id is exactly token_start div budget and non-decreasing
+    assert(out.forall(r => r.getAs[Long]("seq_id") == r.getAs[Long]("token_start") / 512))
+  }
+
+  test("packSequences is partition-independent and validates input") {
+    val a = Sampling.packSequences(docs, "id", "tok", 512)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("seq_id"))).toSet
+    val b = Sampling.packSequences(docs.repartition(13), "id", "tok", 512)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("seq_id"))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      Sampling.packSequences(docs, "id", "tok", 0))
+    val neg = Seq((1L, -5L)).toDF("id", "tok")
+    intercept[org.apache.spark.SparkException](
+      Sampling.packSequences(neg, "id", "tok", 512).collect())
+  }
 }
