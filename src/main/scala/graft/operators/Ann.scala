@@ -212,7 +212,8 @@ object Ann {
     * any deterministic partition of the collection works as an IVF
     * codebook. Returns (cb_label, dim_idx, cq). */
   def ivfCodebook(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
-    df.select(col(labelCol).as("cb_label"), posexplode(quantize(col(vecCol))))
+    df.select(col(labelCol).as("cb_label"), posexplode_outer(quantize(col(vecCol))))
+      .filter(col("col").isNotNull)
       .withColumnsRenamed(Map("pos" -> "dim_idx", "col" -> "q"))
       .groupBy(col("cb_label"), col("dim_idx").cast("long").as("dim_idx"))
       .agg(floor(sum(col("q")).cast("double") / count(lit(1))).cast("long").as("cq"))
@@ -272,7 +273,10 @@ object Ann {
     * dimension), divide once at the end. The shuffle carries dim partial
     * sums per label per partition — map-side combined. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
-    df.select(col(labelCol), posexplode(quantize(col(vecCol))))
+    // outer + post-filter: a plain posexplode's inferred filter would
+    // re-evaluate the quantize transform per row (NearDup.shingleSets)
+    df.select(col(labelCol), posexplode_outer(quantize(col(vecCol))))
+      .filter(col("col").isNotNull)
       .withColumnsRenamed(Map("pos" -> "dim_idx", "col" -> "q"))
       .groupBy(col(labelCol), col("dim_idx").cast("long").as("dim_idx"))
       .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))

@@ -34,14 +34,19 @@ import graft.functions.Text
 object Decontam {
 
   /** Distinct hashed word n-grams per document: (idCol, gram_hash).
-    * Dedup happens inside the row (`array_distinct` on the shingle
-    * array) — a pure projection, NO shuffle; documents shorter than
-    * `n` tokens contribute no rows. */
+    * Dedup happens inside the row (NearDup.shingleArrays' array_distinct,
+    * which also projects the token array so the shingle lambda doesn't
+    * re-evaluate the normalize chain per element) — a pure projection,
+    * NO shuffle; documents shorter than `n` tokens contribute no rows. */
   def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), Text.shingles(col(textCol), n).as("__sh"))
+    NearDup.shingleArrays(df, idCol, textCol, n)
+      // outer + post-filter: a plain explode's inferred size/isnotnull
+      // filter would re-evaluate the whole shingle pipeline per row
+      // (see NearDup.shingleSets)
       .select(col(idCol),
-        explode(array_distinct(transform(col("__sh"), s => md5(s.cast("binary")))))
+        explode_outer(transform(col("shingles"), s => md5(s.cast("binary"))))
           .as("gram_hash"))
+      .filter(col("gram_hash").isNotNull)
 
   /** Corpus documents sharing at least `minHits` DISTINCT n-gram hashes
     * with any document of `bench`. Returns (idCol, hits) where `hits`

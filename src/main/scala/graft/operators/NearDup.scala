@@ -14,11 +14,13 @@ import graft.functions.Text
   *  - nothing here is all-pairs: candidate pairs come from an equi-join on
   *    (band, band-hash) buckets — the shuffle carries one row per
   *    (doc, band), and only docs agreeing on a full band ever meet;
-  *  - signatures are one hash-aggregate over exploded shingles (map-side
-  *    partial min per seed, so the shuffle carries k mins per doc, not the
-  *    shingle set);
-  *  - Jaccard verification joins shingles only for candidate pairs —
-  *    O(|candidates| · shingles/doc), not O(n²).
+  *  - shingle dedup is IN-ROW (array_distinct) — no corpus-wide distinct
+  *    exchange; signatures are one hash-aggregate over exploded shingles
+  *    (map-side partial min per seed, so the shuffle carries k mins per
+  *    doc, not the shingle set);
+  *  - Jaccard verification attaches one distinct-shingle ARRAY row per
+  *    candidate doc and intersects in-row — O(|candidate docs|) shuffled
+  *    rows, not O(n²) and not shingle-level.
   */
 object NearDup {
 
@@ -44,28 +46,44 @@ object NearDup {
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle) pairs — word `n`-gram shingles of the
-    * normalized text (same semantics as Text.shingles). Docs with fewer
-    * than `n` tokens contribute nothing.
+  /** One row per document with its DISTINCT word-`n`-gram shingle array
+    * (same semantics as Text.shingles + array_distinct): a PURE MAP —
+    * dedup happens inside the row, nothing shuffles. Docs with fewer
+    * than `n` tokens get an empty array.
     *
     * The token array is materialized as its own projection first: inlined
-    * into Text.shingles' transform() lambda it would be re-evaluated
-    * (normalize regexes included) once per window element — measured 8×
-    * slower at sf0.1. CollapseProject leaves the projection alone because
-    * the array is referenced more than once and is not cheap. */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    * into the transform() lambda it would be re-evaluated (normalize
+    * regexes included) once per window element — measured 8× slower at
+    * sf0.1. CollapseProject leaves the projection alone because the
+    * array is referenced more than once and is not cheap. */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, s"shingle size must be positive, got $n")
     val toks = col("__toks")
     df.select(col(idCol),
         filter(Text.tokens(Text.normalize(col(textCol))), t => length(t) > 0).as("__toks"))
       .select(col(idCol),
-        explode(
+        array_distinct(
           when(size(toks) >= n,
             transform(sequence(lit(0), size(toks) - n),
               i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))).as("shingle"))
-      .distinct()
+          .otherwise(array().cast("array<string>"))).as("shingles"))
   }
+
+  /** Exploded (id, shingle) rows — [[shingleArrays]] flattened, distinct
+    * within each document (in-row dedup, so the frame is globally
+    * distinct without any shuffle — ids never repeat a shingle).
+    *
+    * explode_OUTER + null post-filter, not plain explode: for a plain
+    * explode the optimizer infers `size(arr) > 0 AND isnotnull(arr)` and
+    * predicate pushdown inlines the WHOLE normalize→tokenize→shingle
+    * tree into that Filter (twice — once per conjunct), evaluating it
+    * 3× per row interpreted (measured 25 s vs 0.9 s at sf0.1). The
+    * outer variant admits no inferred filter; dropping the one null row
+    * an empty array produces costs a scan of the OUTPUT attribute. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
 
   /** MinHash signatures: for seeds 0..numHashes-1, sig_i = min over the
     * doc's shingles of md5("i|" + shingle). One groupBy with numHashes
@@ -127,31 +145,25 @@ object NearDup {
     * a table immediately; the pair set is tiny relative to the input. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
-    // The shingle set feeds the signature aggregate, both sides of the
-    // Jaccard join, and the size lookup; the signatures feed both sides
-    // of the band self-join. Persist both or the scan→normalize→explode
-    // →distinct subtree re-executes up to 6× (measured 31 s → 6 s at
-    // sf0.1). Spark's CacheManager matches canonicalized plans, so
-    // repeated calls reuse these entries instead of stacking new ones.
-    // Materialize both caches EAGERLY (count): referenced from four
-    // subtrees of one job, an unpopulated cache is raced by concurrent
-    // tasks that each recompute it (measured 3× slower cold). Same
-    // pattern MLlib uses for reused intermediate RDDs (e.g. ALS).
-    // CACHE LIFECYCLE: both persists are scoped to THIS call. The final
-    // pair result (near-dup pairs — orders of magnitude smaller than the
-    // shingle set) is materialized eagerly with localCheckpoint, which
-    // truncates its lineage off the cached subtrees, so both caches are
-    // released before returning. Without this the two MEMORY_AND_DISK
-    // entries stayed resident for the session and degraded every later
-    // job (measured: three unrelated sales queries 5–7× slower in the
-    // same bench run). Trade-off: lineage truncation means lost result
-    // blocks can't be recomputed — acceptable for a result this small;
-    // a durability-critical caller should write the result to a table.
+    // Shuffle inventory of this pipeline (the 100 TB story):
+    //   1. signature aggregate — map-side combined, ships numHashes mins
+    //      per doc per partition (the shingle rows themselves NEVER cross
+    //      the wire: in-row array_distinct replaced the old corpus-wide
+    //      explode→distinct exchange, which was the dominant cost);
+    //   2. band self-join — bands rows per doc;
+    //   3. verify joins — ONE distinct-shingle-ARRAY row per candidate
+    //      doc (not per shingle); Jaccard is in-row array_intersect.
+    // The signatures feed both sides of the band self-join → persist
+    // EAGERLY (count) or the subtree executes twice and concurrent
+    // subtrees race the unpopulated cache (MLlib's ALS pattern).
+    // CACHE LIFECYCLE: scoped to this call — the final pair result is
+    // materialized with localCheckpoint (lineage truncated off the
+    // cache), so the persist is released before returning. Lost blocks
+    // of the (tiny) result can't recompute; durability-critical callers
+    // should write it to a table.
     import org.apache.spark.storage.StorageLevel
-    val sh = shingleSets(df, idCol, textCol, shingleN)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    sh.count()
-    val sigs = minhashSignatures(sh, idCol, numHashes)
+    val sigs = minhashSignatures(shingleSets(df, idCol, textCol, shingleN),
+        idCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     try {
@@ -159,52 +171,67 @@ object NearDup {
       // broadcast doc-pruning semi-join and the verify joins, and an
       // unmaterialized subtree would run the band self-join twice.
       val cand = candidatePairs(sigs, idCol, numHashes, bands).localCheckpoint(true)
-      try verifyJaccard(sh, cand, idCol).localCheckpoint(true)
-      finally freeCheckpoint(cand)
-    } finally {
-      sh.unpersist(false)
-      sigs.unpersist(false)
-    }
+      try {
+        // One array row per candidate doc, referenced by both verify
+        // sides — checkpoint so the pruned scan runs once.
+        val arrs = candShingleArrays(df, cand, idCol, textCol, shingleN)
+          .localCheckpoint(true)
+        try verifyJaccard(arrs, cand, idCol).localCheckpoint(true)
+        finally freeCheckpoint(arrs)
+      } finally freeCheckpoint(cand)
+    } finally sigs.unpersist(false)
   }
 
   /** The un-checkpointed pair pipeline behind [[minhashPairs]]: band
-    * candidates from `sigs`, exact Jaccard verified against `sh`.
-    * Exposed package-private so plan-shape tests can assert the
-    * no-cartesian invariant on the REAL join tree — the public method's
-    * localCheckpoint collapses its executedPlan to a scan of checkpointed
-    * blocks, where a cartesian regression would be invisible. */
-  private[graft] def verifiedJaccardPairs(sh: DataFrame, sigs: DataFrame,
-      idCol: String, numHashes: Int, bands: Int): DataFrame =
-    verifyJaccard(sh, candidatePairs(sigs, idCol, numHashes, bands), idCol)
+    * candidates from the in-row shingle signatures, exact Jaccard
+    * verified on candidate docs' shingle arrays. Exposed package-private
+    * so plan-shape tests can assert the no-cartesian invariant on the
+    * REAL join tree — the public method's localCheckpoint collapses its
+    * executedPlan to a scan of checkpointed blocks, where a cartesian
+    * regression would be invisible. */
+  private[graft] def verifiedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): DataFrame = {
+    val sigs = minhashSignatures(shingleSets(df, idCol, textCol, shingleN),
+      idCol, numHashes)
+    val cand = candidatePairs(sigs, idCol, numHashes, bands)
+    verifyJaccard(candShingleArrays(df, cand, idCol, textCol, shingleN), cand, idCol)
+  }
 
-  /** Exact Jaccard for the given candidate pairs. The shingle set is
-    * first PRUNED to the candidates' docs with a broadcast semi-join
+  /** Distinct-shingle arrays for exactly the docs appearing in `pairs`:
+    * the corpus is PRUNED with a broadcast semi-join before shingling
     * (the candidate doc set is orders of magnitude smaller than the
     * corpus — that asymmetry is the whole point of LSH), so the verify
-    * joins shuffle only candidate docs' shingles, not the corpus's.
+    * path scans the corpus but shuffles one array row per candidate doc.
     * (If a pathological parameter choice ever made the candidate set
     * corpus-sized, drop the broadcast hint and the planner falls back
     * to a shuffled semi-join — correctness is unaffected.) */
-  private def verifyJaccard(sh: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+  private def candShingleArrays(df: DataFrame, pairs: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
     val candDocs = pairs.select(col("doc_a").as(idCol))
       .union(pairs.select(col("doc_b").as(idCol)))
       .distinct()
-    val shC = sh.join(broadcast(candDocs), Seq(idCol), "left_semi")
-    val sizes = shC.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shA = shC.select(col(idCol).as("doc_a"), col("shingle"))
-    val shB = shC.select(col(idCol).as("doc_b"), col("shingle"))
-    val common = pairs
-      .join(shA, "doc_a")
-      .join(shB, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+    shingleArrays(df.join(broadcast(candDocs), Seq(idCol), "left_semi"),
+      idCol, textCol, n)
   }
+
+  /** Exact Jaccard for the candidate pairs from per-doc distinct shingle
+    * arrays: two equi-joins attach each side's array, then intersection
+    * and union sizes are computed IN THE ROW (array_intersect — no
+    * shingle-level join, no per-pair aggregate). */
+  private def verifyJaccard(arrs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    pairs
+      .join(arrs.select(col(idCol).as("doc_a"), col("shingles").as("__sha")), "doc_a")
+      .join(arrs.select(col(idCol).as("doc_b"), col("shingles").as("__shb")), "doc_b")
+      // the intersection size is projected ONCE (referenced twice below —
+      // CollapseProject won't re-inline a multiply-referenced non-cheap
+      // expression, so array_intersect runs once per pair)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("__nc"),
+        size(col("__sha")).cast("long").as("__na"),
+        size(col("__shb")).cast("long").as("__nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__nc").cast("double") /
+          (col("__na") + col("__nb") - col("__nc"))).as("jaccard"))
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
     * MOSS algorithm): hash every k-gram IN POSITION, slide a window of
@@ -225,11 +252,15 @@ object NearDup {
       .select(col(idCol),
         filter(Text.tokens(Text.normalize(col(textCol))), t => length(t) > 0).as("__toks"))
       .select(col(idCol),
-        posexplode(
+        // outer + post-filter: a plain posexplode's inferred
+        // size/isnotnull filter would re-evaluate the k-gram transform
+        // per row (see shingleSets)
+        posexplode_outer(
           when(size(toks) >= k,
             transform(sequence(lit(0), size(toks) - k),
               i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
           .otherwise(array().cast("array<string>"))))
+      .filter(col("col").isNotNull)
       .select(col(idCol), col("pos"), md5(col("col").cast("binary")).as("__h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), Window.currentRow)
@@ -329,7 +360,10 @@ object NearDup {
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     require(bits > 0 && bits <= 32, s"bits must be in 1..32, got $bits")
     val tok = df
-      .select(col(idCol), explode(Text.tokens(Text.normalize(col(textCol)))).as("tk"))
+      // outer + post-filter: a plain explode's inferred filter would
+      // inline the normalize chain twice (see shingleSets)
+      .select(col(idCol), explode_outer(Text.tokens(Text.normalize(col(textCol)))).as("tk"))
+      .filter(col("tk").isNotNull)
       .distinct()
       .withColumn("__h", md5(col("tk").cast("binary")))
     val sums = tok.groupBy(col(idCol))

@@ -131,9 +131,17 @@ object DocQueries {
     * (no grams to score). */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
     val toks = filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0)
+    val tk = col("__tk")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), Text.shingles(col("text"), 2).as("__g"), toks.as("__tk"))
-      .filter(size(col("__tk")) >= 2)
+      // token array projected FIRST: the 2-gram transform below references
+      // it per element, and inlining the normalize chain into the lambda
+      // re-evaluates it per gram (the shingleSets 8× pitfall)
+      .select(col("doc_id"), toks.as("__tk"))
+      .filter(size(tk) >= 2)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(tk) - 2),
+          i => concat_ws(" ", slice(tk, i + 1, lit(2)))).as("__g"),
+        tk)
       .select(
         col("doc_id"),
         Text.topElementCount(col("__g")).as("top_gram_count"),
