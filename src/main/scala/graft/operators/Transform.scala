@@ -78,4 +78,16 @@ object Transform {
     * become pipeline filters — SURVEY.md §7.5). */
   def checkSplit(df: DataFrame, pred: Column): (DataFrame, DataFrame) =
     (df.filter(pred), df.filter(!coalesce(pred, lit(false))))
+
+  /** The dedup pipeline's final cut: drop every clustered document
+    * except its cluster's canonical survivor. `clusters` is
+    * NearDup.dupClusters output — (idCol, cluster_id) for clustered docs
+    * only, cluster_id = the cluster's minimum doc id — so the non-
+    * canonical set is `id != cluster_id` and the corpus keeps everything
+    * else via ONE anti-join (broadcastable: the clustered set is tiny
+    * next to the corpus). */
+  def dropNearDups(df: DataFrame, clusters: DataFrame, idCol: String): DataFrame =
+    df.join(
+      clusters.filter(col(idCol) =!= col("cluster_id")).select(idCol),
+      Seq(idCol), "left_anti")
 }

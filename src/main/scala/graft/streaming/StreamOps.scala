@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Streaming-first event operators. Each transform is written against an
@@ -99,6 +99,66 @@ object StreamOps {
         batch.sparkSession, tablePath, stage, keys, nBuckets)
       ()
     }
+
+  /** Watermarked STREAM-STREAM interval join: attribute each purchase to
+    * the same user's click(s) within the trailing `horizon`
+    * (click_ts ∈ [purchase_ts - horizon, purchase_ts]). Both inputs
+    * carry event-time watermarks and the join condition bounds the
+    * event-time distance, which is exactly what lets Spark GC BOTH
+    * join-state buffers: a buffered click older than
+    * (click watermark + horizon) can never match a future purchase, so
+    * state size is rate × horizon, not stream length. Inner join —
+    * unattributed purchases drop; run in batch the same body is a plain
+    * self-equi-join with the two range predicates. */
+  def attributePurchases(clicks: DataFrame, purchases: DataFrame,
+      delay: String = "10 minutes", horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
+  }
+
+  /** A loyalty-tier boundary crossing: cumulative user value crossed
+    * `tier × step` at event time `ts`. */
+  case class TierCrossing(user_id: Long, tier: Long, ts: java.sql.Timestamp)
+
+  /** flatMapGroupsWithState: emit ZERO OR MORE rows per user per
+    * micro-batch — one for every multiple of `stepCents` the user's
+    * cumulative purchase value crosses (the "notify at each loyalty
+    * tier" shape; mapGroupsWithState can't express it because its
+    * contract is exactly one output per group). State is a single Long
+    * of cumulative cents per user — bounded by user cardinality. Events
+    * inside a batch are processed in event-time order; `value` must be
+    * non-negative for tiers to be monotone. */
+  def tierCrossings(events: Dataset[Event], stepCents: Long): Dataset[TierCrossing] = {
+    require(stepCents > 0, s"stepCents must be positive, got $stepCents")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, TierCrossing](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[TierCrossing]
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val before = cum / stepCents
+            cum += math.round(e.value * 100)
+            val after = cum / stepCents
+            var k = before + 1
+            while (k <= after) { out += TierCrossing(userId, k, e.ts); k += 1 }
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+  }
 
   /** Custom keyed state: running per-user event count + value total,
     * carried across micro-batches via mapGroupsWithState. The state is a

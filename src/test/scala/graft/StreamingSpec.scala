@@ -184,4 +184,64 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 00:00:00.0", "click", 2L, 3.75),
       ("2024-01-01 01:00:00.0", "view", 1L, 4.0)))
   }
+
+  test("attributePurchases: stream-stream join within the trailing horizon") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributePurchases(clicks.toDF(), purchases.toDF(),
+        delay = "10 minutes", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attr_t").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+        Event(11, ts("2024-01-01 00:20:00"), 1, "click", 0.0),
+        Event(12, ts("2024-01-01 00:00:00"), 2, "click", 0.0))
+      purchases.addData(
+        Event(20, ts("2024-01-01 00:25:00"), 1, "purchase", 9.99), // joins 10 & 11
+        Event(21, ts("2024-01-01 00:50:00"), 1, "purchase", 5.00), // joins 11 only (10 outside horizon)
+        Event(22, ts("2024-01-01 00:45:00"), 3, "purchase", 1.00)) // no click → dropped
+      // advance both watermarks far enough to emit all results
+      clicks.addData(Event(13, ts("2024-01-01 03:00:00"), 9, "click", 0.0))
+      purchases.addData(Event(23, ts("2024-01-01 03:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_t")
+        .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+      assert(got.filterNot(_._1 == 23L) == Set((20L, 10L), (20L, 11L), (21L, 11L)))
+    } finally q.stop()
+  }
+
+  test("tierCrossings emits one row per crossed step, carrying state") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamOps.tierCrossings(ms.toDS(), stepCents = 1000) // $10 tiers
+      .writeStream.format("memory").queryName("tiers_t").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "purchase", 4.00),  // cum 4 → none
+        Event(2, ts("2024-01-01 00:10:00"), 1, "purchase", 25.00)) // cum 29 → tiers 1,2
+      q.processAllAvailable()
+      ms.addData(Event(3, ts("2024-01-01 00:20:00"), 1, "purchase", 2.00)) // cum 31 → tier 3
+      q.processAllAvailable()
+      val got = spark.table("tiers_t")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("tier"),
+          r.getAs[Timestamp]("ts").toString)).toSet
+      assert(got == Set(
+        (1L, 1L, "2024-01-01 00:10:00.0"),
+        (1L, 2L, "2024-01-01 00:10:00.0"),
+        (1L, 3L, "2024-01-01 00:20:00.0")))
+    } finally q.stop()
+  }
+
+  test("tierCrossings in batch mode equals a cold-state pass") {
+    import sqlImplicits._
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "purchase", 15.00),
+      Event(2, ts("2024-01-01 00:05:00"), 2, "purchase", 3.00),
+      Event(3, ts("2024-01-01 00:10:00"), 1, "purchase", 10.00)).toDS()
+    val got = StreamOps.tierCrossings(events, 1000)
+      .collect().map(c => (c.user_id, c.tier)).toSet
+    assert(got == Set((1L, 1L), (1L, 2L)))
+    intercept[IllegalArgumentException](StreamOps.tierCrossings(events, 0))
+  }
 }

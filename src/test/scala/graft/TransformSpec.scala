@@ -78,6 +78,20 @@ class TransformSpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 
+  test("dropNearDups keeps canonical survivors and unclustered docs") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    // clusters {1,2,4} (canonical 1) and {3} alone is not emitted by
+    // dupClusters; 5 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L)).toDF("doc_id", "cluster_id")
+    val kept = Transform.dropNearDups(corpus, clusters, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+    // empty cluster set keeps everything
+    assert(Transform.dropNearDups(corpus, clusters.filter(lit(false)), "doc_id")
+      .count() == 5)
+  }
+
   test("upsert row count = |target keys ∪ stage keys| (randomized)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 5) {
