@@ -112,7 +112,44 @@ object EventQueries {
       ORDER BY event_type, rank""")
   }
 
+  /** events_gaps — per-user inter-event gap profile via lag(): exact
+    * microsecond gaps between consecutive events (ties broken by
+    * event_id), aggregated to count/total/max/min per user. The explicit
+    * ranking-window coverage (§2.5): one shuffle on user_id + per-key
+    * sort, same scale shape as sessionize; all arithmetic in integer
+    * micros so no float drift. */
+  def eventsGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("__prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("__prev_us").isNotNull)
+      .withColumn("gap_us", unix_micros(col("ts")) - col("__prev_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        min(col("gap_us")).as("min_gap_us"))
+      .orderBy("user_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT user_id,
+        |         us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM e
+        |)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+        |       MAX(gap_us) AS max_gap_us, MIN(gap_us) AS min_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_purchase_window" ->
       """WITH e AS (
         |  SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
@@ -202,6 +239,7 @@ object EventQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gaps" -> eventsGaps _,
     "events_hourly" -> eventsHourly _,
     "events_sliding" -> eventsSliding _,
     "events_sql_topk" -> eventsSqlTopk _,
