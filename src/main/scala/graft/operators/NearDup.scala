@@ -85,24 +85,41 @@ object NearDup {
       .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
 
-  /** MinHash signatures: for seeds 0..numHashes-1, sig_i = min over the
-    * doc's shingles of md5("i|" + shingle). One groupBy with numHashes
-    * partial-min aggregates (map-side combine keeps the shuffle at
-    * numHashes values per doc per partition). Hex-string min is a valid
-    * uniform min-hash order and is engine-portable. */
+  /** The Mersenne prime 2^31 - 1 — modulus of the min-hash family. */
+  private[graft] val MinhashPrime = 2147483647L
+
+  /** Deterministic universal-hash family parameters (a_i odd/nonzero,
+    * b_i) from a fixed LCG — any engine (including the DuckDB oracle,
+    * which embeds these as literals) derives the identical family. */
+  private[graft] def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = ((1103515245L * (i + 1) + 12345L) & 0x7fffffffL) | 1L
+      val b = (1103515245L * (2 * i + 1) + 12345L) & 0x7fffffffL
+      (a, b)
+    }
+
+  /** MinHash signatures: ONE md5 per shingle reduced to a 31-bit base
+    * hash, then numHashes draws from the 2-universal family
+    * `(a_i·h + b_i) mod (2^31-1)`; sig_i = the per-doc min of draw i.
+    * One groupBy with numHashes partial-min aggregates (map-side combine
+    * keeps the shuffle at numHashes longs per doc per partition).
+    *
+    * The family replaces the previous per-seed md5("i|"+shingle): at
+    * 100 TB the map phase hashes every shingle ONCE instead of k times —
+    * the k derivations are a codegen'd multiply-add-mod each. All values
+    * stay under 2^62 (31-bit h × 31-bit a), so the arithmetic is exact
+    * in any BIGINT engine — no dependence on Long wrap-around, which
+    * DuckDB would reject rather than reproduce. */
   def minhashSignatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    // One md5 per (row, seed) as its OWN projected column. Packing them
-    // into an array and extracting with element_at inside each min()
-    // makes CollapseProject inline the whole array into every aggregate
-    // — numHashes² md5 evaluations per row (measured 12×: 15 s → 2 s at
-    // sf0.1).
-    // 16 hex chars = a 64-bit uniform hash: ample for min-hash (only the
-    // ORDER matters and min-collisions are harmless), and half the bytes
-    // through the 12 min-aggregates' compares and hash tables.
-    val hashed = shingles.select(
-      col(idCol) +: (0 until numHashes).map(i =>
-        substring(md5(concat(lit(s"$i|"), col("shingle")).cast("binary")), 1, 16)
-          .as(s"__h$i")): _*)
+    // The base hash is its OWN projected column: referenced by all
+    // numHashes derivations, so CollapseProject keeps it evaluated once
+    // (inlined it would md5 per derivation — the round-3 12× pitfall).
+    val base = shingles.select(col(idCol),
+      conv(substring(md5(col("shingle").cast("binary")), 1, 8), 16, 10)
+        .cast("long").bitwiseAND(lit(0x7fffffffL)).as("__h"))
+    val hashed = base.select(
+      col(idCol) +: hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+        ((col("__h") * a + b) % MinhashPrime).as(s"__h$i") }: _*)
     hashed.groupBy(col(idCol))
       .agg(
         min(col("__h0")).as("sig_0"),
@@ -117,7 +134,8 @@ object NearDup {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val bandHashes = (0 until bands).map { b =>
-      md5(concat((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
+      md5(concat_ws("|",
+          (b * rows until (b + 1) * rows).map(i => col(s"sig_$i").cast("string")): _*)
         .cast("binary"))
     }
     val banded = sigs.select(col(idCol), posexplode(array(bandHashes: _*)))
@@ -144,7 +162,7 @@ object NearDup {
     * recomputing. Callers needing durability should write the result to
     * a table immediately; the pair set is tiny relative to the input. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
     // Shuffle inventory of this pipeline (the 100 TB story):
     //   1. signature aggregate — map-side combined, ships numHashes mins
     //      per doc per partition (the shingle rows themselves NEVER cross
@@ -342,7 +360,7 @@ object NearDup {
     * (they're their own implicit singleton). */
   def dupClusters(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5, shingleN: Int = 3, numHashes: Int = 12,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 6): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleN, numHashes, bands)
       .filter(col("jaccard") >= minJaccard)
     // connectedComponents copies the edges into its own checkpoint (sym)

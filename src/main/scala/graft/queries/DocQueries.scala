@@ -48,10 +48,12 @@ object DocQueries {
       .orderBy("canonical_id")
 
   /** doc_minhash_pairs — MinHash+LSH banded near-dup candidates with
-    * verified 3-gram Jaccard (12 hashes, 4 bands × 3 rows). */
+    * verified 3-gram Jaccard (12 hashes, 6 bands × 2 rows — the banding
+    * an S-curve at the 0.5 jaccard threshold wants: catch probability
+    * 1-(1-j²)⁶ ≈ 0.93 at j=0.6). */
   def docMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     NearDup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 12, bands = 4)
+        shingleN = 3, numHashes = 12, bands = 6)
       .orderBy("doc_a", "doc_b")
 
   /** doc_simhash — 16-bit SimHash fingerprint per document. */
@@ -264,15 +266,24 @@ object DocQueries {
        |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle FROM idx)""".stripMargin
 
   /** CTE chain producing verified-Jaccard candidate pairs (mirrors
-    * NearDup.minhashPairs): shingles → 12 minhash seeds → 4 bands →
-    * banded candidates → exact Jaccard. Shared by the pair query and the
-    * cluster query's recursive closure. */
-  private val pairCtes: String =
+    * NearDup.minhashPairs): shingles → one 31-bit md5 base hash → 12
+    * universal-hash draws (a·h+b mod 2^31-1, parameters shared with
+    * NearDup.hashParams so both engines use the identical family) →
+    * 4 bands → banded candidates → exact Jaccard. Shared by the pair
+    * query and the cluster query's recursive closure. */
+  private val pairCtes: String = {
+    val params = graft.operators.NearDup.hashParams(12)
+    val seedRows = params.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""$shingleCtes,
-       |hs AS (SELECT doc_id, seed, substr(md5(seed || '|' || shingle), 1, 16) AS h
-       |       FROM sh, range(0, 12) s(seed)),
+       |shh AS (SELECT doc_id, shingle,
+       |          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) & 2147483647 AS hb
+       |        FROM sh),
+       |hs AS (SELECT doc_id, seed, (a * hb + b) % 2147483647 AS h
+       |       FROM shh, (VALUES $seedRows) s(seed, a, b)),
        |sig AS (SELECT doc_id, seed, min(h) AS sig FROM hs GROUP BY 1, 2),
-       |band AS (SELECT doc_id, seed // 3 AS band, md5(string_agg(sig, '' ORDER BY seed)) AS bh
+       |band AS (SELECT doc_id, seed // 2 AS band,
+       |           md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bh
        |         FROM sig GROUP BY 1, 2),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -287,6 +298,7 @@ object DocQueries {
        |           FROM common c
        |           JOIN sizes za ON za.doc_id = c.doc_a
        |           JOIN sizes zb ON zb.doc_id = c.doc_b)""".stripMargin
+  }
 
   private val minhashOracle: String =
     s"""WITH $pairCtes

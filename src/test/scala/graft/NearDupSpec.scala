@@ -35,7 +35,7 @@ class NearDupSpec extends SparkSpec {
     // Assert on the pre-checkpoint pipeline: minhashPairs itself returns a
     // localCheckpoint'd frame whose executedPlan is just a block scan, so
     // asserting there would be vacuously green even with a cartesian join.
-    val df = NearDup.verifiedJaccardPairs(docs, "doc_id", "text", 3, 12, 4)
+    val df = NearDup.verifiedJaccardPairs(docs, "doc_id", "text", 3, 12, 6)
     df.collect() // let AQE finalize before reading the plan
     val plan = df.queryExecution.executedPlan.toString
     // sanity: the tree actually contains joins (guards against this test
