@@ -109,5 +109,8 @@ class SamplingSpec extends SparkSpec {
     val neg = Seq((1L, -5L)).toDF("id", "tok")
     intercept[org.apache.spark.SparkException](
       Sampling.packSequences(neg, "id", "tok", 512).collect())
+    // empty input packs to an empty result, not an error
+    assert(Sampling.packSequences(docs.filter(lit(false)), "id", "tok", 512)
+      .count() == 0)
   }
 }
