@@ -114,6 +114,36 @@ object Snapshot {
     spark.read.parquet(path)
   }
 
+  /** Table → absolute data path AS OF a specific committed `version`
+    * (time travel). Committed versions are immutable — data dirs are
+    * write-once and only [[vacuum]] deletes them — so a pinned version
+    * keeps reading the same bytes while the snapshot advances.
+    * Throws if the version never committed completely or was vacuumed. */
+  def tablesAt(spark: SparkSession, root: String, version: Long): Map[String, String] = {
+    val fs = fsOf(spark, root)
+    val manifest = versions(fs, root)
+      .collectFirst { case (v, p) if v == version => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot: no version $version at $root (have: ${
+          versions(fs, root).map(_._1).sorted.mkString(", ")})"))
+    parseManifest(fs, manifest)
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot: version $version at $root is torn/incomplete"))
+      .map { case (t, rel) => t -> new Path(root, rel).toString }
+  }
+
+  /** Read one table as of `version` — how a pipeline pins its input
+    * (reproducible ablations, audits, incremental-delta baselines)
+    * while writers keep committing. */
+  def readAt(spark: SparkSession, root: String, table: String, version: Long): DataFrame = {
+    val byName = tablesAt(spark, root, version)
+    val path = byName.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"snapshot: no table '$table' at $root version $version (have: ${
+          byName.keys.toSeq.sorted.mkString(", ")})"))
+    spark.read.parquet(path)
+  }
+
   /** Atomically publish new contents for `newTables` (other tables keep
     * their current data). Data is written FIRST (invisible), then the
     * manifest claims the next version; a crash anywhere before the claim

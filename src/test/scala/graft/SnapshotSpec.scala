@@ -28,6 +28,24 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "nope"))
   }
 
+  test("time travel: readAt pins a committed version while HEAD advances") {
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root, Map(
+      "a" -> Seq((1L, "x")).toDF("id", "v"),
+      "b" -> Seq((10L, "y")).toDF("id", "v")))
+    Snapshot.commit(spark, root, Map("a" -> Seq((2L, "z")).toDF("id", "v")))
+    // HEAD sees v2's a; the pinned version still reads v1's bytes
+    assert(Snapshot.read(spark, root, "a").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Snapshot.readAt(spark, root, "a", v1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // untouched tables resolve through the pinned manifest too
+    assert(Snapshot.readAt(spark, root, "b", v1).collect().map(_.getLong(0)).toSeq == Seq(10L))
+    intercept[IllegalArgumentException](Snapshot.readAt(spark, root, "a", 99L))
+    intercept[IllegalArgumentException](Snapshot.readAt(spark, root, "nope", v1))
+    // vacuum destroys old versions — pinned reads then fail loudly
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    intercept[IllegalArgumentException](Snapshot.tablesAt(spark, root, v1))
+  }
+
   test("uncommitted data dirs are invisible; torn manifests are skipped") {
     val root = freshRoot()
     Snapshot.commit(spark, root, Map("t" -> Seq((1L, 1.0)).toDF("id", "v")))
