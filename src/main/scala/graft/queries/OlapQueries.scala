@@ -52,6 +52,23 @@ object OlapQueries {
       .orderBy("g_brand", "g_category", "brand", "category")
   }
 
+  /** q23 — order counts/sales by (month, status) with CUBE: all four
+    * grouping sets (detail, per-month, per-status, grand total) from ONE
+    * scan — a 4-way Expand into the same single partial+final aggregate
+    * as q15's ROLLUP; the cross-dimension subtotals ROLLUP can't emit. */
+  def q23CubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("year_month"),
+        coalesce(col("o_orderstatus"), lit("(NULL)")).as("status"),
+        col("o_totalprice"))
+      .cube(col("year_month"), col("status"))
+      .agg(sum(cents(col("o_totalprice"))).as("__c"), count(lit(1)).as("orders_count"),
+        grouping(col("year_month")).cast("long").as("g_month"),
+        grouping(col("status")).cast("long").as("g_status"))
+      .select(col("year_month"), col("status"), col("g_month"), col("g_status"),
+        money(col("__c")).as("sales_amount"), col("orders_count"))
+      .orderBy("g_month", "g_status", "year_month", "status")
+
   /** q16 — daily sales with running total and 7-day moving average. The
     * window runs AFTER aggregation, over one row per day — at 100 TB the
     * fact scan feeds a hash aggregate (shuffle on day) and the ordered
@@ -192,6 +209,16 @@ object OlapQueries {
         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         |GROUP BY ROLLUP (p.p_brand, p.p_type)
         |ORDER BY g_brand, g_category, brand, category""".stripMargin,
+    "q23_cube_sales" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS year_month,
+        |       COALESCE(o_orderstatus, '(NULL)') AS status,
+        |       CAST(GROUPING(strftime(o_orderdate, '%Y-%m')) AS BIGINT) AS g_month,
+        |       CAST(GROUPING(COALESCE(o_orderstatus, '(NULL)')) AS BIGINT) AS g_status,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sales_amount,
+        |       COUNT(*) AS orders_count
+        |FROM orders
+        |GROUP BY CUBE (1, 2)
+        |ORDER BY g_month, g_status, year_month, status""".stripMargin,
     "q16_running_sales" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS sale_date,
@@ -301,6 +328,7 @@ object OlapQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup_sales" -> q15RollupSales _,
+    "q23_cube_sales" -> q23CubeSales _,
     "q16_running_sales" -> q16RunningSales _,
     "q17_status_pivot" -> q17StatusPivot _,
     "q18_value_quartiles" -> q18ValueQuartiles _,

@@ -20,6 +20,23 @@ class OlapQueriesSpec extends SparkSpec {
     assert(detail.map(_.getAs[Long]("line_count")).sum == grand.head.getAs[Long]("line_count"))
   }
 
+  test("q23 cube: every grouping set totals to the same grand total") {
+    val rows = OlapQueries.q23CubeSales(spark, sf).collect()
+    def level(gm: Long, gs: Long) = rows.filter(r =>
+      r.getAs[Long]("g_month") == gm && r.getAs[Long]("g_status") == gs)
+    def tot(rs: Array[org.apache.spark.sql.Row]) =
+      math.round(rs.map(_.getAs[Double]("sales_amount")).sum * 100)
+    val grand = level(1, 1)
+    assert(grand.length == 1)
+    // all four grouping sets present, each reconciling to the grand total
+    Seq((0L, 0L), (0L, 1L), (1L, 0L)).foreach { case (gm, gs) =>
+      val rs = level(gm, gs)
+      assert(rs.nonEmpty, s"grouping set ($gm,$gs) missing")
+      assert(tot(rs) == tot(grand), s"grouping set ($gm,$gs) total mismatch")
+      assert(rs.map(_.getAs[Long]("orders_count")).sum == grand.head.getAs[Long]("orders_count"))
+    }
+  }
+
   test("q16 running total is monotone and ends at the overall sum") {
     val rows = OlapQueries.q16RunningSales(spark, sf).collect()
     val runs = rows.map(_.getAs[Double]("running_sales"))
