@@ -105,5 +105,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => LongDotProduct(exprs.head, exprs(1))))
     ext.injectFunction((TopKByScore.ident, TopKByScore.info, TopKByScore.builder))
     ext.injectFunction((FreqItems.ident, FreqItems.info, FreqItems.builder))
+    ext.injectFunction((KmvSketch.ident, KmvSketch.info, KmvSketch.builder))
   }
 }

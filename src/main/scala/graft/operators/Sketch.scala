@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.TopKByScore
-
 /** Distinct-count sketching — the cardinality primitive of corpus
   * curation ("how many distinct URLs / users / shingles?") at sizes
   * where exact COUNT(DISTINCT) is a full shuffle of every distinct
@@ -19,22 +17,22 @@ import graft.expressions.TopKByScore
   * estimates in Spark and the DuckDB oracle — the property every other
   * operator in this engine gates on.
   *
-  * Scale shape: the k-min set is an associative, bounded merge (union →
-  * keep k smallest), so it runs as a [[graft.expressions.TopKByScore]]
-  * partial aggregate — each map task ships at most k hashes per group
-  * to the shuffle, never the value set. Arithmetic is exact: 48-bit
-  * hashes (lossless in Double for the heap's ordering, and (k-1)·2^48
-  * fits a Long) and integer division for the estimate, so partitioning
-  * cannot perturb a single bit.
+  * Scale shape: the k-min DISTINCT set is an associative, bounded merge
+  * (union → keep k smallest), run as a [[graft.expressions.KmvSketch]]
+  * partial aggregate whose buffer dedups internally — each map task
+  * ships at most k hashes per group to the shuffle; neither the value
+  * set nor a dedup exchange ever materializes. Arithmetic is exact:
+  * 48-bit hashes ((k-1)·2^48 fits a Long) and integer division for the
+  * estimate, so partitioning cannot perturb a single bit.
   */
 object Sketch {
 
   private val HashBits = 48
-  private val HashSpace = 1L << HashBits
+  private[operators] val HashSpace = 1L << HashBits
 
   /** 48-bit uniform hash of a value's canonical string form (12 hex
     * chars of md5, parsed as an integer). */
-  private def hash48(c: Column): Column =
+  private[operators] def hash48(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 12), 16, 10).cast("long")
 
   /** KMV distinct-count estimate of `keyCol`, optionally per group.
@@ -48,22 +46,20 @@ object Sketch {
       k: Int = 256): DataFrame = {
     require(k >= 2 && k <= 32768, s"k must be in 2..32768, got $k")
     val grp = groupCols.map(col)
-    // distinct BEFORE the k-min heap: KMV is defined over the distinct
-    // hash set. This is the same partial-dedupe shuffle COUNT(DISTINCT)
-    // plans, but what flows to the final aggregate is k mins per
-    // partition, not the value set.
+    // NO distinct pre-shuffle: KMV is defined over the distinct hash
+    // set, and graft.expressions.KmvSketch dedups INSIDE its bounded
+    // buffer — each map partition ships at most k longs per group, and
+    // nothing value-set-sized ever reaches an exchange (the previous
+    // shape paid COUNT(DISTINCT)'s dedup exchange first).
     val hashes = df.filter(col(keyCol).isNotNull)
       .select(grp :+ hash48(col(keyCol)).as("__h"): _*)
-      .distinct()
-    // TopKByScore keeps the k LARGEST scores; score = -hash keeps the k
-    // smallest hashes (exact: 48-bit magnitudes are lossless in Double).
     val top = hashes.groupBy(grp: _*)
-      .agg(TopKByScore(-col("__h").cast("double"), col("__h"), k).as("__top"))
+      .agg(graft.expressions.KmvSketch(col("__h"), k).as("__mins"))
     // Materialize the k-th hash as a real column: expr() resolves against
     // the frame's schema, so the divisor must exist there by name.
     val ranked = top
-      .withColumn("__n", size(col("__top")))
-      .withColumn("__kth", get(col("__top"), lit(k - 1)).getField("id"))
+      .withColumn("__n", size(col("__mins")))
+      .withColumn("__kth", get(col("__mins"), lit(k - 1)))
     ranked.select(grp ++ Seq(
       col("__n").cast("long").as("n_kept"),
       col("__kth").as("kth_min_hash"),

@@ -155,6 +155,21 @@ object OlapQueries {
       .orderBy("col_name")
   }
 
+  /** q24 — q20's profile in its wide-table form: distinct counts from
+    * the KMV sketch aggregate (exact below k=256, ~6% error above) —
+    * one pass, no Expand, no dedup exchange; ≤256 longs per column per
+    * partition reach the shuffle. Same table prep as q20 so the two
+    * gates can be compared column-for-column. */
+  def q24ProfileSketched(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      cents(col("o_totalprice")).as("o_totalprice_cents"))
+    Profile.profileSketched(o, Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderdate", "o_totalprice_cents"), k = 256)
+      .orderBy("col_name")
+  }
+
   /** q21 — top-3 parts per brand by revenue, selected by the bounded
     * top-k AGGREGATE ([[graft.expressions.TopKByScore]]) instead of a
     * row_number window: the window shuffles every (brand, part) row to
@@ -199,7 +214,34 @@ object OlapQueries {
         col("col.est_count").as("n_orders"))
       .orderBy("o_orderstatus", "rank")
 
+  /** One per-column SELECT of the q24 sketched-profile oracle: the KMV
+    * estimate from first principles — k-th smallest distinct 48-bit
+    * md5 hash at OFFSET k-1, (k-1)·2^48 // kth, exact COUNT(DISTINCT)
+    * below k. Constant 71776119061217280 = 255·2^48 (as q19). */
+  private def sketchProfileBlock(c: String): String =
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+       |       CASE WHEN COUNT(DISTINCT $c) < 256 THEN COUNT(DISTINCT $c)
+       |            ELSE 71776119061217280 // (
+       |              SELECT h FROM (
+       |                SELECT DISTINCT CAST('0x' || substring(md5(CAST($c AS VARCHAR)), 1, 12) AS BIGINT) AS h
+       |                FROM t WHERE $c IS NOT NULL)
+       |              ORDER BY h LIMIT 1 OFFSET 255) END AS est_distinct,
+       |       CAST(MIN($c) AS VARCHAR) AS min_value,
+       |       CAST(MAX($c) AS VARCHAR) AS max_value
+       |FROM t""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q24_profile_sketched" ->
+      s"""WITH t AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CAST(o_orderdate AS DATE) AS o_orderdate,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+         |  FROM orders
+         |)
+         |SELECT * FROM (
+         |${Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_totalprice_cents")
+            .map(sketchProfileBlock).mkString("\n  UNION ALL\n")}
+         |) ORDER BY col_name""".stripMargin,
     "q15_rollup_sales" ->
       """SELECT p.p_brand AS brand, p.p_type AS category,
         |       CAST(GROUPING(p.p_brand) AS BIGINT) AS g_brand,
@@ -334,6 +376,7 @@ object OlapQueries {
     "q18_value_quartiles" -> q18ValueQuartiles _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
+    "q24_profile_sketched" -> q24ProfileSketched _,
     "q21_top_per_group" -> q21TopPerGroup _,
     "q22_freq_priorities" -> q22FreqPriorities _,
   )
