@@ -111,17 +111,26 @@ object StreamOps {
     * unattributed purchases drop; run in batch the same body is a plain
     * self-equi-join with the two range predicates. */
   def attributePurchases(clicks: DataFrame, purchases: DataFrame,
-      delay: String = "10 minutes", horizon: String = "30 minutes"): DataFrame = {
+      delay: String = "10 minutes", horizon: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val c = clicks.withWatermark("ts", delay)
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
     val p = purchases.withWatermark("ts", delay)
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
         col("event_id").as("purchase_id"), col("value"))
+    // left_outer: an unmatched purchase is emitted WITH NULL click
+    // columns — but only once the click watermark passes purchase_ts
+    // (before that a matching click could still arrive, so the engine
+    // must hold the row; this late emission is the semantic difference
+    // between streaming and batch outer joins).
     p.join(c,
         col("p_user") === col("c_user") &&
         col("click_ts") <= col("purchase_ts") &&
-        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("purchase_ts"), col("click_id"), col("click_ts"), col("value"))
   }

@@ -211,6 +211,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributePurchases left_outer emits unmatched purchases with null click") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = StreamOps.attributePurchases(clicks.toDF(), purchases.toDF(),
+        delay = "10 minutes", horizon = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_lo_t").outputMode("append").start()
+    try {
+      clicks.addData(Event(10, ts("2024-01-01 00:00:00"), 1, "click", 0.0))
+      purchases.addData(
+        Event(20, ts("2024-01-01 00:05:00"), 1, "purchase", 9.99), // matched
+        Event(21, ts("2024-01-01 00:10:00"), 2, "purchase", 5.00)) // no click
+      q.processAllAvailable()
+      // the unmatched purchase can only emit once the click watermark
+      // has passed its window; push both watermarks far ahead
+      clicks.addData(Event(11, ts("2024-01-01 05:00:00"), 9, "click", 0.0))
+      purchases.addData(Event(22, ts("2024-01-01 05:00:00"), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_lo_t")
+        .collect()
+        .map(r => (r.getAs[Long]("purchase_id"),
+          Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)))
+        .toSet
+      assert(got.contains((20L, Some(10L))), s"matched purchase missing: $got")
+      assert(got.contains((21L, None)), s"unmatched purchase not emitted with null click: $got")
+    } finally q.stop()
+  }
+
   test("tierCrossings emits one row per crossed step, carrying state") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
