@@ -56,6 +56,21 @@ object DocQueries {
         shingleN = 3, numHashes = 12, bands = 6)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_dedup_corpus — the END-TO-END near-dup dedup output: the
+    * corpus minus every clustered doc except its cluster's canonical
+    * (minimum-id) survivor — minhash → LSH bands → verified jaccard →
+    * connected components → one anti-join (Transform.dropNearDups).
+    * This is the frame a training pipeline actually materializes; the
+    * oracle recomputes the whole chain including the recursive-CTE
+    * closure. */
+  def docDedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = NearDup.dupClusters(docs, "doc_id", "text", minJaccard = 0.5)
+    graft.operators.Transform.dropNearDups(docs, clusters, "doc_id")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** doc_simhash — 16-bit SimHash fingerprint per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
@@ -379,6 +394,19 @@ object DocQueries {
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
     "doc_dup_clusters" -> dupClustersOracle,
+    "doc_dedup_corpus" ->
+      s"""WITH RECURSIVE $pairCtes,
+         |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+         |      UNION ALL SELECT doc_b, doc_a FROM jp),
+         |reach(id, r) AS (
+         |  SELECT u, u FROM e
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+         |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "doc_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
@@ -456,6 +484,7 @@ object DocQueries {
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_dup_clusters" -> docDupClusters _,
+    "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,
     "doc_stratified_sample" -> docStratifiedSample _,
     "doc_shuffle_batches" -> docShuffleBatches _,
