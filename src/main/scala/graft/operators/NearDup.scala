@@ -295,18 +295,21 @@ object NearDup {
     * neighbors' labels; at fixpoint each component is labeled by its
     * minimum vertex id. Returns one row per vertex: (id, component).
     *
-    * Scale shape: each round is ONE shuffle (edge⋈label equi-join +
-    * map-side-combined min aggregate) over the label frame — O(|V|)
-    * rows, orders of magnitude smaller than the corpus for a dedup
-    * graph. Rounds needed = component diameter; near-dup components are
-    * shallow (dozens of docs, diameter ≲ 5), so this beats the
-    * O(log n)-round large-star/small-star alternation (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") for dedup graphs —
-    * alternation pays 2 shuffles/round to collapse long paths that LSH
-    * graphs don't have. Each round's result is localCheckpoint'd
-    * EAGERLY: the per-round job runs at call time, lineage is truncated
-    * so plans stay O(1) deep across rounds (un-truncated iterative plans
-    * grow exponentially in Catalyst analysis time).
+    * Scale shape: each round is an edge⋈label equi-join +
+    * map-side-combined min aggregate, then a POINTER JUMP
+    * (label ← label[label], one more equi-join on the tiny label frame)
+    * — all over O(|V|) rows, orders of magnitude smaller than the
+    * corpus for a dedup graph. The jump squares the propagation
+    * distance per round, so rounds ≈ log2(diameter) instead of
+    * diameter; per round the dominant cost on shallow LSH graphs is
+    * fixed job overhead, so halving rounds halves wall-clock. The
+    * fixpoint is unchanged: labels are monotone non-increasing, every
+    * value is a reachable vertex's label, and at the fixpoint
+    * label[label(v)] = label(v) by construction. Each round's result is
+    * localCheckpoint'd EAGERLY: the per-round job runs at call time,
+    * lineage is truncated so plans stay O(1) deep across rounds
+    * (un-truncated iterative plans grow exponentially in Catalyst
+    * analysis time).
     *
     * Converges when a full round changes no label; throws if `maxIter`
     * rounds don't reach fixpoint (diameter > maxIter — raise it). */
@@ -330,11 +333,18 @@ object NearDup {
         .join(labels.select(col("id").as("__v"), col("component").as("__nl")), "__v")
         .groupBy(col("__u").as("id"))
         .agg(min(col("__nl")).as("__cand"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("__cand"), col("component"))).as("component"),
-          (coalesce(col("__cand"), col("component")) < col("component")).as("__changed"))
+        .select(col("id"), col("component").as("__old"),
+          least(col("component"), coalesce(col("__cand"), col("component"))).as("__p"))
+      // pointer jump: follow the propagated label one hop through the
+      // round-entry labels (label values are vertex ids, so the lookup
+      // is an equi-join on the same tiny frame)
+      val hop = least(col("__p"), coalesce(col("__pc"), col("__p")))
+      val next = prop
+        .join(labels.select(col("id").as("__pl"), col("component").as("__pc")),
+          col("__p") === col("__pl"), "left")
+        .select(col("id"), hop.as("component"), (hop < col("__old")).as("__changed"))
         .localCheckpoint(true)
       changed = !next.filter(col("__changed")).isEmpty
       // `next` is materialized: the previous round's blocks are now dead.
