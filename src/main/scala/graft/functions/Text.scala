@@ -130,6 +130,23 @@ object Text {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** PII scrubbing: emails, bare IPv4s, then long digit runs
+    * (phone/card/id-ish) replaced with typed placeholder tokens — the
+    * standard redaction pass a corpus takes before training. A pure
+    * codegen'd regexp_replace chain: map-only at any scale, no UDF.
+    * Order matters and is fixed (emails first — they contain digits and
+    * dots the later patterns would shred). The placeholders contain no
+    * letters@/digits, so the pass is IDEMPOTENT: redact∘redact = redact.
+    * Patterns are the conservative RE2∩Java subset, so the DuckDB
+    * oracle applies character-identical regexes. */
+  def redact(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() -]{6,}\\d", "<NUM>")
+  }
+
   /** Occurrence count of the MOST FREQUENT element of an array column,
     * computed entirely inside the row: for each distinct element, count
     * its occurrences, take the max. O(distinct × total) comparisons per

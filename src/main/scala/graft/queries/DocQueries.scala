@@ -71,6 +71,21 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_redact — PII scrub pass over the corpus: per-doc fingerprint of
+    * the redacted text plus a changed flag (the synthetic corpus carries
+    * no PII, so `changed` is all-false here — the gate proves the Spark
+    * and DuckDB regex chains are character-identical; TextSpec carries
+    * the positive redaction cases on PII fixtures). */
+  def docRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // the redacted text is projected once (referenced twice below —
+      // inline, the 3-regex chain would run per reference)
+      .select(col("doc_id"), col("text"), Text.redact(col("text")).as("__red"))
+      .select(col("doc_id"),
+        md5(col("__red").cast("binary")).as("redacted_fp"),
+        (col("__red") =!= col("text")).as("changed"))
+      .orderBy("doc_id")
+
   /** doc_simhash — 16-bit SimHash fingerprint per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
@@ -467,6 +482,19 @@ object DocQueries {
         |SELECT doc_id, token_count, pack_key, token_start,
         |       token_start // 2048 AS seq_id
         |FROM c ORDER BY token_start""".stripMargin,
+    "doc_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d[\d() -]{6,}\d', '<NUM>', 'g') AS red
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(red) AS redacted_fp, red <> text AS changed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "doc_simhash" -> simhashOracle,
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_winnow" -> winnowOracle,
@@ -490,6 +518,7 @@ object DocQueries {
     "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_decontam" -> docDecontam _,
     "doc_pack" -> docPack _,
+    "doc_redact" -> docRedact _,
     "doc_repetition" -> docRepetition _,
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,

@@ -62,6 +62,21 @@ class TextSpec extends SparkSpec {
     assert(junk < 0.3 && junk >= 0.0)
   }
 
+  test("redact replaces emails, IPs, digit runs; idempotent; no-PII unchanged") {
+    def red(s: String): String = eval[String](Text.redact(lit(s)))
+    assert(red("contact bob.smith+x@example.co.uk now") == "contact <EMAIL> now")
+    assert(red("server at 192.168.0.1 down") == "server at <IP> down")
+    assert(red("call +1 (555) 123-4567 today") == "call <NUM> today")
+    assert(red("card 4111 1111 1111 1111") == "card <NUM>")
+    // email wins over the digit-run pattern inside the address
+    assert(red("a1234567@mail.com") == "<EMAIL>")
+    val noPii = "the quick brown fox jumps over the lazy dog"
+    assert(red(noPii) == noPii)
+    // idempotent: placeholders contain nothing the patterns match
+    val mixed = "bob@x.io from 10.0.0.1 phone 555-123-9999"
+    assert(red(red(mixed)) == red(mixed))
+  }
+
   test("topElementCount: max multiplicity in-row, 0 for empty") {
     def top(xs: Seq[String]): Long =
       eval[Long](Text.topElementCount(
