@@ -86,6 +86,25 @@ object DocQueries {
         (col("__red") =!= col("text")).as("changed"))
       .orderBy("doc_id")
 
+  /** doc_vocab — tokenizer-vocabulary building: top-200 normalized
+    * tokens by corpus frequency (ties broken lexically — fully
+    * deterministic). The classic wordcount shape: map-side partial
+    * counts per token, one shuffle on token, TakeOrderedAndProject for
+    * the bounded head — at 100 TB nothing but (token, partial count)
+    * rows move, and the result is vocab-sized. */
+  def docVocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // outer + post-filter: see NearDup.shingleSets (a plain explode's
+      // inferred filter would re-run the normalize chain per row)
+      .select(explode_outer(
+        filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0))
+        .as("token"))
+      .filter(col("token").isNotNull)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(200)
+
   /** doc_simhash — 16-bit SimHash fingerprint per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
@@ -495,6 +514,13 @@ object DocQueries {
         |)
         |SELECT doc_id, md5(red) AS redacted_fp, red <> text AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+    "doc_vocab" ->
+      s"""WITH norm AS (SELECT $normSql AS t FROM documents),
+         |tok AS (SELECT unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS token
+         |        FROM norm)
+         |SELECT token, COUNT(*) AS n_occurrences
+         |FROM tok GROUP BY 1
+         |ORDER BY n_occurrences DESC, token LIMIT 200""".stripMargin,
     "doc_simhash" -> simhashOracle,
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_winnow" -> winnowOracle,
@@ -520,6 +546,7 @@ object DocQueries {
     "doc_pack" -> docPack _,
     "doc_redact" -> docRedact _,
     "doc_repetition" -> docRepetition _,
+    "doc_vocab" -> docVocab _,
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,
     "doc_winnow" -> docWinnow _,
