@@ -39,14 +39,13 @@ object Decontam {
     * re-evaluate the normalize chain per element) — a pure projection,
     * NO shuffle; documents shorter than `n` tokens contribute no rows. */
   def ngramHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    NearDup.shingleArrays(df, idCol, textCol, n)
-      // outer + post-filter: a plain explode's inferred size/isnotnull
-      // filter would re-evaluate the whole shingle pipeline per row
-      // (see NearDup.shingleSets)
-      .select(col(idCol),
-        explode_outer(transform(col("shingles"), s => md5(s.cast("binary"))))
-          .as("gram_hash"))
-      .filter(col("gram_hash").isNotNull)
+    // hash AFTER the explode, not inside a transform() lambda over the
+    // array: the exploded md5 is whole-stage-codegen'd, a HOF lambda is
+    // interpreted — same rows either way since the shingle array is
+    // already per-doc distinct (and shingleSets carries the
+    // explode_outer guard against the inferred-filter pitfall)
+    NearDup.shingleSets(df, idCol, textCol, n)
+      .select(col(idCol), md5(col("shingle").cast("binary")).as("gram_hash"))
 
   /** Corpus documents sharing at least `minHits` DISTINCT n-gram hashes
     * with any document of `bench`. Returns (idCol, hits) where `hits`
