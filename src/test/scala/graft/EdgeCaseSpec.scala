@@ -34,6 +34,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Ann.knnBrute(vecs, "vec_id", "embedding", col("vec_id") < 0, 5).count() == 0)
   }
 
+  test("round-7 doc operators accept empty and degenerate corpora") {
+    // clustering on an empty corpus: no pairs, no components, no error
+    assert(NearDup.dupClusters(emptyDocs, "doc_id", "text").count() == 0)
+    assert(NearDup.winnowFingerprints(emptyDocs, "doc_id", "text").count() == 0)
+    // decontamination with an empty corpus side
+    assert(graft.operators.Decontam.contamination(
+      emptyDocs, oneDoc, "doc_id", "text", 3, 1).count() == 0)
+    // redaction and shingles of empty/degenerate text
+    val weird = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    assert(NearDup.shingleArrays(weird, "doc_id", "text", 3).count() == 2)
+    assert(NearDup.shingleSets(weird, "doc_id", "text", 3).count() == 0) // all sub-n
+    import graft.functions.Text
+    assert(weird.select(Text.redact(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSet == Set("", "a b"))
+  }
+
   test("docs with whitespace-only or symbol-only text survive the doc queries") {
     val weird = Seq((1L, ""), (2L, "   "), (3L, "!!! ??? ###"), (4L, "normal text here"))
       .toDF("doc_id", "text")
