@@ -75,23 +75,33 @@ object SalesQueries {
       .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
       .limit(10)
 
+  /** Lineitem pre-aggregated to exact per-order decimal sums — the
+    * partial-agg-below-join pushdown Catalyst won't do (same rationale
+    * as q6): the orderkey shuffle the orders join pays anyway now
+    * carries map-combined per-order partials instead of raw line items,
+    * and every downstream date/month/order aggregate sees ONE row per
+    * order. Exact by decimal associativity. */
+  private def perOrderSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__order_sales"))
+
   /** q3 — sales by day (queries.sql:28-34; also vw_SalesByDay). */
   def q03SalesByDay(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
+    o.join(perOrderSales(spark, dir), o("o_orderkey") === col("l_orderkey"))
       .groupBy(to_date(col("o_orderdate")).as("sale_date"))
-      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .agg(sum(col("__order_sales")).cast("double").as("total_sales"))
       .orderBy(col("sale_date").desc)
   }
 
   /** q4 — sales by month, ISO yyyy-MM (queries.sql:40-46). */
   def q04SalesByMonth(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
+    o.join(perOrderSales(spark, dir), o("o_orderkey") === col("l_orderkey"))
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("year_month"))
-      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .agg(sum(col("__order_sales")).cast("double").as("total_sales"))
       .orderBy(col("year_month").desc)
   }
 
@@ -214,13 +224,14 @@ object SalesQueries {
       .drop("l_suppkey", "l_linenumber")
   }
 
-  /** q12 — reconciliation: per-order line totals (queries.sql:156-163). */
+  /** q12 — reconciliation: per-order line totals (queries.sql:156-163).
+    * With the per-order pre-aggregate the join is 1:1 on the key, so no
+    * second aggregate exists at all — just a projection. */
   def q12OrderTotalsReconciliation(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
-    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(dsum(col("l_extendedprice")).as("lines_total"))
+    o.join(perOrderSales(spark, dir), o("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("__order_sales").cast("double").as("lines_total"))
       .orderBy(col("o_orderkey").desc)
   }
 
@@ -248,10 +259,9 @@ object SalesQueries {
       .filter(col("o_orderdate") >= date_add(anchor, -364) &&
               col("o_orderdate") <  date_add(anchor, 1))
       .select("o_orderkey", "o_orderdate")
-    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
-    o.join(l, o("o_orderkey") === l("l_orderkey"))
+    o.join(perOrderSales(spark, dir), o("o_orderkey") === col("l_orderkey"))
       .groupBy(to_date(col("o_orderdate")).as("sale_date"))
-      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .agg(sum(col("__order_sales")).cast("double").as("total_sales"))
       .orderBy(col("sale_date").desc)
   }
 
