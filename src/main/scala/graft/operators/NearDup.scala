@@ -34,8 +34,9 @@ object NearDup {
   /** Release a localCheckpoint's storage blocks NOW instead of waiting
     * for the driver's ContextCleaner to notice the RDD is unreachable —
     * on a long-lived session the lazy path leaves MEMORY_AND_DISK blocks
-    * resident for minutes and degrades every subsequent job. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * resident for minutes and degrades every subsequent job. Shared with
+    * the other checkpoint-stepped pipelines (e.g. DocQueries.docCurate). */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(blocking = false))
 
   /** Exact-duplicate groups by normalized-text fingerprint: one row per

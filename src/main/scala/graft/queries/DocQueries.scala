@@ -214,6 +214,86 @@ object DocQueries {
       "doc_id", "token_count", budget = 2048)
       .orderBy("token_start")
 
+  /** doc_tfidf — the top-3 most distinctive terms per document by an
+    * exact-integer tf-idf surrogate: score = tf·10⁶ div df (term
+    * frequency in the doc, scaled, over the term's document frequency in
+    * the corpus — monotone in tf/df, bit-reproducible in any BIGINT
+    * engine, no log/double drift). Classic keyword-extraction pass.
+    *
+    * Scale shape: tf is one (doc, term) hash aggregate (map-side
+    * combined); df reuses tf's rows — already (doc, term)-unique, so df
+    * is a plain count per term, no countDistinct Expand; the ranking
+    * window partitions by doc_id — millions of tiny partitions, each a
+    * doc's vocabulary, which is the shape row_number is FOR (unlike the
+    * ANN probe ranking this engine moved to the bounded aggregate: there
+    * the partition count was tiny and each partition corpus-sized). */
+  def docTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      // outer + post-filter: see NearDup.shingleSets
+      .select(col("doc_id"), explode_outer(
+        filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0)).as("token"))
+      .filter(col("token").isNotNull)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** doc_curate — the END-TO-END curation flagship: the full filter →
+    * dedup chain a training corpus actually goes through, in production
+    * order. (1) language-ID and quality scoring (pure map); (2) keep
+    * docs with a confident language and quality_score >= 0.5 — CJK
+    * exempt from the threshold, since the alpha/stopword signals are
+    * latin-centric (a production pipeline scores CJK with its own
+    * model); (3) exact dedup to the minimum-id survivor per normalized
+    * fingerprint (one hash aggregate + a co-keyed semi-join); (4)
+    * near-dup dedup of the survivors (minhash → LSH bands → verified
+    * jaccard → connected components → one anti-join).
+    *
+    * EXECUTION SEMANTICS: checkpoint-stepped like NearDup.minhashPairs —
+    * the SCORED frame is localCheckpoint'd BEFORE the filter, so the
+    * regex scoring trees evaluate exactly once per row. Filtering the
+    * lazy projection instead would let PushDownPredicates substitute the
+    * lang_pred/quality aliases into the filter condition — four copies
+    * of the scoring tree in one predicate, a generated method past
+    * Janino's 64KB limit, and the whole scan stage silently interpreted
+    * (measured 23.5 s vs ~4 s at sf0.1). Every intermediate checkpoint
+    * is freed before returning (leaked MEMORY_AND_DISK blocks degraded
+    * unrelated later queries 3-7× in a full bench session); at 100 TB
+    * the scored intermediate would be written to a table instead. */
+  def docCurate(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), t,
+      Text.langId(t).as("lang_pred"),
+      Text.qualityScore(t).as("quality_score"),
+      Text.fingerprint(t).as("__fp"))
+      .localCheckpoint(true)
+    try {
+      val filtered = scored.filter(col("lang_pred") =!= "unknown" &&
+        (col("quality_score") >= 0.5 || col("lang_pred") === "zh"))
+      val canon = filtered.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
+      val exact = filtered.join(canon, Seq("__fp", "doc_id"), "left_semi")
+        .localCheckpoint(true)
+      try {
+        val clusters = NearDup.dupClusters(exact, "doc_id", "text", minJaccard = 0.5)
+        val out = graft.operators.Transform.dropNearDups(exact, clusters, "doc_id")
+          .select(col("doc_id"), col("lang"), col("lang_pred"), col("quality_score"))
+          .orderBy("doc_id")
+          .localCheckpoint(true)
+        NearDup.freeCheckpoint(clusters)
+        out
+      } finally NearDup.freeCheckpoint(exact)
+    } finally NearDup.freeCheckpoint(scored)
+  }
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -307,9 +387,10 @@ object DocQueries {
   }
 
   /** Shared shingle CTE prefix (3-gram shingles of normalized text,
-    * empty tokens filtered — mirrors Text.shingles). */
-  private val shingleCtes =
-    s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
+    * empty tokens filtered — mirrors Text.shingles) over any relation
+    * carrying (doc_id, text). */
+  private def shingleCtes(src: String = "documents") =
+    s"""norm AS (SELECT doc_id, $normSql AS t FROM $src),
        |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
        |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3),
        |sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle FROM idx)""".stripMargin
@@ -319,12 +400,13 @@ object DocQueries {
     * universal-hash draws (a·h+b mod 2^31-1, parameters shared with
     * NearDup.hashParams so both engines use the identical family) →
     * 4 bands → banded candidates → exact Jaccard. Shared by the pair
-    * query and the cluster query's recursive closure. */
-  private val pairCtes: String = {
+    * query, the cluster queries' recursive closures, and the curation
+    * chain (which runs it over its filtered survivor CTE). */
+  private def pairCtes(src: String = "documents"): String = {
     val params = graft.operators.NearDup.hashParams(12)
     val seedRows = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""$shingleCtes,
+    s"""${shingleCtes(src)},
        |shh AS (SELECT doc_id, shingle,
        |          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) & 2147483647 AS hb
        |        FROM sh),
@@ -350,7 +432,7 @@ object DocQueries {
   }
 
   private val minhashOracle: String =
-    s"""WITH $pairCtes
+    s"""WITH ${pairCtes()}
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -358,7 +440,7 @@ object DocQueries {
     * reachability closure: min reachable doc_id = cluster id — the same
     * fixpoint NearDup.connectedComponents' label propagation reaches. */
   private val dupClustersOracle: String =
-    s"""WITH RECURSIVE $pairCtes,
+    s"""WITH RECURSIVE ${pairCtes()},
        |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
        |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
        |      UNION ALL SELECT doc_b, doc_a FROM jp),
@@ -419,7 +501,92 @@ object DocQueries {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CTE chain producing the curated survivor set `cur` (doc_id, lang,
+    * lang_pred, quality_score, text) — mirrors docCurate steps 1–3
+    * (scoring, language/quality filters with the CJK exemption, exact
+    * dedup to the minimum-id survivor per fingerprint); the caller runs
+    * near-dup removal over it via `pairCtes("cur")` + the recursive
+    * closure. Scoring expressions are the same IEEE-op-for-op chains the
+    * doc_quality / doc_lang_id oracles gate. */
+  private val curatedCtes: String = {
+    val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    val scores = Text.langMarkers.map { case (lang, ws) => s"s_$lang" -> scoreSql(ws) }
+    val scoreCols = scores.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")
+    s"""cpad AS (
+       |  SELECT doc_id, lang, text, ' ' || lower(text) || ' ' AS p FROM documents
+       |), cfeat AS (
+       |  SELECT doc_id, lang, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+       |    CASE WHEN length(text) > 0 THEN CAST($alpha AS DOUBLE) / length(text)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+       |    $stopHitsSql AS sw_hits,
+       |    $scoreCols,
+       |    md5($normSql) AS fp
+       |  FROM cpad
+       |), crat AS (
+       |  SELECT *, CASE WHEN token_count > 0 THEN CAST(sw_hits AS DOUBLE) / token_count
+       |                 ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio
+       |  FROM cfeat
+       |), cscore AS (
+       |  SELECT doc_id, lang, text, fp,
+       |    CASE WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |         WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'unknown'
+       |         WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |         WHEN s_de >= s_fr THEN 'de'
+       |         ELSE 'fr' END AS lang_pred,
+       |    (CASE WHEN CAST(token_count AS DOUBLE) >= 10 AND CAST(token_count AS DOUBLE) <= 10000
+       |          THEN CAST(1.0 AS DOUBLE)
+       |          WHEN CAST(token_count AS DOUBLE) > 0 THEN CAST(0.5 AS DOUBLE)
+       |          ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+       |    + alpha_ratio * CAST(0.4 AS DOUBLE)
+       |    + (CASE WHEN stopword_ratio > CAST(0.01 AS DOUBLE) AND stopword_ratio < CAST(0.6 AS DOUBLE)
+       |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |      AS quality_score
+       |  FROM crat
+       |), cfilt AS (
+       |  SELECT * FROM cscore
+       |  WHERE lang_pred <> 'unknown'
+       |    AND (quality_score >= CAST(0.5 AS DOUBLE) OR lang_pred = 'zh')
+       |), ccanon AS (
+       |  SELECT fp, MIN(doc_id) AS doc_id FROM cfilt GROUP BY 1
+       |), cur AS (
+       |  SELECT f.doc_id, f.lang, f.lang_pred, f.quality_score, f.text
+       |  FROM cfilt f JOIN ccanon c ON c.fp = f.fp AND c.doc_id = f.doc_id
+       |)""".stripMargin
+  }
+
+  private val curateOracle: String =
+    s"""WITH RECURSIVE $curatedCtes,
+       |${pairCtes("cur")},
+       |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, lang, lang_pred, quality_score FROM cur
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private val tfidfOracle: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS token
+       |        FROM norm),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+       |       FROM tf JOIN df USING (token)),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |         ORDER BY score DESC, token) AS rank FROM sc)
+       |SELECT doc_id, rank, token, tf, df, score FROM rk WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "doc_curate" -> curateOracle,
+    "doc_tfidf" -> tfidfOracle,
     "doc_quality" -> qualityOracle,
     "doc_lang_id" -> langIdOracle,
     "doc_dedupe_exact" ->
@@ -429,7 +596,7 @@ object DocQueries {
     "doc_minhash_pairs" -> minhashOracle,
     "doc_dup_clusters" -> dupClustersOracle,
     "doc_dedup_corpus" ->
-      s"""WITH RECURSIVE $pairCtes,
+      s"""WITH RECURSIVE ${pairCtes()},
          |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
          |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
          |      UNION ALL SELECT doc_b, doc_a FROM jp),
@@ -533,6 +700,8 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_curate" -> docCurate _,
+    "doc_tfidf" -> docTfidf _,
     "doc_quality" -> docQuality _,
     "doc_lang_id" -> docLangId _,
     "doc_dedupe_exact" -> docDedupeExact _,

@@ -112,6 +112,55 @@ object EventQueries {
       ORDER BY event_type, rank""")
   }
 
+  /** events_funnel — per-user conversion funnel view → click → purchase:
+    * first view, first click at-or-after that view, first purchase
+    * at-or-after that click, and how deep the user got (1–3). The
+    * sequential dependency (each stage's window opens at the previous
+    * stage's timestamp) makes this three aggregates + three joins, ALL
+    * keyed on user_id: the first shuffle's hash partitioning is reused
+    * by every later join and aggregate (Exchange reuse — no re-shuffle),
+    * so at 100 TB the cost is one user_id shuffle of each event subset,
+    * never an event-level self-join. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    def ofType(t: String) = e.filter(col("event_type") === t).select("user_id", "ts")
+    val v = ofType("view").groupBy("user_id").agg(min("ts").as("first_view"))
+    val c = ofType("click").join(v, "user_id")
+      .filter(col("ts") >= col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val p = ofType("purchase").join(c, "user_id")
+      .filter(col("ts") >= col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view"), col("first_click"), col("first_purchase"),
+        (lit(1) + when(col("first_click").isNotNull, 1).otherwise(0)
+          + when(col("first_purchase").isNotNull, 1).otherwise(0)).cast("long").as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
+  /** events_retention — day-over-day retention: per activity day, how
+    * many distinct users were active and how many of them returned the
+    * next day (exact integer ppm rate — no float drift). One (day, user)
+    * distinct shuffle; the next-day check is a self semi-join on the SAME
+    * (day, user) key (the next-day side re-keys day-1), so it
+    * co-partitions with the distinct — the classic cohort-retention plan
+    * that never leaves the (day, user) partitioning. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    // activity on day d+1, re-keyed to day d: semi-joining `ud` against
+    // this marks exactly the day-d rows whose user returned on d+1
+    val nextDay = ud.select(date_sub(col("day"), 1).as("day"), col("user_id"))
+    val active = ud.groupBy("day").agg(count(lit(1)).as("n_active"))
+    val retained = ud.join(nextDay, Seq("day", "user_id"), "left_semi")
+      .groupBy("day").agg(count(lit(1)).as("n_retained"))
+    active.join(retained, Seq("day"), "left")
+      .select(col("day"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+      .withColumn("retention_ppm", expr("n_retained * 1000000 div n_active"))
+      .orderBy("day")
+  }
+
   /** events_gaps — per-user inter-event gap profile via lag(): exact
     * microsecond gaps between consecutive events (ties broken by
     * event_id), aggregated to count/total/max/min per user. The explicit
@@ -136,6 +185,43 @@ object EventQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events WHERE user_id IS NOT NULL
+        |), v AS (
+        |  SELECT user_id, MIN(ts) AS first_view FROM e WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_click
+        |  FROM e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.first_view GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS first_purchase
+        |  FROM e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click GROUP BY 1
+        |)
+        |SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+        |       CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |              + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS funnel_stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "events_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL
+        |), act AS (
+        |  SELECT day, COUNT(*) AS n_active FROM ud GROUP BY 1
+        |), ret AS (
+        |  SELECT a.day, COUNT(*) AS n_retained
+        |  FROM ud a JOIN ud b ON b.user_id = a.user_id AND b.day = a.day + 1
+        |  GROUP BY 1
+        |)
+        |SELECT act.day, act.n_active,
+        |       COALESCE(ret.n_retained, CAST(0 AS BIGINT)) AS n_retained,
+        |       (COALESCE(ret.n_retained, CAST(0 AS BIGINT)) * 1000000) // act.n_active AS retention_ppm
+        |FROM act LEFT JOIN ret ON ret.day = act.day
+        |ORDER BY act.day""".stripMargin,
     "events_gaps" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
@@ -239,6 +325,8 @@ object EventQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> eventsFunnel _,
+    "events_retention" -> eventsRetention _,
     "events_gaps" -> eventsGaps _,
     "events_hourly" -> eventsHourly _,
     "events_sliding" -> eventsSliding _,

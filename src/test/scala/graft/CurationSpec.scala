@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.queries.{DocQueries, EventQueries}
+
+/** Semantics of the round-7 composite queries on hand-built fixtures:
+  * the funnel's sequential stage windows, retention's next-day
+  * semi-join, tf-idf's exact-integer ranking, and the curation chain's
+  * filter → exact-dedup → near-dup-drop ordering. Fixtures are written
+  * as parquet table dirs because the query surface is (spark, dir). */
+class CurationSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def fixtureDir(tables: (String, DataFrame)*): String = {
+    val dir = Files.createTempDirectory("graft_fix").toString
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    dir
+  }
+
+  private val hourNs = 3600L * 1000 * 1000 * 1000
+  private val dayNs = 24 * hourNs
+
+  test("events_funnel: stage windows open at the previous stage's first event") {
+    // u1 full funnel in order; u2 clicked only BEFORE its first view (no
+    // stage-2); u3 purchase lands before its first click (stage 2, not 3);
+    // u4 views only.
+    val events = Seq(
+      (1L, 1L * hourNs, 1L, "view", 0.0, ""),
+      (2L, 2L * hourNs, 1L, "click", 0.0, ""),
+      (3L, 3L * hourNs, 1L, "purchase", 0.0, ""),
+      (4L, 5L * hourNs, 2L, "view", 0.0, ""),
+      (5L, 4L * hourNs, 2L, "click", 0.0, ""), // pre-view click: ignored
+      (6L, 1L * hourNs, 3L, "view", 0.0, ""),
+      (7L, 3L * hourNs, 3L, "click", 0.0, ""),
+      (8L, 2L * hourNs, 3L, "purchase", 0.0, ""), // pre-click purchase: ignored
+      (9L, 1L * hourNs, 4L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("events" -> events)
+    val out = EventQueries.eventsFunnel(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("funnel_stage")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("events_retention: counts users returning exactly the next day") {
+    // day0: users 1,2,3; day1: users 1,3 (retained from day0: 1,3);
+    // day2: user 3 only (retained from day1: 3); user 2 returns day2 —
+    // a 2-day gap, NOT retained for day0.
+    val events = Seq(
+      (1L, 1L * hourNs, 1L, "view", 0.0, ""),
+      (2L, 2L * hourNs, 2L, "view", 0.0, ""),
+      (3L, 3L * hourNs, 3L, "view", 0.0, ""),
+      (4L, dayNs + hourNs, 1L, "view", 0.0, ""),
+      (5L, dayNs + 2 * hourNs, 3L, "view", 0.0, ""),
+      (6L, 2 * dayNs + hourNs, 3L, "view", 0.0, ""),
+      (7L, 2 * dayNs + 2 * hourNs, 2L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = fixtureDir("events" -> events)
+    val rows = EventQueries.eventsRetention(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_active"), r.getAs[Long]("n_retained")))
+    assert(rows.toSeq == Seq(
+      ("1970-01-01", 3L, 2L), ("1970-01-02", 2L, 1L), ("1970-01-03", 2L, 0L)))
+    val ppm = EventQueries.eventsRetention(spark, dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Long]("retention_ppm")).toMap
+    assert(ppm("1970-01-01") == 2L * 1000000 / 3)
+  }
+
+  test("doc_tfidf: corpus-rare terms outrank common ones, exact-integer scores") {
+    // "shared" appears in every doc (df=3); "unique" only in doc 1.
+    val docs = Seq(
+      (1L, "shared unique unique", "en", "s", 3L),
+      (2L, "shared common", "en", "s", 2L),
+      (3L, "shared common", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val out = DocQueries.docTfidf(spark, dir).collect()
+    val doc1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"), r.getAs[Long]("score")))
+    // unique: tf=2, df=1 → 2_000_000; shared: tf=1, df=3 → 333_333
+    assert(doc1.toSeq == Seq((1L, "unique", 2000000L), (2L, "shared", 333333L)))
+    // doc 2: common (tf=1, df=2 → 500_000) above shared (333_333)
+    val doc2 = out.filter(_.getAs[Long]("doc_id") == 2L).map(_.getAs[String]("token"))
+    assert(doc2.toSeq == Seq("common", "shared"))
+  }
+
+  test("doc_curate: filters, exact-dedup canonical, and near-dup drop compose") {
+    val en = "the quick brown fox jumps over the lazy dog and runs to the forest " +
+      "with a pack of hounds chasing it through the trees of the old park"
+    val zh = "中文文档" // CJK → lang_pred=zh, quality exempt
+    val docs = Seq(
+      (1L, en, "en", "s", 100L),               // kept: canonical of the near-dup pair
+      (2L, en + " extra tail words here today", "en", "s", 100L), // near-dup of 1 → dropped
+      (3L, en, "en", "s", 100L),               // exact dup of 1 → dropped (id 1 wins)
+      (4L, zh, "zh", "s", 10L),                // kept via CJK exemption
+      (5L, "zzz qqq xxx", "xx", "s", 10L))     // lang unknown → dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = fixtureDir("documents" -> docs)
+    val kept = DocQueries.docCurate(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 4L))
+    val langs = DocQueries.docCurate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(langs(4L) == "zh")
+  }
+}
