@@ -201,6 +201,51 @@ object NearDup {
     } finally sigs.unpersist(false)
   }
 
+  /** Edit-distance-verified near-dup pairs: the SAME banded minhash
+    * candidate generation as [[minhashPairs]], but candidates verified
+    * with `levenshtein(normalize(a), normalize(b)) <= maxDist` — the
+    * right verifier when "near duplicate" means character-level edits
+    * (OCR noise, template fills, small insertions) rather than token-set
+    * overlap, which Jaccard can under-read for short docs. The O(len²)
+    * DP runs ONLY on LSH candidates — never all pairs — and each side's
+    * normalized text attaches through one equi-join row per candidate
+    * doc (the corpus scan is pruned by a broadcast semi-join, like the
+    * Jaccard verify path). Normalized text is ASCII by construction, so
+    * Spark's codepoint-level levenshtein and any oracle's
+    * character-level one agree exactly.
+    *
+    * Same execution semantics as [[minhashPairs]]: eager, checkpointed
+    * result, internal caches scoped to the call. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    import org.apache.spark.storage.StorageLevel
+    val sigs = minhashSignatures(shingleSets(df, idCol, textCol, shingleN),
+        idCol, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    try {
+      val cand = candidatePairs(sigs, idCol, numHashes, bands).localCheckpoint(true)
+      try {
+        val candDocs = cand.select(col("doc_a").as(idCol))
+          .union(cand.select(col("doc_b").as(idCol)))
+          .distinct()
+        val norms = df.join(broadcast(candDocs), Seq(idCol), "left_semi")
+          .select(col(idCol), Text.normalize(col(textCol)).as("__nt"))
+          .localCheckpoint(true)
+        try {
+          cand
+            .join(norms.select(col(idCol).as("doc_a"), col("__nt").as("__na")), "doc_a")
+            .join(norms.select(col(idCol).as("doc_b"), col("__nt").as("__nb")), "doc_b")
+            .select(col("doc_a"), col("doc_b"),
+              levenshtein(col("__na"), col("__nb")).cast("long").as("edit_distance"))
+            .filter(col("edit_distance") <= maxDist)
+            .localCheckpoint(true)
+        } finally freeCheckpoint(norms)
+      } finally freeCheckpoint(cand)
+    } finally sigs.unpersist(false)
+  }
+
   /** The un-checkpointed pair pipeline behind [[minhashPairs]]: band
     * candidates from the in-row shingle signatures, exact Jaccard
     * verified on candidate docs' shingle arrays. Exposed package-private

@@ -294,6 +294,17 @@ object DocQueries {
     } finally NearDup.freeCheckpoint(scored)
   }
 
+  /** doc_edit_pairs — edit-distance-verified near-dup pairs: the same
+    * LSH candidate front half as doc_minhash_pairs, verified with
+    * levenshtein(normalized_a, normalized_b) <= 40 — the character-edit
+    * notion of "near duplicate" (OCR noise, template fills). The DP
+    * runs only on candidates; normalized text is ASCII so the two
+    * engines' levenshtein semantics coincide exactly. */
+  def docEditPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.editDistancePairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxDist = 40, shingleN = 3, numHashes = 12, bands = 6)
+      .orderBy("doc_a", "doc_b")
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -402,7 +413,11 @@ object DocQueries {
     * 4 bands → banded candidates → exact Jaccard. Shared by the pair
     * query, the cluster queries' recursive closures, and the curation
     * chain (which runs it over its filtered survivor CTE). */
-  private def pairCtes(src: String = "documents"): String = {
+  /** CTE chain up to the banded CANDIDATE pairs (norm → shingles →
+    * signatures → bands → `pairs`) — the shared LSH front half; the
+    * verification half differs per operator (Jaccard in [[pairCtes]],
+    * levenshtein in the edit-pairs oracle). */
+  private def candCtes(src: String = "documents"): String = {
     val params = graft.operators.NearDup.hashParams(12)
     val seedRows = params.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
@@ -417,7 +432,11 @@ object DocQueries {
        |           md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed)) AS bh
        |         FROM sig GROUP BY 1, 2),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |          FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private def pairCtes(src: String = "documents"): String = {
+    s"""${candCtes(src)},
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |common AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
        |           FROM pairs p
@@ -584,9 +603,21 @@ object DocQueries {
        |SELECT doc_id, rank, token, tf, df, score FROM rk WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  private val editPairsOracle: String =
+    s"""WITH ${candCtes()},
+       |lev AS (SELECT p.doc_a, p.doc_b,
+       |          CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_distance
+       |        FROM pairs p
+       |        JOIN norm na ON na.doc_id = p.doc_a
+       |        JOIN norm nb ON nb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, edit_distance FROM lev
+       |WHERE edit_distance <= 40
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "doc_curate" -> curateOracle,
     "doc_tfidf" -> tfidfOracle,
+    "doc_edit_pairs" -> editPairsOracle,
     "doc_quality" -> qualityOracle,
     "doc_lang_id" -> langIdOracle,
     "doc_dedupe_exact" ->
@@ -702,6 +733,7 @@ object DocQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_curate" -> docCurate _,
     "doc_tfidf" -> docTfidf _,
+    "doc_edit_pairs" -> docEditPairs _,
     "doc_quality" -> docQuality _,
     "doc_lang_id" -> docLangId _,
     "doc_dedupe_exact" -> docDedupeExact _,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
-import graft.operators.{Bloom, IncrementalAgg, Salt, Transform, Upsert}
+import graft.operators.{Bloom, Diff, IncrementalAgg, Salt, Transform, Upsert}
 
 /** The reference's ETL transform/load operators (SURVEY.md §2: P2-P8, A10,
   * J5/J6, M1-M5) exposed as driver-checkable queries over the testdata.
@@ -75,6 +75,21 @@ object EtlQueries {
     val stage = o.filter(col("o_orderkey") % 3 === 0)
       .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
     Upsert.upsert(target, stage, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Table-version diff (graft.operators.Diff): classify every order key
+    * of the MERGE result against its pre-merge target — matched+bumped
+    * keys read `updated`, stage-only keys `inserted`, untouched keys
+    * `unchanged`, and nothing is `deleted` (upsert never deletes — the
+    * diff PROVES the merge contract on real output). */
+  def tableDiffOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderkey") % 2 === 0)
+    val stage = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val merged = Upsert.upsert(target, stage, Seq("o_orderkey"))
+    Diff.tableDiff(target, merged, Seq("o_orderkey"), includeUnchanged = true)
       .orderBy("o_orderkey")
   }
 
@@ -170,6 +185,32 @@ object EtlQueries {
         |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
         |FROM target t FULL OUTER JOIN stage s ON t.o_orderkey = s.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    "etl_table_diff" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |     stage AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                      o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |               FROM orders WHERE o_orderkey % 3 = 0),
+        |     merged AS (
+        |  SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |  FROM target t FULL OUTER JOIN stage s ON t.o_orderkey = s.o_orderkey
+        |)
+        |SELECT COALESCE(t.o_orderkey, m.o_orderkey) AS o_orderkey,
+        |       CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+        |            WHEN m.o_orderkey IS NULL THEN 'deleted'
+        |            WHEN t.o_custkey IS NOT DISTINCT FROM m.o_custkey
+        |             AND t.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
+        |             AND t.o_totalprice IS NOT DISTINCT FROM m.o_totalprice
+        |             AND t.o_orderdate IS NOT DISTINCT FROM m.o_orderdate
+        |             AND t.o_orderpriority IS NOT DISTINCT FROM m.o_orderpriority
+        |            THEN 'unchanged'
+        |            ELSE 'updated' END AS change_type
+        |FROM target t FULL OUTER JOIN merged m ON m.o_orderkey = t.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
@@ -197,6 +238,7 @@ object EtlQueries {
     "etl_fk_semi" -> fkSemi _,
     "etl_fk_anti" -> fkAnti _,
     "etl_upsert_orders" -> upsertOrders _,
+    "etl_table_diff" -> tableDiffOrders _,
     "etl_filter_project" -> filterProject _,
     "etl_salted_join" -> saltedJoin _,
     "etl_incremental_agg" -> incrementalAgg _,

@@ -129,6 +129,38 @@ object OlapQueries {
         col("orders_count"))
       .orderBy("status")
 
+  /** q25 — quartile VALUE buckets without the global window: NTILE(4)
+    * over a whole table plans a single-partition sort (every row
+    * shuffles to one task — the canonical scale-killer); here the cut
+    * points come from one exact percentile aggregate (a 3-double row),
+    * broadcast onto the table, and bucket assignment is three codegen'd
+    * comparisons + one partial-agg groupBy. Two pruned single-column
+    * scans, no global sort, no skew. Ties land in the LOWER bucket
+    * (value-defined buckets — equal values never split across buckets,
+    * unlike row-number NTILE), and the dyadic quartile interpolation is
+    * bit-exact in both engines (same contract as q18). */
+  def q25ValueBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.orders(spark, dir).select(cents(col("o_totalprice")).as("__c"))
+    val cuts = c
+      .agg(expr("percentile(__c, array(0.25D, 0.5D, 0.75D))").as("__q"))
+      .select(
+        element_at(col("__q"), 1).as("__p25"),
+        element_at(col("__q"), 2).as("__p50"),
+        element_at(col("__q"), 3).as("__p75"))
+    c.crossJoin(broadcast(cuts))
+      .select(col("__c"),
+        (lit(1) +
+          when(col("__c") > col("__p25"), 1).otherwise(0) +
+          when(col("__c") > col("__p50"), 1).otherwise(0) +
+          when(col("__c") > col("__p75"), 1).otherwise(0)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        money(min(col("__c"))).as("min_value"),
+        money(max(col("__c"))).as("max_value"),
+        money(sum(col("__c"))).as("total_value"))
+      .orderBy("bucket")
+  }
+
   /** q19 — KMV distinct-count sketch of order keys per return flag. The
     * estimate path (groups hold >> k distinct keys at every test SF) is
     * what's gated: portable md5-derived 48-bit hashes and integer
@@ -354,6 +386,26 @@ object OlapQueries {
         |         COUNT(DISTINCT o_totalprice_cents),
         |         CAST(MIN(o_totalprice_cents) AS VARCHAR), CAST(MAX(o_totalprice_cents) AS VARCHAR) FROM t
         |) ORDER BY col_name""".stripMargin,
+    "q25_value_buckets" ->
+      """WITH c AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), cuts AS (
+        |  SELECT quantile_cont(cents, 0.25) AS p25,
+        |         quantile_cont(cents, 0.5)  AS p50,
+        |         quantile_cont(cents, 0.75) AS p75
+        |  FROM c
+        |), b AS (
+        |  SELECT cents,
+        |         CAST(1 + (CASE WHEN cents > p25 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN cents > p50 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN cents > p75 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM c, cuts
+        |)
+        |SELECT bucket, COUNT(*) AS n_orders,
+        |       CAST(MIN(cents) AS DOUBLE) / 100.0 AS min_value,
+        |       CAST(MAX(cents) AS DOUBLE) / 100.0 AS max_value,
+        |       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q18_value_quartiles" ->
       """WITH c AS (
         |  SELECT o_orderstatus AS status,
@@ -374,6 +426,7 @@ object OlapQueries {
     "q16_running_sales" -> q16RunningSales _,
     "q17_status_pivot" -> q17StatusPivot _,
     "q18_value_quartiles" -> q18ValueQuartiles _,
+    "q25_value_buckets" -> q25ValueBuckets _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
     "q24_profile_sketched" -> q24ProfileSketched _,

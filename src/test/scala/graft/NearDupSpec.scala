@@ -45,6 +45,23 @@ class NearDupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$plan")
   }
 
+  test("editDistancePairs verifies LSH candidates by character edits") {
+    val pairs = NearDup.editDistancePairs(docs, "doc_id", "text", maxDist = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("edit_distance"))
+      .toMap
+    // 1 vs 3: normalization-identical → distance 0
+    assert(pairs((1L, 3L)) == 0L)
+    // 1 vs 2: "dog" → "cat" = 3 substitutions on normalized text
+    assert(pairs((1L, 2L)) == 3L)
+    // unrelated docs never become candidates, let alone verified pairs
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+    // a tight threshold drops the 3-edit pair but keeps the 0-edit one
+    val tight = NearDup.editDistancePairs(docs, "doc_id", "text", maxDist = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(tight == Set((1L, 3L)))
+  }
+
   test("simhash: identical token sets agree; near-dups land within 3/16 bits") {
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val sh = NearDup.simhash(docs, "doc_id", "text")

@@ -57,6 +57,19 @@ class OlapQueriesSpec extends SparkSpec {
     assert(colSum("p_sales") == byStatus("P"))
   }
 
+  test("q25 value buckets partition the table into ordered quartile bands") {
+    val rows = OlapQueries.q25ValueBuckets(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == total)
+    // bands don't overlap: each bucket's max <= the next bucket's min
+    val bounds = rows.map(r => (r.getAs[Double]("min_value"), r.getAs[Double]("max_value")))
+    bounds.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi <= lo) }
+    // value-defined quartiles: each band holds roughly a quarter
+    rows.map(_.getAs[Long]("n_orders")).foreach(n =>
+      assert(math.abs(n - total / 4.0) < total * 0.05, s"bucket size $n vs total $total"))
+  }
+
   test("q18 quartiles are ordered and bracket the per-status means") {
     val rows = OlapQueries.q18ValueQuartiles(spark, sf).collect()
     assert(rows.nonEmpty)
