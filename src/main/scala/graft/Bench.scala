@@ -11,11 +11,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Absorb one-time costs (janino/codegen init, parquet footer reader,
-    // shuffle service) before timing — the first measured query otherwise
-    // carries ~5 s of JVM warmup that is not its own.
+    // shuffle service, localCheckpoint block-manager setup) before timing
+    // — the first measured query otherwise carries ~5 s of JVM warmup
+    // that is not its own. Touch every table family: the query list is
+    // timed in sorted order, so whichever name sorts first would absorb
+    // the warmup of its whole input family (measured ~3 s on the first
+    // doc_* query).
     try {
       spark.read.parquet(s"$sfDir/region.parquet").count()
       SparkEntry.entry(spark).count()
+      graft.model.Tables.documents(spark, sfDir).count()
+      graft.model.Tables.embeddings(spark, sfDir).count()
+      graft.model.Tables.events(spark, sfDir).count()
+      spark.range(10).localCheckpoint(true).count()
     } catch { case _: Throwable => () }
     // A failing query must be VISIBLE: it is timed, but its error lands
     // in an "errors" map instead of silently reporting a fast run.

@@ -58,6 +58,29 @@ object Pipeline {
     Result(merges.map { case (t, m) => t -> m.total }, staged.rejectCounts)
   }
 
+  /** The documents-side pipeline: curate a raw corpus (language/quality
+    * filters, exact + near-dup dedup — graft.operators.Curate) and
+    * publish the curated corpus AND its drop audit as ONE atomic
+    * snapshot version: readers see a matching (corpus, audit) pair or
+    * the previous one, never a mix — the same all-or-nothing contract
+    * [[runTransactional]] gives the sales load. Returns the committed
+    * version. Re-running on the same input produces an identical new
+    * version (the chain is deterministic end to end). */
+  def curateCorpus(spark: SparkSession, docsPath: String, snapshotRoot: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val docs = spark.read.parquet(docsPath)
+    val curated = graft.operators.Curate.curate(docs, idCol, textCol)
+    // drop audit: every input id that didn't survive, joined back cheaply
+    // (curated ids broadcast in the common case — survivors ≈ corpus, but
+    // the audit is what reject CSVs are to the sales pipeline)
+    val dropped = docs.join(curated.select(idCol), Seq(idCol), "left_anti")
+      .select(idCol)
+    val version = Snapshot.commit(spark, snapshotRoot,
+      Map("corpus_curated" -> curated, "corpus_dropped" -> dropped))
+    println(s"[CURATE v$version] kept=${curated.count()}")
+    version
+  }
+
   private def extractTransform(spark: SparkSession, dataDir: String,
       outDir: String): Staged = {
     // -- extract (S1-S2): schema-pinned, trimmed, coerce-to-NULL

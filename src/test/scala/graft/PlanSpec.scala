@@ -99,6 +99,29 @@ class PlanSpec extends SparkSpec {
       s"expected the bloom probe under the join:\n$plan")
   }
 
+  test("q25 value buckets plan has no Window and broadcasts the cut points") {
+    // the whole point of the operator: NTILE-equivalent banding WITHOUT
+    // the single-partition global-sort window
+    val plan = planOf(OlapQueries.q25ValueBuckets(spark, dir))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("doc_tfidf computes df without a countDistinct Expand") {
+    val plan = planOf(DocQueries.docTfidf(spark, dir))
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("events_funnel reuses the user_id partitioning across its joins") {
+    // every aggregate/join keys on user_id: once AQE finalizes, at least
+    // one exchange must be reused rather than re-shuffled, and nothing
+    // may go cartesian
+    val plan = planOf(graft.queries.EventQueries.eventsFunnel(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size <= 4, plan)
+  }
+
   test("salted join result is row-identical to the plain join") {
     val salted = EtlQueries.saltedJoin(spark, dir).collect().map(_.toSeq).toSeq
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
