@@ -109,6 +109,20 @@ class CurationSpec extends SparkSpec {
     assert(again.exceptAll(kept).count() == 0 && kept.exceptAll(again).count() == 0)
   }
 
+  test("curate is idempotent: re-curating survivors is the identity") {
+    // Structural property, not luck: survivors are one canonical per
+    // near-dup cluster plus unclustered docs — any verified pair at or
+    // above the threshold would have merged its endpoints into ONE
+    // cluster, so no such pair can exist among survivors, and the
+    // filters/exact-dedup already passed them.
+    import graft.operators.Curate
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val once = Curate.curate(docs, "doc_id", "text")
+    val twice = Curate.curate(once.drop("lang_pred", "quality_score"), "doc_id", "text")
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
+  }
+
   test("doc_curate: filters, exact-dedup canonical, and near-dup drop compose") {
     val en = "the quick brown fox jumps over the lazy dog and runs to the forest " +
       "with a pack of hounds chasing it through the trees of the old park"
