@@ -106,5 +106,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((TopKByScore.ident, TopKByScore.info, TopKByScore.builder))
     ext.injectFunction((FreqItems.ident, FreqItems.info, FreqItems.builder))
     ext.injectFunction((KmvSketch.ident, KmvSketch.info, KmvSketch.builder))
+    graft.functions.TextSql.all.foreach(ext.injectFunction)
   }
 }

@@ -278,6 +278,24 @@ object DocQueries {
         maxDist = 40, shingleN = 3, numHashes = 12, bands = 6)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_sql_text — the text-analysis surface through SQL TEXT: gates
+    * the graft.functions.TextSql registration path itself (a SQL-first
+    * user's `SELECT graft_quality(text) ...`), the way events_sql_topk
+    * gates the aggregate registration. The builders unwrap to the same
+    * Column-API expression trees, so this must hash-match the same
+    * oracle chains doc_quality/doc_lang_id match. */
+  def docSqlText(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextSql.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_sql")
+    spark.sql("""
+      SELECT doc_id,
+             graft_lang_id(text) AS lang_pred,
+             graft_quality(text) AS quality_score,
+             graft_fingerprint(text) AS fingerprint,
+             graft_token_count(text) AS token_count
+      FROM graft_docs_sql ORDER BY doc_id""")
+  }
+
   /** mm_blob_stats — multimodal plumbing over an opaque binary column:
     * the text payload treated as a blob (byte length, content digest,
     * digest-derived feature id). The same shape serves image/audio bytes;
@@ -587,10 +605,20 @@ object DocQueries {
        |WHERE edit_distance <= 40
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The SQL-registration gate reuses the curation chain's scoring CTEs
+    * (same IEEE-op-for-op trees); unreferenced tail CTEs are pruned by
+    * the oracle engine. */
+  private val sqlTextOracle: String =
+    s"""WITH $curatedCtes
+       |SELECT s.doc_id, s.lang_pred, s.quality_score, s.fp AS fingerprint, f.token_count
+       |FROM cscore s JOIN cfeat f USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "doc_curate" -> curateOracle,
     "doc_tfidf" -> tfidfOracle,
     "doc_edit_pairs" -> editPairsOracle,
+    "doc_sql_text" -> sqlTextOracle,
     "doc_quality" -> qualityOracle,
     "doc_lang_id" -> langIdOracle,
     "doc_dedupe_exact" ->
@@ -707,6 +735,7 @@ object DocQueries {
     "doc_curate" -> docCurate _,
     "doc_tfidf" -> docTfidf _,
     "doc_edit_pairs" -> docEditPairs _,
+    "doc_sql_text" -> docSqlText _,
     "doc_quality" -> docQuality _,
     "doc_lang_id" -> docLangId _,
     "doc_dedupe_exact" -> docDedupeExact _,

@@ -77,6 +77,32 @@ class TextSpec extends SparkSpec {
     assert(red(red(mixed)) == red(mixed))
   }
 
+  test("TextSql: SQL-text functions are the Column-API trees, verbatim") {
+    import graft.functions.TextSql
+    TextSql.register(spark)
+    val docs = Seq(
+      (1L, "The QUICK brown fox! Call +1 (555) 123-4567 or a@b.com"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("textsql_docs")
+    val viaSql = spark.sql("""
+      SELECT doc_id, graft_normalize(text) AS n, graft_token_count(text) AS tc,
+             graft_quality(text) AS q, graft_lang_id(text) AS l,
+             graft_fingerprint(text) AS fp, graft_redact(text) AS r
+      FROM textsql_docs""")
+    val viaCol = docs.select(col("doc_id"),
+      Text.normalize(col("text")).as("n"),
+      Text.tokenCount(col("text")).cast("long").as("tc"),
+      Text.qualityScore(col("text")).as("q"),
+      Text.langId(col("text")).as("l"),
+      Text.fingerprint(col("text")).as("fp"),
+      Text.redact(col("text")).as("r"))
+    assert(viaSql.exceptAll(viaCol).count() == 0 && viaCol.exceptAll(viaSql).count() == 0)
+    // and the redaction actually fired through SQL
+    val red = viaSql.filter(col("doc_id") === 1).collect().head.getAs[String]("r")
+    assert(red.contains("<NUM>") && red.contains("<EMAIL>"))
+  }
+
   test("topElementCount: max multiplicity in-row, 0 for empty") {
     def top(xs: Seq[String]): Long =
       eval[Long](Text.topElementCount(
