@@ -220,24 +220,35 @@ object DocQueries {
     * the corpus — monotone in tf/df, bit-reproducible in any BIGINT
     * engine, no log/double drift). Classic keyword-extraction pass.
     *
-    * Scale shape: tf is one (doc, term) hash aggregate (map-side
-    * combined); df reuses tf's rows — already (doc, term)-unique, so df
-    * is a plain count per term, no countDistinct Expand; the ranking
-    * window partitions by doc_id — millions of tiny partitions, each a
-    * doc's vocabulary, which is the shape row_number is FOR (unlike the
-    * ANN probe ranking this engine moved to the bounded aggregate: there
-    * the partition count was tiny and each partition corpus-sized). */
+    * Scale shape — tf is computed IN THE ROW (one (token, tf) struct per
+    * distinct token, O(distinct×total) comparisons per doc like
+    * Text.topElementCount), so the exploded (doc, token, tf) frame is a
+    * PURE MAP and the corpus-token-sized (doc, token) exchange the
+    * groupBy form pays — twice, since column pruning un-shares the tf
+    * and df subtrees and Catalyst re-canonicalizes count(non-null) to
+    * count(1), defeating exchange reuse — never exists. df is one
+    * map-combined token aggregate (vocab-sized result, broadcast back;
+    * drop the hint past ~10⁸-token vocabularies and AQE plans a shuffle
+    * join). The rank<=3 filter plans as Spark 4's WindowGroupLimit:
+    * rows leave the map doc-clustered, so the PARTIAL group-limit cuts
+    * to <=3 rows per doc before the only doc-keyed exchange. */
   def docTfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      // outer + post-filter: see NearDup.shingleSets
+    val tk = col("__tk")
+    val tf = Tables.documents(spark, dir)
+      // token array projected FIRST: HOF lambdas re-evaluate captured
+      // subexpressions per element (the shingleSets 8× pitfall)
+      .select(col("doc_id"),
+        filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0).as("__tk"))
       .select(col("doc_id"), explode_outer(
-        filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0)).as("token"))
-      .filter(col("token").isNotNull)
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        transform(array_distinct(tk),
+          t => struct(t.as("token"),
+            size(filter(tk, y => y === t)).cast("long").as("tf")))).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("doc_id"), col("__e.token").as("token"), col("__e.tf").as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(df, "token")
+    tf.join(broadcast(df), "token")
       .withColumn("score", expr("tf * 1000000 div df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
