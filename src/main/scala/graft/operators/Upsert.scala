@@ -39,6 +39,34 @@ object Upsert {
       }: _*)
   }
 
+  /** Apply a CDC change batch to a keyed table: `changes` carries the
+    * table's columns plus `opCol` ∈ ("upsert" | "delete"). Matched
+    * deletes drop the row, deletes of absent keys are no-ops, upserts
+    * follow [[upsert]] semantics (update-on-match, insert-on-miss) —
+    * i.e. the reference's MERGE extended with the
+    * NOT-MATCHED-BY-SOURCE/delete branch real CDC feeds need.
+    *
+    * `changes` must carry at most ONE row per key (standard CDC batch
+    * compaction: collapse each key's event run to its final image
+    * first — [[graft.operators.Transform.dedupeKeepLastAgg]] is that
+    * compaction). Idempotent: re-applying the same batch is a no-op,
+    * so bucket-level replay after a partial failure is safe.
+    *
+    * Plan shape: one anti-join (deletes) + one full-outer join
+    * (upserts), both keyed on `keys` — the same single-shuffle family
+    * as [[upsert]]; pairs with [[upsertParquetBucketed]] for O(touched
+    * buckets) physical application. */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(changes.columns.contains(opCol), s"applyCdc: changes must carry '$opCol'")
+    val ops = changes.select(col(opCol)).distinct().collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("upsert", "delete")),
+      s"applyCdc: unknown ops ${(ops -- Set("upsert", "delete")).mkString(", ")}")
+    val deletes = changes.filter(col(opCol) === "delete").select(keys.map(col): _*)
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    upsert(target.join(deletes, keys, "left_anti"), upserts, keys)
+  }
+
   /** Per-branch MERGE telemetry, matching the reference's printouts
     * (inserted / updated per MERGE, etl_sales_analytics.py:241-283).
     * `total` is the post-merge table rowcount. */
