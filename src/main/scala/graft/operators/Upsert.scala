@@ -59,13 +59,95 @@ object Upsert {
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
       opCol: String = "op"): DataFrame = {
     require(changes.columns.contains(opCol), s"applyCdc: changes must carry '$opCol'")
-    val ops = changes.select(col(opCol)).distinct().collect().map(_.getString(0)).toSet
-    require(ops.subsetOf(Set("upsert", "delete")),
-      s"applyCdc: unknown ops ${(ops -- Set("upsert", "delete")).mkString(", ")}")
-    val deletes = changes.filter(col(opCol) === "delete").select(keys.map(col): _*)
-    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val checked = withCheckedOp(changes, opCol)
+    val deletes = checked.filter(col(opCol) === "delete").select(keys.map(col): _*)
+    val upserts = checked.filter(col(opCol) === "upsert").drop(opCol)
     upsert(target.join(deletes, keys, "left_anti"), upserts, keys)
   }
+
+  /** Op validation fused into the apply pass itself: an op outside
+    * {upsert, delete} (or a NULL) raises *during* the single scan of the
+    * change batch — no eager `distinct().collect()` pre-pass doubling the
+    * batch read. `concat_ws` keeps the message non-NULL for NULL ops. */
+  private def withCheckedOp(changes: DataFrame, opCol: String): DataFrame =
+    changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat_ws("",
+          lit(s"applyCdc: unknown op '"), col(opCol), lit("'")))))
+
+  /** Per-batch CDC telemetry: `upserted` = upsert rows in the batch
+    * (insert + update), `deleted` = delete rows that matched a live key
+    * (deletes of absent keys are no-ops), `total` = post-apply rowcount. */
+  case class CdcStats(upserted: Long, deleted: Long, total: Long)
+
+  /** [[applyCdc]] against a key-hash-BUCKETED parquet table — the physical
+    * CDC consumer: per micro-batch cost is O(touched buckets), exactly like
+    * [[upsertParquetBucketed]], but the change batch may also DELETE.
+    * Untouched bucket directories are never read, rewritten, or moved; a
+    * bucket whose rows are all deleted has its directory retired through
+    * the same checked backup path as a rewrite. Idempotent per batch
+    * (deletes of absent keys no-op, upserts replay to the same image), so
+    * bucket-level replay after a partial failure is safe. */
+  def applyCdcParquetBucketed(spark: SparkSession, tablePath: String, changes: DataFrame,
+      keys: Seq[String], nBuckets: Int = 64, opCol: String = "op"): CdcStats = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(changes.columns.contains(opCol), s"applyCdc: changes must carry '$opCol'")
+    val live = new Path(tablePath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = fs.exists(live)
+    val changesB = withCheckedOp(changes, opCol)
+      .withColumn(BucketCol, bucketOf(keys, nBuckets)).persist()
+    try {
+      val nChanges = changesB.count()  // also runs the fused op validation
+      requireUniqueKeys(changesB, keys, nChanges)
+      val upserted = changesB.filter(col(opCol) === "upsert").count()
+      val tmp = new Path(tablePath + ".tmp")
+      if (!existed) {
+        // first batch: deletes of absent keys are no-ops; install the upserts
+        changesB.filter(col(opCol) === "upsert").drop(opCol)
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+        swapInto(fs, tmp, live)
+        CdcStats(upserted, 0L, countBucketed(spark, fs, live))
+      } else if (nChanges == 0) {
+        CdcStats(0L, 0L, countBucketed(spark, fs, live))
+      } else {
+        val touched = changesB.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).sorted
+        // partition pruning: only the touched bucket directories are read
+        val target = spark.read.parquet(tablePath)
+          .filter(col(BucketCol).isin(touched.map(b => b: Any): _*))
+        val deleteKeys = changesB.filter(col(opCol) === "delete").select(keys.map(col): _*)
+        val deleted = target.join(deleteKeys, keys, "left_semi").count()
+        applyCdc(target, changesB, keys, opCol)
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val bak = new Path(tablePath + ".bak")
+        touched.foreach { b =>
+          val part = s"$BucketCol=$b"
+          val src = new Path(tmp, part)
+          val dst = new Path(live, part)
+          if (fs.exists(src)) swapInto(fs, src, dst, new Path(bak, part))
+          else if (fs.exists(dst)) {
+            // every row of this bucket was deleted: retire the directory
+            // through the backup area (restorable until the batch completes)
+            fs.mkdirs(bak)
+            if (!fs.rename(dst, new Path(bak, part)))
+              throw new IOException(s"applyCdc swap: cannot retire emptied bucket $dst")
+          }
+        }
+        fs.delete(tmp, true)
+        fs.delete(bak, true)
+        CdcStats(upserted, deleted, countBucketed(spark, fs, live))
+      }
+    } finally changesB.unpersist()
+  }
+
+  /** Rowcount of a bucketed table that may have had every bucket deleted —
+    * parquet schema inference fails on a dir with no files, so probe first. */
+  private def countBucketed(spark: SparkSession, fs: FileSystem, live: Path): Long =
+    if (fs.exists(live) &&
+        fs.listStatus(live).exists(_.getPath.getName.startsWith(BucketCol + "=")))
+      spark.read.parquet(live.toString).count()
+    else 0L
 
   /** Per-branch MERGE telemetry, matching the reference's printouts
     * (inserted / updated per MERGE, etl_sales_analytics.py:241-283).

@@ -78,6 +78,25 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** CDC apply — the reference's MERGE extended with the delete branch
+    * real CDC feeds need (Upsert.applyCdc): target = even-keyed orders;
+    * the change batch mixes upserts (every third order, bumped price)
+    * with deletes (multiples of 5 not already upserted — so the batch is
+    * unique per key). Deletes of absent keys (odd multiples of 5) are
+    * no-ops; matched deletes drop the row; upserts update-or-insert. */
+  def applyCdcOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val target = o.filter(col("o_orderkey") % 2 === 0)
+    val upserts = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("op", lit("upsert"))
+    val deletes = o.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), lit("delete").as("op"))
+    val changes = upserts.unionByName(deletes, allowMissingColumns = true)
+    Upsert.applyCdc(target, changes, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** Table-version diff (graft.operators.Diff): classify every order key
     * of the MERGE result against its pre-merge target — matched+bumped
     * keys read `updated`, stage-only keys `inserted`, untouched keys
@@ -185,6 +204,22 @@ object EtlQueries {
         |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
         |FROM target t FULL OUTER JOIN stage s ON t.o_orderkey = s.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    "etl_apply_cdc" ->
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |     stage AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |                      o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |               FROM orders WHERE o_orderkey % 3 = 0),
+        |     kept AS (SELECT t.* FROM target t WHERE NOT EXISTS (
+        |       SELECT 1 FROM orders d WHERE d.o_orderkey = t.o_orderkey
+        |         AND d.o_orderkey % 5 = 0 AND d.o_orderkey % 3 <> 0))
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM kept t FULL OUTER JOIN stage s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     "etl_table_diff" ->
       """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
         |     stage AS (SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -238,6 +273,7 @@ object EtlQueries {
     "etl_fk_semi" -> fkSemi _,
     "etl_fk_anti" -> fkAnti _,
     "etl_upsert_orders" -> upsertOrders _,
+    "etl_apply_cdc" -> applyCdcOrders _,
     "etl_table_diff" -> tableDiffOrders _,
     "etl_filter_project" -> filterProject _,
     "etl_salted_join" -> saltedJoin _,

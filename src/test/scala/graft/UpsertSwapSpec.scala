@@ -115,6 +115,87 @@ class UpsertSwapSpec extends SparkSpec {
     assert(!fs.exists(new Path(table + ".tmp")) && !fs.exists(new Path(table + ".bak")))
   }
 
+  test("applyCdc: matched deletes drop, absent-key deletes no-op, upserts merge") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2, "B", "upsert"),   // update
+      (4, "D", "upsert"),   // insert
+      (3, null, "delete"),  // matched delete
+      (9, null, "delete"),  // delete of absent key: no-op
+    ).toDF("k", "v", "op")
+    val got = Upsert.applyCdc(target, changes, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "B", 4 -> "D"))
+    // idempotent: replaying the batch onto its own output is a no-op
+    val replay = Upsert.applyCdc(Upsert.applyCdc(target, changes, Seq("k")), changes, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(replay == got)
+  }
+
+  test("applyCdc: unknown op raises during the apply pass (lazy validation)") {
+    val target = Seq((1, "a")).toDF("k", "v")
+    val changes = Seq((2, "x", "truncate")).toDF("k", "v", "op")
+    val plan = Upsert.applyCdc(target, changes, Seq("k"))  // no eager scan, no error yet
+    val ex = intercept[Exception] { plan.collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("unknown op")), s"got: ${messages(ex)}")
+  }
+
+  test("bucketed CDC: deletes + upserts rewrite only touched buckets; replay-safe") {
+    val table = Files.createTempDirectory("graft-cdc").toString + "/t"
+    val nBuckets = 8
+    val s1 = (1 to 40).map(k => (k, s"v$k", "upsert")).toDF("k", "v", "op")
+    assert(Upsert.applyCdcParquetBucketed(spark, table, s1, Seq("k"), nBuckets) ==
+      Upsert.CdcStats(40, 0, 40))
+
+    val allBuckets = (0 until nBuckets).filter(b => fs.exists(
+      new Path(s"$table/${Upsert.BucketCol}=$b")))
+    val beforeFiles = allBuckets.map(b => b -> bucketFiles(table, b)).toMap
+
+    // mixed batch: update k=1 and k=7, delete k=2, delete absent k=99
+    val batch = Seq((1, "UPDATED", "upsert"), (2, null, "delete"),
+      (99, null, "delete"), (7, "SEVEN", "upsert")).toDF("k", "v", "op")
+    val batchBuckets = Seq(1, 2, 99, 7).toDF("k")
+      .select(Upsert.bucketOf(Seq("k"), nBuckets)).collect().map(_.getInt(0)).toSet
+    assert(Upsert.applyCdcParquetBucketed(spark, table, batch, Seq("k"), nBuckets) ==
+      Upsert.CdcStats(2, 1, 39))
+
+    allBuckets.filterNot(batchBuckets.contains).foreach { b =>
+      assert(bucketFiles(table, b) == beforeFiles(b), s"untouched bucket $b was rewritten")
+    }
+    val rows = Upsert.readBucketed(spark, table)
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(rows.size == 39 && rows(1) == "UPDATED" && rows(7) == "SEVEN"
+      && !rows.contains(2) && rows(3) == "v3")
+
+    // replay the same batch: deletes no-op, upserts converge → same content
+    assert(Upsert.applyCdcParquetBucketed(spark, table, batch, Seq("k"), nBuckets) ==
+      Upsert.CdcStats(2, 0, 39))
+    val replayed = Upsert.readBucketed(spark, table)
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(replayed == rows)
+    assert(!fs.exists(new Path(table + ".tmp")) && !fs.exists(new Path(table + ".bak")))
+  }
+
+  test("bucketed CDC: a fully-deleted bucket's directory is retired") {
+    val table = Files.createTempDirectory("graft-cdc2").toString + "/t"
+    // 2 buckets; keys 1..6 split across them
+    val s1 = (1 to 6).map(k => (k, s"v$k", "upsert")).toDF("k", "v", "op")
+    Upsert.applyCdcParquetBucketed(spark, table, s1, Seq("k"), nBuckets = 2)
+    val b0Keys = (1 to 6).filter { k =>
+      Seq(k).toDF("k").select(Upsert.bucketOf(Seq("k"), 2)).head().getInt(0) == 0
+    }
+    assert(b0Keys.nonEmpty, "bucket 0 must hold at least one key")
+    val wipe = b0Keys.map(k => (k, null: String, "delete")).toDF("k", "v", "op")
+    val stats = Upsert.applyCdcParquetBucketed(spark, table, wipe, Seq("k"), 2)
+    assert(stats == Upsert.CdcStats(0, b0Keys.size.toLong, (6 - b0Keys.size).toLong))
+    assert(!fs.exists(new Path(s"$table/${Upsert.BucketCol}=0")),
+      "emptied bucket directory should be retired")
+    val rows = Upsert.readBucketed(spark, table).collect().map(_.getAs[Int]("k")).toSet
+    assert(rows == (1 to 6).filterNot(b0Keys.contains).toSet)
+  }
+
   test("bucketed merge is idempotent per key (replay-safe)") {
     val table = Files.createTempDirectory("graft-bkt2").toString + "/t"
     val s1 = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
