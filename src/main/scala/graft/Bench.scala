@@ -1,9 +1,14 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Single-shot timings proved noisy enough to mislead (r7 verdict #3:
+    // 4-8x phantom "regressions"). Default to 3 runs per query and report
+    // the per-query MEDIAN, with min/max spread recorded alongside.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,33 +21,53 @@ object Bench {
     // that is not its own. Touch every table family: the query list is
     // timed in sorted order, so whichever name sorts first would absorb
     // the warmup of its whole input family (measured ~3 s on the first
-    // doc_* query).
-    try {
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-      SparkEntry.entry(spark).count()
-      graft.model.Tables.documents(spark, sfDir).count()
-      graft.model.Tables.embeddings(spark, sfDir).count()
-      graft.model.Tables.events(spark, sfDir).count()
-      spark.range(10).localCheckpoint(true).count()
-    } catch { case _: Throwable => () }
+    // doc_* query). Each warmup has its OWN try so one missing table
+    // (e.g. an sfDir without documents.parquet) doesn't skip the rest.
+    def warm(a: => Unit): Unit = try a catch { case _: Throwable => () }
+    warm(spark.read.parquet(s"$sfDir/region.parquet").count())
+    warm(SparkEntry.entry(spark).count())
+    warm(graft.model.Tables.documents(spark, sfDir).count())
+    warm(graft.model.Tables.embeddings(spark, sfDir).count())
+    warm(graft.model.Tables.events(spark, sfDir).count())
+    warm(spark.range(10).localCheckpoint(true).count())
     // A failing query must be VISIBLE: it is timed, but its error lands
     // in an "errors" map instead of silently reporting a fast run.
     // Sorted-key order: hash-map order changes as the query map grows,
     // which confounds round-over-round per-query deltas with warmup /
     // cache position. Sorted order is stable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // run-major order (full pass 1, full pass 2, ...) so a query's repeats
+    // don't feed each other's caches back-to-back
+    val samples = (1 to runs).flatMap { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val byName = samples.groupBy(_._1).toSeq.sortBy(_._1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val qs = byName.map { case (k, ss) => s"\"" + k + "\":" + median(ss.map(_._2)) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val spread = byName.map { case (k, ss) =>
+      s"\"" + k + "\":[" + ss.map(_._2).min + "," + ss.map(_._2).max + "]"
+    }.mkString("{", ",", "}")
+    val errs = byName.flatMap { case (k, ss) => ss.flatMap(_._3).headOption.map(e =>
+      s"\"" + k + "\":\"" + e + "\"")
+    }.mkString("{", ",", "}")
+    val total = byName.map { case (_, ss) => median(ss.map(_._2)) }.sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // The r7 artifact captured only an sbt-log tail and truncated the
+    // per-query map — always ALSO write the full JSON line to a file.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try Files.writeString(Paths.get(out), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] cannot write $out: $e") }
     spark.stop()
   }
 }
