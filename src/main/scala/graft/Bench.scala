@@ -35,14 +35,25 @@ object Bench {
     // Sorted-key order: hash-map order changes as the query map grows,
     // which confounds round-over-round per-query deltas with warmup /
     // cache position. Sorted order is stable across rounds.
+    // Local-iteration filter (same contract as Verify): unset for the
+    // driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // run-major order (full pass 1, full pass 2, ...) so a query's repeats
     // don't feed each other's caches back-to-back
     val samples = (1 to runs).flatMap { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).count(); None }
+          try {
+            val df = fn(spark, sfDir)
+            df.count()
+            // checkpoint-returning queries (doc_curate) would otherwise
+            // leave corpus-sized blocks resident for the whole session
+            graft.operators.Curate.release(df)
+            None
+          }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
         (name, (System.nanoTime() - t0) / 1e9, err)
       }

@@ -29,10 +29,23 @@ import graft.functions.Text
   * lang_pred/quality aliases into the filter condition — four copies
   * of the scoring tree in one predicate, a generated method past
   * Janino's 64KB limit, and the whole scan stage silently interpreted
-  * (measured 23.5 s vs ~4 s at sf0.1). Every intermediate checkpoint
-  * is freed before returning (leaked MEMORY_AND_DISK blocks degraded
+  * (measured 23.5 s vs ~4 s at sf0.1). ONLY the scored frame (and the
+  * returned result) materialize: the exact-dedup survivors stay LAZY
+  * and fuse into their consumers — the agg + semi-join re-run per
+  * consumer over the scored checkpoint's blocks, which is far cheaper
+  * than pushing a second full copy of the corpus (with its text
+  * column) through the block manager (r7 verdict: the eager `exact`
+  * checkpoint serialized the stages and cost ~5 s of the query's
+  * 11 s at sf0.1). Every intermediate checkpoint is freed before
+  * returning — ON ALL PATHS (leaked MEMORY_AND_DISK blocks degraded
   * unrelated later queries 3-7× in a full bench session); at 100 TB
   * the scored intermediate would be written to a table instead.
+  *
+  * The RETURNED frame is itself an eager localCheckpoint (the lineage
+  * ends at blocks that outlive the internal frees). Callers that run
+  * many queries in one session should call [[release]] on it once
+  * done, or its corpus-sized blocks stay resident until the
+  * ContextCleaner notices.
   */
 object Curate {
 
@@ -53,15 +66,16 @@ object Curate {
         (col("quality_score") >= minQuality || col("lang_pred") === "zh"))
       val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
       val exact = filtered.join(canon, Seq("__fp", idCol), "left_semi")
+      val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
+      try Transform.dropNearDups(exact, clusters, idCol)
+        .drop("__fp")
         .localCheckpoint(true)
-      try {
-        val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
-        val out = Transform.dropNearDups(exact, clusters, idCol)
-          .drop("__fp")
-          .localCheckpoint(true)
-        NearDup.freeCheckpoint(clusters)
-        out
-      } finally NearDup.freeCheckpoint(exact)
+      finally NearDup.freeCheckpoint(clusters)
     } finally NearDup.freeCheckpoint(scored)
   }
+
+  /** Free the storage blocks behind a frame [[curate]] returned (or any
+    * frame rooted at an eager localCheckpoint). Safe no-op on frames
+    * with no checkpoint leaf. */
+  def release(df: DataFrame): Unit = NearDup.freeCheckpoint(df)
 }
