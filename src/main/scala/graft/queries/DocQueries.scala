@@ -323,6 +323,39 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_jsonl — JSONL ingestion round-trip (graft.sources.JsonLines):
+    * the documents table is serialized to newline-delimited JSON with
+    * every 50th doc's line corrupted (final `}` dropped — truncated-write
+    * shape), written to a scratch dir, and read back via the
+    * schema-pinned [[graft.sources.JsonLines.loadJsonl]] text-scan +
+    * from_json path. Clean rows must round-trip exactly (id, lang, text
+    * byte length); corrupt lines must all land in the reject side, whose
+    * count rides along as one `__corrupt__` summary row. The oracle
+    * computes both sides relationally from the documents table — the
+    * gate proves the parse/reject SEMANTICS of the real file round-trip,
+    * not DuckDB's JSON reader. */
+  def docJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+    val corrupted = when(col("doc_id") % 50 === 0, line.substr(lit(1), length(line) - 1))
+      .otherwise(line)
+    val path = "/tmp/graft_jsonl/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    docs.select(corrupted.as("value")).coalesce(1)
+      .write.mode("overwrite").text(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val (clean, rejects) = graft.sources.JsonLines.splitCorrupt(
+      graft.sources.JsonLines.loadJsonl(spark, path, schema))
+    clean.select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("text_bytes"))
+      .unionAll(rejects.agg(count(lit(1)).as("n"))
+        .select(lit(null).cast("long").as("doc_id"),
+          lit("__corrupt__").as("lang"), col("n").cast("long").as("text_bytes")))
+      .orderBy("doc_id")
+  }
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
@@ -734,6 +767,13 @@ object DocQueries {
     "doc_simhash" -> simhashOracle,
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_winnow" -> winnowOracle,
+    "doc_jsonl" ->
+      """SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS text_bytes
+        |FROM documents WHERE doc_id % 50 <> 0
+        |UNION ALL
+        |SELECT NULL AS doc_id, '__corrupt__' AS lang,
+        |       (SELECT COUNT(*) FROM documents WHERE doc_id % 50 = 0) AS text_bytes
+        |ORDER BY doc_id""".stripMargin,
     "mm_blob_stats" ->
       """SELECT doc_id, 'text' AS kind,
         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
@@ -764,6 +804,7 @@ object DocQueries {
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,
     "doc_winnow" -> docWinnow _,
+    "doc_jsonl" -> docJsonl _,
     "mm_blob_stats" -> mmBlobStats _,
   )
 }
