@@ -268,6 +268,74 @@ object Ann {
     topKAgg(assigned.join(broadcast(probes), "__cent"), k)
   }
 
+  /** Fixed-iteration k-means over the quantized vectors, built from the
+    * same primitives as [[knnIvf]] (the "labels come from k-means
+    * iterations" its codebook scaladoc promises):
+    *
+    *  - INIT: the k lowest-id vectors become centroids 0..k-1 (id order)
+    *    — deterministic, engine-portable, no RNG;
+    *  - ASSIGN: nearest centroid by EXACT integer L2 (q·q − 2·q·c + c·c
+    *    via the codegen'd dot product), ties to the lowest cluster id;
+    *    the centroid frame is broadcast, selection is a map-side-combined
+    *    min(struct) per vector — never a shuffle of the N×k scored frame;
+    *  - UPDATE: per (cluster, dim) FLOOR-average of the quantized
+    *    elements (exact: the integer sums stay < 2^53, so the one double
+    *    divide + floor is identical on every engine). A cluster that
+    *    lost every member keeps its previous centroid.
+    *
+    * Every step is exact integer arithmetic, so a SQL oracle running the
+    * same fixed iterations derives bit-identical assignments. Per-round
+    * the (tiny, k×dim) codebook is localCheckpoint'd and the previous
+    * round's freed — the CC/pointer-jump lifecycle, so `iters` rounds
+    * never stack lineage. Returns (idCol, cluster, dist2) — dist2 the
+    * exact integer L2 to the final centroid; the frame is an eager
+    * checkpoint (inputs are freed), release via [[Curate.release]]. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
+    try {
+      def assign(cb: DataFrame): DataFrame =
+        qdf.crossJoin(broadcast(cb))
+          .withColumn("__dist",
+            col("__n") - lit(2L) * dotQ(col("__q"), col("__cv")) + col("__cc"))
+          .groupBy(col(idCol))
+          .agg(min(struct(col("__dist"), col("cluster"))).as("__best"),
+            first(col("__q")).as("__q"))
+          .select(col(idCol), col("__q"),
+            col("__best").getField("cluster").as("cluster"),
+            col("__best").getField("__dist").as("dist2"))
+      var cb = qdf.orderBy(col(idCol)).limit(k)
+        .select((row_number().over(Window.orderBy(col(idCol))) - 1).cast("long")
+            .as("cluster"),
+          col("__q").as("__cv"))
+        .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
+        .localCheckpoint(true)
+      try {
+        for (_ <- 1 to iters) {
+          val sums = assign(cb)
+            .select(col("cluster"), posexplode_outer(col("__q")))
+            .filter(col("col").isNotNull)
+            .groupBy(col("cluster"), col("pos"))
+            .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cq"))
+          val newVecs = sums
+            .groupBy(col("cluster"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("__cs"))
+            .select(col("cluster"), transform(col("__cs"), s => s.getField("cq")).as("__nv"))
+          val next = cb.join(newVecs, Seq("cluster"), "left_outer")
+            .select(col("cluster"), coalesce(col("__nv"), col("__cv")).as("__cv"))
+            .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
+            .localCheckpoint(true)
+          NearDup.freeCheckpoint(cb)
+          cb = next
+        }
+        assign(cb).select(col(idCol), col("cluster"), col("dist2"))
+          .localCheckpoint(true)
+      } finally NearDup.freeCheckpoint(cb)
+    } finally NearDup.freeCheckpoint(qdf)
+  }
+
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the
     * quantized vector, hash-aggregate exact integer sums per (label,
     * dimension), divide once at the end. The shuffle carries dim partial

@@ -68,6 +68,17 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  private val KmeansK = 4
+  private val KmeansIters = 2
+
+  /** Fixed-iteration k-means (init = k lowest-id vectors; 2 assign/update
+    * rounds; final assignment returned). Exact integer arithmetic end to
+    * end — the oracle replays the identical iterations in SQL. */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame =
+    Ann.kmeans(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        KmeansK, KmeansIters)
+      .orderBy("vec_id")
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Quantized-embedding CTE (mirrors Ann.quantize). */
@@ -185,7 +196,41 @@ object VectorQueries {
        |       CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1000.0 AS DOUBLE)) AS centroid
        |FROM g ORDER BY label, dim_idx""".stripMargin
 
+  /** k-means oracle: replay the same fixed iterations as [[Ann.kmeans]].
+    * Each round is two CTE groups — assignment (cross join against the
+    * ≤k-row codebook, rank by exact integer L2 then cluster) and update
+    * (per-dim floor-average, empty clusters keep the previous centroid
+    * through a LEFT JOIN + COALESCE). */
+  private val kmeansOracle: String = {
+    def d2Sql(v: String, c: String) =
+      s"${dotSql(s"$v.qv", s"$v.qv")} - 2 * ${dotSql(s"$v.qv", s"$c.qv")} + ${dotSql(s"$c.qv", s"$c.qv")}"
+    def assignCtes(cb: String, out: String) =
+      s"""${out}_d AS (SELECT v.vec_id, v.qv, c.cluster, ${d2Sql("v", "c")} AS d2
+         |  FROM q v CROSS JOIN $cb c),
+         |$out AS (SELECT vec_id, qv, cluster, d2 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |  FROM ${out}_d) WHERE rn = 1)""".stripMargin
+    def updateCtes(asg: String, prevCb: String, out: String) =
+      s"""${out}_g AS (SELECT cluster, CAST(i - 1 AS BIGINT) AS dim_idx,
+         |    CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+         |  FROM (SELECT cluster, qv, unnest(range(1, len(qv) + 1)) AS i FROM $asg)
+         |  GROUP BY 1, 2),
+         |${out}_v AS (SELECT cluster, list(cq ORDER BY dim_idx) AS qv FROM ${out}_g GROUP BY 1),
+         |$out AS (SELECT p.cluster, COALESCE(n.qv, p.qv) AS qv
+         |  FROM $prevCb p LEFT JOIN ${out}_v n USING (cluster))""".stripMargin
+    val rounds = (1 to KmeansIters).map { i =>
+      assignCtes(s"cb${i - 1}", s"a$i") + ",\n" + updateCtes(s"a$i", s"cb${i - 1}", s"cb$i")
+    }.mkString(",\n")
+    s"""WITH $qCte,
+       |cb0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $KmeansK)),
+       |$rounds,
+       |${assignCtes(s"cb$KmeansIters", "af")}
+       |SELECT vec_id, cluster, d2 AS dist2 FROM af ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "emb_kmeans" -> kmeansOracle,
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
@@ -196,6 +241,7 @@ object VectorQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> embKmeans _,
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,

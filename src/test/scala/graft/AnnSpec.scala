@@ -124,6 +124,50 @@ class AnnSpec extends SparkSpec {
     assert(wide.count() == 5)
   }
 
+  test("kmeans converges to the true groups and exact integer centroids") {
+    // two tight groups; init = 2 lowest ids, one in each group
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (4L, Array(0.95f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (3L, Array(0.1f, 0.9f)),
+      (5L, Array(0.0f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("dist2"))).toMap
+    // evens (near e_x) → cluster 0 (init = vec 0), odds → cluster 1
+    assert(Seq(0L, 2L, 4L).forall(got(_)._1 == 0L))
+    assert(Seq(1L, 3L, 5L).forall(got(_)._1 == 1L))
+    // dist2 is the exact integer L2 to the FINAL centroid: centroid 0 =
+    // floor-avg of q-vectors [(1000,0),(900,100),(950,0)] = (950, 33)
+    assert(got(0L)._2 == (1000 - 950) * (1000 - 950) + (0 - 33) * (0 - 33))
+    // stability: one more iteration changes nothing
+    val more = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[Long]("dist2"))).toMap
+    assert(more == got)
+  }
+
+  test("kmeans: a cluster that loses all members keeps its previous centroid") {
+    // ids 0 and 1 carry IDENTICAL vectors → init c0 = c1; every point
+    // ties to both and the tie rule sends all to cluster 0, so cluster 1
+    // is empty from round 1 and must keep (not NaN/drop) its centroid.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Ann.kmeans(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    // round 1: all → cluster 0 (tie rule), cluster 1 empty, keeps (1000,0);
+    // cluster 0 moves to the mean (966,0). Final assignment: the two
+    // exact-(1000,0) points win BACK to the kept centroid 1 (d2=0) — which
+    // could only happen if the empty cluster retained its vector.
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 0L), s"got $got")
+  }
+
   test("centroids: per-label exact means over quantized elements") {
     val labeled = Seq(
       (0, Array(1.0f, 3.0f)),
