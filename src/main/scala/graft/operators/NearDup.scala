@@ -428,23 +428,35 @@ object NearDup {
 
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's
     * distinct normalized tokens. Bit b is the sign of Σ ±1 where each
-    * token votes +1 if hex digit b of md5(token) is >= '8' (the digit's
-    * high bit), else -1. Near-identical token sets differ in few bits.
-    * One explode + one groupBy with `bits` conditional sums. */
+    * token votes +1 if the hash hex digit for b has its high bit set,
+    * else -1. Near-identical token sets differ in few bits. One explode
+    * + one groupBy with `bits` conditional sums.
+    *
+    * Up to 64 bits: one md5 supplies 32 hex-digit votes, so bit b draws
+    * digit b%32 of hash word b/32, where word 0 = md5(token) (the
+    * original construction, unchanged for bits <= 32) and word w>0 =
+    * md5(token || "~w") — an independent, engine-portable second hash.
+    * At bits=64 the sign bit participates like any other bit: the
+    * fingerprint is an ordinary signed long and every downstream op
+    * (band shift+mask, XOR, bit_count, ordering) is sign-agnostic. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    require(bits > 0 && bits <= 32, s"bits must be in 1..32, got $bits")
+    require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
     val tok = df
       // outer + post-filter: a plain explode's inferred filter would
       // inline the normalize chain twice (see shingleSets)
       .select(col(idCol), explode_outer(Text.tokens(Text.normalize(col(textCol)))).as("tk"))
       .filter(col("tk").isNotNull)
       .distinct()
-      .withColumn("__h", md5(col("tk").cast("binary")))
-    val sums = tok.groupBy(col(idCol))
-      .agg(
-        sum(when(substring(col("__h"), 1, 1) >= "8", 1).otherwise(-1)).as("b0"),
-        (1 until bits).map(b =>
-          sum(when(substring(col("__h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"b$b")): _*)
+    val words = (bits + 31) / 32
+    val hashed = (0 until words).foldLeft(tok) { (d, w) =>
+      d.withColumn(s"__h$w",
+        if (w == 0) md5(col("tk").cast("binary"))
+        else md5(concat(col("tk"), lit(s"~$w")).cast("binary")))
+    }
+    def vote(b: Int) =
+      sum(when(substring(col(s"__h${b / 32}"), b % 32 + 1, 1) >= "8", 1).otherwise(-1))
+    val sums = hashed.groupBy(col(idCol))
+      .agg(vote(0).as("b0"), (1 until bits).map(b => vote(b).as(s"b$b")): _*)
     sums.select(col(idCol),
       (0 until bits).map(b =>
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))

@@ -133,6 +133,16 @@ object DocQueries {
         bits = 32, bands = 4, maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_simhash64_pairs — the larger-corpus variant the 32-bit scaladoc
+    * prescribes: 64-bit fingerprint (two md5 words per token), 8×8-bit
+    * bands, Hamming <= 5 (< bands keeps the banding lossless). Wider
+    * fingerprints keep band buckets sparse as the corpus grows — the
+    * scale knob is executable, not advisory. */
+  def docSimhash64Pairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        bits = 64, bands = 8, maxHamming = 5)
+      .orderBy("doc_a", "doc_b")
+
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
     * on md5(doc_id): stable across runs, engines, and partitionings. */
   def docHashSample(spark: SparkSession, dir: String): DataFrame =
@@ -523,14 +533,20 @@ object DocQueries {
     * (32; wider fingerprint → 256-value bands, see
     * NearDup.simhashPairs' scale note). */
   private def simCtes(bits: Int): String = {
+    val words = (bits + 31) / 32
+    val hashes = (0 until words).map(w =>
+      if (w == 0) "md5(tk) AS hh0" else s"md5(tk || '~$w') AS hh$w").mkString(", ")
     val sums = (0 until bits).map(b =>
-      s"SUM(CASE WHEN substr(hh, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$b")
+      s"SUM(CASE WHEN substr(hh${b / 32}, ${b % 32 + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$b")
       .mkString(",\n       ")
+    // bit 63's weight is Long.MinValue, whose decimal literal doesn't
+    // parse as one BIGINT token — spell it as an expression
+    def weight(b: Int) = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
     val value = (0 until bits).map(b =>
-      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN b$b > 0 THEN ${weight(b)} ELSE 0 END)").mkString(" + ")
     s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
        |tok AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
-       |h AS (SELECT doc_id, md5(tk) AS hh FROM tok),
+       |h AS (SELECT doc_id, $hashes FROM tok),
        |b AS (SELECT doc_id,
        |       $sums
        |      FROM h GROUP BY 1),
@@ -553,6 +569,20 @@ object DocQueries {
        |           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 64-bit variant: 8 bands of 8 bits, Hamming <= 5. The shift+mask is
+    * sign-agnostic (masked to the band width on both engines). */
+  private val simhash64PairsOracle: String =
+    s"""WITH ${simCtes(64)},
+       |bd AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS band_val
+       |       FROM sim, range(0, 8) r(band)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+       |                b.doc_id AS doc_b, b.simhash AS sb
+       |         FROM bd a JOIN bd b
+       |           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** CTE chain producing the curated survivor set `cur` (doc_id, lang,
@@ -766,6 +796,7 @@ object DocQueries {
          |ORDER BY n_occurrences DESC, token LIMIT 200""".stripMargin,
     "doc_simhash" -> simhashOracle,
     "doc_simhash_pairs" -> simhashPairsOracle,
+    "doc_simhash64_pairs" -> simhash64PairsOracle,
     "doc_winnow" -> winnowOracle,
     "doc_jsonl" ->
       """SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS text_bytes
@@ -803,6 +834,7 @@ object DocQueries {
     "doc_vocab" -> docVocab _,
     "doc_simhash" -> docSimhash _,
     "doc_simhash_pairs" -> docSimhashPairs _,
+    "doc_simhash64_pairs" -> docSimhash64Pairs _,
     "doc_winnow" -> docWinnow _,
     "doc_jsonl" -> docJsonl _,
     "mm_blob_stats" -> mmBlobStats _,

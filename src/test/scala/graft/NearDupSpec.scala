@@ -126,6 +126,18 @@ class NearDupSpec extends SparkSpec {
 
   test("simhash rejects out-of-range bit widths") {
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 0))
-    intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 33))
+    intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 65))
+  }
+
+  test("simhash 64-bit low word is exactly the 32-bit fingerprint") {
+    // bits < 32 draw the same md5(token) votes in both widths, so the
+    // 64-bit fingerprint's low 32 bits must reproduce the 32-bit value —
+    // widening never perturbs existing bits (the scale knob is additive)
+    val s32 = NearDup.simhash(docs, "doc_id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val s64 = NearDup.simhash(docs, "doc_id", "text", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(s64.keySet == s32.keySet)
+    assert(s64.forall { case (id, v) => (v & 0xFFFFFFFFL) == s32(id) })
   }
 }
