@@ -161,6 +161,25 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** events_attribution — the stream-stream attribution join
+    * (StreamOps.attributePurchases) run in batch: every purchase joined
+    * to the same user's clicks within the trailing 30 minutes. The BODY
+    * is the streaming operator — withWatermark is a no-op in batch, the
+    * join tree is identical — so this gate pins the join's values while
+    * StreamingSpec pins the watermark/state semantics of the same code.
+    * At scale: equi-join on user_id with the range predicates evaluated
+    * post-match — one co-keyed shuffle, state GC'd by watermark in the
+    * streaming run. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    graft.streaming.StreamOps.attributePurchases(clicks, purchases)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   /** events_gaps — per-user inter-event gap profile via lag(): exact
     * microsecond gaps between consecutive events (ties broken by
     * event_id), aggregated to count/total/max/min per user. The explicit
@@ -185,6 +204,23 @@ object EventQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |         make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events WHERE user_id IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id FROM e
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value FROM e
+        |  WHERE event_type = 'purchase'
+        |)
+        |SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts, p.value
+        |FROM p JOIN c ON c.user_id = p.user_id
+        |  AND c.click_ts <= p.purchase_ts
+        |  AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
     "events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
@@ -334,5 +370,6 @@ object EventQueries {
     "events_sessionize" -> eventsSessionize _,
     "events_asof_purchase" -> eventsAsofPurchase _,
     "events_purchase_window" -> eventsPurchaseWindow _,
+    "events_attribution" -> eventsAttribution _,
   )
 }
