@@ -152,10 +152,13 @@ object Snapshot {
     * version v (optimistic concurrency for read-modify-write callers);
     * `None` means blind last-writer-wins on the touched tables. */
   def commit(spark: SparkSession, root: String, newTables: Map[String, DataFrame],
-      expectBase: Option[Long] = None): Long = {
+      expectBase: Option[Long] = None,
+      statsCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(newTables.nonEmpty, "snapshot commit: no tables given")
     val fs = fsOf(spark, root)
-    val written = newTables.map { case (t, df) => t -> writeData(spark, root, t, df) }
+    val written = newTables.map { case (t, df) =>
+      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+    }
     commitManifest(fs, root, written, expectBase)
   }
 
@@ -218,14 +221,132 @@ object Snapshot {
   }
 
   /** Write `df` to a fresh immutable data dir; returns the relative path
-    * (not yet visible to readers — only a manifest makes it so). */
+    * (not yet visible to readers — only a manifest makes it so). With
+    * `statsCols` nonempty a per-FILE min/max sidecar is derived and
+    * written into the dir before it becomes visible — the data-skipping
+    * layer next to Hive partitioning and Z-order (which cluster; this
+    * PRUNES). Costs one extra scan of the newly written data at commit
+    * time — O(batch), never O(table). */
   private def writeData(spark: SparkSession, root: String, table: String,
-      df: DataFrame): String = {
+      df: DataFrame, statsCols: Seq[String] = Seq.empty): String = {
     require(table.nonEmpty && !table.exists(c => c == '/' || c == '\t' || c == '\n'),
       s"snapshot: invalid table name '$table'")
     val rel = s"$DataDir/$table/${UUID.randomUUID().toString}"
     df.write.parquet(new Path(root, rel).toString)
+    if (statsCols.nonEmpty) writeStats(spark, root, rel, statsCols)
     rel
+  }
+
+  /** Sidecar name: the underscore prefix makes Spark's parquet reader
+    * treat it as a hidden file, so data reads never see it. */
+  private val StatsName = "_graft_stats"
+
+  /** Column types the skipping stats support: ordering of the serialized
+    * min/max must be reconstructible engine-independently. Dates
+    * serialize ISO (lexicographic == chronological); numerics re-parse. */
+  private val StatsTypes = Set("tinyint", "smallint", "int", "bigint",
+    "float", "double", "string", "date")
+
+  private def statsPath(root: String, rel: String): Path =
+    new Path(new Path(root, rel), StatsName)
+
+  /** Derive per-file min/max for `cols` from the (just-written, still
+    * invisible) data dir and persist them next to the data. One
+    * aggregate over `_metadata.file_name` — map-side combined, collects
+    * O(files × cols) rows. */
+  private def writeStats(spark: SparkSession, root: String, rel: String,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val d = spark.read.parquet(new Path(root, rel).toString)
+    cols.foreach { c =>
+      val t = d.schema(c).dataType.simpleString
+      require(StatsTypes.contains(t),
+        s"snapshot stats: column '$c' has unsupported type $t (supported: ${StatsTypes.mkString(", ")})")
+    }
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val rows = d.groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val types = cols.map(c => c -> d.schema(c).dataType.simpleString).toMap
+    def enc(v: Any): String =
+      java.net.URLEncoder.encode(String.valueOf(v), UTF_8.name())
+    val lines = rows.flatMap { r =>
+      val f = r.getAs[String]("__f")
+      cols.flatMap { c =>
+        val lo = r.getAs[Any](s"__min_$c")
+        val hi = r.getAs[Any](s"__max_$c")
+        // an all-NULL file has no usable bounds: no line → never pruned
+        if (lo == null || hi == null) None
+        else Some(s"${enc(f)}\t${enc(c)}\t${types(c)}\t${enc(lo)}\t${enc(hi)}")
+      }
+    }
+    val fs = fsOf(spark, root)
+    val out = fs.create(statsPath(root, rel), false)
+    try out.write((Header +: lines.toSeq :+ s"END ${lines.length}").mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** (file name → (min, max)) for `column`, parsed from the sidecar; None
+    * when the sidecar is absent/torn or carries nothing for the column —
+    * callers MUST then fall back to reading everything. */
+  private def fileStats(fs: FileSystem, root: String, rel: String,
+      column: String): Option[Map[String, (String, String, String)]] = {
+    val p = statsPath(root, rel)
+    if (!fs.exists(p)) return None
+    val text =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, UTF_8.name()).mkString
+        finally in.close()
+      } catch { case _: IOException => return None }
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != Header) return None
+    if (!lines.last.startsWith("END ")) return None
+    def dec(s: String): String = java.net.URLDecoder.decode(s, UTF_8.name())
+    val entries = lines.tail.init.map(_.split("\t", -1)).collect {
+      case Array(f, c, t, lo, hi) if dec(c) == column => dec(f) -> ((t, dec(lo), dec(hi)))
+    }
+    if (entries.isEmpty) None else Some(entries.toMap)
+  }
+
+  /** Read `table` (at `version`, or the newest commit) keeping only the
+    * files whose recorded [min, max] for `column` intersects [lo, hi] —
+    * manifest-level data skipping, the pruning layer partition dirs and
+    * Z-order clustering don't give a plain-parquet snapshot. The result
+    * may still contain non-matching rows from kept files: apply the
+    * exact predicate on top (this method only SKIPS, it never filters).
+    * Skipping is sound ONLY for range predicates on `column`: files
+    * whose `column` values are all NULL are skipped (min/max ignore
+    * NULLs, and NULL satisfies no range) — do not use the result to
+    * answer IS NULL queries. Falls back to the full read when the commit
+    * recorded no stats for `column` — pruning is an optimization, never
+    * a correctness gate. */
+  def readPruned(spark: SparkSession, root: String, table: String,
+      column: String, lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val byName = version.map(v => tablesAt(spark, root, v))
+      .getOrElse(tables(spark, root))
+    val path = byName.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"snapshot: no table '$table' at $root (have: ${byName.keys.toSeq.sorted.mkString(", ")})"))
+    val fs = fsOf(spark, root)
+    val rel = new Path(path).toString.stripPrefix(new Path(root).toString).stripPrefix("/")
+    fileStats(fs, root, rel, column) match {
+      case None => spark.read.parquet(path)
+      case Some(stats) =>
+        def cmp(t: String, a: String, b: String): Int = t match {
+          case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
+          case "float" | "double" => a.toDouble.compareTo(b.toDouble)
+          case _ => a.compareTo(b) // string, date (ISO): lexicographic
+        }
+        val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
+        val kept = stats.collect {
+          case (f, (t, mn, mx)) if cmp(t, mx, loS) >= 0 && cmp(t, mn, hiS) <= 0 => f
+        }.toSeq.sorted
+        if (kept.isEmpty)
+          spark.read.parquet(path).filter(org.apache.spark.sql.functions.lit(false))
+        else
+          spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+    }
   }
 
   /** How long a committer waits for an in-flight claim on its target

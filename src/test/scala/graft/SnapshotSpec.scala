@@ -165,6 +165,48 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.commit(spark, root, Map("t" -> Seq((4L, 4)).toDF("id", "v"))) == 4L)
   }
 
+  test("data-skipping stats prune files on a selective range read") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // 8 range-partitioned files → disjoint id ranges per file
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("payload", col("id") * 2)
+      .repartitionByRange(8, col("id"))
+    Snapshot.commit(spark, root, Map("t" -> df),
+      statsCols = Map("t" -> Seq("id")))
+    val full = Snapshot.read(spark, root, "t")
+    assert(full.inputFiles.length == 8)
+    val pruned = Snapshot.readPruned(spark, root, "t", "id", 100L, 120L)
+    // a 21-value range intersects 1-2 of the 8 disjoint file ranges
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"expected fewer than ${full.inputFiles.length} files, got ${pruned.inputFiles.length}")
+    // skipping is lossless: every matching row is still there
+    assert(pruned.filter(col("id").between(100, 120)).count() == 21L)
+    // an out-of-domain range prunes everything and stays a typed frame
+    val none = Snapshot.readPruned(spark, root, "t", "id", 5000L, 6000L)
+    assert(none.count() == 0L && none.columns.toSeq == Seq("id", "payload"))
+    // no stats for the column → sound fallback to the full file set
+    val fallback = Snapshot.readPruned(spark, root, "t", "payload", 0L, 10L)
+    assert(fallback.inputFiles.length == full.inputFiles.length)
+  }
+
+  test("data-skipping stats survive time travel and vacuum respects them") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root,
+      Map("t" -> spark.range(0, 100).toDF("id").repartitionByRange(4, col("id"))),
+      statsCols = Map("t" -> Seq("id")))
+    Snapshot.commit(spark, root,
+      Map("t" -> spark.range(1000, 1100).toDF("id").repartitionByRange(4, col("id"))),
+      statsCols = Map("t" -> Seq("id")))
+    // pinned-version pruned read resolves the OLD data dir's sidecar
+    val pinned = Snapshot.readPruned(spark, root, "t", "id", 0L, 10L, version = Some(v1))
+    assert(pinned.filter(col("id").between(0, 10)).count() == 11L)
+    assert(pinned.inputFiles.length < 4)
+    // HEAD's domain doesn't include v1's ids
+    assert(Snapshot.readPruned(spark, root, "t", "id", 0L, 10L).count() == 0L)
+  }
+
   test("runTransactional loads the 4-table warehouse in one snapshot commit") {
     val out = freshRoot()
     val res = Pipeline.runTransactional(spark, "/root/reference/data", out)
