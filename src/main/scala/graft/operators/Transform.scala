@@ -90,4 +90,30 @@ object Transform {
     df.join(
       clusters.filter(col(idCol) =!= col("cluster_id")).select(idCol),
       Seq(idCol), "left_anti")
+
+  /** Context-window chunking: split each document into `size`-character
+    * chunks whose starts step by `size - overlap`, so consecutive chunks
+    * share `overlap` characters — the doc→model-input map a fixed-context
+    * trainer (or RAG indexer) consumes. The last chunk may be shorter;
+    * docs shorter than `size` yield one whole-doc chunk; empty/NULL docs
+    * yield none. A PURE MAP + in-row explode — chunk starts come from
+    * `sequence(0, len-1, stride)`, nothing shuffles, and every output
+    * row is a result row, so at 100 TB the cost is exactly one scan and
+    * proportional output. Returns (idCol, chunk_id, chunk_start,
+    * chunk_text), chunk_id dense from 0 per doc. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0, s"size must be positive, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap for size $size")
+    val stride = (size - overlap).toLong
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0L), length(col(textCol)).cast("long") - 1,
+          lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_start"),
+        col(textCol).substr(col("col").cast("int") + 1, lit(size)).as("chunk_text"))
+  }
 }

@@ -366,6 +366,17 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_chunks — context-window chunking (Transform.chunkDocs): every
+    * document cut into 512-char chunks with a 64-char overlap (stride
+    * 448). Pure map + in-row explode; the oracle regenerates the same
+    * starts with range() and substr (the corpus is BMP-only, so char
+    * positions agree between the engines). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Transform.chunkDocs(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", size = 512, overlap = 64)
+      .orderBy("doc_id", "chunk_id")
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
@@ -798,6 +809,15 @@ object DocQueries {
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_simhash64_pairs" -> simhash64PairsOracle,
     "doc_winnow" -> winnowOracle,
+    "doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+        |s AS (SELECT doc_id, text, unnest(range(0, CAST(length(text) AS BIGINT), 448)) AS st
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(st // 448 AS BIGINT) AS chunk_id,
+        |       CAST(st AS BIGINT) AS chunk_start,
+        |       substr(text, CAST(st + 1 AS BIGINT), 512) AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_jsonl" ->
       """SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS text_bytes
         |FROM documents WHERE doc_id % 50 <> 0
@@ -837,6 +857,7 @@ object DocQueries {
     "doc_simhash64_pairs" -> docSimhash64Pairs _,
     "doc_winnow" -> docWinnow _,
     "doc_jsonl" -> docJsonl _,
+    "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,
   )
 }

@@ -92,6 +92,30 @@ class TransformSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("chunkDocs: overlapped chunks cover and reconstruct the document") {
+    val docs = Seq(
+      (1L, "abcdefghij"),   // 10 chars, size 4 / overlap 1 → starts 0,3,6,9
+      (2L, "xy"),           // shorter than size → one whole-doc chunk
+      (3L, ""),             // empty → no chunks
+      (4L, null: String)    // null → no chunks
+    ).toDF("doc_id", "text")
+    val got = Transform.chunkDocs(docs, "doc_id", "text", size = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).toSeq ==
+      Seq((0L, 0L, "abcd"), (1L, 3L, "defg"), (2L, 6L, "ghij"), (3L, 9L, "j")))
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq == Seq("xy"))
+    assert(!got.exists(t => t._1 == 3L || t._1 == 4L))
+    // reconstruction: drop each non-first chunk's overlap prefix, concat
+    val rebuilt = got.filter(_._1 == 1L).map { case (_, cid, _, txt) =>
+      if (cid == 0L) txt else txt.drop(1)
+    }.mkString
+    assert(rebuilt == "abcdefghij")
+    intercept[IllegalArgumentException](
+      Transform.chunkDocs(docs, "doc_id", "text", size = 4, overlap = 4))
+  }
+
   test("upsert row count = |target keys ∪ stage keys| (randomized)") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 5) {
