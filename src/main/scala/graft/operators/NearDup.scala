@@ -163,23 +163,57 @@ object NearDup {
     * recomputing. Callers needing durability should write the result to
     * a table immediately; the pair set is tiny relative to the input. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
-    // Shuffle inventory of this pipeline (the 100 TB story):
-    //   1. signature aggregate — map-side combined, ships numHashes mins
-    //      per doc per partition (the shingle rows themselves NEVER cross
-    //      the wire: in-row array_distinct replaced the old corpus-wide
-    //      explode→distinct exchange, which was the dominant cost);
-    //   2. band self-join — bands rows per doc;
-    //   3. verify joins — ONE distinct-shingle-ARRAY row per candidate
-    //      doc (not per shingle); Jaccard is in-row array_intersect.
-    // The signatures feed both sides of the band self-join → persist
-    // EAGERLY (count) or the subtree executes twice and concurrent
-    // subtrees race the unpopulated cache (MLlib's ALS pattern).
-    // CACHE LIFECYCLE: scoped to this call — the final pair result is
-    // materialized with localCheckpoint (lineage truncated off the
-    // cache), so the persist is released before returning. Lost blocks
-    // of the (tiny) result can't recompute; durability-critical callers
-    // should write it to a table.
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame =
+    verifiedPairs(df, idCol, textCol, shingleN, numHashes, bands)(
+      (arrs, cand) => verifyJaccard(arrs, cand, idCol))
+
+  /** MinHash-candidate pairs with CONTAINMENT metrics: containment_a =
+    * |A∩B| / |A| and containment_b = |A∩B| / |B| next to the symmetric
+    * jaccard. Containment is the asymmetric near-dup notion — a short
+    * document quoted or templated inside a longer one scores near 1.0
+    * on the short side while jaccard (diluted by the union) stays low —
+    * the right detector for quote/boilerplate/subset duplication.
+    * `minContainment` keeps pairs whose GREATER side reaches it (0.0 =
+    * all candidates). Same LSH candidate generation, shuffle inventory,
+    * and eager-checkpoint execution semantics as [[minhashPairs]];
+    * candidates where one side's shingles vanish can't occur (shingle-
+    * free docs never produce signatures). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      minContainment: Double = 0.0,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame =
+    verifiedPairs(df, idCol, textCol, shingleN, numHashes, bands) { (arrs, cand) =>
+      verifyOverlap(arrs, cand, idCol)
+        .select(col("doc_a"), col("doc_b"),
+          (col("__nc").cast("double") / col("__na")).as("containment_a"),
+          (col("__nc").cast("double") / col("__nb")).as("containment_b"),
+          (col("__nc").cast("double") /
+            (col("__na") + col("__nb") - col("__nc"))).as("jaccard"))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+    }
+
+  /** Shared LSH front half + verify scaffold of [[minhashPairs]] /
+    * [[containmentPairs]]: shingle → minhash → band candidates, then
+    * `verify(candidate shingle arrays, candidate pairs)`.
+    *
+    * Shuffle inventory of this pipeline (the 100 TB story):
+    *   1. signature aggregate — map-side combined, ships numHashes mins
+    *      per doc per partition (the shingle rows themselves NEVER cross
+    *      the wire: in-row array_distinct replaced the old corpus-wide
+    *      explode→distinct exchange, which was the dominant cost);
+    *   2. band self-join — bands rows per doc;
+    *   3. verify joins — ONE distinct-shingle-ARRAY row per candidate
+    *      doc (not per shingle); the set metrics are in-row.
+    * The signatures feed both sides of the band self-join → persist
+    * EAGERLY (count) or the subtree executes twice and concurrent
+    * subtrees race the unpopulated cache (MLlib's ALS pattern).
+    * CACHE LIFECYCLE: scoped to this call — the final pair result is
+    * materialized with localCheckpoint (lineage truncated off the
+    * cache), so the persist is released before returning. Lost blocks
+    * of the (tiny) result can't recompute; durability-critical callers
+    * should write it to a table. */
+  private def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int)
+      (verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sigs = minhashSignatures(shingleSets(df, idCol, textCol, shingleN),
         idCol, numHashes)
@@ -195,7 +229,7 @@ object NearDup {
         // sides — checkpoint so the pruned scan runs once.
         val arrs = candShingleArrays(df, cand, idCol, textCol, shingleN)
           .localCheckpoint(true)
-        try verifyJaccard(arrs, cand, idCol).localCheckpoint(true)
+        try verify(arrs, cand).localCheckpoint(true)
         finally freeCheckpoint(arrs)
       } finally freeCheckpoint(cand)
     } finally sigs.unpersist(false)
@@ -278,21 +312,26 @@ object NearDup {
       idCol, textCol, n)
   }
 
-  /** Exact Jaccard for the candidate pairs from per-doc distinct shingle
-    * arrays: two equi-joins attach each side's array, then intersection
-    * and union sizes are computed IN THE ROW (array_intersect — no
-    * shingle-level join, no per-pair aggregate). */
-  private def verifyJaccard(arrs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+  /** Exact set-overlap sizes for the candidate pairs from per-doc
+    * distinct shingle arrays: two equi-joins attach each side's array,
+    * then intersection and side sizes are computed IN THE ROW
+    * (array_intersect — no shingle-level join, no per-pair aggregate).
+    * Returns (doc_a, doc_b, __nc, __na, __nb). */
+  private def verifyOverlap(arrs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     pairs
       .join(arrs.select(col(idCol).as("doc_a"), col("shingles").as("__sha")), "doc_a")
       .join(arrs.select(col(idCol).as("doc_b"), col("shingles").as("__shb")), "doc_b")
-      // the intersection size is projected ONCE (referenced twice below —
-      // CollapseProject won't re-inline a multiply-referenced non-cheap
-      // expression, so array_intersect runs once per pair)
+      // the intersection size is projected ONCE (referenced repeatedly
+      // downstream — CollapseProject won't re-inline a multiply-
+      // referenced non-cheap expression, so array_intersect runs once)
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("__nc"),
         size(col("__sha")).cast("long").as("__na"),
         size(col("__shb")).cast("long").as("__nb"))
+
+  /** Exact Jaccard from the overlap sizes. */
+  private def verifyJaccard(arrs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    verifyOverlap(arrs, pairs, idCol)
       .select(col("doc_a"), col("doc_b"),
         (col("__nc").cast("double") /
           (col("__na") + col("__nb") - col("__nc"))).as("jaccard"))

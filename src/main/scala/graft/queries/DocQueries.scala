@@ -143,6 +143,16 @@ object DocQueries {
         bits = 64, bands = 8, maxHamming = 5)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_containment_pairs — the ASYMMETRIC near-dup metric over the
+    * same LSH candidates as doc_minhash_pairs: containment_a = |A∩B|/|A|
+    * scores a short doc quoted/templated inside a longer one near 1.0
+    * where jaccard (diluted by the union) stays low. All candidates
+    * returned (threshold 0) so the gate checks every metric value. */
+  def docContainmentPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text",
+        minContainment = 0.0)
+      .orderBy("doc_a", "doc_b")
+
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
     * on md5(doc_id): stable across runs, engines, and partitionings. */
   def docHashSample(spark: SparkSession, dir: String): DataFrame =
@@ -511,6 +521,25 @@ object DocQueries {
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Containment oracle: the same candidate/overlap CTEs, with the
+    * per-side ratios next to jaccard. */
+  private val containmentOracle: String =
+    s"""WITH ${candCtes()},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |common AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+       |           FROM pairs p
+       |           JOIN sh sa ON sa.doc_id = p.doc_a
+       |           JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+       |           GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(n_common AS DOUBLE) / za.n_sh AS containment_a,
+       |       CAST(n_common AS DOUBLE) / zb.n_sh AS containment_b,
+       |       CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common) AS jaccard
+       |FROM common c
+       |JOIN sizes za ON za.doc_id = c.doc_a
+       |JOIN sizes zb ON zb.doc_id = c.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Connected components of the jaccard>=0.5 pair graph as a recursive
     * reachability closure: min reachable doc_id = cluster id — the same
     * fixpoint NearDup.connectedComponents' label propagation reaches. */
@@ -711,6 +740,7 @@ object DocQueries {
          |       MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
+    "doc_containment_pairs" -> containmentOracle,
     "doc_dup_clusters" -> dupClustersOracle,
     "doc_dedup_corpus" ->
       s"""WITH RECURSIVE ${pairCtes()},
@@ -842,6 +872,7 @@ object DocQueries {
     "doc_lang_id" -> docLangId _,
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
+    "doc_containment_pairs" -> docContainmentPairs _,
     "doc_dup_clusters" -> docDupClusters _,
     "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,

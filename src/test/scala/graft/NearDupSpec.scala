@@ -31,6 +31,30 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
   }
 
+  test("containmentPairs: a quoted subset scores ~1.0 containment, low jaccard") {
+    // doc 11 is the first third of doc 10: every shingle of 11 is in 10,
+    // so containment on the short side = 1.0 while jaccard is diluted
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val cdocs = Seq((10L, long), (11L, short)).toDF("doc_id", "text")
+    val got = NearDup.containmentPairs(cdocs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"),
+        r.getAs[Double]("jaccard")))
+    assert(got.length == 1)
+    val (a, b, ca, cb, j) = got.head
+    assert(a == 10L && b == 11L)
+    assert(cb == 1.0, s"short side fully contained, got $cb")   // |A∩B|/|B|
+    assert(ca < 0.5 && j < 0.5, s"long side diluted: ca=$ca j=$j")
+    // threshold keeps the pair via its GREATER side
+    assert(NearDup.containmentPairs(cdocs, "doc_id", "text", minContainment = 0.9)
+      .count() == 1L)
+    // ... and drops it when neither side reaches an impossible bar
+    assert(NearDup.containmentPairs(cdocs, "doc_id", "text", minContainment = 1.01)
+      .count() == 0L)
+  }
+
   test("minhash pair pipeline plan is banded: no cartesian, no nested-loop join") {
     // Assert on the pre-checkpoint pipeline: minhashPairs itself returns a
     // localCheckpoint'd frame whose executedPlan is just a block scan, so
