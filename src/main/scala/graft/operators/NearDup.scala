@@ -132,15 +132,7 @@ object NearDup {
     * candidate pair (id_a < id_b). The join is an equi-join on
     * (band, bandHash) — never a cartesian product. */
   def candidatePairs(sigs: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame = {
-    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
-    val bandHashes = (0 until bands).map { b =>
-      md5(concat_ws("|",
-          (b * rows until (b + 1) * rows).map(i => col(s"sig_$i").cast("string")): _*)
-        .cast("binary"))
-    }
-    val banded = sigs.select(col(idCol), posexplode(array(bandHashes: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val banded = bandedSigs(sigs, idCol, numHashes, bands)
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -149,6 +141,22 @@ object NearDup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
+  }
+
+  /** (id, band, band_hash) rows of a signature frame — the LSH bucket
+    * keys both the self-join ([[candidatePairs]]) and the cross-corpus
+    * join ([[dedupeAgainst]]) equi-join on. */
+  private def bandedSigs(sigs: DataFrame, idCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val bandHashes = (0 until bands).map { b =>
+      md5(concat_ws("|",
+          (b * rows until (b + 1) * rows).map(i => col(s"sig_$i").cast("string")): _*)
+        .cast("binary"))
+    }
+    sigs.select(col(idCol), posexplode(array(bandHashes: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
   }
 
   /** Full near-dup pipeline: shingle → minhash → band candidates →
@@ -463,6 +471,76 @@ object NearDup {
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
     freeCheckpoint(pairs)
     cc.select(col("id").as(idCol), col("component").as("cluster_id"))
+  }
+
+  /** INCREMENTAL dedup: the rows of `batch` that are neither exact nor
+    * near duplicates of anything in `corpus` — how a continuously-built
+    * corpus absorbs new data WITHOUT recomputing its own internal pairs
+    * (the corpus-internal C(n,2) work of [[dupClusters]] never happens;
+    * only CROSS candidates are generated and verified).
+    *
+    *  1. exact: batch rows whose normalized fingerprint exists in the
+    *     corpus are dropped via one anti-join (the corpus side reduces
+    *     to its distinct fingerprint set — broadcastable);
+    *  2. near: corpus and surviving-batch minhash signatures meet in an
+    *     LSH band EQUI-JOIN (corpus bands × batch bands — never a self-
+    *     join over the union, so candidate volume is driven by cross
+    *     collisions only), candidates are verified with exact in-row
+    *     Jaccard, and batch docs with any partner >= `minJaccard` drop.
+    *
+    * Batch-INTERNAL duplicates are out of scope by design — run the
+    * batch through exact dedup / [[dupClusters]] first (the curation
+    * order); this operator is the cross-corpus gate that follows.
+    * At production scale the corpus signatures/bands would be PERSISTED
+    * as a table and maintained incrementally — this derivation costs
+    * one corpus scan; the shape of the join work is unchanged.
+    * Same eager-checkpoint execution semantics as [[minhashPairs]]. */
+  def dedupeAgainst(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cfp = corpus.select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
+    val survivors = batch
+      .withColumn("__fp", Text.fingerprint(col(textCol)))
+      .join(cfp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    val cSigs = minhashSignatures(shingleSets(corpus, idCol, textCol, shingleN),
+        idCol, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
+    val bSigs = minhashSignatures(shingleSets(survivors, idCol, textCol, shingleN),
+        idCol, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
+    cSigs.count(); bSigs.count()
+    try {
+      val cand = bandedSigs(cSigs, idCol, numHashes, bands)
+        .withColumnRenamed(idCol, "__corpus_id")
+        .join(bandedSigs(bSigs, idCol, numHashes, bands)
+            .withColumnRenamed(idCol, "__batch_id"),
+          Seq("band", "band_hash"))
+        .select(col("__corpus_id"), col("__batch_id"))
+        .distinct()
+        .localCheckpoint(true)
+      try {
+        val cArrs = shingleArrays(
+          corpus.join(broadcast(cand.select(col("__corpus_id").as(idCol)).distinct()),
+            Seq(idCol), "left_semi"), idCol, textCol, shingleN)
+        val bArrs = shingleArrays(
+          survivors.join(broadcast(cand.select(col("__batch_id").as(idCol)).distinct()),
+            Seq(idCol), "left_semi"), idCol, textCol, shingleN)
+        val dupIds = cand
+          .join(cArrs.select(col(idCol).as("__corpus_id"), col("shingles").as("__sha")),
+            "__corpus_id")
+          .join(bArrs.select(col(idCol).as("__batch_id"), col("shingles").as("__shb")),
+            "__batch_id")
+          .select(col("__batch_id"),
+            size(array_intersect(col("__sha"), col("__shb"))).cast("long").as("__nc"),
+            size(col("__sha")).cast("long").as("__na"),
+            size(col("__shb")).cast("long").as("__nb"))
+          .filter(col("__nc").cast("double") /
+            (col("__na") + col("__nb") - col("__nc")) >= minJaccard)
+          .select(col("__batch_id").as(idCol))
+          .distinct()
+        survivors.join(dupIds, Seq(idCol), "left_anti").localCheckpoint(true)
+      } finally freeCheckpoint(cand)
+    } finally { cSigs.unpersist(false); bSigs.unpersist(false) }
   }
 
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's

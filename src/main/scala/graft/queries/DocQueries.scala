@@ -153,6 +153,22 @@ object DocQueries {
         minContainment = 0.0)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_dedupe_incremental — batch-vs-corpus dedup
+    * (NearDup.dedupeAgainst): corpus = even doc_ids, batch = odd; the
+    * surviving batch rows are the odd docs that are neither exact-
+    * fingerprint nor verified-near duplicates of any EVEN doc. Corpus-
+    * internal pairs are never generated — the continuous-ingestion
+    * shape. */
+  def docDedupeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    NearDup.dedupeAgainst(
+        d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", minJaccard = 0.5)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
     * on md5(doc_id): stable across runs, engines, and partitionings. */
   def docHashSample(spark: SparkSession, dir: String): DataFrame =
@@ -540,6 +556,39 @@ object DocQueries {
        |JOIN sizes zb ON zb.doc_id = c.doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Incremental-dedup oracle: the full-corpus band CTEs restricted to
+    * CROSS-parity candidate pairs (corpus = even ids, batch = odd), the
+    * same verified-jaccard cut, plus the exact fingerprint anti-set.
+    * Near-drops computed for exact-dropped batch docs coincide with the
+    * exact drop, so the survivor set matches the operator (which only
+    * bands exact-survivors) by construction. */
+  private val dedupeIncrementalOracle: String =
+    s"""WITH ${candCtes()},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |xp AS (SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS corpus_id,
+       |              CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS batch_id
+       |       FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)),
+       |xc AS (SELECT x.corpus_id, x.batch_id, COUNT(*) AS n_common
+       |       FROM xp x
+       |       JOIN sh sa ON sa.doc_id = x.corpus_id
+       |       JOIN sh sb ON sb.doc_id = x.batch_id AND sb.shingle = sa.shingle
+       |       GROUP BY 1, 2),
+       |neardrop AS (SELECT DISTINCT c.batch_id
+       |             FROM xc c
+       |             JOIN sizes za ON za.doc_id = c.corpus_id
+       |             JOIN sizes zb ON zb.doc_id = c.batch_id
+       |             WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)
+       |                   >= CAST(0.5 AS DOUBLE)),
+       |fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+       |exactdrop AS (SELECT DISTINCT b.doc_id FROM fp b
+       |              JOIN fp c ON c.fp = b.fp AND c.doc_id % 2 = 0
+       |              WHERE b.doc_id % 2 = 1)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id % 2 = 1
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM exactdrop)
+       |  AND d.doc_id NOT IN (SELECT batch_id FROM neardrop)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Connected components of the jaccard>=0.5 pair graph as a recursive
     * reachability closure: min reachable doc_id = cluster id — the same
     * fixpoint NearDup.connectedComponents' label propagation reaches. */
@@ -741,6 +790,7 @@ object DocQueries {
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
     "doc_containment_pairs" -> containmentOracle,
+    "doc_dedupe_incremental" -> dedupeIncrementalOracle,
     "doc_dup_clusters" -> dupClustersOracle,
     "doc_dedup_corpus" ->
       s"""WITH RECURSIVE ${pairCtes()},
@@ -873,6 +923,7 @@ object DocQueries {
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_containment_pairs" -> docContainmentPairs _,
+    "doc_dedupe_incremental" -> docDedupeIncremental _,
     "doc_dup_clusters" -> docDupClusters _,
     "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,

@@ -55,6 +55,29 @@ class NearDupSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("dedupeAgainst drops exact and near corpus-dups, keeps fresh batch docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about distributed query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact dup of corpus 1 modulo case/punctuation → exact-fingerprint drop
+      (10L, "The QUICK brown fox jumps over the lazy dog near the river bank today!"),
+      // near-dup of corpus 1 (one word changed) → verified-jaccard drop
+      (11L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      // fresh content → survives
+      (12L, "a genuinely novel document about streaming watermarks and state stores"),
+      // batch-INTERNAL dup of 12 → ALSO survives (cross-corpus gate only)
+      (13L, "a genuinely novel document about streaming watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val kept = NearDup.dedupeAgainst(corpus, batch, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 13L), s"got $kept")
+    // empty corpus: everything survives
+    assert(NearDup.dedupeAgainst(corpus.limit(0), batch, "doc_id", "text")
+      .count() == 4L)
+  }
+
   test("minhash pair pipeline plan is banded: no cartesian, no nested-loop join") {
     // Assert on the pre-checkpoint pipeline: minhashPairs itself returns a
     // localCheckpoint'd frame whose executedPlan is just a block scan, so
