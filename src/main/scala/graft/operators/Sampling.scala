@@ -59,6 +59,34 @@ object Sampling {
     df.filter(bucket < thr)
   }
 
+  /** Deterministic disjoint corpus SPLITS (train/val/test): each row is
+    * labeled by where its md5(id) bucket (0..255) falls among the
+    * cumulative split widths — e.g. `Seq("train" -> 240, "val" -> 8,
+    * "test" -> 8)` sends ~93.75% / ~3.125% / ~3.125%. Same contract
+    * family as [[hashSample]]: a pure per-row expression (no shuffle,
+    * one scan, any engine agrees), splits are EXHAUSTIVE and DISJOINT
+    * by construction, and membership is stable across runs/engines/
+    * repartitioning — the property that keeps eval sets leak-free as
+    * the corpus regenerates. Widths must sum to 256. Appends
+    * `splitCol`; also note bucket order is fixed, so widening train at
+    * val's expense MOVES only boundary buckets (ablations stay
+    * comparable). */
+  def splitCorpus(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitCorpus: at least one split required")
+    require(splits.map(_._2).forall(_ > 0), s"split widths must be positive: $splits")
+    require(splits.map(_._2).sum == 256,
+      s"split widths must sum to 256 (got ${splits.map(_._2).sum}): $splits")
+    require(splits.map(_._1).distinct.size == splits.size, s"duplicate split names: $splits")
+    val bucket = conv(substring(hashKey(col(idCol)), 1, 2), 16, 10).cast("int")
+    val cumulative = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cumulative).init.foldRight(
+        lit(splits.last._1): Column) {
+      case (((name, _), upper), acc) => when(bucket < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** Global deterministic shuffle with batch assignment: orders the
     * dataset by md5(id) (a reproducible pseudo-random permutation),
     * assigns a contiguous 0-based `shuffle_idx`, and groups every

@@ -187,6 +187,15 @@ object DocQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** doc_splits — deterministic disjoint train/val/test labeling
+    * (Sampling.splitCorpus, 240/8/8 of 256 md5 buckets): exhaustive,
+    * disjoint, stable across runs/engines/partitionings — the leak-free
+    * eval-split contract. */
+  def docSplits(spark: SparkSession, dir: String): DataFrame =
+    Sampling.splitCorpus(Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", Seq("train" -> 240, "val" -> 8, "test" -> 8))
+      .orderBy("doc_id")
+
   /** doc_shuffle_batches — global deterministic training shuffle:
     * md5-keyed permutation, contiguous shuffle_idx (range-sort +
     * zipWithIndex, no single-partition window), 100-row batches. */
@@ -814,6 +823,14 @@ object DocQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) <
         |      CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END
         |ORDER BY doc_id""".stripMargin,
+    "doc_splits" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 240
+        |         THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 248
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_shuffle_batches" ->
       """WITH keyed AS (
         |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key FROM documents
@@ -928,6 +945,7 @@ object DocQueries {
     "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,
     "doc_stratified_sample" -> docStratifiedSample _,
+    "doc_splits" -> docSplits _,
     "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_decontam" -> docDecontam _,
     "doc_pack" -> docPack _,

@@ -55,6 +55,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedSample(strat, "id", "lang", Map("en" -> 300), 0))
   }
 
+  test("splitCorpus: exhaustive disjoint splits, stable, nested with hashSample") {
+    val docs = spark.range(0, 2000).toDF("id")
+    val split = Sampling.splitCorpus(docs, "id",
+      Seq("train" -> 240, "val" -> 8, "test" -> 8))
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive: every row labeled, exactly one label per row
+    assert(byLabel.values.sum == 2000L)
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // roughly proportional (train ~93.75%)
+    assert(byLabel("train") > 1700L && byLabel("val") < 150L && byLabel("test") < 150L)
+    // stable across repartitioning
+    val again = Sampling.splitCorpus(docs.repartition(13), "id",
+        Seq("train" -> 240, "val" -> 8, "test" -> 8))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+    // bucket-order nesting: the train split contains hashSample(threshold<=240)
+    val sampled = Sampling.hashSample(docs, "id", 64).collect().map(_.getLong(0)).toSet
+    assert(sampled.forall(id => first(id) == "train"))
+    intercept[IllegalArgumentException](
+      Sampling.splitCorpus(docs, "id", Seq("a" -> 100, "b" -> 100)))
+    intercept[IllegalArgumentException](
+      Sampling.splitCorpus(docs, "id", Seq("a" -> 256, "a" -> 0)))
+  }
+
   test("shuffleBatches: contiguous index, md5 order, full batches, stable") {
     val out = Sampling.shuffleBatches(rows, "id", batchSize = 64)
       .orderBy("shuffle_idx").collect()
