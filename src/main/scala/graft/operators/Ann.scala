@@ -119,6 +119,31 @@ object Ann {
       planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame =
     topKAgg(lshPaired(df, idCol, vecCol, planes, probePred), k)
 
+  /** Metadata-FILTERED LSH top-k: like [[knnLsh]], but only candidates
+    * satisfying `candPred` are searchable — the "top-k among docs with
+    * lang='en' / license=permissive / date>cutoff" shape every vector
+    * store serves. Both predicates evaluate BEFORE the metadata columns
+    * are projected away (so they may reference any input column), and
+    * the candidate filter lands in the scan (pushdown-eligible) — the
+    * filtered-out rows never reach the bucket join, which is cheaper
+    * than post-filtering neighbors AND returns a full k whenever k
+    * matches exist in the probe's bucket (post-filtering could return
+    * fewer). Probes need not satisfy `candPred` themselves. */
+  def knnLshFiltered(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], probePred: Column, candPred: Column, k: Int): DataFrame = {
+    val marked = df.select(col(idCol), quantize(col(vecCol)).as("__q"),
+        probePred.as("__probe"), candPred.as("__cand"))
+      .withColumn("__n", dotQ(col("__q"), col("__q")))
+      .withColumn("__bucket", lshBucket(col("__q"), planes))
+    val probes = marked.filter(col("__probe"))
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
+        col("__n").as("__pn"), col("__bucket"))
+    val cands = marked.filter(col("__cand"))
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn"), col("__bucket"))
+    topKAgg(cands.join(broadcast(probes), "__bucket"), k)
+  }
+
   /** The row_number-window form of [[knnLsh]] — shuffles EVERY scored
     * candidate to its probe's partition before ranking, so it exists only
     * as the oracle-parity variant (its shape mirrors the ROW_NUMBER oracle

@@ -68,6 +68,12 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** Metadata-filtered search: neighbors restricted to even labels. */
+  def embKnnFiltered(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnLshFiltered(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        Planes, col("vec_id") < ProbeMax, col("label") % 2 === 0, K)
+      .orderBy("probe_id", "rank")
+
   private val KmeansK = 4
   private val KmeansIters = 2
 
@@ -126,6 +132,17 @@ object VectorQueries {
        |        ${dotSql("c.qv", "c.qv")} AS nn
        |      FROM b a JOIN b c ON a.bucket = c.bucket
        |      WHERE a.vec_id < $ProbeMax AND c.vec_id <> a.vec_id)""".stripMargin)
+
+  /** Filtered-LSH oracle: the lshOracle pair source with the candidate
+    * metadata predicate (probes exempt). */
+  private val lshFilteredOracle: String = knnOracle(
+    s"""b AS (SELECT vec_id, label, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket
+       |      WHERE a.vec_id < $ProbeMax AND c.vec_id <> a.vec_id AND c.label % 2 = 0)""".stripMargin)
 
   private val nearDupOracle: String =
     s"""WITH $qCte,
@@ -231,6 +248,7 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "emb_kmeans" -> kmeansOracle,
+    "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
@@ -242,6 +260,7 @@ object VectorQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> embKmeans _,
+    "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,

@@ -124,6 +124,28 @@ class AnnSpec extends SparkSpec {
     assert(wide.count() == 5)
   }
 
+  test("knnLshFiltered: neighbors obey the metadata predicate, probes exempt") {
+    val labeled = Seq(
+      (0L, 1, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // probe with ODD label
+      (1L, 0, Array(0.99f, 0.01f, 0.0f, 0.0f)), // even: searchable
+      (2L, 1, Array(0.98f, 0.02f, 0.0f, 0.0f)), // odd: must never appear
+      (3L, 0, Array(0.97f, 0.03f, 0.0f, 0.0f))  // even: searchable
+    ).toDF("vec_id", "label", "embedding")
+    val planes = Ann.hashPlanes(nPlanes = 2, dim = 4)
+    val got = Ann.knnLshFiltered(labeled, "vec_id", "embedding", planes,
+        col("vec_id") === 0, col("label") % 2 === 0, k = 3)
+      .collect()
+    assert(got.nonEmpty, "probe found no even-label neighbors in its bucket")
+    assert(got.forall(r => Set(1L, 3L)(r.getAs[Long]("neighbor_id"))),
+      s"odd-label neighbor leaked: ${got.map(_.getAs[Long]("neighbor_id")).toSeq}")
+    // unfiltered search over the same planes CAN see the odd doc —
+    // proving the filter (not the buckets) excluded it
+    val open = Ann.knnLsh(labeled, "vec_id", "embedding", planes,
+        col("vec_id") === 0, k = 3)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(open.contains(2L), s"bucket layout should admit doc 2: $open")
+  }
+
   test("kmeans converges to the true groups and exact integer centroids") {
     // two tight groups; init = 2 lowest ids, one in each group
     val vecs = Seq(
