@@ -100,6 +100,48 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING corpus ingestion with cross-corpus dedup: each micro-batch
+    * of documents is (1) exact-deduped within itself (min id per
+    * normalized fingerprint — a batch can repeat a doc), (2) deduped
+    * AGAINST the already-published corpus (exact + verified-near, via
+    * [[graft.operators.NearDup.dedupeAgainst]] — corpus-internal pairs
+    * never recomputed), and (3) APPENDED to the corpus parquet dir. The
+    * continuous corpus-building loop: the published corpus only ever
+    * grows by genuinely novel documents.
+    *
+    * Scale: per batch the corpus pays one signature scan + cross-
+    * candidate joins (see dedupeAgainst's scaladoc — at production scale
+    * the corpus signatures would persist as a table and this becomes
+    * O(batch)); the append itself is new files only, no rewrite. NOT
+    * idempotent under batch REPLAY the way the keyed MERGE is: a
+    * replayed batch re-checks against the corpus its first run extended,
+    * finds its own documents there, and drops them — converging content,
+    * though a crash BETWEEN dedup and append can still double-append
+    * within one run (an exactly-once sink needs the snapshot log). */
+  def streamingCorpusIngest(docs: DataFrame, corpusPath: String,
+      idCol: String, textCol: String, minJaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // in-batch exact dedup: keep the min id per fingerprint
+      val fp = graft.functions.Text.fingerprint(col(textCol))
+      val keyed = batch.withColumn("__fp", fp)
+      val canon = keyed.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+      val unique = keyed.join(canon, Seq("__fp", idCol), "left_semi").drop("__fp")
+      val fresh =
+        if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
+          graft.operators.NearDup.dedupeAgainst(
+            spark.read.parquet(corpusPath), unique, idCol, textCol, minJaccard)
+        else unique.localCheckpoint(true)
+      try {
+        if (fresh.count() > 0)
+          fresh.write.mode("append").parquet(corpusPath)
+      } finally graft.operators.Curate.release(fresh)
+      ()
+    }
+
   /** Watermarked STREAM-STREAM interval join: attribute each purchase to
     * the same user's click(s) within the trailing `horizon`
     * (click_ts ∈ [purchase_ts - horizon, purchase_ts]). Both inputs

@@ -172,6 +172,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCorpusIngest appends only novel documents per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val corpus = java.nio.file.Files.createTempDirectory("graft-singest").toString + "/c"
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingCorpusIngest(
+        ms.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .outputMode("append").start()
+    try {
+      // batch 1: two docs + an in-batch exact dup of doc 1 (case-normalized)
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (4L, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today"),
+        (2L, "completely different content about distributed query engines and shuffles"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(after1 == Set(1L, 2L), s"in-batch dup must collapse to min id: $after1")
+      // batch 2: exact dup of 1, near-dup of 1, fresh doc → only fresh lands
+      ms.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (11L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+        (12L, "a genuinely novel document about streaming watermarks and state stores"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(corpus).collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(after2 == Set(1L, 2L, 12L), s"only the novel doc should append: $after2")
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyStats agree on the same data") {
     val batch = Seq(
       Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.50),
