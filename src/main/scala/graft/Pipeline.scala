@@ -75,8 +75,11 @@ object Pipeline {
     // the audit is what reject CSVs are to the sales pipeline)
     val dropped = docs.join(curated.select(idCol), Seq(idCol), "left_anti")
       .select(idCol)
+    // id-range stats per file: selective doc_id reads on the published
+    // corpus skip files via Snapshot.readPruned (the L62 layer)
     val version = Snapshot.commit(spark, snapshotRoot,
-      Map("corpus_curated" -> curated, "corpus_dropped" -> dropped))
+      Map("corpus_curated" -> curated, "corpus_dropped" -> dropped),
+      statsCols = Map("corpus_curated" -> Seq(idCol), "corpus_dropped" -> Seq(idCol)))
     println(s"[CURATE v$version] kept=${curated.count()}")
     version
   }

@@ -122,6 +122,30 @@ class PlanSpec extends SparkSpec {
       || "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size <= 4, plan)
   }
 
+  test("etl_apply_cdc plans keyed joins only: no cartesian, no nested loop") {
+    val plan = planOf(EtlQueries.applyCdcOrders(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the delete branch must be an ANTI join, the upsert a FULL outer
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("FullOuter"), plan)
+  }
+
+  test("emb_knn_filtered keeps the candidate filter below the bucket join") {
+    val plan = planOf(VectorQueries.embKnnFiltered(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // selection still runs through the map-side bounded top-k aggregate
+    assert(plan.contains("partial_graft_topk") || plan.contains("partial graft_topk"), plan)
+    // the label predicate is applied under the join (on the candidate
+    // scan side), not to the joined output
+    val joinLine = plan.linesIterator.indexWhere(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin"))
+    val filterLine = plan.linesIterator.zipWithIndex
+      .collectFirst { case (l, i) if l.contains("(label") => i }.getOrElse(-1)
+    assert(joinLine >= 0 && filterLine > joinLine,
+      s"expected the label filter under the bucket join:\n$plan")
+  }
+
   test("salted join result is row-identical to the plain join") {
     val salted = EtlQueries.saltedJoin(spark, dir).collect().map(_.toSeq).toSeq
     val l = spark.read.parquet(s"$dir/lineitem.parquet")
