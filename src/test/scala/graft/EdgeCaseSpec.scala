@@ -59,6 +59,33 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().forall(r => r.getAs[Double]("jaccard") >= 0.0))
   }
 
+  test("round-8 operators accept empty and degenerate inputs") {
+    import graft.operators.{Sampling, Transform, Upsert}
+    // chunking: empty corpus → empty result with the chunk schema
+    val chunks = Transform.chunkDocs(emptyDocs, "doc_id", "text", size = 8, overlap = 2)
+    assert(chunks.count() == 0)
+    assert(chunks.columns.toSeq == Seq("doc_id", "chunk_id", "chunk_start", "chunk_text"))
+    // splits: a single 256-wide split labels everything identically
+    val all = Sampling.splitCorpus(oneDoc, "doc_id", Seq("all" -> 256))
+    assert(all.collect().map(_.getAs[String]("split")).toSeq == Seq("all"))
+    // incremental dedup: empty batch survives as empty, full overlap empties
+    assert(NearDup.dedupeAgainst(oneDoc, emptyDocs, "doc_id", "text").count() == 0)
+    assert(NearDup.dedupeAgainst(oneDoc, oneDoc, "doc_id", "text").count() == 0)
+    // containment: empty corpus yields no pairs
+    assert(NearDup.containmentPairs(emptyDocs, "doc_id", "text").count() == 0)
+    // k-means: k larger than the collection still converges (k' = N)
+    val twoVecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val km = Ann.kmeans(twoVecs, "vec_id", "embedding", k = 5, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(km == Map(1L -> 0L, 2L -> 1L))
+    // CDC: an all-delete batch against an empty table is a clean no-op
+    val t = Seq((1, "a")).toDF("k", "v")
+    val delOnly = Seq((9, null: String, "delete")).toDF("k", "v", "op")
+    assert(Upsert.applyCdc(t, delOnly, Seq("k")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a")))
+  }
+
   test("typed entity layer round-trips the reference CSVs") {
     val c = Entities.loadCustomers(spark, "/root/reference/data")
     assert(c.count() == 5000)
