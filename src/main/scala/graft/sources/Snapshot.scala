@@ -170,7 +170,8 @@ object Snapshot {
     * under one version, so readers see the whole load or none of it.
     * Fails without publishing if another writer commits concurrently. */
   def mergeCommit(spark: SparkSession, root: String,
-      stages: Map[String, (DataFrame, Seq[String])]): (Long, Map[String, MergeStats]) = {
+      stages: Map[String, (DataFrame, Seq[String])],
+      statsCols: Map[String, Seq[String]] = Map.empty): (Long, Map[String, MergeStats]) = {
     require(stages.nonEmpty, "snapshot mergeCommit: no tables given")
     val fs = fsOf(spark, root)
     val base = current(fs, root)
@@ -184,7 +185,7 @@ object Snapshot {
           .map(rel => spark.read.parquet(new Path(root, rel).toString))
         val before = existing.map(_.count()).getOrElse(0L)
         val out = existing.map(Upsert.upsert(_, stageP, keys)).getOrElse(stageP)
-        val rel = writeData(spark, root, t, out)
+        val rel = writeData(spark, root, t, out, statsCols.getOrElse(t, Seq.empty))
         val total = spark.read.parquet(new Path(root, rel).toString).count()
         val inserted = total - before
         (t, rel, MergeStats(inserted, staged - inserted, total))

@@ -207,6 +207,18 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.readPruned(spark, root, "t", "id", 0L, 10L).count() == 0L)
   }
 
+  test("mergeCommit records skipping stats for its merged tables") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val s1 = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 3)
+      .repartitionByRange(4, col("id"))
+    Snapshot.mergeCommit(spark, root, Map("t" -> ((s1, Seq("id")))),
+      statsCols = Map("t" -> Seq("id")))
+    val pruned = Snapshot.readPruned(spark, root, "t", "id", 0L, 5L)
+    assert(pruned.inputFiles.length < 4)
+    assert(pruned.filter(col("id") <= 5).count() == 6L)
+  }
+
   test("runTransactional loads the 4-table warehouse in one snapshot commit") {
     val out = freshRoot()
     val res = Pipeline.runTransactional(spark, "/root/reference/data", out)
