@@ -293,6 +293,29 @@ object Ann {
     topKAgg(assigned.join(broadcast(probes), "__cent"), k)
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the standard
+    * hybrid-search combiner (keyword top-k ∪ vector top-k): each list
+    * contributes 1/(c + rank) for the ids it ranked (0 for the ids it
+    * didn't), summed and cut to the fused top-k by (score desc, id).
+    * Rank-based (not score-based), so the two sides' incomparable score
+    * scales never need calibration; `c` (default 60, the value from the
+    * original RRF paper's grid search) damps the head. Both inputs must
+    * carry (idCol, rank); the full-outer join is over two ≤top-k lists —
+    * trivially broadcastable at any corpus scale, since the expensive
+    * part (producing the lists) already bounded them. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(c >= 0, s"c must be non-negative, got $c")
+    val ra = a.select(col(idCol), col("rank").cast("long").as("__ra"))
+    val rb = b.select(col(idCol), col("rank").cast("long").as("__rb"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        (coalesce(lit(1.0) / (lit(c.toLong) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toLong) + col("__rb")), lit(0.0))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Fixed-iteration k-means over the quantized vectors, built from the
     * same primitives as [[knnIvf]] (the "labels come from k-means
     * iterations" its codebook scaladoc promises):

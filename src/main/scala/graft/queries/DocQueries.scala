@@ -416,7 +416,7 @@ object DocQueries {
 
   /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
     * collapse spaces, trim. */
-  private val normSql =
+  private[queries] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** Token-hit count of `word` in the padded lowercase text `p`

@@ -74,6 +74,42 @@ object VectorQueries {
         Planes, col("vec_id") < ProbeMax, col("label") % 2 === 0, K)
       .orderBy("probe_id", "rank")
 
+  /** Fused-search query terms (all frequent in the synthetic corpus). */
+  private val HybridTerms = Seq("hash", "join", "vector")
+
+  /** hybrid_search — RRF hybrid retrieval: keyword top-20 (total count
+    * of the query terms among each doc's normalized tokens, bounded via
+    * TakeOrderedAndProject — no global ranking window) fused with the
+    * exact vector top-20 around probe vec_id=0 (the documents and
+    * embeddings tables share the 0..N id space) by reciprocal-rank
+    * fusion, cut to the fused top-10. Rank arithmetic is integer; the
+    * only doubles are the 1/(60+rank) terms, evaluated in the same
+    * operand order on both engines. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(Text.normalize(col("text"))).as("__t"))
+    val kwScore = HybridTerms
+      .map(t => size(filter(col("__t"), x => x === t)).cast("long"))
+      .reduce(_ + _)
+    // bounded head FIRST (TakeOrderedAndProject — scale-safe), then the
+    // dense rank over the surviving <= 20 rows (a 20-row window, not a
+    // corpus-wide one)
+    val kwTop = toks.select(col("doc_id"), kwScore.as("kw_score"))
+      .filter(col("kw_score") > 0)
+      .orderBy(col("kw_score").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("kw_score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank")
+    val vecTop = Ann.knnBrute(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") === 0, k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Ann.rrfFuse(kwTop, vecTop, "doc_id", k = 10)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   private val KmeansK = 4
   private val KmeansIters = 2
 
@@ -246,8 +282,40 @@ object VectorQueries {
        |SELECT vec_id, cluster, d2 AS dist2 FROM af ORDER BY vec_id""".stripMargin
   }
 
+  /** Hybrid-search oracle: keyword top-20 by term counts over the same
+    * normalized token lists, vector top-20 from the quantized cosine,
+    * RRF-fused with the identical 1/(60+rank) operand order. */
+  private val hybridOracle: String = {
+    val termCounts = HybridTerms
+      .map(t => s"len(list_filter(tk, x -> x = '$t'))").mkString(" + ")
+    s"""WITH $qCte,
+       |norm AS (SELECT doc_id, ${DocQueries.normSql} AS t FROM documents),
+       |tokl AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+       |kws AS (SELECT doc_id, CAST($termCounts AS BIGINT) AS kw_score FROM tokl),
+       |kwr AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, kw_score,
+       |         ROW_NUMBER() OVER (ORDER BY kw_score DESC, doc_id) AS r
+       |  FROM kws WHERE kw_score > 0) WHERE r <= 20),
+       |p AS (SELECT b.vec_id AS doc_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM q a, q b WHERE a.vec_id = 0 AND b.vec_id <> 0),
+       |s AS (SELECT doc_id, $cosineSql AS cosine_sim FROM p),
+       |vr AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS r
+       |  FROM s) WHERE r <= 20),
+       |f AS (SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + k.r), CAST(0.0 AS DOUBLE)) +
+       |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r), CAST(0.0 AS DOUBLE)) AS rrf_score
+       |      FROM kwr k FULL OUTER JOIN vr v ON v.doc_id = k.doc_id)
+       |SELECT doc_id, rrf_score FROM f
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "emb_kmeans" -> kmeansOracle,
+    "hybrid_search" -> hybridOracle,
     "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
@@ -260,6 +328,7 @@ object VectorQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> embKmeans _,
+    "hybrid_search" -> hybridSearch _,
     "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,

@@ -146,6 +146,23 @@ class AnnSpec extends SparkSpec {
     assert(open.contains(2L), s"bucket layout should admit doc 2: $open")
   }
 
+  test("rrfFuse: dual-list ids outrank single-list ids, ties break by id") {
+    val kw = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val got = Ann.rrfFuse(kw, vec, "doc_id", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf_score"))
+    // doc 2 appears in BOTH lists → highest fused score
+    assert(got.head._1 == 2L)
+    assert(got.head._2 == 1.0 / 62 + 1.0 / 61)
+    // single-list ids carry exactly their own term
+    val m = got.toMap
+    assert(m(1L) == 1.0 / 61 && m(4L) == 1.0 / 62 && m(3L) == 1.0 / 63)
+    // doc 1 (kw rank 1) and doc 4 (vec rank 2): 1/61 > 1/62
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+    // k cuts the fused list
+    assert(Ann.rrfFuse(kw, vec, "doc_id", k = 2).count() == 2L)
+  }
+
   test("kmeans converges to the true groups and exact integer centroids") {
     // two tight groups; init = 2 lowest ids, one in each group
     val vecs = Seq(
