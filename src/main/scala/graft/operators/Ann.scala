@@ -339,49 +339,198 @@ object Ann {
     * exact integer L2 to the final centroid; the frame is an eager
     * checkpoint (inputs are freed), release via [[Curate.release]]. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    require(iters >= 0, s"iters must be non-negative, got $iters")
-    import org.apache.spark.sql.expressions.Window
     val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
     try {
-      def assign(cb: DataFrame): DataFrame =
-        qdf.crossJoin(broadcast(cb))
-          .withColumn("__dist",
-            col("__n") - lit(2L) * dotQ(col("__q"), col("__cv")) + col("__cc"))
-          .groupBy(col(idCol))
-          .agg(min(struct(col("__dist"), col("cluster"))).as("__best"),
-            first(col("__q")).as("__q"))
-          .select(col(idCol), col("__q"),
-            col("__best").getField("cluster").as("cluster"),
-            col("__best").getField("__dist").as("dist2"))
-      var cb = qdf.orderBy(col(idCol)).limit(k)
-        .select((row_number().over(Window.orderBy(col(idCol))) - 1).cast("long")
-            .as("cluster"),
-          col("__q").as("__cv"))
-        .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
-        .localCheckpoint(true)
+      val cb = kmeansCodebookQ(qdf, idCol, k, iters)
       try {
-        for (_ <- 1 to iters) {
-          val sums = assign(cb)
-            .select(col("cluster"), posexplode_outer(col("__q")))
-            .filter(col("col").isNotNull)
-            .groupBy(col("cluster"), col("pos"))
-            .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cq"))
-          val newVecs = sums
-            .groupBy(col("cluster"))
-            .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("__cs"))
-            .select(col("cluster"), transform(col("__cs"), s => s.getField("cq")).as("__nv"))
-          val next = cb.join(newVecs, Seq("cluster"), "left_outer")
-            .select(col("cluster"), coalesce(col("__nv"), col("__cv")).as("__cv"))
-            .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
-            .localCheckpoint(true)
-          NearDup.freeCheckpoint(cb)
-          cb = next
-        }
-        assign(cb).select(col(idCol), col("cluster"), col("dist2"))
+        assignQ(qdf, idCol, cb).select(col(idCol), col("cluster"), col("dist2"))
           .localCheckpoint(true)
       } finally NearDup.freeCheckpoint(cb)
     } finally NearDup.freeCheckpoint(qdf)
+  }
+
+  /** The TRAINED k-means codebook (the quantizer itself, not the
+    * assignment): same INIT/ASSIGN/UPDATE rounds as [[kmeans]], returning
+    * the (cluster, __cv, __cc) frame after `iters` updates — what PQ
+    * subspace training and IVF-list construction consume. The frame is an
+    * eager checkpoint; release via [[NearDup.freeCheckpoint]]. */
+  def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
+    try kmeansCodebookQ(qdf, idCol, k, iters)
+    finally NearDup.freeCheckpoint(qdf)
+  }
+
+  /** One k-means ASSIGN pass: nearest codebook row by exact integer L2
+    * (q·q − 2·q·c + c·c), ties to the lowest cluster id, broadcast
+    * codebook + map-side-combined min(struct) — never a shuffle of the
+    * N×k scored frame. Input must be a [[quantized]] frame. */
+  private def assignQ(qdf: DataFrame, idCol: String, cb: DataFrame): DataFrame =
+    qdf.crossJoin(broadcast(cb))
+      .withColumn("__dist",
+        col("__n") - lit(2L) * dotQ(col("__q"), col("__cv")) + col("__cc"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("cluster"))).as("__best"),
+        first(col("__q")).as("__q"), first(col("__n")).as("__n"))
+      .select(col(idCol), col("__q"), col("__n"),
+        col("__best").getField("cluster").as("cluster"),
+        col("__best").getField("__dist").as("dist2"))
+
+  private def kmeansCodebookQ(qdf: DataFrame, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    var cb = qdf.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1).cast("long")
+          .as("cluster"),
+        col("__q").as("__cv"))
+      .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iters) {
+        val sums = assignQ(qdf, idCol, cb)
+          .select(col("cluster"), posexplode_outer(col("__q")))
+          .filter(col("col").isNotNull)
+          .groupBy(col("cluster"), col("pos"))
+          .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cq"))
+        val newVecs = sums
+          .groupBy(col("cluster"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("__cs"))
+          .select(col("cluster"), transform(col("__cs"), s => s.getField("cq")).as("__nv"))
+        val next = cb.join(newVecs, Seq("cluster"), "left_outer")
+          .select(col("cluster"), coalesce(col("__nv"), col("__cv")).as("__cv"))
+          .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
+          .localCheckpoint(true)
+        NearDup.freeCheckpoint(cb)
+        cb = next
+      }
+      cb
+    } catch { case e: Throwable => NearDup.freeCheckpoint(cb); throw e }
+  }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embeddings with fixed-iteration [[kmeans]], then within
+    * each cluster drop every row whose cosine to ANY lower-id cluster-mate
+    * is >= `threshold` — the keep-lowest-id exemplar rule, deterministic
+    * with no RNG. Returns every input row as (idCol, cluster, kept).
+    *
+    * Scale shape: the pair generation is an EQUI-JOIN on the cluster id —
+    * never corpus all-pairs; cost is Σ C(|cluster|,2), and the k knob
+    * makes clusters as small as the budget needs (the paper runs k=50k on
+    * LAION-scale corpora so each cluster is a few thousand rows). The
+    * dup-id set aggregates through distinct (map-side combined) and joins
+    * back as a broadcast-eligible id list. All arithmetic is the quantized
+    * exact-integer cosine, so a SQL oracle replaying the same k-means
+    * rounds derives bit-identical keep decisions. Result is an eager
+    * checkpoint (inputs freed); release via [[Curate.release]]. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
+    try {
+      val cb = kmeansCodebookQ(qdf, idCol, k, iters)
+      try {
+        // one assignment pass, checkpointed: the frame feeds both join
+        // sides AND the output — without the checkpoint the broadcast
+        // codebook join would re-run three times
+        val asg = assignQ(qdf, idCol, cb).localCheckpoint(true)
+        try {
+          val a = asg.select(col("cluster"), col(idCol).as("id_a"),
+            col("__q").as("__qa"), col("__n").as("__na"))
+          val b = asg.select(col("cluster"), col(idCol).as("id_b"),
+            col("__q").as("__qb"), col("__n").as("__nb"))
+          val dupIds = a.join(b, "cluster")
+            .filter(col("id_a") < col("id_b"))
+            .filter(pairCosine(col("__qa"), col("__qb"), col("__na"), col("__nb"))
+              >= threshold)
+            .select(col("id_b").as(idCol)).distinct()
+            .withColumn("__dup", lit(true))
+          asg.join(dupIds, Seq(idCol), "left_outer")
+            .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
+            .localCheckpoint(true)
+        } finally NearDup.freeCheckpoint(asg)
+      } finally NearDup.freeCheckpoint(cb)
+    } finally NearDup.freeCheckpoint(qdf)
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the `dim`-dimensional
+    * space splits into `m` contiguous subspaces of dim/m dims, each
+    * trained with its own fixed-iteration k-means over the sliced
+    * vectors. Slicing commutes with quantization (both element-wise), so
+    * subspace training sees exactly the slice of the quantized vector.
+    * Returns (cluster, __cv, __cc, subspace) — m·k rows, the entire
+    * "index" a 100 TB collection shares by broadcast (the collection
+    * itself is then stored as m small codes per vector: the memory shrink
+    * that makes billion-scale ANN fit). Eager checkpoint; release via
+    * [[NearDup.freeCheckpoint]]. */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val parts = (0 until m).map { s =>
+      kmeansCodebook(
+          df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
+          idCol, "__sub", k, iters)
+        .withColumn("subspace", lit(s.toLong))
+    }
+    val all = parts.reduce(_.unionAll(_)).localCheckpoint(true)
+    parts.foreach(NearDup.freeCheckpoint)
+    all
+  }
+
+  /** PQ top-k via ASYMMETRIC DISTANCE COMPUTATION (ADC): candidates are
+    * represented only by their m subspace codes; each probe computes an
+    * exact distance table to every codebook centroid (m·k entries), and a
+    * candidate's approximate distance is the SUM of the m table lookups —
+    * the probe side never touches candidate vectors, which is what lets
+    * the scan run over codes at a fraction of the raw-vector width.
+    *
+    * Spark shape: ENCODE is one posexplode to (id, subspace, slice) — the
+    * slice happens in-row — joined against the broadcast codebook with a
+    * map-side-combined min(struct) per (id, subspace): the N·m·k scored
+    * frame never shuffles, only N·m code rows do. The DISTANCE TABLE is
+    * probes × codebook (bounded · m·k rows, broadcast). ADC re-joins codes
+    * to tables on (subspace, cluster) — an equi-join — and sums the m
+    * exact-integer partial distances per (probe, candidate) through a
+    * map-side-combined agg; selection is the bounded top-k aggregate on
+    * the negated distance. All arithmetic is exact integers below 2^53,
+    * so the SQL oracle replays it bit-identically. Returns (probe_id,
+    * neighbor_id, adc_dist2, rank) — rank by (dist asc, id asc). */
+  def knnPq(df: DataFrame, idCol: String, vecCol: String, codebooks: DataFrame,
+      dim: Int, m: Int, probePred: Column, k: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val qdf = df.select(col(idCol), quantize(col(vecCol)).as("__q"), probePred.as("__probe"))
+    val subs = qdf.select(col(idCol), col("__probe"), posexplode(
+        array((0 until m).map(s => slice(col("__q"), s * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("__probe"),
+        col("pos").cast("long").as("subspace"), col("col").as("__sub"))
+      .withColumn("__sn", dotQ(col("__sub"), col("__sub")))
+    val dist = col("__sn") - lit(2L) * dotQ(col("__sub"), col("__cv")) + col("__cc")
+    val codes = subs.join(broadcast(codebooks), "subspace")
+      .withColumn("__dist", dist)
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("__dist"), col("cluster"))).as("__best"))
+      .select(col(idCol).as("neighbor_id"), col("subspace"),
+        col("__best").getField("cluster").as("__code"))
+    val tables = subs.filter(col("__probe"))
+      .join(broadcast(codebooks), "subspace")
+      .select(col(idCol).as("probe_id"), col("subspace"),
+        col("cluster").as("__code"), dist.as("__d"))
+    codes.join(broadcast(tables), Seq("subspace", "__code"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("adc_dist2"))
+      .groupBy(col("probe_id"))
+      .agg(TopKByScore(-col("adc_dist2").cast("double"),
+        col("neighbor_id").cast("long"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")))
+      .select(col("probe_id"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("adc_dist2"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the

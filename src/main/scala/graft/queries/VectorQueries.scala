@@ -121,6 +121,37 @@ object VectorQueries {
         KmeansK, KmeansIters)
       .orderBy("vec_id")
 
+  private val SemThreshold = 0.4
+
+  /** emb_semdedup — SemDeDup semantic dedup: k-means clusters (the same
+    * gated KmeansK/KmeansIters configuration as emb_kmeans), then within
+    * each cluster every row with a >= 0.4-cosine LOWER-id mate drops.
+    * Every input row comes back with its cluster and keep decision. */
+  def embSemDedup(spark: SparkSession, dir: String): DataFrame =
+    Ann.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        KmeansK, KmeansIters, SemThreshold)
+      .orderBy("vec_id")
+
+  private val PqM = 4
+  private val PqK = 4
+  private val PqIters = 1
+  private val PqDim = 64
+  private val PqProbeMax = 5
+
+  /** emb_knn_pq — product-quantization ANN: 4 subspaces of 16 dims, each
+    * with its own k-means codebook (k=4, 1 round), candidates encoded as
+    * 4 codes, probes searching by asymmetric-distance table lookups. */
+  def embKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cbs = Ann.pqCodebooks(emb, "vec_id", "embedding", PqDim, PqM, PqK, PqIters)
+    try
+      Ann.knnPq(emb, "vec_id", "embedding", cbs, PqDim, PqM,
+          col("vec_id") < PqProbeMax, K)
+        .orderBy("probe_id", "rank")
+        .localCheckpoint(true)
+    finally graft.operators.NearDup.freeCheckpoint(cbs)
+  }
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Quantized-embedding CTE (mirrors Ann.quantize). */
@@ -249,37 +280,111 @@ object VectorQueries {
        |       CAST(qsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1000.0 AS DOUBLE)) AS centroid
        |FROM g ORDER BY label, dim_idx""".stripMargin
 
+  // ---- k-means oracle CTE generators (shared by emb_kmeans,
+  // emb_semdedup and the per-subspace chains of emb_knn_pq) ------------
+
+  private def d2Sql(v: String, c: String) =
+    s"${dotSql(s"$v.qv", s"$v.qv")} - 2 * ${dotSql(s"$v.qv", s"$c.qv")} + ${dotSql(s"$c.qv", s"$c.qv")}"
+
+  /** One ASSIGN pass as CTEs: rank `src` (vec_id, qv) against the ≤k-row
+    * codebook `cb` by exact integer L2, ties to the lowest cluster. */
+  private def assignCtes(src: String, cb: String, out: String) =
+    s"""${out}_d AS (SELECT v.vec_id, v.qv, c.cluster, ${d2Sql("v", "c")} AS d2
+       |  FROM $src v CROSS JOIN $cb c),
+       |$out AS (SELECT vec_id, qv, cluster, d2 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |  FROM ${out}_d) WHERE rn = 1)""".stripMargin
+
+  private def updateCtes(asg: String, prevCb: String, out: String) =
+    s"""${out}_g AS (SELECT cluster, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |    CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |  FROM (SELECT cluster, qv, unnest(range(1, len(qv) + 1)) AS i FROM $asg)
+       |  GROUP BY 1, 2),
+       |${out}_v AS (SELECT cluster, list(cq ORDER BY dim_idx) AS qv FROM ${out}_g GROUP BY 1),
+       |$out AS (SELECT p.cluster, COALESCE(n.qv, p.qv) AS qv
+       |  FROM $prevCb p LEFT JOIN ${out}_v n USING (cluster))""".stripMargin
+
+  /** The full INIT + `iters`×(ASSIGN, UPDATE) chain over `src` (vec_id,
+    * qv), CTE names prefixed with `pfx`. Returns (ctes, finalCbName). */
+  private def kmeansCteChain(src: String, pfx: String, k: Int, iters: Int): (String, String) = {
+    val init =
+      s"""${pfx}cb0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv
+         |  FROM (SELECT vec_id, qv FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assignCtes(src, s"${pfx}cb${i - 1}", s"${pfx}a$i") + ",\n" +
+        updateCtes(s"${pfx}a$i", s"${pfx}cb${i - 1}", s"${pfx}cb$i")
+    }
+    ((init +: rounds).mkString(",\n"), s"${pfx}cb$iters")
+  }
+
   /** k-means oracle: replay the same fixed iterations as [[Ann.kmeans]].
     * Each round is two CTE groups — assignment (cross join against the
     * ≤k-row codebook, rank by exact integer L2 then cluster) and update
     * (per-dim floor-average, empty clusters keep the previous centroid
     * through a LEFT JOIN + COALESCE). */
   private val kmeansOracle: String = {
-    def d2Sql(v: String, c: String) =
-      s"${dotSql(s"$v.qv", s"$v.qv")} - 2 * ${dotSql(s"$v.qv", s"$c.qv")} + ${dotSql(s"$c.qv", s"$c.qv")}"
-    def assignCtes(cb: String, out: String) =
-      s"""${out}_d AS (SELECT v.vec_id, v.qv, c.cluster, ${d2Sql("v", "c")} AS d2
-         |  FROM q v CROSS JOIN $cb c),
-         |$out AS (SELECT vec_id, qv, cluster, d2 FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
-         |  FROM ${out}_d) WHERE rn = 1)""".stripMargin
-    def updateCtes(asg: String, prevCb: String, out: String) =
-      s"""${out}_g AS (SELECT cluster, CAST(i - 1 AS BIGINT) AS dim_idx,
-         |    CAST(FLOOR(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
-         |  FROM (SELECT cluster, qv, unnest(range(1, len(qv) + 1)) AS i FROM $asg)
-         |  GROUP BY 1, 2),
-         |${out}_v AS (SELECT cluster, list(cq ORDER BY dim_idx) AS qv FROM ${out}_g GROUP BY 1),
-         |$out AS (SELECT p.cluster, COALESCE(n.qv, p.qv) AS qv
-         |  FROM $prevCb p LEFT JOIN ${out}_v n USING (cluster))""".stripMargin
-    val rounds = (1 to KmeansIters).map { i =>
-      assignCtes(s"cb${i - 1}", s"a$i") + ",\n" + updateCtes(s"a$i", s"cb${i - 1}", s"cb$i")
-    }.mkString(",\n")
+    val (ctes, cbF) = kmeansCteChain("q", "", KmeansK, KmeansIters)
     s"""WITH $qCte,
-       |cb0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qv
-       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $KmeansK)),
-       |$rounds,
-       |${assignCtes(s"cb$KmeansIters", "af")}
+       |$ctes,
+       |${assignCtes("q", cbF, "af")}
        |SELECT vec_id, cluster, d2 AS dist2 FROM af ORDER BY vec_id""".stripMargin
+  }
+
+  /** SemDeDup oracle: the kmeans chain (same config as emb_kmeans), then
+    * within-cluster lower-id pairs over the final assignment, cosine from
+    * the same exact integer dots, distinct dup ids anti-joined back. */
+  private val semDedupOracle: String = {
+    val (ctes, cbF) = kmeansCteChain("q", "", KmeansK, KmeansIters)
+    s"""WITH $qCte,
+       |$ctes,
+       |${assignCtes("q", cbF, "af")},
+       |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |dup AS (SELECT DISTINCT id_b FROM (SELECT id_b, $cosineSql AS c FROM pr)
+       |        WHERE c >= CAST($SemThreshold AS DOUBLE))
+       |SELECT a.vec_id, a.cluster, (d.id_b IS NULL) AS kept
+       |FROM af a LEFT JOIN dup d ON d.id_b = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  /** PQ-ADC oracle: per-subspace slices, one kmeans chain each (s0..s3
+    * prefixes), codebook union, encode = rank-1 of the scored frame, the
+    * probes' distance TABLE is the same scored frame restricted to probe
+    * ids, ADC = grouped sum of the m table lookups. */
+  private val pqOracle: String = {
+    val subDim = PqDim / PqM
+    val subCtes = (0 until PqM).map { s =>
+      s"sub$s AS (SELECT vec_id, list_slice(qv, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qv FROM q)"
+    }.mkString(",\n")
+    val chains = (0 until PqM).map(s => kmeansCteChain(s"sub$s", s"s$s", PqK, PqIters))
+    val cbUnion = (0 until PqM)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS subspace, cluster, qv FROM ${chains(s)._2}")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $qCte,
+       |$subCtes,
+       |${chains.map(_._1).mkString(",\n")},
+       |cb AS ($cbUnion),
+       |vsub AS (SELECT vec_id, CAST(s.subspace AS BIGINT) AS subspace,
+       |    list_slice(qv, s.subspace * $subDim + 1, (s.subspace + 1) * $subDim) AS sv
+       |  FROM q, (SELECT unnest(range($PqM)) AS subspace) s),
+       |scored AS (SELECT v.vec_id, v.subspace, c.cluster,
+       |    ${dotSql("v.sv", "v.sv")} - 2 * ${dotSql("v.sv", "c.qv")} + ${dotSql("c.qv", "c.qv")} AS d
+       |  FROM vsub v JOIN cb c USING (subspace)),
+       |codes AS (SELECT vec_id, subspace, cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cluster) AS rn
+       |    FROM scored) WHERE rn = 1),
+       |dt AS (SELECT vec_id AS probe_id, subspace, cluster, d FROM scored
+       |       WHERE vec_id < $PqProbeMax),
+       |adc AS (SELECT t.probe_id, c.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist2
+       |        FROM codes c JOIN dt t ON t.subspace = c.subspace AND t.cluster = c.cluster
+       |        WHERE c.vec_id <> t.probe_id GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY adc_dist2, neighbor_id) AS "rank" FROM adc)
+       |SELECT probe_id, neighbor_id, adc_dist2, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
   }
 
   /** Hybrid-search oracle: keyword top-20 by term counts over the same
@@ -314,6 +419,8 @@ object VectorQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "emb_semdedup" -> semDedupOracle,
+    "emb_knn_pq" -> pqOracle,
     "emb_kmeans" -> kmeansOracle,
     "hybrid_search" -> hybridOracle,
     "emb_knn_filtered" -> lshFilteredOracle,
@@ -327,6 +434,8 @@ object VectorQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_semdedup" -> embSemDedup _,
+    "emb_knn_pq" -> embKnnPq _,
     "emb_kmeans" -> embKmeans _,
     "hybrid_search" -> hybridSearch _,
     "emb_knn_filtered" -> embKnnFiltered _,

@@ -219,4 +219,89 @@ class AnnSpec extends SparkSpec {
     assert(got((0, 0L)) == 2.0 && got((0, 1L)) == 4.0)
     assert(got((1, 0L)) == 10.0 && got((1, 1L)) == 20.0)
   }
+
+  test("semDedup: drops higher-id near-dups within a cluster, keeps exemplars") {
+    // two tight groups; 1 ≈ 0 (cosine ~1) and 3 ≈ 2; 4 is alone
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.001f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.999f, 0.001f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semDedup(vecs, "vec_id", "embedding", k = 3, iters = 2, threshold = 0.95)
+    try {
+      val rows = out.collect().map(r =>
+        r.getAs[Long]("vec_id") -> (r.getAs[Long]("cluster"), r.getAs[Boolean]("kept"))).toMap
+      // every input row comes back exactly once
+      assert(rows.keySet == Set(0L, 1L, 2L, 3L, 4L))
+      // the lower-id exemplar of each near-dup pair survives, the mate drops
+      assert(rows(0L)._2 && !rows(1L)._2)
+      assert(rows(2L)._2 && !rows(3L)._2)
+      assert(rows(4L)._2)
+      // dup decisions are intra-cluster by construction
+      assert(rows(0L)._1 == rows(1L)._1 && rows(2L)._1 == rows(3L)._1)
+    } finally graft.operators.Curate.release(out)
+  }
+
+  test("semDedup: below-threshold cluster mates all survive") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f)), // cosine 0.8 to id 0
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semDedup(vecs, "vec_id", "embedding", k = 1, iters = 1, threshold = 0.9)
+    try assert(out.collect().forall(_.getAs[Boolean]("kept")))
+    finally graft.operators.Curate.release(out)
+  }
+
+  test("knnPq: exhaustive codebook (k=N) reproduces exact squared-L2 ranking") {
+    // with one centroid per vector after training, codes are exact and
+    // ADC distance equals the true quantized L2
+    val pq = Ann.pqCodebooks(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 6, iters = 1)
+    try {
+      val got = Ann.knnPq(vecs, "vec_id", "embedding", pq, dim = 4, m = 2,
+        col("vec_id") === 0, k = 5).orderBy("rank").collect()
+      assert(got.length == 5)
+      // true quantized squared L2 from vec 0 to every other id
+      val q = vecs.collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(x => Math.round(x.toDouble * 1000)).toArray).toMap
+      def l2(a: Array[Long], b: Array[Long]) = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val want = (1L to 5L).map(i => i -> l2(q(0L), q(i))).sortBy(p => (p._2, p._1))
+      assert(got.map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("adc_dist2")).toSeq == want)
+    } finally graft.operators.NearDup.freeCheckpoint(pq)
+  }
+
+  test("knnPq: an exact duplicate attains the minimum ADC distance") {
+    // id 6 duplicates id 0 exactly, so its codes are 0's own nearest
+    // centroids per subspace — the smallest ADC distance ANY candidate
+    // can attain (candidates sharing those codes tie; lower id ranks
+    // first, which is why rank 1 need not be id 6 itself)
+    val withDup = vecs.unionAll(Seq((6L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val pq = Ann.pqCodebooks(withDup, "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 1)
+    try {
+      val got = Ann.knnPq(withDup, "vec_id", "embedding", pq, dim = 4, m = 2,
+          col("vec_id") === 0, k = 6).orderBy("rank").collect()
+      val dists = got.map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("adc_dist2")).toMap
+      assert(dists(6L) == dists.values.min)
+      assert(got.head.getAs[Long]("adc_dist2") == dists(6L))
+      // ranks follow (dist asc, id asc)
+      val ordered = got.map(r => (r.getAs[Long]("adc_dist2"), r.getAs[Long]("neighbor_id")))
+      assert(ordered.sameElements(ordered.sorted))
+    } finally graft.operators.NearDup.freeCheckpoint(pq)
+  }
+
+  test("pqCodebooks: m·k rows, one codebook per subspace; m must divide dim") {
+    val pq = Ann.pqCodebooks(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 0)
+    try {
+      val rows = pq.collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getAs[Long]("subspace")).toSet == Set(0L, 1L))
+      assert(rows.forall(_.getAs[scala.collection.Seq[Long]]("__cv").length == 2))
+    } finally graft.operators.NearDup.freeCheckpoint(pq)
+    intercept[IllegalArgumentException] {
+      Ann.pqCodebooks(vecs, "vec_id", "embedding", dim = 4, m = 3, k = 2, iters = 0)
+    }
+  }
 }
