@@ -412,6 +412,20 @@ object DocQueries {
         "doc_id", "text", size = 512, overlap = 64)
       .orderBy("doc_id", "chunk_id")
 
+  private val Bm25Terms = Seq("hash", "join", "vector")
+  private val Bm25K = 10
+
+  /** doc_bm25 — BM25 ranked keyword retrieval (graft.operators.Bm25):
+    * top-10 documents for a 3-term query, scored with k1=1.2, b=0.75
+    * over in-row tf/dl and one broadcast corpus-stats row. The idf is
+    * quantized to 1e6 micro-units straight after the ln (see Bm25's
+    * determinism note); everything else is exact-integer or
+    * correctly-rounded double arithmetic in pinned operand order. */
+  def docBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bm25.topK(Tables.documents(spark, dir),
+        "doc_id", "text", Bm25Terms, Bm25K)
+      .orderBy("rank")
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
@@ -786,7 +800,44 @@ object DocQueries {
        |FROM cscore s JOIN cfeat f USING (doc_id)
        |ORDER BY s.doc_id""".stripMargin
 
+  /** BM25 oracle: same in-row tf/dl over the normalized tokens, same
+    * one-row corpus stats, and the score expression written in the exact
+    * operand order the Spark plan evaluates (idf quantized to 1e6 after
+    * the ln, left-assoc term sum, single final divide). */
+  private val bm25Oracle: String = {
+    val idx = Bm25Terms.indices
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n         ")
+    val dfCols = idx.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n         ")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    def idfQ(i: Int) =
+      s"CAST(round(1000000.0 * ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))) AS BIGINT)"
+    def tfPart(i: Int) =
+      s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    // tfPart wrapped as a whole: idfq * ((tf·2.2)/denom), NOT
+    // (idfq · tf·2.2)/denom — association changes the last ulp
+    val score = idx.map(i => s"CAST(${idfQ(i)} AS DOUBLE) * (${tfPart(i)})").mkString(" + ")
+    val anyHit = idx.map(i => s"tf$i").mkString(" + ")
+    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+       |tok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+       |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+       |         $tfCols
+       |       FROM tok),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+       |         $dfCols
+       |       FROM tf),
+       |sc AS (SELECT doc_id, ($score) / 1000000.0 AS bm25
+       |       FROM tf CROSS JOIN st WHERE $anyHit > 0),
+       |r AS (SELECT doc_id, bm25,
+       |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS "rank" FROM sc)
+       |SELECT doc_id, bm25, "rank" FROM r WHERE "rank" <= $Bm25K ORDER BY "rank"""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
     "doc_tfidf" -> tfidfOracle,
     "doc_edit_pairs" -> editPairsOracle,
@@ -931,6 +982,7 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,
     "doc_tfidf" -> docTfidf _,
     "doc_edit_pairs" -> docEditPairs _,
