@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Perplexity-style language-model quality filtering (the CCNet recipe,
+  * Wenzek et al. 2020, arXiv:1911.00359): train a token model on a
+  * REFERENCE slice of the corpus, then score every document by its
+  * average negative log-likelihood under that model — low NLL reads as
+  * fluent/in-domain, high NLL as noise, boilerplate, or wrong-language
+  * text. CCNet trains a KenLM 5-gram; this is the unigram version with
+  * add-one smoothing — the model order is a quality/cost knob, the
+  * pipeline shape (train on reference → broadcast model → score corpus)
+  * is identical.
+  *
+  * Scale shape: the model is ONE hash-aggregate over the reference
+  * slice's tokens plus a one-row total (map-side combined), broadcast to
+  * the scoring join; scoring explodes corpus tokens and left-joins the
+  * small vocab — never a corpus×corpus shuffle; the per-doc reduction
+  * is a map-side-combined sum (docs are row-contiguous, so partials
+  * collapse before the exchange).
+  *
+  * Determinism: each token's NLL is quantized to integer MICRO-NATS on
+  * the vocab side (a small frame), so the per-document sum is an exact
+  * integer — independent of partition order, where a raw double sum
+  * would not be. The one transcendental (ln) happens before the
+  * quantization, same contract as Bm25's idf.
+  */
+object LangModel {
+
+  /** Scores every row of `df`: (idCol, n_tokens, nll_micro, avg_nll).
+    * The unigram model trains on the rows satisfying `refPred` with
+    * add-one smoothing: p(tok) = (cnt+1)/(total+V); out-of-vocabulary
+    * tokens score p = 1/(total+V). `avg_nll` is nll_micro/n_tokens
+    * de-quantized back to nats. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      refPred: Column): DataFrame = {
+    val toks = df.select(col(idCol), refPred.as("__ref"),
+      explode(Text.tokens(Text.normalize(col(textCol)))).as("__tok"))
+    val vcnt = toks.filter(col("__ref"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val stats = vcnt.agg(sum(col("__cnt")).as("__total"), count(lit(1)).as("__v"))
+    val denom = (col("__total") + col("__v")).cast("double")
+    val vocab = vcnt.crossJoin(broadcast(stats))
+      .select(col("__tok"),
+        round(lit(1e6) * -log((col("__cnt") + lit(1L)).cast("double") / denom))
+          .cast("long").as("__nllq"))
+    val oov = round(lit(1e6) * -log(lit(1.0) / denom)).cast("long")
+    toks.join(broadcast(vocab), Seq("__tok"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), coalesce(col("__nllq"), oov).as("__q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__q")).as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_tokens").cast("double") / lit(1e6))
+  }
+}

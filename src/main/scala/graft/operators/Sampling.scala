@@ -87,6 +87,29 @@ object Sampling {
     df.withColumn(splitCol, label)
   }
 
+  /** Per-row WEIGHTED Bernoulli sampling: keep a row iff its salted
+    * md5-uniform draw u ∈ [0, 2³²) falls below weight·2³² — so the keep
+    * probability IS the row's own weight (clamped to [0,1]), varying
+    * continuously per row where [[stratifiedSample]] can only rate whole
+    * strata. This is soft quality filtering — keep probability rising
+    * with a quality score instead of a hard threshold — and importance
+    * resampling of a training mix.
+    *
+    * The draw is SALTED ("~w") so membership is independent of the
+    * unsalted md5(id) draws of [[hashSample]]/[[splitCorpus]] — a
+    * weighted thinning applied inside a train split stays unbiased.
+    * Same scale/determinism contract as the others: a pure per-row
+    * predicate (no shuffle, one scan, pushdown-eligible); u is an exact
+    * 32-bit integer, weight·2³² one IEEE multiply, the compare exact —
+    * any engine agrees on membership. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val u = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("~w")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(u.cast("double") < w * lit(4294967296.0))
+  }
+
   /** Global deterministic shuffle with batch assignment: orders the
     * dataset by md5(id) (a reproducible pseudo-random permutation),
     * assigns a contiguous 0-based `shuffle_idx`, and groups every

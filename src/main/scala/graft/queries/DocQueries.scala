@@ -187,6 +187,19 @@ object DocQueries {
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
+  /** doc_weighted_sample — per-row continuous weighted sampling
+    * (Sampling.weightedSample): each doc keeps with probability equal to
+    * its own alpha-character ratio — the soft quality filter, rows with
+    * cleaner text surviving proportionally more often. Salted draw, so
+    * membership is independent of doc_hash_sample/doc_splits. */
+  def docWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    Sampling.weightedSample(Tables.documents(spark, dir), "doc_id",
+        Text.alphaRatio(col("text")))
+      .select(col("doc_id"), Text.alphaRatio(col("text")).as("keep_p"))
+      .orderBy("doc_id")
+  }
+
   /** doc_splits — deterministic disjoint train/val/test labeling
     * (Sampling.splitCorpus, 240/8/8 of 256 md5 buckets): exhaustive,
     * disjoint, stable across runs/engines/partitionings — the leak-free
@@ -411,6 +424,17 @@ object DocQueries {
         Tables.documents(spark, dir).select("doc_id", "text"),
         "doc_id", "text", size = 512, overlap = 64)
       .orderBy("doc_id", "chunk_id")
+
+  /** doc_lm_score — perplexity-style LM quality scoring
+    * (graft.operators.LangModel): a unigram model with add-one smoothing
+    * trains on the English slice, every document scores its average
+    * negative log-likelihood in exact integer micro-nats. The CCNet
+    * quality-filter shape: train on reference → broadcast model → score
+    * corpus. */
+  def docLmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LangModel.unigramNll(Tables.documents(spark, dir),
+        "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id")
 
   private val Bm25Terms = Seq("hash", "join", "vector")
   private val Bm25K = 10
@@ -836,7 +860,30 @@ object DocQueries {
        |SELECT doc_id, bm25, "rank" FROM r WHERE "rank" <= $Bm25K ORDER BY "rank"""".stripMargin
   }
 
+  /** LM-scoring oracle: same normalized token stream, same reference
+    * vocab + one-row totals, NLL quantized to micro-nats on the vocab
+    * side so the per-doc sums are exact integers. */
+  private val lmScoreOracle: String =
+    s"""WITH norm AS (SELECT doc_id, lang, $normSql AS t FROM documents),
+       |ex AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS tok FROM norm),
+       |vcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex
+       |         WHERE lang = 'en' GROUP BY 1),
+       |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM vcnt),
+       |voc AS (SELECT tok,
+       |          CAST(round(1000000.0 * (-ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT) AS nllq
+       |        FROM vcnt CROSS JOIN st),
+       |sc AS (SELECT e.doc_id,
+       |         COALESCE(voc.nllq,
+       |           CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT)) AS q
+       |       FROM ex e LEFT JOIN voc ON voc.tok = e.tok CROSS JOIN st),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |          CAST(SUM(q) AS BIGINT) AS nll_micro FROM sc GROUP BY 1)
+       |SELECT doc_id, n_tokens, nll_micro,
+       |       CAST(nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0 AS avg_nll
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "doc_lm_score" -> lmScoreOracle,
     "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
     "doc_tfidf" -> tfidfOracle,
@@ -874,6 +921,16 @@ object DocQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) <
         |      CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END
         |ORDER BY doc_id""".stripMargin,
+    "doc_weighted_sample" -> {
+      val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+      val w = s"""CASE WHEN length(text) > 0
+                 |       THEN CAST($alpha AS DOUBLE) / length(text)
+                 |       ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+      s"""SELECT doc_id, $w AS keep_p FROM documents
+         |WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~w'), 1, 8) AS BIGINT) AS DOUBLE)
+         |      < least(greatest($w, 0.0), 1.0) * 4294967296.0
+         |ORDER BY doc_id""".stripMargin
+    },
     "doc_splits" ->
       """SELECT doc_id, lang,
         |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) < 240
@@ -982,6 +1039,7 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_lm_score" -> docLmScore _,
     "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,
     "doc_tfidf" -> docTfidf _,
@@ -997,6 +1055,7 @@ object DocQueries {
     "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,
     "doc_stratified_sample" -> docStratifiedSample _,
+    "doc_weighted_sample" -> docWeightedSample _,
     "doc_splits" -> docSplits _,
     "doc_shuffle_batches" -> docShuffleBatches _,
     "doc_decontam" -> docDecontam _,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LangModel
+
+class LangModelSpec extends SparkSpec {
+  import sqlImplicits._
+
+  // reference slice = en; tokens: "a a b" and "a c" → cnt(a)=3, b=1, c=1,
+  // total=5, V=3, denominator total+V=8
+  private val docs = Seq(
+    (0L, "en", "a a b"),
+    (1L, "en", "a c"),
+    (2L, "de", "a z"), // z is OOV
+    (3L, "de", "b b b")
+  ).toDF("doc_id", "lang", "text")
+
+  private def nllq(p: Double): Long = Math.round(1e6 * -Math.log(p))
+
+  test("unigramNll: add-one smoothed micro-nat sums and OOV handling") {
+    val got = LangModel.unigramNll(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("nll_micro"), r.getAs[Double]("avg_nll")))
+      .toMap
+    val qa = nllq(4.0 / 8.0)  // (3+1)/8
+    val qb = nllq(2.0 / 8.0)
+    val qc = nllq(2.0 / 8.0)
+    val qoov = nllq(1.0 / 8.0)
+    assert(got(0L) == ((3L, 2 * qa + qb, (2 * qa + qb).toDouble / 3.0 / 1e6)))
+    assert(got(1L) == ((2L, qa + qc, (qa + qc).toDouble / 2.0 / 1e6)))
+    // non-reference docs score under the same model; z is out-of-vocab
+    assert(got(2L) == ((2L, qa + qoov, (qa + qoov).toDouble / 2.0 / 1e6)))
+    assert(got(3L)._2 == 3 * qb)
+    // the model only trains on the reference slice: every doc scored
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("unigramNll: fluent-vs-noise ordering and partition independence") {
+    val corpus = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the dog sat on the rug"),
+      (2L, "en", "the cat and the dog sat"),
+      (10L, "xx", "zzq qqz zqq xqx qxq zzz") // all OOV noise
+    ).toDF("doc_id", "lang", "text")
+    val got = LangModel.unigramNll(corpus, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(got(10L) > got(0L) && got(10L) > got(1L) && got(10L) > got(2L))
+    val re = LangModel.unigramNll(corpus.repartition(7), "doc_id", "text",
+        col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(re == got)
+  }
+}

@@ -139,4 +139,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.packSequences(docs.filter(lit(false)), "id", "tok", 512)
       .count() == 0)
   }
+
+  test("weightedSample: keep probability is the row's weight — edges, monotone, stable") {
+    val rows = (0L until 400L).map(i => (i, i.toDouble / 400.0)).toDF("id", "w")
+    // weight 1 keeps everything, weight 0 nothing; out-of-range clamps
+    assert(Sampling.weightedSample(rows, "id", lit(1.0)).count() == 400)
+    assert(Sampling.weightedSample(rows, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weightedSample(rows, "id", lit(7.5)).count() == 400)
+    assert(Sampling.weightedSample(rows, "id", lit(-3.0)).count() == 0)
+    // monotone: raising every weight only ADDS members (same salted draw)
+    def ids(w: org.apache.spark.sql.Column) =
+      Sampling.weightedSample(rows, "id", w).collect().map(_.getLong(0)).toSet
+    val low = ids(col("w") * 0.5)
+    val high = ids(col("w"))
+    assert(low.subsetOf(high) && high.size > low.size)
+    // per-row weights actually bite: ~half kept with uniform 0..1 weights
+    assert(high.size > 120 && high.size < 280, s"kept ${high.size} of 400")
+    // stable across partitionings
+    assert(ids(col("w")) ==
+      Sampling.weightedSample(rows.repartition(17), "id", col("w"))
+        .collect().map(_.getLong(0)).toSet)
+  }
 }
