@@ -69,4 +69,54 @@ object Sketch {
         .otherwise(expr(s"${(k - 1).toLong * HashSpace}L div __kth"))
         .as("est_distinct")): _*)
   }
+
+  /** Fixed-bin equal-width HISTOGRAM quantile sketch — the
+    * bounded-memory, MERGEABLE approximate-percentile path with full
+    * oracle parity. Where q18's exact `percentile` holds O(distinct
+    * values) per group and `approx_percentile`'s t-digest is
+    * engine-private (no cross-engine gate possible), an equal-width
+    * histogram is `bins` long counters per partition, map-side combined
+    * into one ≤bins-row frame — the sketch a 100 TB scan can afford AND
+    * any engine reproduces bit-for-bit.
+    *
+    * Estimate: target rank ⌈p·N⌉ lands in the first bin whose cumulative
+    * count reaches it; linear interpolation inside the bin, all from
+    * integer counts and edges (`div` bin assignment — exact in any
+    * BIGINT engine), with the float ops in pinned order. Error bound is
+    * the bin width (range/bins) — tighten with more bins, each costing
+    * one long per partition. Input must be an integer column (cents);
+    * output (quantile, est) in input units, one row per prob. */
+  def histQuantiles(df: DataFrame, valueCol: Column, bins: Int,
+      probs: Seq[Double]): DataFrame = {
+    require(bins >= 1 && bins <= 100000, s"bins must be in 1..100000, got $bins")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0, 1]: $probs")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(valueCol.cast("long").as("__v"))
+    val stats = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      count(lit(1)).as("__n"))
+    val counts = base.crossJoin(broadcast(stats))
+      .select(((col("__v") - col("__mn")) * lit(bins.toLong)).as("__num"),
+        (col("__mx") - col("__mn") + lit(1L)).as("__den"))
+      .selectExpr("__num div __den AS bin")
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // ≤bins rows from here on — the window and cross joins are tiny by
+    // construction, never data-sized
+    val cum = counts
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
+      .crossJoin(broadcast(stats))
+    import df.sparkSession.implicits._
+    val cand = probs.toDF("quantile").crossJoin(cum)
+      .withColumn("target", ceil(col("quantile") * col("__n").cast("double")).cast("long"))
+      .filter(col("cum") >= col("target"))
+    val width = (col("__mx") - col("__mn") + lit(1L)).cast("double") / lit(bins.toDouble)
+    val est = col("__mn").cast("double") + col("bin").cast("double") * width +
+      ((col("target") - (col("cum") - col("cnt"))).cast("double") /
+        col("cnt").cast("double")) * width
+    cand
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("quantile").orderBy("bin")))
+      .filter(col("__rn") === 1)
+      .select(col("quantile"), est.as("est"))
+  }
 }

@@ -161,6 +161,20 @@ object OlapQueries {
       .orderBy("bucket")
   }
 
+  /** q26 — approximate order-value percentiles from a 32-bin equal-width
+    * histogram sketch (Sketch.histQuantiles): p50/p90/p99 in one scan
+    * with 32 long counters per partition — the bounded-memory quantile
+    * path next to q18's exact percentile (O(distinct) memory) and the
+    * engine-private approx_percentile t-digest. Fully oracle-gated:
+    * integer bin assignment and pinned-order interpolation make the
+    * estimates bit-identical across engines. */
+  def q26HistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Sketch.histQuantiles(
+        Tables.orders(spark, dir).select(cents(col("o_totalprice")).as("__c")),
+        col("__c"), bins = 32, probs = Seq(0.5, 0.9, 0.99))
+      .select(col("quantile"), (col("est") / lit(100.0)).as("est_value"))
+      .orderBy("quantile")
+
   /** q19 — KMV distinct-count sketch of order keys per return flag. The
     * estimate path (groups hold >> k distinct keys at every test SF) is
     * what's gated: portable md5-derived 48-bit hashes and integer
@@ -263,6 +277,26 @@ object OlapQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q26_hist_quantiles" -> {
+      val width = "(CAST(mx - mn + 1 AS DOUBLE) / 32.0)"
+      s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx, CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |c AS (SELECT (v - mn) * 32 // (mx - mn + 1) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM v CROSS JOIN st GROUP BY 1),
+         |cc AS (SELECT bin, cnt, CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM c),
+         |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS quantile),
+         |cand AS (SELECT quantile,
+         |           CAST(CEIL(quantile * CAST(n AS DOUBLE)) AS BIGINT) AS target,
+         |           bin, cnt, cum, mn, mx
+         |         FROM p CROSS JOIN cc CROSS JOIN st),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY quantile ORDER BY bin) AS rn
+         |      FROM cand WHERE cum >= target)
+         |SELECT quantile,
+         |  (CAST(mn AS DOUBLE) + CAST(bin AS DOUBLE) * $width
+         |    + (CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * $width) / 100.0
+         |    AS est_value
+         |FROM r WHERE rn = 1 ORDER BY quantile""".stripMargin
+    },
     "q24_profile_sketched" ->
       s"""WITH t AS (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -427,6 +461,7 @@ object OlapQueries {
     "q17_status_pivot" -> q17StatusPivot _,
     "q18_value_quartiles" -> q18ValueQuartiles _,
     "q25_value_buckets" -> q25ValueBuckets _,
+    "q26_hist_quantiles" -> q26HistQuantiles _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
     "q24_profile_sketched" -> q24ProfileSketched _,

@@ -52,4 +52,41 @@ class SketchSpec extends SparkSpec {
         .orderBy("g").collect().map(_.toSeq).toSeq
     assert(run(1) == run(32))
   }
+
+  test("histQuantiles: uniform data — estimates within a bin width of truth") {
+    import org.apache.spark.sql.functions.col
+    val vals = (1L to 10000L).map(Tuple1(_)).toDF("v")
+    val got = Sketch.histQuantiles(vals, col("v"), bins = 100, probs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getAs[Double]("quantile") -> r.getAs[Double]("est")).toMap
+    val binWidth = 10000.0 / 100
+    assert(math.abs(got(0.5) - 5000.0) <= binWidth, s"p50 ${got(0.5)}")
+    assert(math.abs(got(0.9) - 9000.0) <= binWidth, s"p90 ${got(0.9)}")
+    assert(math.abs(got(0.99) - 9900.0) <= binWidth, s"p99 ${got(0.99)}")
+    // estimates are monotone in p
+    assert(got(0.5) < got(0.9) && got(0.9) < got(0.99))
+  }
+
+  test("histQuantiles: single-bin degenerate, skew, partition independence, validation") {
+    import org.apache.spark.sql.functions.col
+    // all-equal values: every quantile is that value (+ intra-bin lerp
+    // stays inside the 1-wide value range)
+    val const = Seq.fill(50)(Tuple1(42L)).toDF("v")
+    Sketch.histQuantiles(const, col("v"), bins = 8, probs = Seq(0.5, 1.0))
+      .collect().foreach(r => assert(math.abs(r.getAs[Double]("est") - 42.0) <= 1.0))
+    // heavy skew: 99 zeros and one large value — p50 stays near 0
+    val skew = (Seq.fill(99)(0L) :+ 1000000L).map(Tuple1(_)).toDF("v")
+    val p50 = Sketch.histQuantiles(skew, col("v"), bins = 32, probs = Seq(0.5))
+      .collect().head.getAs[Double]("est")
+    assert(p50 < 1000000.0 / 32)
+    // partitioning cannot perturb a bit
+    val vals = (1L to 5000L).map(Tuple1(_)).toDF("v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketch.histQuantiles(df, col("v"), bins = 32, probs = Seq(0.25, 0.75))
+        .orderBy("quantile").collect().map(_.toSeq).toSeq
+    assert(run(vals) == run(vals.repartition(17)))
+    intercept[IllegalArgumentException](
+      Sketch.histQuantiles(vals, col("v"), bins = 0, probs = Seq(0.5)))
+    intercept[IllegalArgumentException](
+      Sketch.histQuantiles(vals, col("v"), bins = 8, probs = Seq(0.0)))
+  }
 }
