@@ -414,6 +414,27 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_orc — ORC format round-trip: the documents table written as
+    * lang-PARTITIONED ORC (the second predicate-pushdown-capable
+    * columnar format next to parquet — same Hive-layout contract as
+    * Warehouse.writePartitioned), read back with a partition filter
+    * that prunes every non-en directory at planning time (asserted in
+    * WarehouseSpec), then aggregated per source. The oracle computes
+    * the same aggregate from the parquet original — the gate proves
+    * the ORC write/read preserves values exactly, bytes included. */
+  def docOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_orc/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").orc(path)
+    spark.read.orc(path)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(octet_length(col("text")).cast("long")).as("bytes_total"))
+      .orderBy("source")
+  }
+
   /** doc_chunks — context-window chunking (Transform.chunkDocs): every
     * document cut into 512-char chunks with a 64-char overlap (stride
     * 448). Pure map + in-row explode; the oracle regenerates the same
@@ -921,6 +942,12 @@ object DocQueries {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) <
         |      CASE lang WHEN 'en' THEN 64 WHEN 'zh' THEN 256 ELSE 128 END
         |ORDER BY doc_id""".stripMargin,
+    "doc_orc" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+        |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes_total
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "doc_weighted_sample" -> {
       val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
       val w = s"""CASE WHEN length(text) > 0
@@ -1055,6 +1082,7 @@ object DocQueries {
     "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,
     "doc_stratified_sample" -> docStratifiedSample _,
+    "doc_orc" -> docOrc _,
     "doc_weighted_sample" -> docWeightedSample _,
     "doc_splits" -> docSplits _,
     "doc_shuffle_batches" -> docShuffleBatches _,

@@ -140,4 +140,34 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2L)
     Warehouse.dropTable(spark, "graft_wh_t") // idempotent
   }
+
+  test("ORC round-trip preserves values exactly and prunes partitions") {
+    val base = Files.createTempDirectory("graft-orc").toString
+    val docs = Seq(
+      (0L, "en", "plain ascii"),
+      (1L, "zh", "中文字节数与字符数不同"), // multi-byte round-trip
+      (2L, "en", ""),                      // empty text survives
+      (3L, "de", "umlaut äöü")
+    ).toDF("doc_id", "lang", "text")
+    docs.write.mode("overwrite").partitionBy("lang").orc(s"$base/t")
+
+    val back = spark.read.orc(s"$base/t")
+    // byte-exact content round-trip (partition column comes back too)
+    assert(back.select("doc_id", "lang", "text").collect().map(_.toSeq).toSet ==
+      docs.collect().map(_.toSeq).toSet)
+
+    // the lang predicate prunes directories at planning time, like the
+    // parquet layout above — ORC shares the Hive-partitioning contract
+    val q = back.filter(col("lang") === "en")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"),
+      s"lang predicate should prune ORC partitions:\n$scan")
+    assert(q.count() == 2)
+    // data predicates reach the ORC scan as pushed filters
+    val dq = back.filter(col("doc_id") === 1L)
+    val dscan = dq.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(dscan.contains("PushedFilters") && dscan.contains("doc_id"),
+      s"doc_id predicate should push into the ORC scan:\n$dscan")
+  }
 }
