@@ -349,18 +349,6 @@ object Ann {
     } finally NearDup.freeCheckpoint(qdf)
   }
 
-  /** The TRAINED k-means codebook (the quantizer itself, not the
-    * assignment): same INIT/ASSIGN/UPDATE rounds as [[kmeans]], returning
-    * the (cluster, __cv, __cc) frame after `iters` updates — what PQ
-    * subspace training and IVF-list construction consume. The frame is an
-    * eager checkpoint; release via [[NearDup.freeCheckpoint]]. */
-  def kmeansCodebook(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
-    val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
-    try kmeansCodebookQ(qdf, idCol, k, iters)
-    finally NearDup.freeCheckpoint(qdf)
-  }
-
   /** One k-means ASSIGN pass: nearest codebook row by exact integer L2
     * (q·q − 2·q·c + c·c), ties to the lowest cluster id, broadcast
     * codebook + map-side-combined min(struct) — never a shuffle of the
@@ -467,16 +455,65 @@ object Ann {
   def pqCodebooks(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    import org.apache.spark.sql.expressions.Window
     val subDim = dim / m
-    val parts = (0 until m).map { s =>
-      kmeansCodebook(
-          df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("__sub")),
-          idCol, "__sub", k, iters)
-        .withColumn("subspace", lit(s.toLong))
-    }
-    val all = parts.reduce(_.unionAll(_)).localCheckpoint(true)
-    parts.foreach(NearDup.freeCheckpoint)
-    all
+    // The m subspace trainings are FUSED into one grouped k-means: every
+    // pass below keys on (subspace, cluster), so each iteration is ONE
+    // corpus-scan-shaped job instead of m — the per-subspace results are
+    // identical to m independent trainings because nothing crosses a
+    // subspace boundary. The exploded (id, subspace, slice) frame is
+    // checkpointed once and feeds every round.
+    val subs = df.select(col(idCol), posexplode(
+        array((0 until m).map(s =>
+          slice(quantize(col(vecCol)), s * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("pos").cast("long").as("subspace"), col("col").as("__sub"))
+      .withColumn("__sn", dotQ(col("__sub"), col("__sub")))
+      .localCheckpoint(true)
+    try {
+      // INIT: the k lowest-id vectors seed every subspace (their slices);
+      // the seed id list is k rows, broadcast onto the exploded frame
+      val seeds = subs.select(col(idCol)).distinct().orderBy(col(idCol)).limit(k)
+        .select(col(idCol),
+          (row_number().over(Window.orderBy(col(idCol))) - 1).cast("long").as("cluster"))
+      var cb = subs.join(broadcast(seeds), idCol)
+        .select(col("subspace"), col("cluster"), col("__sub").as("__cv"),
+          col("__sn").as("__cc"))
+        .localCheckpoint(true)
+      def assign(codebook: DataFrame): DataFrame =
+        subs.join(broadcast(codebook), "subspace")
+          .withColumn("__dist",
+            col("__sn") - lit(2L) * dotQ(col("__sub"), col("__cv")) + col("__cc"))
+          .groupBy(col(idCol), col("subspace"))
+          .agg(min(struct(col("__dist"), col("cluster"))).as("__best"),
+            first(col("__sub")).as("__sub"))
+          .select(col(idCol), col("subspace"), col("__sub"),
+            col("__best").getField("cluster").as("cluster"))
+      try {
+        for (_ <- 1 to iters) {
+          val sums = assign(cb)
+            .select(col("subspace"), col("cluster"), posexplode_outer(col("__sub")))
+            .filter(col("col").isNotNull)
+            .groupBy(col("subspace"), col("cluster"), col("pos"))
+            .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("cq"))
+          val newVecs = sums
+            .groupBy(col("subspace"), col("cluster"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("cq")))).as("__cs"))
+            .select(col("subspace"), col("cluster"),
+              transform(col("__cs"), s => s.getField("cq")).as("__nv"))
+          val next = cb.join(newVecs, Seq("subspace", "cluster"), "left_outer")
+            .select(col("subspace"), col("cluster"),
+              coalesce(col("__nv"), col("__cv")).as("__cv"))
+            .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
+            .localCheckpoint(true)
+          NearDup.freeCheckpoint(cb)
+          cb = next
+        }
+        cb.select(col("cluster"), col("__cv"), col("__cc"), col("subspace"))
+          .localCheckpoint(true)
+      } finally NearDup.freeCheckpoint(cb)
+    } finally NearDup.freeCheckpoint(subs)
   }
 
   /** PQ top-k via ASYMMETRIC DISTANCE COMPUTATION (ADC): candidates are
