@@ -158,4 +158,83 @@ class PlanSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(salted == plain)
   }
+
+  test("emb_knn_pq plans equi-joins only: no cartesian, codes never windowed") {
+    // the gated query checkpoints its result (to free the codebooks), so
+    // assert on the raw operator pipeline the checkpoint materializes
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Ann, NearDup}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cbs = Ann.pqCodebooks(emb, "vec_id", "embedding", dim = 64, m = 4, k = 4, iters = 1)
+    try {
+      val plan = planOf(Ann.knnPq(emb, "vec_id", "embedding", cbs, dim = 64, m = 4,
+        col("vec_id") < 5, k = 5))
+      assert(!plan.contains("CartesianProduct"), plan)
+      // ADC selection runs through the map-side bounded top-k aggregate,
+      // not a corpus-wide ranking window
+      assert(plan.contains("partial_graft_topk") || plan.contains("partial graft_topk"), plan)
+      // encode/ADC joins broadcast the small side (codebook / tables)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally NearDup.freeCheckpoint(cbs)
+  }
+
+  test("emb_semdedup pairs meet in a cluster equi-join, never all-pairs") {
+    // semDedup returns an eager checkpoint, so its interesting plan runs
+    // INSIDE the call — capture every materialized plan via the QE
+    // listener and assert on the final (kept-producing) one
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Curate.release(VectorQueries.embSemDedup(spark, dir))
+      val deadline = System.currentTimeMillis() + 20000
+      def finalPlan() = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.find(_.contains("kept"))
+      }
+      while (finalPlan().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val plan = finalPlan().getOrElse(fail("no kept-producing plan captured"))
+      // the corpus×corpus pair generation is an equi-join on the cluster
+      // id: hash/merge join only — no cartesian, no nested loop
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(plan.contains("Join"), plan)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("doc_bm25 selects through TakeOrderedAndProject with one stats broadcast") {
+    val plan = planOf(DocQueries.docBm25(spark, dir))
+    // bounded head — no corpus-wide ranking window before the limit
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the corpus stats row arrives by broadcast, not a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Cross")
+      || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("doc_lm_score aggregates partially before its per-doc shuffle") {
+    val plan = planOf(DocQueries.docLmScore(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-doc NLL sum is map-side combined (partial aggregate present)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum")
+      || plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      plan)
+    // the vocab joins back by broadcast
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("doc_weighted_sample is a pure pushable filter — no shuffle at all") {
+    val df = DocQueries.docWeightedSample(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // one scan, a filter, a sort for output determinism — no exchange
+    // other than the final orderBy's range partitioning
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
 }
