@@ -164,7 +164,51 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_dpp_join — DYNAMIC partition pruning over the partitioned
+    * warehouse layout: orders land as a status-partitioned parquet table
+    * (Warehouse.writePartitioned's Hive layout); the fact scan's
+    * partition filter arrives at RUNTIME from the broadcast dim side
+    * (statuses labeled, filtered to 'closed') as a
+    * dynamicpruningexpression — the plan shape that keeps a 100 TB
+    * fact scan from reading partitions the dim filter will drop anyway.
+    * The dim predicate must be genuinely UNKNOWABLE at plan time or
+    * Catalyst folds it into a static partition filter instead (a
+    * label CASE over the key constant-folds straight through the join
+    * — static pruning, tested and observed); here the dim keeps the
+    * RAREST status, a rank over an aggregate no optimizer can fold.
+    * PlanSpec asserts the dynamic filter reaches PartitionFilters. */
+  def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = "/tmp/graft_dpp/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    val fact = spark.read.parquet(path)
+    val dim = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("status"))))
+      .filter(col("rk") === 1)
+      .select("status")
+    fact.join(broadcast(dim), fact("o_orderstatus") === dim("status"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_dpp_join" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders GROUP BY 1
+        |), dim AS (
+        |  SELECT status FROM (
+        |    SELECT status, ROW_NUMBER() OVER (ORDER BY n, status) AS rk FROM c
+        |  ) WHERE rk = 1
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM orders JOIN dim ON dim.status = orders.o_orderstatus
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "etl_dedupe_keep_last" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice
         |FROM (
@@ -278,6 +322,7 @@ object EtlQueries {
     "etl_filter_project" -> filterProject _,
     "etl_salted_join" -> saltedJoin _,
     "etl_incremental_agg" -> incrementalAgg _,
+    "etl_dpp_join" -> dppJoin _,
     "etl_bloom_semi" -> bloomSemi _,
   )
 }

@@ -229,6 +229,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("etl_dpp_join: the fact scan's partition filter arrives at runtime") {
+    val plan = planOf(EtlQueries.dppJoin(spark, dir))
+    // dynamic partition pruning: the dim side's filter reaches the
+    // partitioned fact scan as a runtime dynamicpruning expression
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
   test("doc_weighted_sample is a pure pushable filter — no shuffle at all") {
     val df = DocQueries.docWeightedSample(spark, dir)
     df.collect()
