@@ -70,6 +70,44 @@ object Sketch {
         .as("est_distinct")): _*)
   }
 
+  /** COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan
+    * 2005): d hash rows × w buckets of counters; a key's estimate is the
+    * MIN of its d bucket counters — always ≥ the true count, within
+    * εN (ε≈e/w) with probability 1−δ (δ≈e^−d). The mergeable
+    * frequency complement to FreqItems' Misra-Gries top-k: MG answers
+    * "which keys are heavy", CMS answers "how often is THIS key" for any
+    * key, after one pass.
+    *
+    * Scale shape: building the sketch is one explode to d rows per input
+    * and a map-side-combined count into ≤ d·w cells — the sketch frame is
+    * CONSTANT-sized regardless of input (that's the point), broadcast to
+    * the probe join. Hashes are md5-derived (salted per row index), so —
+    * like KMV and unlike HLL/CMS implementations keyed on engine-private
+    * hashes — any engine reproduces the identical sketch, counters and
+    * all. Returns (probe key, est_count) for the rows of `probes`. */
+  def cmsFreq(df: DataFrame, keyCol: String, probes: DataFrame,
+      d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in 1..16, got $d")
+    require(w >= 2 && w <= (1 << 20), s"w must be in 2..2^20, got $w")
+    def bucket(key: Column, i: Int): Column =
+      pmod(conv(substring(
+          md5(concat(key.cast("string"), lit(s"~cms$i"))
+            .cast("binary")), 1, 12), 16, 10).cast("long"), lit(w.toLong))
+    val cells = df.filter(col(keyCol).isNotNull)
+      .select(posexplode(array((0 until d).map(i =>
+        bucket(col(keyCol), i)): _*)))
+      .withColumnsRenamed(Map("pos" -> "__row", "col" -> "__bucket"))
+      .groupBy(col("__row"), col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    val probed = probes.select(col(keyCol))
+      .select(col(keyCol), posexplode(array((0 until d).map(i =>
+        bucket(col(keyCol), i)): _*)))
+      .withColumnsRenamed(Map("pos" -> "__row", "col" -> "__bucket"))
+    probed.join(broadcast(cells), Seq("__row", "__bucket"), "left_outer")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("__cnt"), lit(0L))).as("est_count"))
+  }
+
   /** Fixed-bin equal-width HISTOGRAM quantile sketch — the
     * bounded-memory, MERGEABLE approximate-percentile path with full
     * oracle parity. Where q18's exact `percentile` holds O(distinct

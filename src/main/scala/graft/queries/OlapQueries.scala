@@ -175,6 +175,21 @@ object OlapQueries {
       .select(col("quantile"), (col("est") / lit(100.0)).as("est_value"))
       .orderBy("quantile")
 
+  /** q27 — count-min-sketch frequency estimates (Sketch.cmsFreq, 4×512
+    * counters) of lineitem part keys for the first 20 parts — including
+    * parts with no lineitems at all (estimate 0 unless a collision
+    * inflates it; CMS is one-sided by construction and the oracle
+    * reproduces every collision exactly, since the sketch hashes are
+    * md5-derived and engine-portable). */
+  def q27CmsFreq(spark: SparkSession, dir: String): DataFrame =
+    Sketch.cmsFreq(
+        Tables.lineitem(spark, dir).select("l_partkey"),
+        "l_partkey",
+        Tables.part(spark, dir).filter(col("p_partkey") < 20)
+          .select(col("p_partkey").as("l_partkey")),
+        d = 4, w = 512)
+      .orderBy("l_partkey")
+
   /** q19 — KMV distinct-count sketch of order keys per return flag. The
     * estimate path (groups hold >> k distinct keys at every test SF) is
     * what's gated: portable md5-derived 48-bit hashes and integer
@@ -277,6 +292,28 @@ object OlapQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q27_cms_freq" -> {
+      def bucketSql(key: String, i: Int) =
+        s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '~cms$i'), 1, 12) AS BIGINT) % 512"
+      val buildArms = (0 until 4).map(i =>
+        s"SELECT $i AS i, ${bucketSql("l_partkey", i)} AS bucket FROM lineitem WHERE l_partkey IS NOT NULL")
+        .mkString("\n    UNION ALL ")
+      val probeArms = (0 until 4).map(i =>
+        s"SELECT l_partkey, $i AS i, ${bucketSql("l_partkey", i)} AS bucket FROM probes")
+        .mkString("\n    UNION ALL ")
+      s"""WITH cells AS (
+         |  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    $buildArms
+         |  ) GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT p_partkey AS l_partkey FROM part WHERE p_partkey < 20
+         |), pr AS (
+         |    $probeArms
+         |)
+         |SELECT pr.l_partkey, MIN(COALESCE(c.cnt, 0)) AS est_count
+         |FROM pr LEFT JOIN cells c ON c.i = pr.i AND c.bucket = pr.bucket
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q26_hist_quantiles" -> {
       val width = "(CAST(mx - mn + 1 AS DOUBLE) / 32.0)"
       s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
@@ -462,6 +499,7 @@ object OlapQueries {
     "q18_value_quartiles" -> q18ValueQuartiles _,
     "q25_value_buckets" -> q25ValueBuckets _,
     "q26_hist_quantiles" -> q26HistQuantiles _,
+    "q27_cms_freq" -> q27CmsFreq _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
     "q24_profile_sketched" -> q24ProfileSketched _,

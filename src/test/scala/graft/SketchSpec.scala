@@ -53,6 +53,36 @@ class SketchSpec extends SparkSpec {
     assert(run(1) == run(32))
   }
 
+  test("cmsFreq: one-sided estimates, exact when sparse, absent keys report 0") {
+    import org.apache.spark.sql.functions.col
+    // 10 distinct keys in a 4×512 sketch: collisions are possible but
+    // estimates are NEVER below truth (one-sided by construction)
+    val data = (1 to 1000).map(i => Tuple1((i % 10).toLong)).toDF("k")
+    val probes = (0L to 12L).map(Tuple1(_)).toDF("k")
+    val got = Sketch.cmsFreq(data, "k", probes, d = 4, w = 512)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Long]("est_count")).toMap
+    val truth = (0L to 12L).map(k => k -> (if (k < 10) 100L else 0L)).toMap
+    (0L to 12L).foreach(k => assert(got(k) >= truth(k), s"key $k: ${got(k)} < ${truth(k)}"))
+    // with 10 keys in 2048 cells, all 4 rows collision-free is near
+    // certain for SOME row — and min picks it: exact here
+    assert(got.filterKeys(_ < 10).forall(_._2 == 100L), got)
+    assert(got(11L) == 0L && got(12L) == 0L)
+    // every probe key reports, even the never-seen ones
+    assert(got.keySet == (0L to 12L).toSet)
+  }
+
+  test("cmsFreq: partition-invariant and validates parameters") {
+    import org.apache.spark.sql.functions.col
+    val data = (1 to 5000).map(i => Tuple1((i % 37).toLong)).toDF("k")
+    val probes = (0L until 37L).map(Tuple1(_)).toDF("k")
+    def run(parts: Int) =
+      Sketch.cmsFreq(data.repartition(parts), "k", probes, d = 3, w = 64)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(32))
+    intercept[IllegalArgumentException](Sketch.cmsFreq(data, "k", probes, d = 0))
+    intercept[IllegalArgumentException](Sketch.cmsFreq(data, "k", probes, w = 1))
+  }
+
   test("histQuantiles: uniform data — estimates within a bin width of truth") {
     import org.apache.spark.sql.functions.col
     val vals = (1L to 10000L).map(Tuple1(_)).toDF("v")
