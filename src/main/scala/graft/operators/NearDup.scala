@@ -652,4 +652,38 @@ object NearDup {
       cross.unionByName(intra)
     }
   }
+
+  /** N-gram NOVELTY scoring — the memorization/provenance analytic:
+    * each document's share of n-gram shingles that appear in NO other
+    * document. Boilerplate, templates, and near-copies score low;
+    * genuinely novel text scores ~1. The per-shingle pass reuses
+    * [[shingleSets]]' in-row-distinct frame.
+    *
+    * Scale shape: the tempting plan — join every (doc, shingle) row back
+    * to a shingle→doc-frequency map — shuffles the corpus shingle stream
+    * TWICE. Instead one groupBy(shingle) computes (count, min(doc_id))
+    * together: a shingle with count=1 belongs to exactly the doc
+    * min(doc_id) names, so per-doc unique counts come from the SMALL
+    * singleton side, and the corpus-sized frame shuffles once. Docs too
+    * short to have shingles report (0, 0, 0.0). Returns (idCol,
+    * n_shingles, n_unique, novelty). */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingleSets(df, idCol, textCol, n)
+    val tot = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__tot"))
+    val uniq = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__dfn"), min(col(idCol)).as("__owner"))
+      .filter(col("__dfn") === 1)
+      .groupBy(col("__owner").as(idCol))
+      .agg(count(lit(1)).as("__uniq"))
+    df.select(col(idCol))
+      .join(tot, Seq(idCol), "left_outer")
+      .join(uniq, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__tot"), lit(0L)).as("n_shingles"),
+        coalesce(col("__uniq"), lit(0L)).as("n_unique"))
+      .withColumn("novelty",
+        when(col("n_shingles") > 0,
+          col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -446,6 +446,15 @@ object DocQueries {
         "doc_id", "text", size = 512, overlap = 64)
       .orderBy("doc_id", "chunk_id")
 
+  /** doc_novelty — n-gram novelty scoring (NearDup.noveltyScores): each
+    * doc's share of 3-gram shingles appearing in no other document.
+    * Boilerplate and near-copies score low — the memorization/
+    * provenance analytic next to the dedup operators. */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.noveltyScores(
+        Tables.documents(spark, dir), "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+
   /** doc_lm_score — perplexity-style LM quality scoring
     * (graft.operators.LangModel): a unigram model with add-one smoothing
     * trains on the English slice, every document scores its average
@@ -903,7 +912,27 @@ object DocQueries {
        |       CAST(nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0 AS avg_nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Novelty oracle: the shared shingle CTEs, one (count, min-owner)
+    * aggregate per shingle, singleton side re-aggregated per owner. */
+  private val noveltyOracle: String =
+    s"""WITH ${shingleCtes()},
+       |dfr AS (SELECT shingle, COUNT(*) AS dfn, MIN(doc_id) AS owner FROM sh GROUP BY 1),
+       |uniq AS (SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+       |         FROM dfr WHERE dfn = 1 GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(t.n_shingles, 0) AS n_shingles,
+       |  COALESCE(u.n_unique, 0) AS n_unique,
+       |  CASE WHEN COALESCE(t.n_shingles, 0) > 0
+       |       THEN CAST(COALESCE(u.n_unique, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)
+       |       ELSE CAST(0.0 AS DOUBLE) END AS novelty
+       |FROM documents d
+       |LEFT JOIN tot t ON t.doc_id = d.doc_id
+       |LEFT JOIN uniq u ON u.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "doc_novelty" -> noveltyOracle,
     "doc_lm_score" -> lmScoreOracle,
     "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
@@ -1066,6 +1095,7 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_novelty" -> docNovelty _,
     "doc_lm_score" -> docLmScore _,
     "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,

@@ -187,4 +187,29 @@ class NearDupSpec extends SparkSpec {
     assert(s64.keySet == s32.keySet)
     assert(s64.forall { case (id, v) => (v & 0xFFFFFFFFL) == s32(id) })
   }
+
+  test("noveltyScores: copies score 0, novel docs 1, short docs report zeros") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),   // shares everything with 1
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five"),  // all shingles unique
+      (3L, "alpha beta gamma epsilon"), // mixes shared + unique
+      (4L, "hi")                        // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val got = NearDup.noveltyScores(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"), r.getAs[Double]("novelty")))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(0L) == ((2L, 0L, 0.0)) && got(1L) == ((2L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    // doc 3: "alpha beta gamma" shared with 0/1; "beta gamma epsilon"
+    // unique → novelty 1/2
+    assert(got(3L) == ((2L, 1L, 0.5)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // partition independence
+    val re = NearDup.noveltyScores(docs.repartition(7), "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(re == got.view.mapValues(_._3).toMap)
+  }
 }
