@@ -35,6 +35,10 @@ object Bm25 {
   def topK(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    // terms are matched against NORMALIZED tokens — an uppercase or
+    // punctuated term would silently never match
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be normalized single tokens [a-z0-9]+: $terms")
     require(k > 0, s"k must be positive, got $k")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), Text.tokens(Text.normalize(col(textCol))).as("__t"))

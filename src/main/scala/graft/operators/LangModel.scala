@@ -43,6 +43,10 @@ object LangModel {
       .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
     val stats = vcnt.agg(sum(col("__cnt")).as("__total"), count(lit(1)).as("__v"))
     val denom = (col("__total") + col("__v")).cast("double")
+    // empty reference slice → denom is NULL (sum over no rows), every
+    // nllq NULL, and the per-doc outputs go NULL rather than the
+    // round(+Inf) overflow an unguarded ln(1/0) would produce — which
+    // Spark saturates and DuckDB rejects
     val vocab = vcnt.crossJoin(broadcast(stats))
       .select(col("__tok"),
         round(lit(1e6) * -log((col("__cnt") + lit(1L)).cast("double") / denom))

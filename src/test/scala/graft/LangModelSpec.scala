@@ -51,4 +51,13 @@ class LangModelSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
     assert(re == got)
   }
+
+  test("unigramNll: empty reference slice scores NULL, never a rounded infinity") {
+    val got = LangModel.unigramNll(docs, "doc_id", "text", lit(false))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.isNullAt(r.fieldIndex("nll_micro")), r.isNullAt(r.fieldIndex("avg_nll"))))
+      .toMap
+    // token counts still real; the model side is honestly absent
+    assert(got.size == 4 && got.values.forall(v => v._1 && v._2))
+  }
 }
