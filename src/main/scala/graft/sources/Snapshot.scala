@@ -100,26 +100,47 @@ object Snapshot {
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
     current(fsOf(spark, root), root).map(_._1)
 
-  /** Table → absolute data path of the newest committed snapshot. */
+  /** A manifest value is a comma-joined list of immutable data dirs —
+    * one for replace-committed tables, several for APPEND-committed ones
+    * (the log-structured shape of [[commitAppend]]); readers union the
+    * segments. */
+  private def relDirs(rel: String): Seq[String] = rel.split(',').toSeq
+
+  private def readRel(spark: SparkSession, root: String, rel: String): DataFrame =
+    spark.read.parquet(relDirs(rel).map(r => new Path(root, r).toString): _*)
+
+  /** Table → absolute data path(s) of the newest committed snapshot
+    * (comma-joined when the table has appended segments). */
   def tables(spark: SparkSession, root: String): Map[String, String] =
     current(fsOf(spark, root), root).map(_._2).getOrElse(Map.empty)
-      .map { case (t, rel) => t -> new Path(root, rel).toString }
+      .map { case (t, rel) =>
+        t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
+      }
 
   /** Read one table of the newest committed snapshot. */
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
-    val byName = tables(spark, root)
-    val path = byName.getOrElse(table,
+    val byName = currentRels(spark, root)
+    val rel = byName.getOrElse(table,
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root (have: ${byName.keys.toSeq.sorted.mkString(", ")})"))
-    spark.read.parquet(path)
+    readRel(spark, root, rel)
   }
+
+  private def currentRels(spark: SparkSession, root: String): Map[String, String] =
+    current(fsOf(spark, root), root).map(_._2).getOrElse(Map.empty)
 
   /** Table → absolute data path AS OF a specific committed `version`
     * (time travel). Committed versions are immutable — data dirs are
     * write-once and only [[vacuum]] deletes them — so a pinned version
     * keeps reading the same bytes while the snapshot advances.
     * Throws if the version never committed completely or was vacuumed. */
-  def tablesAt(spark: SparkSession, root: String, version: Long): Map[String, String] = {
+  def tablesAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
+    relsAt(spark, root, version)
+      .map { case (t, rel) =>
+        t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
+      }
+
+  private def relsAt(spark: SparkSession, root: String, version: Long): Map[String, String] = {
     val fs = fsOf(spark, root)
     val manifest = versions(fs, root)
       .collectFirst { case (v, p) if v == version => p }
@@ -129,19 +150,18 @@ object Snapshot {
     parseManifest(fs, manifest)
       .getOrElse(throw new IllegalStateException(
         s"snapshot: version $version at $root is torn/incomplete"))
-      .map { case (t, rel) => t -> new Path(root, rel).toString }
   }
 
   /** Read one table as of `version` — how a pipeline pins its input
     * (reproducible ablations, audits, incremental-delta baselines)
     * while writers keep committing. */
   def readAt(spark: SparkSession, root: String, table: String, version: Long): DataFrame = {
-    val byName = tablesAt(spark, root, version)
-    val path = byName.getOrElse(table,
+    val byName = relsAt(spark, root, version)
+    val rel = byName.getOrElse(table,
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root version $version (have: ${
           byName.keys.toSeq.sorted.mkString(", ")})"))
-    spark.read.parquet(path)
+    readRel(spark, root, rel)
   }
 
   /** Atomically publish new contents for `newTables` (other tables keep
@@ -160,6 +180,54 @@ object Snapshot {
       t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
     }
     commitManifest(fs, root, written, expectBase)
+  }
+
+  /** LOG-STRUCTURED append commit: each table in `appends` gains ONE new
+    * immutable segment dir holding only the given rows — the existing
+    * segments are never rewritten, so commit cost is O(batch), never
+    * O(table); readers union the segment list from the manifest. Tables
+    * in `replaces` publish a whole new single segment (the [[commit]]
+    * semantics) in the SAME atomic manifest — which is what lets a
+    * consumer pair a data append with a progress-marker update and get
+    * exactly-once out of at-least-once delivery (see
+    * StreamOps.streamingCorpusIngestExactlyOnce). Older versions keep
+    * reading their own segment lists (time travel unaffected); segment
+    * counts grow per append — [[compactTable]] folds them back into one.
+    */
+  def commitAppend(spark: SparkSession, root: String,
+      appends: Map[String, DataFrame],
+      replaces: Map[String, DataFrame] = Map.empty,
+      expectBase: Option[Long] = None,
+      statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+    require(appends.nonEmpty || replaces.nonEmpty, "snapshot commitAppend: no tables given")
+    require(appends.keySet.intersect(replaces.keySet).isEmpty,
+      s"snapshot commitAppend: tables in both appends and replaces: ${
+        appends.keySet.intersect(replaces.keySet).mkString(", ")}")
+    val fs = fsOf(spark, root)
+    val baseRels = currentRels(spark, root)
+    val appended = appends.map { case (t, df) =>
+      val seg = writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+      t -> baseRels.get(t).map(old => s"$old,$seg").getOrElse(seg)
+    }
+    val replaced = replaces.map { case (t, df) =>
+      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+    }
+    commitManifest(fs, root, appended ++ replaced, expectBase)
+  }
+
+  /** Fold an append-table's segments back into one dir (a new version;
+    * the old segmented versions stay readable until [[vacuum]]). The
+    * costs-O(table) rewrite every log-structured store schedules
+    * off the ingest path. */
+  def compactTable(spark: SparkSession, root: String, table: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val fs = fsOf(spark, root)
+    val base = current(fs, root)
+    val rel = base.map(_._2).getOrElse(Map.empty).getOrElse(table,
+      throw new IllegalArgumentException(s"snapshot compact: no table '$table' at $root"))
+    val folded = writeData(spark, root, table, readRel(spark, root, rel), statsCols)
+    commitManifest(fs, root, Map(table -> folded),
+      expectBase = Some(base.map(_._1).getOrElse(0L)))
   }
 
   /** MERGE-style upsert of several staged tables in ONE atomic commit —
@@ -181,8 +249,7 @@ object Snapshot {
       try {
         val staged = stageP.count()
         Upsert.requireUniqueKeys(stageP, keys, staged)
-        val existing = baseTables.get(t)
-          .map(rel => spark.read.parquet(new Path(root, rel).toString))
+        val existing = baseTables.get(t).map(rel => readRel(spark, root, rel))
         val before = existing.map(_.count()).getOrElse(0L)
         val out = existing.map(Upsert.upsert(_, stageP, keys)).getOrElse(stageP)
         val rel = writeData(spark, root, t, out, statsCols.getOrElse(t, Seq.empty))
@@ -209,7 +276,7 @@ object Snapshot {
     val kept = complete.take(keepLast).map(_._2).toSet
     val referenced = complete.take(keepLast)
       .flatMap { case (_, p) => parseManifest(fs, p) }
-      .flatMap(_.values).toSet
+      .flatMap(_.values).flatMap(relDirs).toSet
     all.collect { case (_, p) if !kept.contains(p) => fs.delete(p, false) }
     val dataRoot = new Path(root, DataDir)
     if (fs.exists(dataRoot))
@@ -230,7 +297,8 @@ object Snapshot {
     * time — O(batch), never O(table). */
   private def writeData(spark: SparkSession, root: String, table: String,
       df: DataFrame, statsCols: Seq[String] = Seq.empty): String = {
-    require(table.nonEmpty && !table.exists(c => c == '/' || c == '\t' || c == '\n'),
+    // ',' joins segment dirs in manifest values, so names can't carry it
+    require(table.nonEmpty && !table.exists(c => c == '/' || c == '\t' || c == '\n' || c == ','),
       s"snapshot: invalid table name '$table'")
     val rel = s"$DataDir/$table/${UUID.randomUUID().toString}"
     df.write.parquet(new Path(root, rel).toString)
@@ -324,30 +392,34 @@ object Snapshot {
     * a correctness gate. */
   def readPruned(spark: SparkSession, root: String, table: String,
       column: String, lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
-    val byName = version.map(v => tablesAt(spark, root, v))
-      .getOrElse(tables(spark, root))
-    val path = byName.getOrElse(table,
+    val byName = version.map(v => relsAt(spark, root, v))
+      .getOrElse(currentRels(spark, root))
+    val rel = byName.getOrElse(table,
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root (have: ${byName.keys.toSeq.sorted.mkString(", ")})"))
     val fs = fsOf(spark, root)
-    val rel = new Path(path).toString.stripPrefix(new Path(root).toString).stripPrefix("/")
-    fileStats(fs, root, rel, column) match {
-      case None => spark.read.parquet(path)
-      case Some(stats) =>
-        def cmp(t: String, a: String, b: String): Int = t match {
-          case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
-          case "float" | "double" => a.toDouble.compareTo(b.toDouble)
-          case _ => a.compareTo(b) // string, date (ISO): lexicographic
-        }
-        val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
-        val kept = stats.collect {
-          case (f, (t, mn, mx)) if cmp(t, mx, loS) >= 0 && cmp(t, mn, hiS) <= 0 => f
-        }.toSeq.sorted
-        if (kept.isEmpty)
-          spark.read.parquet(path).filter(org.apache.spark.sql.functions.lit(false))
-        else
-          spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+    def cmp(t: String, a: String, b: String): Int = t match {
+      case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
+      case "float" | "double" => a.toDouble.compareTo(b.toDouble)
+      case _ => a.compareTo(b) // string, date (ISO): lexicographic
     }
+    val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
+    // per SEGMENT: a stats sidecar prunes that segment's files; a
+    // segment without stats reads whole (soundness over savings)
+    val paths = relDirs(rel).flatMap { seg =>
+      val segPath = new Path(root, seg).toString
+      fileStats(fs, root, seg, column) match {
+        case None => Seq(segPath)
+        case Some(stats) =>
+          stats.collect {
+            case (f, (t, mn, mx)) if cmp(t, mx, loS) >= 0 && cmp(t, mn, hiS) <= 0 =>
+              s"$segPath/$f"
+          }.toSeq.sorted
+      }
+    }
+    if (paths.isEmpty)
+      readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(paths: _*)
   }
 
   /** How long a committer waits for an in-flight claim on its target

@@ -142,6 +142,77 @@ object StreamOps {
       ()
     }
 
+  /** EXACTLY-ONCE streaming corpus ingestion — [[streamingCorpusIngest]]
+    * with its documented double-append window closed through the
+    * snapshot log: each micro-batch publishes its novel documents as ONE
+    * atomic [[graft.sources.Snapshot.commitAppend]] that pairs the
+    * corpus APPEND segment with a REPLACED one-row `_ingest` progress
+    * marker. Foreach-batch delivery is at-least-once; the marker turns
+    * it exactly-once:
+    *
+    *  - a REPLAYED batch (crash after commit, before the sink
+    *    checkpoint advanced) sees marker >= its batchId and no-ops;
+    *  - a crash BEFORE the commit leaves only unreferenced data dirs —
+    *    nothing visible, the replay redoes the work;
+    *  - the append and the marker are one manifest, so no failure can
+    *    publish one without the other;
+    *  - `expectBase` pins the version read at batch start: a concurrent
+    *    writer fails this batch loudly and the retry re-reads.
+    *
+    * Per batch the corpus pays the same dedup as the non-transactional
+    * variant plus one O(batch) segment write and an O(tables) manifest —
+    * never a corpus rewrite ([[graft.sources.Snapshot.compactTable]]
+    * folds segments off the ingest path). */
+  def streamingCorpusIngestExactlyOnce(docs: DataFrame, root: String,
+      table: String, idCol: String, textCol: String, minJaccard: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ingestBatchExactlyOnce(batch, batchId, root, table, idCol, textCol, minJaccard)
+      ()
+    }
+
+  /** One micro-batch of [[streamingCorpusIngestExactlyOnce]] — public so
+    * replay semantics are directly testable (and callable from a custom
+    * trigger loop). Returns true if this call published, false for a
+    * skipped replay. */
+  def ingestBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
+      table: String, idCol: String, textCol: String,
+      minJaccard: Double = 0.5): Boolean = {
+    import graft.sources.Snapshot
+    val spark = batch.sparkSession
+    val baseVersion = Snapshot.currentVersion(spark, root)
+    val tablesNow = Snapshot.tables(spark, root).keySet
+    val applied =
+      if (tablesNow.contains(MarkerTable))
+        Snapshot.read(spark, root, MarkerTable)
+          .agg(max(col("batch_id"))).head().getLong(0)
+      else -1L
+    if (applied >= batchId) return false // replayed batch: already published
+    // in-batch exact dedup: keep the min id per fingerprint
+    val fp = graft.functions.Text.fingerprint(col(textCol))
+    val keyed = batch.withColumn("__fp", fp)
+    val canon = keyed.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    val unique = keyed.join(canon, Seq("__fp", idCol), "left_semi").drop("__fp")
+    val fresh =
+      if (tablesNow.contains(table))
+        graft.operators.NearDup.dedupeAgainst(
+          Snapshot.read(spark, root, table), unique, idCol, textCol, minJaccard)
+      else unique.localCheckpoint(true)
+    try {
+      import spark.implicits._
+      val marker = Seq(batchId).toDF("batch_id")
+      val appends =
+        if (fresh.isEmpty) Map.empty[String, org.apache.spark.sql.DataFrame]
+        else Map(table -> fresh)
+      // all-dup batches still advance the marker — replays skip cheaply
+      Snapshot.commitAppend(spark, root, appends, Map(MarkerTable -> marker),
+        expectBase = Some(baseVersion.getOrElse(0L)))
+      true
+    } finally graft.operators.Curate.release(fresh)
+  }
+
+  private val MarkerTable = "_ingest"
+
   /** Watermarked STREAM-STREAM interval join: attribute each purchase to
     * the same user's click(s) within the trailing `horizon`
     * (click_ts ∈ [purchase_ts - horizon, purchase_ts]). Both inputs

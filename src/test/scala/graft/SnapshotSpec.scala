@@ -233,4 +233,101 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.currentVersion(spark, s"$out/snapshots").contains(2L))
     assert(res2.counts == res.counts)
   }
+
+  test("commitAppend: O(batch) segments union on read; time travel pins segment lists") {
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val v2 = Snapshot.commitAppend(spark, root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    val v3 = Snapshot.commitAppend(spark, root, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // each version reads ITS segment list — appends never mutate the past
+    assert(Snapshot.readAt(spark, root, "t", v1).count() == 1)
+    assert(Snapshot.readAt(spark, root, "t", v2).count() == 2)
+    // the append wrote a NEW dir and left the old ones untouched
+    val segs = new java.io.File(s"$root/data/t").listFiles().filter(_.isDirectory)
+    assert(segs.length == 3)
+    // a replace in the same atomic manifest (the exactly-once pairing)
+    Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((4L, "d")).toDF("id", "v")),
+      Map("marker" -> Seq(7L).toDF("batch_id")))
+    assert(Snapshot.read(spark, root, "t").count() == 4)
+    assert(Snapshot.read(spark, root, "marker").head().getLong(0) == 7L)
+    // appends and replaces must not overlap
+    intercept[IllegalArgumentException](Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((9L, "x")).toDF("id", "v")),
+      Map("t" -> Seq((9L, "x")).toDF("id", "v"))))
+  }
+
+  test("compactTable folds segments; vacuum sweeps the segmented versions") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    Snapshot.commitAppend(spark, root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    Snapshot.commitAppend(spark, root, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    val vC = Snapshot.compactTable(spark, root, "t")
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    // the compacted head references ONE dir; vacuum reclaims the other 3
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    val segs = new java.io.File(s"$root/data/t").listFiles().filter(_.isDirectory)
+    assert(segs.length == 1, segs.mkString(", "))
+    assert(Snapshot.read(spark, root, "t").count() == 3)
+    assert(Snapshot.currentVersion(spark, root).contains(vC))
+  }
+
+  test("readPruned prunes per segment and reads statless segments whole") {
+    val root = freshRoot()
+    // segment 1 with stats, ids 0..9 across 2 files
+    Snapshot.commit(spark, root,
+      Map("t" -> (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2)),
+      statsCols = Map("t" -> Seq("id")))
+    // segment 2 with stats, ids 100..109
+    Snapshot.commitAppend(spark, root,
+      Map("t" -> (100L until 110L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2)),
+      statsCols = Map("t" -> Seq("id")))
+    // segment 3 WITHOUT stats, ids 200..209
+    Snapshot.commitAppend(spark, root,
+      Map("t" -> (200L until 210L).map(i => (i, s"v$i")).toDF("id", "v")))
+    // range hits only segment 2; segment 3 must still be read (no stats
+    // → soundness) and its rows filtered by the caller's exact predicate
+    val pruned = Snapshot.readPruned(spark, root, "t", "id", 100L, 109L)
+    val ids = pruned.collect().map(_.getLong(0)).toSet
+    assert((100L until 110L).toSet.subsetOf(ids))
+    assert(ids.forall(i => i >= 100L)) // segment 1 was pruned away
+    assert(ids.exists(_ >= 200L))      // statless segment read whole
+  }
+
+  test("ingestBatchExactlyOnce: replay no-ops, all-dup batches advance the marker") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamOps
+    val root = freshRoot()
+    val b0 = Seq((0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // in-batch dup
+      (2L, "an entirely different second document about spark engines")
+    ).toDF("doc_id", "text")
+    assert(StreamOps.ingestBatchExactlyOnce(b0, 0L, root, "corpus", "doc_id", "text"))
+    val v1 = Snapshot.currentVersion(spark, root).get
+    assert(Snapshot.read(spark, root, "corpus").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 2L))
+    // REPLAY of batch 0: skipped, version unchanged
+    assert(!StreamOps.ingestBatchExactlyOnce(b0, 0L, root, "corpus", "doc_id", "text"))
+    assert(Snapshot.currentVersion(spark, root).contains(v1))
+    // batch 1: one cross-batch near-dup (drops), one novel doc (appends)
+    val b1 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog yesterday"),
+      (4L, "completely novel third text with its own distinct words entirely")
+    ).toDF("doc_id", "text")
+    assert(StreamOps.ingestBatchExactlyOnce(b1, 1L, root, "corpus", "doc_id", "text"))
+    assert(Snapshot.read(spark, root, "corpus").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 2L, 4L))
+    // batch 2 is ALL dups: no corpus append, but the marker still moves
+    val b2 = Seq((5L, "an entirely different second document about spark engines"))
+      .toDF("doc_id", "text")
+    assert(StreamOps.ingestBatchExactlyOnce(b2, 2L, root, "corpus", "doc_id", "text"))
+    assert(Snapshot.read(spark, root, "corpus").count() == 3)
+    assert(Snapshot.read(spark, root, "_ingest").head().getLong(0) == 2L)
+    // and ITS replay no-ops too
+    assert(!StreamOps.ingestBatchExactlyOnce(b2, 2L, root, "corpus", "doc_id", "text"))
+  }
 }
