@@ -132,6 +132,21 @@ object VectorQueries {
         KmeansK, KmeansIters, SemThreshold)
       .orderBy("vec_id")
 
+  /** emb_dup_clusters — embedding-space near-dup CLUSTERS: the gated
+    * emb_near_dup pair generator (LSH buckets, cosine >= 0.4) closed
+    * under connectivity with the pointer-jump CC; cluster_id = the
+    * cluster's minimum vec_id (the canonical vector SemDeDup-style
+    * pipelines keep). The embedding analog of doc_dup_clusters, gated
+    * against the same recursive-reachability oracle shape. */
+  def embDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NearDup
+    val pairs = Ann.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Planes, threshold = 0.4)
+    val cc = NearDup.connectedComponents(pairs, "id_a", "id_b")
+    cc.select(col("id").as("vec_id"), col("component").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   private val PqM = 4
   private val PqK = 4
   private val PqIters = 1
@@ -418,7 +433,30 @@ object VectorQueries {
        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Embedding cluster oracle: the emb_near_dup pair source closed with
+    * a recursive reachability CTE, min reachable id per vector — the
+    * same fixpoint the pointer-jump label propagation reaches. */
+  private val embDupClustersOracle: String =
+    s"""WITH RECURSIVE $qCte,
+       |b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |jp AS (SELECT id_a, id_b FROM (SELECT id_a, id_b, $cosineSql AS s FROM p)
+       |       WHERE s >= CAST(0.4 AS DOUBLE)),
+       |e AS (SELECT id_a AS u, id_b AS v FROM jp
+       |      UNION ALL SELECT id_b, id_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r)
+       |SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY vec_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "emb_dup_clusters" -> embDupClustersOracle,
     "emb_semdedup" -> semDedupOracle,
     "emb_knn_pq" -> pqOracle,
     "emb_kmeans" -> kmeansOracle,
@@ -434,6 +472,7 @@ object VectorQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dup_clusters" -> embDupClusters _,
     "emb_semdedup" -> embSemDedup _,
     "emb_knn_pq" -> embKnnPq _,
     "emb_kmeans" -> embKmeans _,
