@@ -193,7 +193,14 @@ object Snapshot {
     * StreamOps.streamingCorpusIngestExactlyOnce). Older versions keep
     * reading their own segment lists (time travel unaffected); segment
     * counts grow per append — [[compactTable]] folds them back into one.
-    */
+    *
+    * ALWAYS compare-and-swap: the appended segment list is derived from
+    * the base version read on entry, so publishing over a DIFFERENT base
+    * would silently drop a concurrent writer's segments — unlike
+    * [[commit]], blind last-writer-wins is not sound here. With
+    * `expectBase = None` the commit pins itself to the entry base;
+    * either way a concurrent commit fails this one loudly (retry by
+    * re-calling — the new call re-reads the advanced base). */
   def commitAppend(spark: SparkSession, root: String,
       appends: Map[String, DataFrame],
       replaces: Map[String, DataFrame] = Map.empty,
@@ -204,7 +211,14 @@ object Snapshot {
       s"snapshot commitAppend: tables in both appends and replaces: ${
         appends.keySet.intersect(replaces.keySet).mkString(", ")}")
     val fs = fsOf(spark, root)
-    val baseRels = currentRels(spark, root)
+    val base = current(fs, root)
+    expectBase.foreach { e =>
+      val baseV = base.map(_._1).getOrElse(0L)
+      if (baseV != e) throw new IllegalStateException(
+        s"snapshot commit conflict at $root: expected base version $e, found $baseV")
+    }
+    val pinnedBase = expectBase.getOrElse(base.map(_._1).getOrElse(0L))
+    val baseRels = base.map(_._2).getOrElse(Map.empty)
     val appended = appends.map { case (t, df) =>
       val seg = writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
       t -> baseRels.get(t).map(old => s"$old,$seg").getOrElse(seg)
@@ -212,7 +226,7 @@ object Snapshot {
     val replaced = replaces.map { case (t, df) =>
       t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
     }
-    commitManifest(fs, root, appended ++ replaced, expectBase)
+    commitManifest(fs, root, appended ++ replaced, Some(pinnedBase))
   }
 
   /** Fold an append-table's segments back into one dir (a new version;

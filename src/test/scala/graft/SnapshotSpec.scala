@@ -258,6 +258,13 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshot.commitAppend(spark, root,
       Map("t" -> Seq((9L, "x")).toDF("id", "v")),
       Map("t" -> Seq((9L, "x")).toDF("id", "v"))))
+    // append is ALWAYS compare-and-swap: a stale base aborts loudly
+    // instead of silently dropping a concurrent writer's segments
+    val head = Snapshot.currentVersion(spark, root).get
+    intercept[IllegalStateException](Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((9L, "x")).toDF("id", "v")),
+      expectBase = Some(head - 1)))
+    assert(Snapshot.currentVersion(spark, root).contains(head))
   }
 
   test("compactTable folds segments; vacuum sweeps the segmented versions") {
