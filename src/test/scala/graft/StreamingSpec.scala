@@ -199,6 +199,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCorpusIngestExactlyOnce publishes batches atomically through the snapshot log") {
+    import graft.sources.Snapshot
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-eosingest").toString + "/snap"
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamOps.streamingCorpusIngestExactlyOnce(
+        ms.toDF().toDF("doc_id", "text"), root, "corpus", "doc_id", "text")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2L, "completely different content about distributed query engines and shuffles"))
+      q.processAllAvailable()
+      assert(Snapshot.read(spark, root, "corpus")
+        .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+      // the marker committed WITH the data (same version)
+      assert(Snapshot.read(spark, root, "_ingest").head().getLong(0) == 0L)
+      ms.addData(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (12L, "a genuinely novel document about streaming watermarks and state stores"))
+      q.processAllAvailable()
+      assert(Snapshot.read(spark, root, "corpus")
+        .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 12L))
+      assert(Snapshot.read(spark, root, "_ingest").head().getLong(0) == 1L)
+      // replaying batch 1's content as a DIRECT call with its batchId
+      // no-ops — delivery was at-least-once, publication exactly-once
+      val v = Snapshot.currentVersion(spark, root)
+      assert(!StreamOps.ingestBatchExactlyOnce(
+        Seq((12L, "a genuinely novel document about streaming watermarks and state stores"))
+          .toDF("doc_id", "text"), 1L, root, "corpus", "doc_id", "text"))
+      assert(Snapshot.currentVersion(spark, root) == v)
+    } finally q.stop()
+  }
+
   test("batch and streaming hourlyStats agree on the same data") {
     val batch = Seq(
       Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.50),
