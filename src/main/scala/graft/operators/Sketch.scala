@@ -125,24 +125,41 @@ object Sketch {
     * one long per partition. Input must be an integer column (cents);
     * output (quantile, est) in input units, one row per prob. */
   def histQuantiles(df: DataFrame, valueCol: Column, bins: Int,
-      probs: Seq[Double]): DataFrame = {
+      probs: Seq[Double]): DataFrame =
+    histQuantilesBy(df, Seq.empty, valueCol, bins, probs)
+
+  /** Per-GROUP histogram quantiles — the same sketch with every stage
+    * keyed on `groupCols`: each group gets its own min/max, bin edges,
+    * cumulative counts, and interpolated estimates, still in ONE scan
+    * plus small-frame reshaping. This is the "p99 latency per tenant /
+    * value percentiles per segment" query a global quantile can't
+    * answer; memory stays `bins` counters per group per partition. The
+    * per-group stats row broadcasts back onto the scan (groups are
+    * assumed dimension-sized). Output: groupCols ++ (quantile, est). */
+  def histQuantilesBy(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      bins: Int, probs: Seq[Double]): DataFrame = {
     require(bins >= 1 && bins <= 100000, s"bins must be in 1..100000, got $bins")
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
       s"probs must be in (0, 1]: $probs")
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(valueCol.cast("long").as("__v"))
-    val stats = base.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
-      count(lit(1)).as("__n"))
-    val counts = base.crossJoin(broadcast(stats))
-      .select(((col("__v") - col("__mn")) * lit(bins.toLong)).as("__num"),
-        (col("__mx") - col("__mn") + lit(1L)).as("__den"))
-      .selectExpr("__num div __den AS bin")
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-    // ≤bins rows from here on — the window and cross joins are tiny by
-    // construction, never data-sized
-    val cum = counts
-      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bin")))
-      .crossJoin(broadcast(stats))
+    val grp = groupCols.map(col)
+    val base = df.select(grp :+ valueCol.cast("long").as("__v"): _*)
+    val stats = base.groupBy(grp: _*).agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx"), count(lit(1)).as("__n"))
+    def withStats(d: DataFrame): DataFrame =
+      if (groupCols.isEmpty) d.crossJoin(broadcast(stats))
+      else d.join(broadcast(stats), groupCols)
+    val counts = withStats(base)
+      .select(grp ++ Seq(
+        ((col("__v") - col("__mn")) * lit(bins.toLong)).as("__num"),
+        (col("__mx") - col("__mn") + lit(1L)).as("__den")): _*)
+      .selectExpr(groupCols :+ "__num div __den AS bin": _*)
+      .groupBy(grp :+ col("bin"): _*).agg(count(lit(1)).as("cnt"))
+    // ≤bins rows PER GROUP from here on — windows and joins are
+    // dimension-sized, never data-sized
+    val cum = withStats(counts
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(grp: _*).orderBy("bin"))))
     import df.sparkSession.implicits._
     val cand = probs.toDF("quantile").crossJoin(cum)
       .withColumn("target", ceil(col("quantile") * col("__n").cast("double")).cast("long"))
@@ -152,9 +169,9 @@ object Sketch {
       ((col("target") - (col("cum") - col("cnt"))).cast("double") /
         col("cnt").cast("double")) * width
     cand
-      .withColumn("__rn",
-        row_number().over(Window.partitionBy("quantile").orderBy("bin")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(grp :+ col("quantile"): _*).orderBy("bin")))
       .filter(col("__rn") === 1)
-      .select(col("quantile"), est.as("est"))
+      .select(grp ++ Seq(col("quantile"), est.as("est")): _*)
   }
 }

@@ -175,6 +175,20 @@ object OlapQueries {
       .select(col("quantile"), (col("est") / lit(100.0)).as("est_value"))
       .orderBy("quantile")
 
+  /** q28 — q26's histogram-quantile sketch PER GROUP: p50/p90 of order
+    * value for each status from per-group 32-bin histograms — the
+    * "percentiles per segment" read (Sketch.histQuantilesBy). Same
+    * bit-exact integer/pinned-order contract as q26, now with per-group
+    * edges and targets. */
+  def q28HistQuantilesBy(spark: SparkSession, dir: String): DataFrame =
+    Sketch.histQuantilesBy(
+        Tables.orders(spark, dir).select(col("o_orderstatus"),
+          cents(col("o_totalprice")).as("__c")),
+        Seq("o_orderstatus"), col("__c"), bins = 32, probs = Seq(0.5, 0.9))
+      .select(col("o_orderstatus"), col("quantile"),
+        (col("est") / lit(100.0)).as("est_value"))
+      .orderBy("o_orderstatus", "quantile")
+
   /** q27 — count-min-sketch frequency estimates (Sketch.cmsFreq, 4×512
     * counters) of lineitem part keys for the first 20 parts — including
     * parts with no lineitems at all (estimate 0 unless a collision
@@ -292,6 +306,31 @@ object OlapQueries {
        |FROM t""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q28_hist_quantiles_by" -> {
+      val width = "(CAST(mx - mn + 1 AS DOUBLE) / 32.0)"
+      s"""WITH v AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+         |st AS (SELECT o_orderstatus, MIN(v) AS mn, MAX(v) AS mx,
+         |         CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         |c AS (SELECT v.o_orderstatus, (v - mn) * 32 // (mx - mn + 1) AS bin,
+         |        CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM v JOIN st USING (o_orderstatus) GROUP BY 1, 2),
+         |cc AS (SELECT o_orderstatus, bin, cnt,
+         |         CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin) AS BIGINT) AS cum
+         |       FROM c),
+         |p AS (SELECT unnest([0.5, 0.9]) AS quantile),
+         |cand AS (SELECT cc.o_orderstatus, quantile,
+         |           CAST(CEIL(quantile * CAST(n AS DOUBLE)) AS BIGINT) AS target,
+         |           bin, cnt, cum, mn, mx
+         |         FROM p CROSS JOIN cc JOIN st USING (o_orderstatus)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus, quantile
+         |        ORDER BY bin) AS rn
+         |      FROM cand WHERE cum >= target)
+         |SELECT o_orderstatus, quantile,
+         |  (CAST(mn AS DOUBLE) + CAST(bin AS DOUBLE) * $width
+         |    + (CAST(target - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)) * $width) / 100.0
+         |    AS est_value
+         |FROM r WHERE rn = 1 ORDER BY o_orderstatus, quantile""".stripMargin
+    },
     "q27_cms_freq" -> {
       def bucketSql(key: String, i: Int) =
         s"CAST('0x' || substr(md5(CAST($key AS VARCHAR) || '~cms$i'), 1, 12) AS BIGINT) % 512"
@@ -500,6 +539,7 @@ object OlapQueries {
     "q25_value_buckets" -> q25ValueBuckets _,
     "q26_hist_quantiles" -> q26HistQuantiles _,
     "q27_cms_freq" -> q27CmsFreq _,
+    "q28_hist_quantiles_by" -> q28HistQuantilesBy _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
     "q24_profile_sketched" -> q24ProfileSketched _,

@@ -83,6 +83,25 @@ class SketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketch.cmsFreq(data, "k", probes, w = 1))
   }
 
+  test("histQuantilesBy: per-group sketches equal the single-group sketch per group") {
+    import org.apache.spark.sql.functions.col
+    // wildly different ranges per group — a shared-edge histogram would
+    // answer garbage for the small group; per-group edges must not
+    val data = ((1L to 100L).map(("a", _)) ++ (10000L to 10100L).map(("b", _)))
+      .toDF("g", "v")
+    val by = Sketch.histQuantilesBy(data, Seq("g"), col("v"), bins = 16, probs = Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Sketch.histQuantiles(data.filter(col("g") === g), col("v"),
+          bins = 16, probs = Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(by((g, 0.5)) == solo(0.5) && by((g, 0.9)) == solo(0.9),
+        s"group $g: ${by.filterKeys(_._1 == g)} vs $solo")
+    }
+    assert(math.abs(by(("a", 0.5)) - 50.0) <= 100.0 / 16)
+    assert(math.abs(by(("b", 0.5)) - 10050.0) <= 101.0 / 16)
+  }
+
   test("histQuantiles: uniform data — estimates within a bin width of truth") {
     import org.apache.spark.sql.functions.col
     val vals = (1L to 10000L).map(Tuple1(_)).toDF("v")
