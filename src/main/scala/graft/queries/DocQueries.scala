@@ -446,6 +446,18 @@ object DocQueries {
         "doc_id", "text", size = 512, overlap = 64)
       .orderBy("doc_id", "chunk_id")
 
+  private val BpeMerges = 8
+
+  /** doc_bpe_merges — BPE tokenizer TRAINING (graft.operators.Bpe): the
+    * first 8 byte-pair merges learned from the corpus, ordered — the
+    * artifact a subword tokenizer ships. The corpus is scanned once for
+    * word counts; each round then costs O(vocabulary). The oracle
+    * replays all 8 rounds as chained CTEs (pair explode → weighted count
+    * → deterministic argmax → left-to-right replace merge). */
+  def docBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(Tables.documents(spark, dir), "text", BpeMerges)
+      .orderBy("merge_rank")
+
   /** doc_novelty — n-gram novelty scoring (NearDup.noveltyScores): each
     * doc's share of 3-gram shingles appearing in no other document.
     * Boilerplate and near-copies score low — the memorization/
@@ -931,7 +943,50 @@ object DocQueries {
        |LEFT JOIN uniq u ON u.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** BPE oracle: `BpeMerges` chained rounds. Each round: 1-based
+    * adjacent-pair explode over the space-joined symbol sequences,
+    * word-count-weighted sums, argmax with the pair-string tie-break,
+    * then the CANONICAL left-to-right non-overlapping merge as a
+    * recursive leftmost-replace to fixpoint — equivalent to the Spark
+    * fold because a fused LR can never recreate the " L R " pattern.
+    * Every chained CTE is MATERIALIZED: each round references its
+    * predecessor several times, and without the hint DuckDB re-inlines
+    * the whole upstream chain per reference — measured 512 s for the
+    * 8-round query vs ~1 s materialized. */
+  private val bpeOracle: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      def pos(s: String) = s"position(' ' || b.pair || ' ' IN $s)"
+      s"""p$r AS MATERIALIZED (SELECT tk[i] || ' ' || tk[i+1] AS pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |  FROM (SELECT cnt, string_split(seq, ' ') AS tk,
+         |          unnest(range(1, len(string_split(seq, ' ')))) AS i
+         |        FROM w${r - 1})
+         |  GROUP BY 1),
+         |best$r AS MATERIALIZED (SELECT pair, pair_count, CAST($r AS BIGINT) AS merge_rank
+         |  FROM p$r ORDER BY pair_count DESC, pair LIMIT 1),
+         |rec$r(word, cnt, s) AS (
+         |  SELECT word, cnt, ' ' || seq || ' ' FROM w${r - 1}
+         |  UNION ALL
+         |  SELECT r.word, r.cnt,
+         |    substr(r.s, 1, ${pos("r.s")}) || replace(b.pair, ' ', '') ||
+         |      substr(r.s, ${pos("r.s")} + 1 + length(b.pair))
+         |  FROM rec$r r CROSS JOIN best$r b
+         |  WHERE ${pos("r.s")} > 0),
+         |w$r AS MATERIALIZED (SELECT word, cnt, trim(s) AS seq
+         |  FROM rec$r CROSS JOIN best$r b WHERE ${pos("s")} = 0)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map(r => s"SELECT * FROM best$r").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE norm AS (SELECT $normSql AS t FROM documents),
+       |tok AS (SELECT unnest(string_split(t, ' ')) AS w FROM norm),
+       |vocab AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok
+       |          WHERE length(w) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w AS word, cnt, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq FROM vocab),
+       |$rounds
+       |SELECT merge_rank, pair, replace(pair, ' ', '') AS merged, pair_count
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "doc_bpe_merges" -> bpeOracle,
     "doc_novelty" -> noveltyOracle,
     "doc_lm_score" -> lmScoreOracle,
     "doc_bm25" -> bm25Oracle,
@@ -1095,6 +1150,7 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bpe_merges" -> docBpeMerges _,
     "doc_novelty" -> docNovelty _,
     "doc_lm_score" -> docLmScore _,
     "doc_bm25" -> docBm25 _,
