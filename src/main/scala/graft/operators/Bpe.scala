@@ -42,6 +42,46 @@ object Bpe {
     * symbol), training stops and fewer rows return. Result is an eager
     * checkpoint; release via [[Curate.release]]. */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (bests, w) = train(df, textCol, numMerges)
+    try {
+      if (bests.isEmpty) // nothing mergeable (e.g. all 1-char words)
+        df.sparkSession.emptyDataFrame.select(
+          lit(0L).as("merge_rank"), lit("").as("pair"),
+          lit("").as("merged"), lit(0L).as("pair_count"))
+      else bests.reduce(_.unionAll(_))
+        .select(col("merge_rank"), col("pair"),
+          call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
+          col("pair_count"))
+        .localCheckpoint(true)
+    } finally {
+      NearDup.freeCheckpoint(w)
+      bests.foreach(NearDup.freeCheckpoint)
+    }
+  }
+
+  /** The tokenizer's OUTPUT side: every distinct corpus word with its
+    * final subword segmentation after `numMerges` trained merges —
+    * (word, n_occurrences, segmentation), the space-joined symbol
+    * sequence an encoder emits token ids for. Same training loop as
+    * [[trainMerges]]; the lookup table this returns is what a serving
+    * tokenizer caches. */
+  def trainSegmentations(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val (bests, w) = train(df, textCol, numMerges)
+    try {
+      w.select(col("__w").as("word"), col("__cnt").as("n_occurrences"),
+          col("__seq").as("segmentation"))
+        .localCheckpoint(true)
+    } finally {
+      NearDup.freeCheckpoint(w)
+      bests.foreach(NearDup.freeCheckpoint)
+    }
+  }
+
+  /** The shared training loop: per-round best-pair frames (1 row each,
+    * checkpointed) and the final segmented vocab frame (checkpointed).
+    * Callers own every returned checkpoint. */
+  private def train(df: DataFrame, textCol: String,
+      numMerges: Int): (Seq[DataFrame], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 256,
       s"numMerges must be in 1..256, got $numMerges")
     val words = df
@@ -54,7 +94,10 @@ object Bpe {
       .localCheckpoint(true)
     val bests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
-      for (r <- 1 to numMerges) {
+      var r = 0
+      var exhausted = false
+      while (r < numMerges && !exhausted) {
+        r += 1
         val tk = split(col("__seq"), " ")
         val pairs = w.select(col("__cnt"), explode(
             when(size(tk) >= 2, transform(sequence(lit(1), size(tk) - 1),
@@ -64,6 +107,12 @@ object Bpe {
         val best = pairs.orderBy(col("pair_count").desc, col("pair")).limit(1)
           .withColumn("merge_rank", lit(r.toLong))
           .localCheckpoint(true)
+        // every word fused to a single symbol → no pairs left anywhere:
+        // stop (merging against an empty best would EMPTY the vocab);
+        // the 1-row take is driver metadata, same scale as the argmax
+        exhausted = best.take(1).isEmpty
+        if (exhausted) NearDup.freeCheckpoint(best)
+        else {
         bests += best
         val pl = element_at(split(col("pair"), " "), 1)
         val pr = element_at(split(col("pair"), " "), 2)
@@ -82,15 +131,14 @@ object Bpe {
           .localCheckpoint(true)
         NearDup.freeCheckpoint(w)
         w = next
+        }
       }
-      bests.reduce(_.unionAll(_))
-        .select(col("merge_rank"), col("pair"),
-          call_function("replace", col("pair"), lit(" "), lit("")).as("merged"),
-          col("pair_count"))
-        .localCheckpoint(true)
-    } finally {
-      NearDup.freeCheckpoint(w)
-      bests.foreach(NearDup.freeCheckpoint)
+      (bests.toSeq, w)
+    } catch {
+      case e: Throwable =>
+        NearDup.freeCheckpoint(w)
+        bests.foreach(NearDup.freeCheckpoint)
+        throw e
     }
   }
 }

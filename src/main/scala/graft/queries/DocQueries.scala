@@ -458,6 +458,14 @@ object DocQueries {
     graft.operators.Bpe.trainMerges(Tables.documents(spark, dir), "text", BpeMerges)
       .orderBy("merge_rank")
 
+  /** doc_bpe_segments — the trained tokenizer's OUTPUT table: every
+    * distinct corpus word with its subword segmentation after the same 8
+    * merges doc_bpe_merges learns — the lookup a serving tokenizer
+    * caches. Oracle = the training replay's final vocab state. */
+  def docBpeSegments(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainSegmentations(Tables.documents(spark, dir), "text", BpeMerges)
+      .orderBy("word")
+
   /** doc_novelty — n-gram novelty scoring (NearDup.noveltyScores): each
     * doc's share of 3-gram shingles appearing in no other document.
     * Boilerplate and near-copies score low — the memorization/
@@ -985,7 +993,17 @@ object DocQueries {
        |FROM ($union) ORDER BY merge_rank""".stripMargin
   }
 
+  /** Segmentation oracle: the training replay's final w-state. */
+  private val bpeSegmentsOracle: String = {
+    val base = bpeOracle
+    val cut = base.lastIndexOf("SELECT merge_rank")
+    base.substring(0, cut) +
+      s"""SELECT word, cnt AS n_occurrences, seq AS segmentation
+         |FROM w$BpeMerges ORDER BY word""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "doc_bpe_segments" -> bpeSegmentsOracle,
     "doc_bpe_merges" -> bpeOracle,
     "doc_novelty" -> noveltyOracle,
     "doc_lm_score" -> lmScoreOracle,
@@ -1150,6 +1168,7 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bpe_segments" -> docBpeSegments _,
     "doc_bpe_merges" -> docBpeMerges _,
     "doc_novelty" -> docNovelty _,
     "doc_lm_score" -> docLmScore _,

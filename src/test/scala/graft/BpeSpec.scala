@@ -25,6 +25,18 @@ class BpeSpec extends SparkSpec {
       (1L, "a a", "aa", 6L),
       (2L, "a b", "ab", 5L),
       (3L, "aa ab", "aaab", 3L)), got)
+    // segmentations SURVIVE exhaustion: the vocab state from the last
+    // productive round comes back, not an empty table
+    val segs = Bpe.trainSegmentations(docs, "text", numMerges = 4)
+    try {
+      val bySeg = segs.collect().map(r =>
+        r.getAs[String]("word") -> (r.getAs[Long]("n_occurrences"),
+          r.getAs[String]("segmentation"))).toMap
+      assert(bySeg == Map("aaab" -> ((3L, "aaab")), "ab" -> ((2L, "ab"))), bySeg)
+    } finally graft.operators.Curate.release(segs)
+    // a corpus of single-char words has nothing to merge at all
+    val none = Seq((0L, "a b c a")).toDF("doc_id", "text")
+    assert(merges(none, n = 2).isEmpty)
   }
 
   test("merge is canonical left-to-right non-overlapping across symbol runs") {
