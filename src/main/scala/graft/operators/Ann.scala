@@ -93,15 +93,22 @@ object Ann {
 
   /** (candidate, probe) pairs meeting in their shared LSH bucket — the
     * equi-join on bucket id every LSH variant selects from (no cartesian
-    * product in the plan — asserted by AnnSpec). */
+    * product in the plan — asserted by AnnSpec). `candPred` restricts
+    * the searchable side (metadata-filtered search); both predicates
+    * evaluate BEFORE the metadata columns are projected away, and the
+    * candidate filter lands on the scan side of the join
+    * (pushdown-eligible). */
   private def lshPaired(df: DataFrame, idCol: String, vecCol: String,
-      planes: Array[Array[Long]], probePred: Column): DataFrame = {
-    val qdf = quantized(df, idCol, vecCol)
+      planes: Array[Array[Long]], probePred: Column,
+      candPred: Column = lit(true)): DataFrame = {
+    val marked = df.select(col(idCol), quantize(col(vecCol)).as("__q"),
+        probePred.as("__probe"), candPred.as("__cand"))
+      .withColumn("__n", dotQ(col("__q"), col("__q")))
       .withColumn("__bucket", lshBucket(col("__q"), planes))
-    val probes = qdf.filter(probePred)
+    val probes = marked.filter(col("__probe"))
       .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
         col("__n").as("__pn"), col("__bucket"))
-    val cands = qdf
+    val cands = marked.filter(col("__cand"))
       .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
         col("__n").as("__nn"), col("__bucket"))
     cands.join(broadcast(probes), "__bucket")
@@ -130,19 +137,8 @@ object Ann {
     * matches exist in the probe's bucket (post-filtering could return
     * fewer). Probes need not satisfy `candPred` themselves. */
   def knnLshFiltered(df: DataFrame, idCol: String, vecCol: String,
-      planes: Array[Array[Long]], probePred: Column, candPred: Column, k: Int): DataFrame = {
-    val marked = df.select(col(idCol), quantize(col(vecCol)).as("__q"),
-        probePred.as("__probe"), candPred.as("__cand"))
-      .withColumn("__n", dotQ(col("__q"), col("__q")))
-      .withColumn("__bucket", lshBucket(col("__q"), planes))
-    val probes = marked.filter(col("__probe"))
-      .select(col(idCol).as("probe_id"), col("__q").as("__pq"),
-        col("__n").as("__pn"), col("__bucket"))
-    val cands = marked.filter(col("__cand"))
-      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
-        col("__n").as("__nn"), col("__bucket"))
-    topKAgg(cands.join(broadcast(probes), "__bucket"), k)
-  }
+      planes: Array[Array[Long]], probePred: Column, candPred: Column, k: Int): DataFrame =
+    topKAgg(lshPaired(df, idCol, vecCol, planes, probePred, candPred), k)
 
   /** The row_number-window form of [[knnLsh]] — shuffles EVERY scored
     * candidate to its probe's partition before ranking, so it exists only
@@ -465,9 +461,12 @@ object Ann {
     // identical to m independent trainings because nothing crosses a
     // subspace boundary. The exploded (id, subspace, slice) frame is
     // checkpointed once and feeds every round.
-    val subs = df.select(col(idCol), posexplode(
-        array((0 until m).map(s =>
-          slice(quantize(col(vecCol)), s * subDim + 1, subDim)): _*)))
+    // project the quantized array ONCE, then slice it — inlining
+    // quantize into all m slices re-runs the interpreted HOF transform
+    // m times per row (the shingleArrays/minhashSignatures lesson)
+    val subs = df.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol), posexplode(
+        array((0 until m).map(s => slice(col("__q"), s * subDim + 1, subDim)): _*)))
       .select(col(idCol), col("pos").cast("long").as("subspace"), col("col").as("__sub"))
       .withColumn("__sn", dotQ(col("__sub"), col("__sub")))
       .localCheckpoint(true)

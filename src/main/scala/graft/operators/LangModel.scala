@@ -34,11 +34,13 @@ object LangModel {
     * The unigram model trains on the rows satisfying `refPred` with
     * add-one smoothing: p(tok) = (cnt+1)/(total+V); out-of-vocabulary
     * tokens score p = 1/(total+V). `avg_nll` is nll_micro/n_tokens
-    * de-quantized back to nats. */
+    * de-quantized back to nats. NULL text scores like the empty string
+    * (one empty OOV token) so every input row really does come back —
+    * a bare explode would silently drop NULL-text docs. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       refPred: Column): DataFrame = {
     val toks = df.select(col(idCol), refPred.as("__ref"),
-      explode(Text.tokens(Text.normalize(col(textCol)))).as("__tok"))
+      explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok"))
     val vcnt = toks.filter(col("__ref"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
     val stats = vcnt.agg(sum(col("__cnt")).as("__total"), count(lit(1)).as("__v"))

@@ -500,10 +500,15 @@ object NearDup {
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val cfp = corpus.select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
+    // persisted: the exact-dedup side (one corpus scan + distinct + one
+    // anti-join) feeds THREE consumers — the batch signature build, the
+    // candidate shingle arrays, and the returned anti-join — and would
+    // otherwise re-run the corpus scan per consumer
     val survivors = batch
       .withColumn("__fp", Text.fingerprint(col(textCol)))
       .join(cfp, Seq("__fp"), "left_anti")
       .drop("__fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cSigs = minhashSignatures(shingleSets(corpus, idCol, textCol, shingleN),
         idCol, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
     val bSigs = minhashSignatures(shingleSets(survivors, idCol, textCol, shingleN),
@@ -540,7 +545,9 @@ object NearDup {
           .distinct()
         survivors.join(dupIds, Seq(idCol), "left_anti").localCheckpoint(true)
       } finally freeCheckpoint(cand)
-    } finally { cSigs.unpersist(false); bSigs.unpersist(false) }
+    } finally {
+      cSigs.unpersist(false); bSigs.unpersist(false); survivors.unpersist(false)
+    }
   }
 
   /** SimHash: `bits`-bit locality-sensitive fingerprint over the doc's

@@ -84,7 +84,8 @@ object Sketch {
     * the probe join. Hashes are md5-derived (salted per row index), so —
     * like KMV and unlike HLL/CMS implementations keyed on engine-private
     * hashes — any engine reproduces the identical sketch, counters and
-    * all. Returns (probe key, est_count) for the rows of `probes`. */
+    * all. Returns (probe key, est_count) for each DISTINCT probe key —
+    * the grouped estimate collapses duplicate probe rows. */
   def cmsFreq(df: DataFrame, keyCol: String, probes: DataFrame,
       d: Int = 4, w: Int = 512): DataFrame = {
     require(d >= 1 && d <= 16, s"d must be in 1..16, got $d")

@@ -94,7 +94,11 @@ object Upsert {
     require(changes.columns.contains(opCol), s"applyCdc: changes must carry '$opCol'")
     val live = new Path(tablePath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val existed = fs.exists(live)
+    // a table whose every bucket was deleted by a previous batch exists
+    // as a dir with no bucket children — parquet schema inference would
+    // fail on it, so it takes the fresh-install path like a new table
+    val existed = fs.exists(live) &&
+      fs.listStatus(live).exists(_.getPath.getName.startsWith(BucketCol + "="))
     val changesB = withCheckedOp(changes, opCol)
       .withColumn(BucketCol, bucketOf(keys, nBuckets)).persist()
     try {

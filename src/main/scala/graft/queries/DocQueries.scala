@@ -914,7 +914,8 @@ object DocQueries {
     * vocab + one-row totals, NLL quantized to micro-nats on the vocab
     * side so the per-doc sums are exact integers. */
   private val lmScoreOracle: String =
-    s"""WITH norm AS (SELECT doc_id, lang, $normSql AS t FROM documents),
+    s"""WITH norm AS (SELECT doc_id, lang,
+       |  ${normSql.replace("lower(text)", "lower(COALESCE(text, ''))")} AS t FROM documents),
        |ex AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS tok FROM norm),
        |vcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ex
        |         WHERE lang = 'en' GROUP BY 1),

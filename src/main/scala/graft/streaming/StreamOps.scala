@@ -164,20 +164,32 @@ object StreamOps {
     * never a corpus rewrite ([[graft.sources.Snapshot.compactTable]]
     * folds segments off the ingest path). */
   def streamingCorpusIngestExactlyOnce(docs: DataFrame, root: String,
-      table: String, idCol: String, textCol: String, minJaccard: Double = 0.5)
+      table: String, idCol: String, textCol: String, minJaccard: Double = 0.5,
+      appId: String = "default")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      ingestBatchExactlyOnce(batch, batchId, root, table, idCol, textCol, minJaccard)
+      ingestBatchExactlyOnce(batch, batchId, root, table, idCol, textCol,
+        minJaccard, appId)
       ()
     }
 
   /** One micro-batch of [[streamingCorpusIngestExactlyOnce]] — public so
     * replay semantics are directly testable (and callable from a custom
     * trigger loop). Returns true if this call published, false for a
-    * skipped replay. */
+    * skipped replay.
+    *
+    * `appId` names the LOGICAL STREAM the batch ids belong to (the Delta
+    * txnAppId pattern): the replay check only suppresses a batch whose
+    * id the SAME app already published. Restarting with a fresh
+    * checkpoint directory resets batchIds to 0 — run it under a new
+    * appId or genuinely-novel early batches would be mistaken for
+    * replays and silently dropped; under a new appId they re-check
+    * against the corpus instead (the dedup keeps replayed CONTENT from
+    * duplicating). One logical writer per root at a time: the marker
+    * keeps only the latest app's watermark. */
   def ingestBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
       table: String, idCol: String, textCol: String,
-      minJaccard: Double = 0.5): Boolean = {
+      minJaccard: Double = 0.5, appId: String = "default"): Boolean = {
     import graft.sources.Snapshot
     val spark = batch.sparkSession
     val baseVersion = Snapshot.currentVersion(spark, root)
@@ -185,7 +197,11 @@ object StreamOps {
     val applied =
       if (tablesNow.contains(MarkerTable))
         Snapshot.read(spark, root, MarkerTable)
-          .agg(max(col("batch_id"))).head().getLong(0)
+          .filter(col("app_id") === appId)
+          .agg(max(col("batch_id"))).head() match {
+            case r if r.isNullAt(0) => -1L
+            case r => r.getLong(0)
+          }
       else -1L
     if (applied >= batchId) return false // replayed batch: already published
     // in-batch exact dedup: keep the min id per fingerprint
@@ -200,7 +216,7 @@ object StreamOps {
       else unique.localCheckpoint(true)
     try {
       import spark.implicits._
-      val marker = Seq(batchId).toDF("batch_id")
+      val marker = Seq((appId, batchId)).toDF("app_id", "batch_id")
       val appends =
         if (fresh.isEmpty) Map.empty[String, org.apache.spark.sql.DataFrame]
         else Map(table -> fresh)

@@ -52,6 +52,17 @@ class LangModelSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("unigramNll: NULL text scores like empty text — no row is dropped") {
+    val withNull = docs.unionAll(
+      Seq((9L, "de", null.asInstanceOf[String])).toDF("doc_id", "lang", "text"))
+    val got = LangModel.unigramNll(withNull, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("nll_micro"))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 9L))
+    // empty normalization yields one empty OOV token: denom = 8
+    assert(got(9L) == ((1L, nllq(1.0 / 8.0))))
+  }
+
   test("unigramNll: empty reference slice scores NULL, never a rounded infinity") {
     val got = LangModel.unigramNll(docs, "doc_id", "text", lit(false))
       .collect().map(r => r.getAs[Long]("doc_id") ->

@@ -333,7 +333,7 @@ class SnapshotSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(StreamOps.ingestBatchExactlyOnce(b2, 2L, root, "corpus", "doc_id", "text"))
     assert(Snapshot.read(spark, root, "corpus").count() == 3)
-    assert(Snapshot.read(spark, root, "_ingest").head().getLong(0) == 2L)
+    assert(Snapshot.read(spark, root, "_ingest").head().getAs[Long]("batch_id") == 2L)
     // and ITS replay no-ops too
     assert(!StreamOps.ingestBatchExactlyOnce(b2, 2L, root, "corpus", "doc_id", "text"))
   }

@@ -215,14 +215,14 @@ class StreamingSpec extends SparkSpec {
       assert(Snapshot.read(spark, root, "corpus")
         .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
       // the marker committed WITH the data (same version)
-      assert(Snapshot.read(spark, root, "_ingest").head().getLong(0) == 0L)
+      assert(Snapshot.read(spark, root, "_ingest").head().getAs[Long]("batch_id") == 0L)
       ms.addData(
         (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
         (12L, "a genuinely novel document about streaming watermarks and state stores"))
       q.processAllAvailable()
       assert(Snapshot.read(spark, root, "corpus")
         .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 12L))
-      assert(Snapshot.read(spark, root, "_ingest").head().getLong(0) == 1L)
+      assert(Snapshot.read(spark, root, "_ingest").head().getAs[Long]("batch_id") == 1L)
       // replaying batch 1's content as a DIRECT call with its batchId
       // no-ops — delivery was at-least-once, publication exactly-once
       val v = Snapshot.currentVersion(spark, root)

@@ -209,4 +209,27 @@ class UpsertSwapSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
     assert(rows == Map(1 -> "a", 2 -> "B", 3 -> "c", 4 -> "D"))
   }
+
+  test("bucketed CDC: a fully-emptied table accepts the next batch (no wedge)") {
+    val table = java.nio.file.Files.createTempDirectory("graft-cdc-empty").toString + "/t"
+    val b1 = Seq((1, "a", "upsert"), (2, "b", "upsert")).toDF("k", "v", "op")
+    Upsert.applyCdcParquetBucketed(spark, table, b1, Seq("k"), nBuckets = 4)
+    // batch 2 deletes EVERY remaining row: all bucket dirs retire
+    val b2 = Seq((1, "", "delete"), (2, "", "delete")).toDF("k", "v", "op")
+    val s2 = Upsert.applyCdcParquetBucketed(spark, table, b2, Seq("k"), nBuckets = 4)
+    assert(s2.deleted == 2L && s2.total == 0L)
+    // batch 3 must re-seed the empty shell, not crash on schema inference
+    val b3 = Seq((5, "e", "upsert"), (6, "", "delete")).toDF("k", "v", "op")
+    val s3 = Upsert.applyCdcParquetBucketed(spark, table, b3, Seq("k"), nBuckets = 4)
+    assert(s3.total == 1L)
+    assert(Upsert.readBucketed(spark, table)
+      .collect().map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap == Map(5 -> "e"))
+    // a first batch of ONLY deletes on a brand-new path also no-ops cleanly
+    val fresh = java.nio.file.Files.createTempDirectory("graft-cdc-del1").toString + "/t"
+    val s0 = Upsert.applyCdcParquetBucketed(spark, fresh,
+      Seq((9, "", "delete")).toDF("k", "v", "op"), Seq("k"), nBuckets = 4)
+    assert(s0.total == 0L)
+    assert(Upsert.applyCdcParquetBucketed(spark, fresh,
+      Seq((7, "g", "upsert")).toDF("k", "v", "op"), Seq("k"), nBuckets = 4).total == 1L)
+  }
 }
