@@ -486,6 +486,22 @@ object DocQueries {
         "doc_id", "text", col("lang") === "en")
       .orderBy("doc_id")
 
+  private val DsirTargetSources = Seq("src0", "src1", "src2")
+  private val DsirK = 128
+
+  /** doc_dsir — DSIR-style importance resampling (graft.operators.Dsir,
+    * Xie et al. 2023): a curated-source slice plays the target
+    * distribution, every doc weights by its exact-integer unigram
+    * log-importance-ratio, and the 128 winners of the deterministic
+    * salted-Gumbel top-k are the resampled training set — sampling ∝
+    * softmax(ratio), not a hard top-k, so diversity survives. The two
+    * LMs, the broadcast delta table, and the bounded selection all
+    * reuse the LangModel/Bm25 scale shapes. */
+  def docDsir(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.resample(Tables.documents(spark, dir),
+        "doc_id", "text", col("source").isin(DsirTargetSources: _*), DsirK)
+      .orderBy("rank")
+
   private val Bm25Terms = Seq("hash", "join", "vector")
   private val Bm25K = 10
 
@@ -933,6 +949,44 @@ object DocQueries {
        |       CAST(nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0 AS avg_nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** DSIR oracle: one tokenized stream, raw + target vocab counts, the
+    * per-token (raw − target) NLL delta quantized to micro-nats, exact
+    * per-doc integer sums, then the two-stage-quantized Gumbel key and
+    * the ROW_NUMBER top-k — every transcendental evaluated on an exact
+    * rational and quantized immediately, same contract as the Spark
+    * side. */
+  private val dsirOracle: String = {
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH norm AS (SELECT doc_id, source,
+       |  ${normSql.replace("lower(text)", "lower(COALESCE(text, ''))")} AS t FROM documents),
+       |ex AS (SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM norm),
+       |vr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS rc FROM ex GROUP BY 1),
+       |vt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc FROM ex
+       |       WHERE source IN ($tgt) GROUP BY 1),
+       |sr AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtotal, CAST(COUNT(*) AS BIGINT) AS rv FROM vr),
+       |st AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttotal, CAST(COUNT(*) AS BIGINT) AS tv FROM vt),
+       |voc AS (SELECT vr.tok,
+       |    CAST(round(1000000.0 * (-ln(CAST(vr.rc + 1 AS DOUBLE) / CAST(sr.rtotal + sr.rv AS DOUBLE)))) AS BIGINT)
+       |  - COALESCE(
+       |      CAST(round(1000000.0 * (-ln(CAST(vt.tc + 1 AS DOUBLE) / CAST(st.ttotal + st.tv AS DOUBLE)))) AS BIGINT),
+       |      CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(st.ttotal + st.tv AS DOUBLE)))) AS BIGINT)) AS delta
+       |  FROM vr LEFT JOIN vt USING (tok) CROSS JOIN sr CROSS JOIN st),
+       |sc AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(voc.delta) AS BIGINT) AS lr_micro
+       |       FROM ex e JOIN voc ON voc.tok = e.tok GROUP BY 1),
+       |g AS (SELECT doc_id, n_tokens, lr_micro,
+       |        lr_micro + CAST(round(1000000.0 * (-ln(
+       |          CAST(GREATEST(CAST(round(1000000000.0 * (-ln(
+       |            (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~g'), 1, 12) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |            / CAST(281474976710656 AS DOUBLE)))) AS BIGINT), 1) AS DOUBLE)
+       |          / CAST(1000000000 AS DOUBLE)))) AS BIGINT) AS key_micro
+       |      FROM sc),
+       |r AS (SELECT doc_id, n_tokens, lr_micro, key_micro,
+       |        ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS "rank" FROM g)
+       |SELECT doc_id, n_tokens, lr_micro, key_micro, "rank" FROM r
+       |WHERE "rank" <= $DsirK ORDER BY "rank"""".stripMargin
+  }
+
   /** Novelty oracle: the shared shingle CTEs, one (count, min-owner)
     * aggregate per shingle, singleton side re-aggregated per owner. */
   private val noveltyOracle: String =
@@ -1008,6 +1062,7 @@ object DocQueries {
     "doc_bpe_merges" -> bpeOracle,
     "doc_novelty" -> noveltyOracle,
     "doc_lm_score" -> lmScoreOracle,
+    "doc_dsir" -> dsirOracle,
     "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
     "doc_tfidf" -> tfidfOracle,
@@ -1173,6 +1228,7 @@ object DocQueries {
     "doc_bpe_merges" -> docBpeMerges _,
     "doc_novelty" -> docNovelty _,
     "doc_lm_score" -> docLmScore _,
+    "doc_dsir" -> docDsir _,
     "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,
     "doc_tfidf" -> docTfidf _,
