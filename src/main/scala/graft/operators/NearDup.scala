@@ -382,6 +382,56 @@ object NearDup {
       .distinct()
   }
 
+  /** MOSS cross-document match pairs over [[winnowFingerprints]]
+    * (Schleimer/Wilkerson/Aiken, SIGMOD'03 §4 — the "report documents
+    * sharing fingerprints" half of the system): every doc pair sharing
+    * >= `minShared` surviving fingerprints, scored
+    * `overlap = shared / min(|fpA|, |fpB|)` — the containment-style
+    * ratio MOSS ranks matches by, near 1.0 when one doc's fingerprinted
+    * content sits inside the other. Catches LOCAL copies (a paragraph
+    * lifted into an otherwise-different doc) that whole-doc jaccard
+    * dilutes away — the plagiarism/provenance notion of near-duplicate,
+    * next to minhash's token-set one and edit-distance's character one.
+    *
+    * Fingerprints shared by more than `maxDf` docs are dropped FIRST
+    * (both from pairing and from the per-doc totals, keeping the ratio's
+    * universe consistent): they are boilerplate — headers, licenses,
+    * templates — and each would fan out C(df,2) pairs. The cap is the
+    * standard stop-fingerprint cut, and it bounds the pair join's
+    * worst-case fan-out per fingerprint at C(maxDf,2); the join itself
+    * is a fingerprint-keyed EQUI-join (the inverted-index shape), never
+    * doc×doc. The filtered postings frame feeds three consumers, so it
+    * is checkpointed once and freed before returning. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, maxDf: Int = 50, minShared: Long = 2L,
+      minOverlap: Double = 0.0): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 to pair at all, got $maxDf")
+    require(minShared >= 1L, s"minShared must be >= 1, got $minShared")
+    val live = winnowFingerprints(df, idCol, textCol, k, w)
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
+      .filter(col("__df") <= maxDf)
+      .select(col(idCol), col("fingerprint"))
+      .localCheckpoint(true)
+    try {
+      val counts = live.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+      val shared = live.select(col(idCol).as("doc_a"), col("fingerprint"))
+        .join(live.select(col(idCol).as("doc_b"), col("fingerprint")), Seq("fingerprint"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+      shared
+        .join(counts.select(col(idCol).as("doc_a"), col("__nf").as("__na")), Seq("doc_a"))
+        .join(counts.select(col(idCol).as("doc_b"), col("__nf").as("__nb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          (col("shared").cast("double") /
+            least(col("__na"), col("__nb")).cast("double")).as("overlap"))
+        .filter(col("overlap") >= minOverlap)
+        .localCheckpoint(true)
+    } finally freeCheckpoint(live)
+  }
+
   /** Connected components over an undirected edge list by iterative
     * min-label propagation: every vertex starts labeled with its own id;
     * each round every vertex takes the minimum of its label and its

@@ -116,6 +116,15 @@ object DocQueries {
     NearDup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id", "fingerprint")
 
+  /** doc_winnow_pairs — MOSS cross-document match pairs
+    * (NearDup.winnowPairs): doc pairs sharing >= 2 surviving winnow
+    * fingerprints, scored shared/min(|fpA|,|fpB|) after the maxDf=50
+    * stop-fingerprint cut — the local-copy (lifted paragraph) detector
+    * next to the whole-doc jaccard/simhash/edit-distance metrics. */
+  def docWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    NearDup.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
   /** doc_dup_clusters — near-dup clusters: minhash pairs verified at
     * jaccard >= 0.5, closed under connectivity (min-label propagation);
     * cluster_id = the cluster's minimum doc_id (the canonical doc a
@@ -717,18 +726,42 @@ object DocQueries {
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
-  /** Winnowing oracle — positioned 3-gram md5s (the shingle CTEs WITHOUT
-    * the dedup), window-min over 4 rows, distinct survivors. The oracle's
-    * 1-based shingle start i equals Spark's 0-based pos + 1. */
-  private val winnowOracle: String =
-    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+  /** Winnowing CTE chain — positioned 3-gram md5s (the shingle CTEs
+    * WITHOUT the dedup), window-min over 4 rows, distinct survivors as
+    * `fp(doc_id, fingerprint)`. The oracle's 1-based shingle start i
+    * equals Spark's 0-based pos + 1. Shared by doc_winnow and
+    * doc_winnow_pairs. */
+  private val winnowCtes: String =
+    s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
        |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
        |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks WHERE len(tk) >= 3),
        |shp AS (SELECT doc_id, i, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS h FROM idx),
        |w AS (SELECT doc_id, i, MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-       |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM shp)
-       |SELECT DISTINCT doc_id, m AS fingerprint FROM w WHERE i >= 4
+       |        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM shp),
+       |fp AS (SELECT DISTINCT doc_id, m AS fingerprint FROM w WHERE i >= 4)""".stripMargin
+
+  private val winnowOracle: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, fingerprint FROM fp
        |ORDER BY doc_id, fingerprint""".stripMargin
+
+  /** MOSS pairs oracle: the winnow chain, the maxDf=50 stop-fingerprint
+    * cut applied to postings AND totals, the inverted-index self-join,
+    * shared>=2, overlap = one exact integer division. */
+  private val winnowPairsOracle: String =
+    s"""WITH $winnowCtes,
+       |keepfp AS (SELECT fingerprint FROM fp GROUP BY 1 HAVING COUNT(*) <= 50),
+       |live AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keepfp USING (fingerprint)),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM live GROUP BY 1),
+       |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+       |       FROM live a JOIN live b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+       |SELECT doc_a, doc_b, shared,
+       |       CAST(shared AS DOUBLE) / CAST(LEAST(ca.nf, cb.nf) AS DOUBLE) AS overlap
+       |FROM sh
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** CTE chain producing sim(doc_id, simhash) — `bits`-bit SimHash,
     * shared by the fingerprint query (16) and the banded pair query
@@ -1199,6 +1232,7 @@ object DocQueries {
     "doc_simhash_pairs" -> simhashPairsOracle,
     "doc_simhash64_pairs" -> simhash64PairsOracle,
     "doc_winnow" -> winnowOracle,
+    "doc_winnow_pairs" -> winnowPairsOracle,
     "doc_chunks" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
         |s AS (SELECT doc_id, text, unnest(range(0, CAST(length(text) AS BIGINT), 448)) AS st
@@ -1257,6 +1291,7 @@ object DocQueries {
     "doc_simhash_pairs" -> docSimhashPairs _,
     "doc_simhash64_pairs" -> docSimhash64Pairs _,
     "doc_winnow" -> docWinnow _,
+    "doc_winnow_pairs" -> docWinnowPairs _,
     "doc_jsonl" -> docJsonl _,
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,

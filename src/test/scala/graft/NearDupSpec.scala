@@ -134,6 +134,33 @@ class NearDupSpec extends SparkSpec {
     assert(short.count() == 0)
   }
 
+  test("winnowPairs: a lifted run pairs its docs; boilerplate over maxDf is cut") {
+    val lifted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val wdocs = Seq(
+      (1L, lifted),
+      (2L, s"prefix words here $lifted suffix tail material beyond"),
+      (3L, "entirely different vocabulary with no overlap at all whatsoever present today")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.winnowPairs(wdocs, "doc_id", "text", minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Long]("shared"), r.getAs[Double]("overlap"))).toMap
+    assert(pairs.contains((1L, 2L))) // the local-copy match
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // doc 1 is entirely inside doc 2, so the short side's containment is high
+    assert(pairs((1L, 2L))._2 > 0.5)
+
+    // a line every doc shares is boilerplate: with maxDf below the doc
+    // count its fingerprints pair nothing
+    val boiler = "this footer appears in every single document of the corpus always"
+    val bdocs = Seq(4L, 5L, 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(NearDup.winnowPairs(bdocs, "doc_id", "text",
+      maxDf = 2, minShared = 1L).count() == 0)
+    // raising maxDf to the doc count lets the identical docs pair fully
+    val full = NearDup.winnowPairs(bdocs, "doc_id", "text",
+      maxDf = 3, minShared = 1L).collect()
+    assert(full.length == 3 && full.forall(_.getAs[Double]("overlap") == 1.0))
+  }
+
   test("connectedComponents labels each component by its minimum id") {
     // chain 1-2-3-4 (diameter 3), pair 7-8, self-loop 9-9
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (7L, 8L), (9L, 9L))
