@@ -163,4 +163,28 @@ object Text {
       array_max(transform(array_distinct(arr),
         x => size(filter(arr, y => y === x)))),
       lit(0)).cast("long")
+
+  /** Shannon-entropy integer NUMERATOR of an array column's element
+    * distribution: Σ_distinct c·round(10⁶·ln(n/c)), where c is each
+    * distinct element's count and n the array length — the entropy in
+    * nats is this over (n·10⁶), one double division the CALLER performs
+    * (kept out of here so the per-row value stays an exact integer; a
+    * floor-div here would risk ulp-flips against engines with true
+    * integer division). Low entropy = repetitive/templated content.
+    * Same in-row O(distinct × total) shape and caller contract as
+    * [[topElementCount]] (pass a column REFERENCE): at any scale this is
+    * a PURE MAP — the elements never leave their row, no explode, no
+    * shuffle. Each ln lands on an exact small-integer ratio and is
+    * quantized immediately (the Bm25 determinism contract), and the
+    * integer sum is order-proof, so any engine that walks the distinct
+    * elements in ANY order agrees bit-for-bit. 0 for empty arrays. */
+  def entropySumMicro(arr: Column): Column = {
+    val n = size(arr)
+    val contribs = transform(
+      transform(array_distinct(arr), x => size(filter(arr, y => y === x))),
+      c => c.cast("long") *
+        round(lit(1e6) * log(n.cast("double") / c.cast("double"))).cast("long"))
+    when(n > 0, aggregate(contribs, lit(0L), (acc, x) => acc + x))
+      .otherwise(lit(0L))
+  }
 }

@@ -116,6 +116,32 @@ object DocQueries {
     NearDup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id", "fingerprint")
 
+  /** doc_entropy — per-doc token-distribution Shannon entropy
+    * (Text.entropySumMicro): the diversity/templating quality signal
+    * next to doc_repetition — near-zero entropy = one token repeated,
+    * ln(distinct) = maximal diversity. A PURE MAP like doc_repetition
+    * (tokens never leave their row); the exact integer numerator ships,
+    * entropy_micro = its engine-exact integer division by n, `entropy`
+    * the paren-pinned double. Docs whose normalized text has no tokens
+    * are excluded (nothing to score). */
+  def docEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(Text.tokens(Text.normalize(col("text"))), t => length(t) > 0)
+    val tk = col("__tk")
+    Tables.documents(spark, dir)
+      // token array projected FIRST (the shingleSets 8× pitfall)
+      .select(col("doc_id"), toks.as("__tk"))
+      .filter(size(tk) >= 1)
+      .select(col("doc_id"),
+        size(tk).cast("long").as("total_tokens"),
+        size(array_distinct(tk)).cast("long").as("distinct_tokens"),
+        Text.entropySumMicro(tk).as("entropy_sum_micro"))
+      .withColumn("entropy_micro", expr("entropy_sum_micro div total_tokens"))
+      .withColumn("entropy",
+        (col("entropy_sum_micro").cast("double") / col("total_tokens").cast("double"))
+          / lit(1e6))
+      .orderBy("doc_id")
+  }
+
   /** doc_winnow_pairs — MOSS cross-document match pairs
     * (NearDup.winnowPairs): doc pairs sharing >= 2 surviving winnow
     * fingerprints, scored shared/min(|fpA|,|fpB|) after the maxDf=50
@@ -1194,6 +1220,22 @@ object DocQueries {
          |       (top_gram_count * 1000000) // total_grams AS rep_ppm
          |FROM rep JOIN toks USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "doc_entropy" ->
+      s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+         |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+         |sizes AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |            CAST(len(list_distinct(tk)) AS BIGINT) AS d
+         |          FROM toks WHERE len(tk) >= 1),
+         |ex AS (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE len(tk) >= 1),
+         |cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY 1, 2),
+         |agg AS (SELECT cnt.doc_id,
+         |          CAST(SUM(c * CAST(round(1000000.0 * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s
+         |        FROM cnt JOIN sizes ON sizes.doc_id = cnt.doc_id GROUP BY 1)
+         |SELECT agg.doc_id, n AS total_tokens, d AS distinct_tokens,
+         |       s AS entropy_sum_micro, s // n AS entropy_micro,
+         |       (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS entropy
+         |FROM agg JOIN sizes ON sizes.doc_id = agg.doc_id
+         |ORDER BY agg.doc_id""".stripMargin,
     "doc_pack" ->
       """WITH keyed AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
@@ -1292,6 +1334,7 @@ object DocQueries {
     "doc_simhash64_pairs" -> docSimhash64Pairs _,
     "doc_winnow" -> docWinnow _,
     "doc_winnow_pairs" -> docWinnowPairs _,
+    "doc_entropy" -> docEntropy _,
     "doc_jsonl" -> docJsonl _,
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,

@@ -115,4 +115,20 @@ class TextSpec extends SparkSpec {
     // over 2-gram shingles: "x x x x" -> grams {x x, x x, x x} -> top 3
     assert(eval[Long](Text.topElementCount(Text.shingles(lit("x x x x"), 2))) == 3)
   }
+
+  test("entropySumMicro: 0 for uniform-single and empty, exact for known mixes") {
+    def ent(xs: Seq[String]): Long =
+      eval[Long](Text.entropySumMicro(
+        if (xs.isEmpty) array().cast("array<string>")
+        else array(xs.map(lit): _*)))
+    assert(ent(Seq.empty) == 0L)
+    assert(ent(Seq("x", "x", "x")) == 0L)            // one symbol: ln(1) = 0
+    // two equally-likely symbols: each contributes 1 * round(1e6*ln 2)
+    assert(ent(Seq("a", "b")) == 2L * math.round(1e6 * math.log(2)))
+    // skewed 3-of-4 + 1-of-4: 3*round(1e6*ln(4/3)) + 1*round(1e6*ln 4)
+    assert(ent(Seq("a", "a", "a", "b")) ==
+      3L * math.round(1e6 * math.log(4.0 / 3.0)) + math.round(1e6 * math.log(4.0)))
+    // order-independence: any permutation sums identically
+    assert(ent(Seq("b", "a", "a", "a")) == ent(Seq("a", "a", "b", "a")))
+  }
 }
