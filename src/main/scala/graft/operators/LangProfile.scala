@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TRAINED n-gram language identification (Cavnar & Trenkle 1994,
+  * "N-Gram-Based Text Categorization" — the classic rank-profile
+  * method behind textcat/langid tools): each language's profile is its
+  * `k` most frequent character trigrams RANKED; a document is classified
+  * by building its own trigram rank profile and picking the language
+  * with the smallest "out-of-place" distance — Σ over the doc's profile
+  * grams of |doc rank − language rank|, with a fixed penalty of `k` for
+  * grams absent from the language profile. The trained upgrade of the
+  * marker-word heuristic in [[graft.functions.Text.langId]]: profiles
+  * come from the labeled corpus itself, no hand-picked markers, and new
+  * languages are a retrain away.
+  *
+  * Trigrams run over RAW lowercased text (not the [a-z0-9] normalizer,
+  * which would strip every CJK codepoint): the corpus is BMP-only, so
+  * Spark's UTF-16 `substr` positions, DuckDB's character positions, and
+  * lexicographic gram comparisons all agree engine-for-engine.
+  *
+  * Scale shape: training is ONE corpus-scan trigram count into a
+  * (lang × gram) aggregate (map-side combined) topped by a per-language
+  * WindowGroupLimit — the profile table is ≤ langs·k rows and
+  * BROADCASTS. Per-doc profiles rank inside millions of tiny doc_id
+  * window partitions (the TF-IDF-approved row_number shape); scoring is
+  * doc-profile (≤k rows/doc) × languages (a broadcast handful) with the
+  * broadcast profile left-joined — never a corpus-sized shuffle beyond
+  * the one (doc, gram) count. Everything is integer arithmetic: counts,
+  * ranks, |Δrank| sums — no transcendental anywhere, bit-identical on
+  * any engine by construction. */
+object LangProfile {
+
+  /** Character trigrams of `c` in order (positions 1..len−2), as an
+    * array column; empty below 3 chars. */
+  private def charTrigrams(c: Column): Column =
+    when(length(c) >= 3,
+      transform(sequence(lit(0), length(c) - 3), i => c.substr(i + 1, lit(3))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Language profiles: (lang, gram, rank) — each label's top-`k`
+    * trigrams by frequency, rank 1-based, ties broken lexically. */
+  def profiles(df: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"profile size k must be positive, got $k")
+    df.select(col(langCol).as("lang"),
+        explode(charTrigrams(lower(col(textCol)))).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__c").desc, col("gram")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("gram"), col("rank"))
+  }
+
+  /** Classify every doc with >= 1 trigram: (idCol, lang_pred, dist)
+    * by minimal out-of-place distance against [[profiles]] trained on
+    * (`langCol`, `textCol`) of the same frame — ties prefer the
+    * lexically smallest language. Docs too short to produce a trigram
+    * are unscorable and excluded. */
+  def classify(df: DataFrame, idCol: String, langCol: String, textCol: String,
+      k: Int = 64): DataFrame = {
+    val prof = profiles(df, langCol, textCol, k)
+    val langs = prof.select(col("lang")).distinct()
+    val docProf = df.select(col(idCol),
+        explode(charTrigrams(lower(col(textCol)))).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .withColumn("__drank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram")))
+        .cast("long"))
+      .filter(col("__drank") <= k)
+    docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(prof), Seq("lang", "gram"), "left_outer")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("__drank") - col("rank")), lit(k.toLong))).as("__dist"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("lang"))).as("__m"))
+      .select(col(idCol), col("__m.lang").as("lang_pred"), col("__m.__dist").as("dist"))
+  }
+}

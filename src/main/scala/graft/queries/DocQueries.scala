@@ -116,6 +116,20 @@ object DocQueries {
     NearDup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id", "fingerprint")
 
+  /** doc_lang_trained — TRAINED language-ID (graft.operators.LangProfile,
+    * Cavnar-Trenkle 1994): per-language top-64 char-trigram rank
+    * profiles learned from the labeled corpus, every doc classified by
+    * minimal out-of-place rank distance. The trained upgrade of
+    * doc_lang_id's marker heuristic; pure integer arithmetic end to
+    * end. Output pairs the true label with the prediction. */
+  def docLangTrained(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.LangProfile.classify(d, "doc_id", "lang", "text")
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lang_pred"), col("dist"))
+      .orderBy("doc_id")
+  }
+
   /** doc_entropy — per-doc token-distribution Shannon entropy
     * (Text.entropySumMicro): the diversity/templating quality signal
     * next to doc_repetition — near-zero entropy = one token repeated,
@@ -1220,6 +1234,32 @@ object DocQueries {
          |       (top_gram_count * 1000000) // total_grams AS rep_ppm
          |FROM rep JOIN toks USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "doc_lang_trained" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |g AS (SELECT doc_id, lang, substr(t, CAST(i AS BIGINT), 3) AS gram
+        |      FROM lt, unnest(range(1, length(t) - 1)) AS u(i)),
+        |pc AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        |prof AS (SELECT lang, gram, rnk FROM (
+        |           SELECT lang, gram,
+        |                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rnk
+        |           FROM pc) WHERE rnk <= 64),
+        |langs AS (SELECT DISTINCT lang FROM prof),
+        |dc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+        |dprof AS (SELECT doc_id, gram, drank FROM (
+        |            SELECT doc_id, gram,
+        |                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+        |            FROM dc) WHERE drank <= 64),
+        |dist AS (SELECT d.doc_id, l.lang,
+        |           CAST(SUM(COALESCE(ABS(d.drank - p.rnk), 64)) AS BIGINT) AS dist
+        |         FROM dprof d CROSS JOIN langs l
+        |         LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+        |         GROUP BY 1, 2),
+        |best AS (SELECT doc_id, lang AS lang_pred, dist,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+        |         FROM dist)
+        |SELECT b.doc_id, doc.lang, b.lang_pred, b.dist
+        |FROM best b JOIN documents doc ON doc.doc_id = b.doc_id
+        |WHERE b.rn = 1 ORDER BY b.doc_id""".stripMargin,
     "doc_entropy" ->
       s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
          |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
@@ -1335,6 +1375,7 @@ object DocQueries {
     "doc_winnow" -> docWinnow _,
     "doc_winnow_pairs" -> docWinnowPairs _,
     "doc_entropy" -> docEntropy _,
+    "doc_lang_trained" -> docLangTrained _,
     "doc_jsonl" -> docJsonl _,
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,
