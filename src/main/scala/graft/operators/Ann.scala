@@ -437,6 +437,39 @@ object Ann {
     } finally NearDup.freeCheckpoint(qdf)
   }
 
+  /** Cluster-BALANCED deterministic sampling: k-means the embedding
+    * space ([[kmeans]], same exact-integer iterations), then keep up to
+    * `m` rows PER CLUSTER chosen by a salted-md5 hash order — the
+    * "diverse subset" selection a training mix wants (uniform sampling
+    * over-represents dense regions; per-cluster quotas flatten the mode
+    * structure — the cluster-stratified cousin of
+    * [[Sampling.stratifiedSample]], with LEARNED strata instead of a
+    * label column). Selection is the bounded [[graft.expressions.
+    * TopKByScore]] aggregate — ≤m rows/cluster/partition reach the
+    * shuffle, never a cluster-wide sort — and the salted draw
+    * (`md5(id‖"~cs")`) makes membership independent of every other
+    * sampling operator's, stable across runs/engines/partitionings.
+    * Returns (idCol, cluster, sample_rank 1..≤m); an eager checkpoint
+    * (inputs freed), release via [[Curate.release]]. */
+  def clusterSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, m: Int): DataFrame = {
+    require(m > 0, s"clusterSample: m must be positive, got $m")
+    import graft.expressions.TopKByScore
+    val assigned = kmeans(df, idCol, vecCol, k, iters)
+    try {
+      val u = conv(substring(
+          md5(concat(col(idCol).cast("string"), lit("~cs")).cast("binary")), 1, 8), 16, 10)
+        .cast("long").cast("double")
+      assigned
+        .groupBy(col("cluster"))
+        .agg(TopKByScore(u, col(idCol).cast("long"), m).as("__top"))
+        .select(col("cluster"), posexplode(col("__top")))
+        .select(col("col.id").as(idCol), col("cluster"),
+          (col("pos") + 1).cast("long").as("sample_rank"))
+        .localCheckpoint(true)
+    } finally NearDup.freeCheckpoint(assigned)
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the `dim`-dimensional
     * space splits into `m` contiguous subspaces of dim/m dims, each

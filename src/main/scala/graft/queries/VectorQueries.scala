@@ -121,6 +121,19 @@ object VectorQueries {
         KmeansK, KmeansIters)
       .orderBy("vec_id")
 
+  private val ClusterSampleM = 16
+
+  /** emb_cluster_sample — cluster-balanced deterministic sampling
+    * (Ann.clusterSample): k-means strata (the gated emb_kmeans
+    * configuration), up to 16 rows per cluster in salted-md5 hash order
+    * — the learned-strata diversity sample beside the label-keyed
+    * doc_stratified_sample; selection via the bounded top-k aggregate,
+    * membership engine-stable. */
+  def embClusterSample(spark: SparkSession, dir: String): DataFrame =
+    Ann.clusterSample(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        KmeansK, KmeansIters, ClusterSampleM)
+      .orderBy("cluster", "sample_rank")
+
   private val SemThreshold = 0.4
 
   /** emb_semdedup — SemDeDup semantic dedup: k-means clusters (the same
@@ -365,6 +378,25 @@ object VectorQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** Cluster-sample oracle: the kmeans chain, then a per-cluster
+    * ROW_NUMBER over the identical salted-hash order (u DESC, vec_id —
+    * TopKByScore's exact tie contract). */
+  private val clusterSampleOracle: String = {
+    val (ctes, cbF) = kmeansCteChain("q", "", KmeansK, KmeansIters)
+    s"""WITH $qCte,
+       |$ctes,
+       |${assignCtes("q", cbF, "af")},
+       |h AS (SELECT vec_id, cluster,
+       |        CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '~cs'), 1, 8) AS BIGINT) AS u
+       |      FROM af),
+       |r AS (SELECT vec_id, cluster,
+       |        ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY u DESC, vec_id) AS sample_rank
+       |      FROM h)
+       |SELECT vec_id, cluster, sample_rank FROM r
+       |WHERE sample_rank <= $ClusterSampleM
+       |ORDER BY cluster, sample_rank""".stripMargin
+  }
+
   /** PQ-ADC oracle: per-subspace slices, one kmeans chain each (s0..s3
     * prefixes), codebook union, encode = rank-1 of the scored frame, the
     * probes' distance TABLE is the same scored frame restricted to probe
@@ -460,6 +492,7 @@ object VectorQueries {
     "emb_semdedup" -> semDedupOracle,
     "emb_knn_pq" -> pqOracle,
     "emb_kmeans" -> kmeansOracle,
+    "emb_cluster_sample" -> clusterSampleOracle,
     "hybrid_search" -> hybridOracle,
     "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
@@ -476,6 +509,7 @@ object VectorQueries {
     "emb_semdedup" -> embSemDedup _,
     "emb_knn_pq" -> embKnnPq _,
     "emb_kmeans" -> embKmeans _,
+    "emb_cluster_sample" -> embClusterSample _,
     "hybrid_search" -> hybridSearch _,
     "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,

@@ -220,6 +220,27 @@ class AnnSpec extends SparkSpec {
     assert(got((1, 0L)) == 10.0 && got((1, 1L)) == 20.0)
   }
 
+  test("clusterSample: per-cluster quota, hash-deterministic, stable reruns") {
+    // two tight groups of 4; quota m=2 must keep exactly 2 per cluster
+    val vecs = (0L to 3L).map(i => (i, Array(1.0f, i.toFloat * 0.01f))) ++
+      (4L to 7L).map(i => (i, Array(0.0f, 1.0f + i.toFloat * 0.01f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val a = Ann.clusterSample(df, "vec_id", "embedding", k = 2, iters = 2, m = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("sample_rank")))
+    assert(a.length == 4)
+    assert(a.groupBy(_._2).forall { case (_, rows) =>
+      rows.length == 2 && rows.map(_._3).sorted.toSeq == Seq(1L, 2L) })
+    // deterministic: a rerun selects the identical members in identical order
+    val b = Ann.clusterSample(df, "vec_id", "embedding", k = 2, iters = 2, m = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("sample_rank")))
+    assert(a.toSet == b.toSet)
+    // quota above the cluster size keeps everything
+    assert(Ann.clusterSample(df, "vec_id", "embedding", k = 2, iters = 2, m = 10)
+      .count() == 8L)
+  }
+
   test("semDedup: drops higher-id near-dups within a cluster, keeps exemplars") {
     // two tight groups; 1 ≈ 0 (cosine ~1) and 3 ≈ 2; 4 is alone
     val vecs = Seq(
