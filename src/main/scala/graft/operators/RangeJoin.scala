@@ -76,4 +76,56 @@ object RangeJoin {
       .filter(col("__s_us") <= col("__p_us") && col("__p_us") < col("__e_us"))
       .select((keys ++ pointCols ++ intervalCols).map(col): _*)
   }
+
+  private val ReservedOverlap = Seq("__bkt", "__as_us", "__ae_us", "__bs_us", "__be_us")
+
+  /** Inner interval×interval OVERLAP join: every (left, right) pair of
+    * HALF-OPEN intervals with a non-empty intersection —
+    * `leftStart < rightEnd AND rightStart < leftEnd` — sharing the equi
+    * `keys`. The third time primitive next to [[pointInInterval]] and
+    * the as-of join; a raw inequality-only join plans as
+    * BroadcastNestedLoopJoin, the same 100 TB cliff.
+    *
+    * Same grid-bucket scheme, with one twist: BOTH sides explode into
+    * the buckets they cover, so a qualifying pair meets in EVERY bucket
+    * both spans touch — emission is therefore restricted to the single
+    * bucket containing the overlap's START, `max(leftStart, rightStart)`
+    * (which every overlapping pair's two spans both cover by
+    * definition), making the output duplicate-free by construction with
+    * no distinct. Replication is len/bucket + 1 per side; the join
+    * stays a (keys, bucket) equi-join — AQE-splittable, skew-
+    * salvageable, never quadratic. Empty intervals match nothing; NULL
+    * bounds never match. Output: `keys`, left's other columns, right's
+    * other columns (non-key names must be disjoint). */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(left.columns.intersect(ReservedOverlap).isEmpty &&
+      right.columns.intersect(ReservedOverlap).isEmpty,
+      s"intervalOverlap: column names ${ReservedOverlap.mkString("/")} are reserved")
+    val shared = left.columns.intersect(right.columns).filterNot(keys.contains)
+    require(shared.isEmpty,
+      s"intervalOverlap: non-key columns shared by both sides: ${shared.mkString(", ")} — alias one side")
+    val w = bucketSeconds * 1000000L
+
+    def exploded(df: DataFrame, startTs: String, endTs: String,
+        sOut: String, eOut: String): DataFrame = df
+      .filter(col(endTs) > col(startTs))
+      .withColumn(sOut, unix_micros(col(startTs)))
+      .withColumn(eOut, unix_micros(col(endTs)))
+      .withColumn("__bkt",
+        explode(expr(s"sequence(${bucketIdSql(sOut, w)}, ${bucketIdSql(s"($eOut - 1L)", w)})")))
+
+    val a = exploded(left, leftStart, leftEnd, "__as_us", "__ae_us")
+    val b = exploded(right, rightStart, rightEnd, "__bs_us", "__be_us")
+    val leftCols = left.columns.filterNot(keys.contains)
+    val rightCols = right.columns.filterNot(keys.contains)
+    a.join(b, keys :+ "__bkt")
+      .filter(col("__as_us") < col("__be_us") && col("__bs_us") < col("__ae_us"))
+      // exactly one emitting bucket per pair: the overlap start's
+      .filter(col("__bkt") ===
+        expr(bucketIdSql("greatest(__as_us, __bs_us)", w)))
+      .select((keys ++ leftCols ++ rightCols).map(col): _*)
+  }
 }

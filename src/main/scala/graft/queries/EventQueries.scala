@@ -44,6 +44,31 @@ object EventQueries {
     graft.streaming.StreamOps.sessionize(Tables.events(spark, dir))
       .orderBy("user_id", "session_start")
 
+  private val IncidentValue = 200.0
+
+  /** events_session_overlap — interval×interval OVERLAP join
+    * (RangeJoin.intervalOverlap): every user session (the
+    * events_sessionize intervals) intersecting any "incident window"
+    * (a value >= 200 event's following hour), with the exact overlap
+    * duration in microseconds. The grid-bucketed join — both spans
+    * exploded to covered buckets, pairs emitted only in their overlap-
+    * start bucket — never the BroadcastNestedLoopJoin a raw
+    * inequality-only join plans to. */
+  def eventsSessionOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val sessions = graft.streaming.StreamOps.sessionize(e)
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    val incidents = e.filter(col("value") >= IncidentValue)
+      .select(col("event_id").as("incident_id"), col("ts").as("inc_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("inc_end"))
+    RangeJoin.intervalOverlap(sessions, incidents, Seq.empty,
+        "session_start", "session_end", "inc_start", "inc_end")
+      .withColumn("overlap_us",
+        unix_micros(least(col("session_end"), col("inc_end"))) -
+          unix_micros(greatest(col("session_start"), col("inc_start"))))
+      .orderBy("user_id", "session_start", "incident_id")
+  }
+
   /** events_asof_purchase — point-in-time join: every click annotated
     * with the user's latest purchase at or before the click
     * (graft.operators.AsOf: one shuffle on user_id + per-key sort; no
@@ -358,6 +383,35 @@ object EventQueries {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "events_session_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value, event_id FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                      >= INTERVAL '30 minutes'
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), s AS (
+        |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |), sess AS (
+        |  SELECT user_id, MIN(ts) AS session_start,
+        |         MAX(ts) + INTERVAL '30 minutes' AS session_end
+        |  FROM s GROUP BY user_id, sid
+        |), inc AS (
+        |  SELECT event_id AS incident_id, ts AS inc_start,
+        |         ts + INTERVAL '1 hour' AS inc_end
+        |  FROM e WHERE value >= 200
+        |)
+        |SELECT se.user_id, se.session_start, se.session_end,
+        |       i.incident_id, i.inc_start, i.inc_end,
+        |       epoch_us(LEAST(se.session_end, i.inc_end))
+        |         - epoch_us(GREATEST(se.session_start, i.inc_start)) AS overlap_us
+        |FROM sess se JOIN inc i
+        |  ON se.session_start < i.inc_end AND i.inc_start < se.session_end
+        |ORDER BY se.user_id, se.session_start, i.incident_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -368,6 +422,7 @@ object EventQueries {
     "events_sliding" -> eventsSliding _,
     "events_sql_topk" -> eventsSqlTopk _,
     "events_sessionize" -> eventsSessionize _,
+    "events_session_overlap" -> eventsSessionOverlap _,
     "events_asof_purchase" -> eventsAsofPurchase _,
     "events_purchase_window" -> eventsPurchaseWindow _,
     "events_attribution" -> eventsAttribution _,
