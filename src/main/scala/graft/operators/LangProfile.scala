@@ -33,19 +33,26 @@ import org.apache.spark.sql.functions._
   * any engine by construction. */
 object LangProfile {
 
-  /** Character trigrams of `c` in order (positions 1..len−2), as an
-    * array column; empty below 3 chars. */
-  private def charTrigrams(c: Column): Column =
-    when(length(c) >= 3,
-      transform(sequence(lit(0), length(c) - 3), i => c.substr(i + 1, lit(3))))
+  /** Character trigrams over a CHAR-ARRAY column (`split(text, "")`) in
+    * order (positions 1..len−2); empty below 3 chars. Takes the split
+    * array, not the string: `substr` on UTF-8 bytes is O(position) per
+    * call (no random access), so extracting every trigram of an n-char
+    * doc by substring is O(n²) — three O(1) `element_at` lookups per
+    * gram keep it linear. Callers must PROJECT the split array first
+    * (the shingleSets HOF pitfall: an inlined split would re-run per
+    * gram). */
+  private def charTrigrams(ch: Column): Column =
+    when(size(ch) >= 3,
+      transform(sequence(lit(0), size(ch) - 3),
+        i => concat(element_at(ch, i + 1), element_at(ch, i + 2), element_at(ch, i + 3))))
       .otherwise(array().cast("array<string>"))
 
   /** Language profiles: (lang, gram, rank) — each label's top-`k`
     * trigrams by frequency, rank 1-based, ties broken lexically. */
   def profiles(df: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"profile size k must be positive, got $k")
-    df.select(col(langCol).as("lang"),
-        explode(charTrigrams(lower(col(textCol)))).as("gram"))
+    df.select(col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
+      .select(col("lang"), explode(charTrigrams(col("__ch"))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("__c").desc, col("gram")))
@@ -58,25 +65,46 @@ object LangProfile {
     * by minimal out-of-place distance against [[profiles]] trained on
     * (`langCol`, `textCol`) of the same frame — ties prefer the
     * lexically smallest language. Docs too short to produce a trigram
-    * are unscorable and excluded. */
+    * are unscorable and excluded.
+    *
+    * The corpus explodes ONCE into a checkpointed (doc, lang, gram)
+    * count frame feeding both models: the language profile re-aggregates
+    * it per (lang, gram) — summing per-doc counts equals counting the
+    * raw stream — and the doc profiles window it directly. Without the
+    * checkpoint each consumer would re-run the trigram explode over the
+    * whole corpus (measured ~2× on the gated query); the frame is freed
+    * before returning, the result is an eager checkpoint (release via
+    * [[Curate.release]]). */
   def classify(df: DataFrame, idCol: String, langCol: String, textCol: String,
       k: Int = 64): DataFrame = {
-    val prof = profiles(df, langCol, textCol, k)
-    val langs = prof.select(col("lang")).distinct()
-    val docProf = df.select(col(idCol),
-        explode(charTrigrams(lower(col(textCol)))).as("gram"))
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
-      .withColumn("__drank", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram")))
-        .cast("long"))
-      .filter(col("__drank") <= k)
-    docProf
-      .crossJoin(broadcast(langs))
-      .join(broadcast(prof), Seq("lang", "gram"), "left_outer")
-      .groupBy(col(idCol), col("lang"))
-      .agg(sum(coalesce(abs(col("__drank") - col("rank")), lit(k.toLong))).as("__dist"))
-      .groupBy(col(idCol))
-      .agg(min(struct(col("__dist"), col("lang"))).as("__m"))
-      .select(col(idCol), col("__m.lang").as("lang_pred"), col("__m.__dist").as("dist"))
+    val counts = df
+      .select(col(idCol), col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
+      .select(col(idCol), col("lang"), explode(charTrigrams(col("__ch"))).as("gram"))
+      .groupBy(col(idCol), col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    try {
+      val prof = counts.groupBy(col("lang"), col("gram")).agg(sum(col("__c")).as("__lc"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("__lc").desc, col("gram")))
+          .cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("lang"), col("gram"), col("rank"))
+      val langs = prof.select(col("lang")).distinct()
+      val docProf = counts
+        .withColumn("__drank", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram")))
+          .cast("long"))
+        .filter(col("__drank") <= k)
+        .select(col(idCol), col("gram"), col("__drank"))
+      docProf
+        .crossJoin(broadcast(langs))
+        .join(broadcast(prof), Seq("lang", "gram"), "left_outer")
+        .groupBy(col(idCol), col("lang"))
+        .agg(sum(coalesce(abs(col("__drank") - col("rank")), lit(k.toLong))).as("__dist"))
+        .groupBy(col(idCol))
+        .agg(min(struct(col("__dist"), col("lang"))).as("__m"))
+        .select(col(idCol), col("__m.lang").as("lang_pred"), col("__m.__dist").as("dist"))
+        .localCheckpoint(true)
+    } finally NearDup.freeCheckpoint(counts)
   }
 }
