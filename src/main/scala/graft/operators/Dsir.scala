@@ -55,29 +55,37 @@ object Dsir {
     * like the empty string, so every input row comes back. */
   def logRatios(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column): DataFrame = {
+    // the tokenized stream feeds THREE consumers (raw counts, target
+    // counts, the scoring join) — checkpoint once or the corpus scan +
+    // normalize + explode re-runs per consumer; freed before returning
+    // (the result aggregate is its own frame, lineage cut at the join)
     val toks = df.select(col(idCol), targetPred.as("__tgt"),
       explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok"))
-    val rawCnt = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__rc"))
-    val tgtCnt = toks.filter(col("__tgt"))
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__tc"))
-    val rawStats = rawCnt.agg(sum(col("__rc")).as("__rtotal"), count(lit(1)).as("__rv"))
-    val tgtStats = tgtCnt.agg(sum(col("__tc")).as("__ttotal"), count(lit(1)).as("__tv"))
-    val rawDenom = (col("__rtotal") + col("__rv")).cast("double")
-    val tgtDenom = (col("__ttotal") + col("__tv")).cast("double")
-    def q(cnt: Column, denom: Column): Column =
-      round(lit(1e6) * -log(cnt.cast("double") / denom)).cast("long")
-    // raw vocab = the full corpus token universe; target counts hang off
-    // it left-outer, absent → the target model's OOV mass
-    val delta = rawCnt
-      .join(tgtCnt, Seq("__tok"), "left_outer")
-      .crossJoin(broadcast(rawStats)).crossJoin(broadcast(tgtStats))
-      .select(col("__tok"),
-        (q(col("__rc") + lit(1L), rawDenom) -
-          coalesce(q(col("__tc") + lit(1L), tgtDenom), q(lit(1L), tgtDenom)))
-          .as("__delta"))
-    toks.join(broadcast(delta), Seq("__tok"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__delta")).as("lr_micro"))
+      .localCheckpoint(true)
+    try {
+      val rawCnt = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__rc"))
+      val tgtCnt = toks.filter(col("__tgt"))
+        .groupBy(col("__tok")).agg(count(lit(1)).as("__tc"))
+      val rawStats = rawCnt.agg(sum(col("__rc")).as("__rtotal"), count(lit(1)).as("__rv"))
+      val tgtStats = tgtCnt.agg(sum(col("__tc")).as("__ttotal"), count(lit(1)).as("__tv"))
+      val rawDenom = (col("__rtotal") + col("__rv")).cast("double")
+      val tgtDenom = (col("__ttotal") + col("__tv")).cast("double")
+      def q(cnt: Column, denom: Column): Column =
+        round(lit(1e6) * -log(cnt.cast("double") / denom)).cast("long")
+      // raw vocab = the full corpus token universe; target counts hang off
+      // it left-outer, absent → the target model's OOV mass
+      val delta = rawCnt
+        .join(tgtCnt, Seq("__tok"), "left_outer")
+        .crossJoin(broadcast(rawStats)).crossJoin(broadcast(tgtStats))
+        .select(col("__tok"),
+          (q(col("__rc") + lit(1L), rawDenom) -
+            coalesce(q(col("__tc") + lit(1L), tgtDenom), q(lit(1L), tgtDenom)))
+            .as("__delta"))
+      toks.join(broadcast(delta), Seq("__tok"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("__delta")).as("lr_micro"))
+        .localCheckpoint(true)
+    } finally NearDup.freeCheckpoint(toks)
   }
 
   /** Gumbel-top-k importance resampling over [[logRatios]]: each doc's
