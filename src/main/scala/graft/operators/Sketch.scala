@@ -175,4 +175,55 @@ object Sketch {
       .filter(col("__rn") === 1)
       .select(grp ++ Seq(col("quantile"), est.as("est")): _*)
   }
+
+  /** Two-sample Kolmogorov-Smirnov DRIFT statistic over binned ECDFs —
+    * the "did the incoming batch change distribution vs the corpus?"
+    * monitor every continuously-ingesting pipeline runs (feature drift,
+    * corpus-version drift, A/B skew). KS = max |F_a(x) − F_b(x)|; here
+    * F is evaluated at the `bins` shared equal-width bin edges (derived
+    * from the UNION's min/max — the [[histQuantilesBy]] binning, exact
+    * `div`), which bounds the statistic's error by the probability mass
+    * of one bin — the sketch-grade KS, same trade as L75's quantiles.
+    *
+    * EXACT integer determinism: the distance is computed cross-
+    * multiplied — `d_scaled = max |cum_a·n_b − cum_b·n_a|` over bins —
+    * so no division touches the comparison; `ks = d_scaled/(n_a·n_b)`
+    * is one pinned double op pair at the end. Scale shape: one scan of
+    * each side (union, map-side-combined bin counts), then everything
+    * is ≤bins rows — the cumulative window and the argmax run on a
+    * dimension-sized frame. Returns ONE row: (n_a, n_b, d_scaled,
+    * drift_bin, ks); drift_bin = the lowest bin attaining the max (where
+    * the ECDFs diverge most). Empty sides propagate NULL rather than a
+    * 0/0. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: Column, bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 100000, s"bins must be in 1..100000, got $bins")
+    import org.apache.spark.sql.expressions.Window
+    val av = a.select(valueCol.cast("long").as("__v"),
+      lit(1L).as("__ia"), lit(0L).as("__ib"))
+    val bv = b.select(valueCol.cast("long").as("__v"),
+      lit(0L).as("__ia"), lit(1L).as("__ib"))
+    val u = av.unionByName(bv)
+    val stats = u.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      sum(col("__ia")).as("__na"), sum(col("__ib")).as("__nb"))
+    val counts = u.crossJoin(broadcast(stats))
+      .select(((col("__v") - col("__mn")) * lit(bins.toLong)).as("__num"),
+        (col("__mx") - col("__mn") + lit(1L)).as("__den"),
+        col("__ia"), col("__ib"))
+      .selectExpr("__num div __den AS bin", "__ia", "__ib")
+      .groupBy(col("bin"))
+      .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
+    // ≤bins rows from here — the windows are dimension-sized
+    counts
+      .withColumn("__cuma", sum(col("__ca")).over(Window.orderBy("bin")))
+      .withColumn("__cumb", sum(col("__cb")).over(Window.orderBy("bin")))
+      .crossJoin(broadcast(stats))
+      .withColumn("__ds", abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__ds").desc, col("bin"))))
+      .filter(col("__rn") === 1)
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__ds").as("d_scaled"), col("bin").as("drift_bin"),
+        when(col("__na") > 0 && col("__nb") > 0,
+          col("__ds").cast("double") /
+            (col("__na").cast("double") * col("__nb").cast("double"))).as("ks"))
+  }
 }

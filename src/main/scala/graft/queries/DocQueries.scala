@@ -116,6 +116,20 @@ object DocQueries {
     NearDup.winnowFingerprints(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("doc_id", "fingerprint")
 
+  /** doc_drift_ks — two-sample KS drift monitor (Sketch.ksDrift): does
+    * the "incoming batch" (odd doc_ids) match the "current corpus"
+    * (even doc_ids) on the n_chars distribution? Binned ECDFs (64
+    * shared equal-width bins), exact cross-multiplied integer distance,
+    * one pinned double at the end — the corpus-version drift check a
+    * continuously-ingesting pipeline runs before accepting a batch. */
+  def docDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    graft.operators.Sketch.ksDrift(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      col("n_chars"), bins = 64)
+  }
+
   /** doc_lang_trained — TRAINED language-ID (graft.operators.LangProfile,
     * Cavnar-Trenkle 1994): per-language top-64 char-trigram rank
     * profiles learned from the labeled corpus, every doc classified by
@@ -1234,6 +1248,27 @@ object DocQueries {
          |       (top_gram_count * 1000000) // total_grams AS rep_ppm
          |FROM rep JOIN toks USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "doc_drift_ks" ->
+      """WITH u AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |         CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS ib
+        |       FROM documents),
+        |st AS (SELECT MIN(v) AS mn, MAX(v) AS mx,
+        |         CAST(SUM(ia) AS BIGINT) AS na, CAST(SUM(ib) AS BIGINT) AS nb FROM u),
+        |bc AS (SELECT ((v - mn) * 64) // (mx - mn + 1) AS bin,
+        |         CAST(SUM(ia) AS BIGINT) AS ca, CAST(SUM(ib) AS BIGINT) AS cb
+        |       FROM u CROSS JOIN st GROUP BY 1),
+        |cum AS (SELECT bin,
+        |         CAST(SUM(ca) OVER (ORDER BY bin) AS BIGINT) AS cuma,
+        |         CAST(SUM(cb) OVER (ORDER BY bin) AS BIGINT) AS cumb FROM bc),
+        |ds AS (SELECT bin, ABS(cuma * nb - cumb * na) AS d FROM cum CROSS JOIN st),
+        |best AS (SELECT bin, CAST(d AS BIGINT) AS d,
+        |           ROW_NUMBER() OVER (ORDER BY d DESC, bin) AS rn FROM ds)
+        |SELECT st.na AS n_a, st.nb AS n_b, b.d AS d_scaled, b.bin AS drift_bin,
+        |       CASE WHEN st.na > 0 AND st.nb > 0
+        |            THEN CAST(b.d AS DOUBLE) / (CAST(st.na AS DOUBLE) * CAST(st.nb AS DOUBLE))
+        |       END AS ks
+        |FROM best b CROSS JOIN st WHERE b.rn = 1""".stripMargin,
     "doc_lang_trained" ->
       """WITH lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
         |g AS (SELECT doc_id, lang, substr(t, CAST(i AS BIGINT), 3) AS gram
@@ -1376,6 +1411,7 @@ object DocQueries {
     "doc_winnow_pairs" -> docWinnowPairs _,
     "doc_entropy" -> docEntropy _,
     "doc_lang_trained" -> docLangTrained _,
+    "doc_drift_ks" -> docDriftKs _,
     "doc_jsonl" -> docJsonl _,
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,

@@ -138,4 +138,32 @@ class SketchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketch.histQuantiles(vals, col("v"), bins = 8, probs = Seq(0.0)))
   }
+
+  test("ksDrift: 0 for identical samples, 1 for disjoint, detects a shift") {
+    def ks(a: Seq[Long], b: Seq[Long]): (Long, Double) = {
+      val row = Sketch.ksDrift(a.map(Tuple1(_)).toDF("v"), b.map(Tuple1(_)).toDF("v"),
+        col("v"), bins = 32).collect().head
+      (row.getAs[Long]("d_scaled"), row.getAs[Double]("ks"))
+    }
+    // identical samples: ECDFs agree at every bin edge
+    val xs = (1L to 100L)
+    assert(ks(xs, xs) == ((0L, 0.0)))
+    // disjoint supports: at the gap the scaled distance is n_a * n_b
+    val (d, k) = ks(1L to 50L, 1000L to 1049L)
+    assert(d == 50L * 50L && k == 1.0)
+    // a clear location shift is detected with a large statistic
+    val (_, kShift) = ks(1L to 100L, 61L to 160L)
+    assert(kShift > 0.5 && kShift < 1.0)
+    // partitioning cannot perturb a bit
+    val a = (1L to 3000L).map(Tuple1(_)).toDF("v")
+    val b = (1500L to 4500L).map(Tuple1(_)).toDF("v")
+    val one = Sketch.ksDrift(a, b, col("v"), 64).collect().head.toSeq
+    val two = Sketch.ksDrift(a.repartition(13), b.repartition(7), col("v"), 64)
+      .collect().head.toSeq
+    assert(one == two)
+    // empty side: NULL ks, not a 0/0 crash
+    val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
+    val row = Sketch.ksDrift(a, empty, col("v"), 8).collect()
+    assert(row.length == 1 && row.head.isNullAt(row.head.fieldIndex("ks")))
+  }
 }
