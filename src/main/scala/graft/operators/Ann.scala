@@ -437,6 +437,100 @@ object Ann {
     } finally NearDup.freeCheckpoint(qdf)
   }
 
+  /** MMR-DIVERSIFIED top-k re-ranking (Carbonell & Goldstein 1998,
+    * "maximal marginal relevance" — the classic diversification of a
+    * relevance-ranked list, the retrieval-side answer to "my top-k are
+    * five copies of the same document"): from each probe's exact brute
+    * top-`c` candidates, iteratively select the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against similarity to what is already picked — until `k` are
+    * chosen. Selection order IS the output ranking.
+    *
+    * Scale shape: candidate generation is the [[knnBrute]] pattern
+    * (bounded aggregate — replace with an LSH/IVF front at larger N);
+    * candidate-pair similarities are a per-probe c×c equi-join (c is a
+    * constant — the frame is probes·c² rows, dimension-sized); then the
+    * k selection ROUNDS run as k driver-stepped frame-wide jobs, each an
+    * anti-join + max-sim aggregate + per-probe argmax over ALL probes
+    * simultaneously — per-round cost O(probes·c²), never corpus-sized;
+    * rounds are localCheckpoint-stepped with the previous round freed
+    * (the CC/kmeans lifecycle).
+    *
+    * Determinism: rel and sim are the quantized exact-integer cosines
+    * (pinned sqrt/divide); λ must be 0.5 by default so BOTH λ and 1−λ
+    * are binary-exact (0.7 would make 1−λ = 0.30000000000000004 — a
+    * cross-engine landmine); scores combine in pinned order; ties break
+    * to the lowest candidate id. Returns (probe_id, neighbor_id, rel,
+    * mmr_score, mmr_rank); an eager checkpoint (inputs freed), release
+    * via [[Curate.release]]. */
+  def mmrDiversify(df: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, c: Int, k: Int, lam: Double = 0.5): DataFrame = {
+    require(k >= 1 && c >= k, s"need c >= k >= 1, got c=$c k=$k")
+    require(lam >= 0.0 && lam <= 1.0, s"lambda must be in [0,1], got $lam")
+    val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
+    try {
+      val probes = qdf.filter(probePred)
+        .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
+      val top = topKAgg(qdf
+          .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"), col("__n").as("__nn"))
+          .crossJoin(broadcast(probes)), c)
+        .select(col("probe_id"), col("neighbor_id"), col("cosine_sim").as("rel"))
+      // candidates re-armed with their vectors (one pruned equi-join);
+      // feeds the pair-sim join twice and every round — checkpoint once
+      val cands = top
+        .join(qdf.select(col(idCol).as("neighbor_id"),
+          col("__q").as("__cq"), col("__n").as("__cn")), Seq("neighbor_id"))
+        .localCheckpoint(true)
+      try {
+        val sims = cands.select(col("probe_id"), col("neighbor_id").as("__a"),
+            col("__cq").as("__aq"), col("__cn").as("__an"))
+          .join(cands.select(col("probe_id"), col("neighbor_id").as("__b"),
+            col("__cq").as("__bq"), col("__cn").as("__bn")), Seq("probe_id"))
+          .filter(col("__a") =!= col("__b"))
+          .select(col("probe_id"), col("__a"), col("__b"),
+            pairCosine(col("__aq"), col("__bq"), col("__an"), col("__bn")).as("__sim"))
+          .localCheckpoint(true)
+        try {
+          val lamC = lit(lam)
+          val oneMinus = lit(1.0) - lit(lam) // computed once, same value both engines
+          def pickRound(selected: Option[DataFrame], r: Int): DataFrame = {
+            val rem = selected match {
+              case None => cands
+              case Some(s) => cands.join(
+                s.select(col("probe_id"), col("neighbor_id")),
+                Seq("probe_id", "neighbor_id"), "left_anti")
+            }
+            val scored = selected match {
+              case None => rem.withColumn("__score", lamC * col("rel"))
+              case Some(s) =>
+                val ms = sims.join(s.select(col("probe_id"), col("neighbor_id").as("__b")),
+                    Seq("probe_id", "__b"))
+                  .groupBy(col("probe_id"), col("__a").as("neighbor_id"))
+                  .agg(max(col("__sim")).as("__ms"))
+                rem.join(ms, Seq("probe_id", "neighbor_id"), "left_outer")
+                  .withColumn("__score",
+                    (lamC * col("rel")) - (oneMinus * coalesce(col("__ms"), lit(0.0))))
+            }
+            scored.groupBy(col("probe_id"))
+              .agg(max(struct(col("__score"), (-col("neighbor_id")).as("__nid"),
+                col("rel").as("__rel"))).as("__m"))
+              .select(col("probe_id"), (-col("__m.__nid")).as("neighbor_id"),
+                col("__m.__rel").as("rel"), col("__m.__score").as("mmr_score"),
+                lit(r.toLong).as("mmr_rank"))
+          }
+          var selected = pickRound(None, 1).localCheckpoint(true)
+          for (r <- 2 to k) {
+            val next = selected.unionByName(pickRound(Some(selected), r))
+              .localCheckpoint(true)
+            NearDup.freeCheckpoint(selected)
+            selected = next
+          }
+          selected
+        } finally NearDup.freeCheckpoint(sims)
+      } finally NearDup.freeCheckpoint(cands)
+    } finally NearDup.freeCheckpoint(qdf)
+  }
+
   /** Cluster-BALANCED deterministic sampling: k-means the embedding
     * space ([[kmeans]], same exact-integer iterations), then keep up to
     * `m` rows PER CLUSTER chosen by a salted-md5 hash order — the

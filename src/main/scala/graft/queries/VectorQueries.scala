@@ -121,6 +121,20 @@ object VectorQueries {
         KmeansK, KmeansIters)
       .orderBy("vec_id")
 
+  private val MmrProbeMax = 6
+  private val MmrC = 12
+  private val MmrK = 6
+
+  /** emb_mmr — MMR-diversified top-6 re-ranking (Ann.mmrDiversify,
+    * Carbonell-Goldstein): each probe's brute top-12 candidates
+    * re-selected by λ·rel − (1−λ)·max-sim-to-picked with λ=0.5 (both
+    * coefficients binary-exact), selection order = ranking. The
+    * diversification head every retrieval stack bolts onto its ANN. */
+  def embMmr(spark: SparkSession, dir: String): DataFrame =
+    Ann.mmrDiversify(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < MmrProbeMax, MmrC, MmrK)
+      .orderBy("probe_id", "mmr_rank")
+
   private val ClusterSampleM = 16
 
   /** emb_cluster_sample — cluster-balanced deterministic sampling
@@ -378,6 +392,61 @@ object VectorQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** MMR oracle: brute top-c candidates, candidate-pair cosines, then
+    * the k selection rounds replayed as chained CTEs — round 1 is the
+    * pure λ·rel argmax, every later round anti-joins the selected set,
+    * takes MAX sim to it, and picks rank 1 of the pinned score; the
+    * cumulative sets are MATERIALIZED (the BPE chain lesson — DuckDB
+    * re-inlines un-hinted chains exponentially). λ = 0.5 so both
+    * coefficients are binary-exact. */
+  private val mmrOracle: String = {
+    val score = (ms: String) =>
+      s"(CAST(0.5 AS DOUBLE) * rel) - (CAST(0.5 AS DOUBLE) * COALESCE($ms, CAST(0 AS DOUBLE)))"
+    val rounds = (2 to MmrK).map { r =>
+      s"""rem$r AS (SELECT c.* FROM cand c LEFT JOIN s${r - 1} s
+         |  ON s.probe_id = c.probe_id AND s.neighbor_id = c.neighbor_id
+         |  WHERE s.neighbor_id IS NULL),
+         |ms$r AS (SELECT cs.probe_id, cs.a AS neighbor_id, MAX(cs.sim) AS ms
+         |  FROM cs JOIN s${r - 1} s ON s.probe_id = cs.probe_id AND s.neighbor_id = cs.b
+         |  GROUP BY 1, 2),
+         |p$r AS (SELECT probe_id, neighbor_id, rel, sc AS mmr_score,
+         |    CAST($r AS BIGINT) AS mmr_rank FROM
+         |  (SELECT rr.probe_id, rr.neighbor_id, rr.rel, ${score("m.ms")} AS sc,
+         |     ROW_NUMBER() OVER (PARTITION BY rr.probe_id
+         |       ORDER BY ${score("m.ms")} DESC, rr.neighbor_id) AS rn
+         |   FROM rem$r rr
+         |   LEFT JOIN ms$r m ON m.probe_id = rr.probe_id AND m.neighbor_id = rr.neighbor_id)
+         |  WHERE rn = 1),
+         |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $qCte,
+       |pp AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM q a, q b WHERE a.vec_id < $MmrProbeMax AND b.vec_id <> a.vec_id),
+       |sc0 AS (SELECT probe_id, neighbor_id, $cosineSql AS rel FROM pp),
+       |cand AS MATERIALIZED (SELECT probe_id, neighbor_id, rel FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |     ORDER BY rel DESC, neighbor_id) AS rn FROM sc0) WHERE rn <= $MmrC),
+       |cs AS MATERIALIZED (SELECT ca.probe_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+       |    CAST(${dotSql("qa.qv", "qb.qv")} AS DOUBLE)
+       |      / (sqrt(CAST(${dotSql("qa.qv", "qa.qv")} AS DOUBLE))
+       |         * sqrt(CAST(${dotSql("qb.qv", "qb.qv")} AS DOUBLE))) AS sim
+       |  FROM cand ca JOIN cand cb
+       |    ON ca.probe_id = cb.probe_id AND ca.neighbor_id <> cb.neighbor_id
+       |  JOIN q qa ON qa.vec_id = ca.neighbor_id
+       |  JOIN q qb ON qb.vec_id = cb.neighbor_id),
+       |s1 AS MATERIALIZED (SELECT probe_id, neighbor_id, rel,
+       |    (CAST(0.5 AS DOUBLE) * rel) AS mmr_score, CAST(1 AS BIGINT) AS mmr_rank FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |     ORDER BY (CAST(0.5 AS DOUBLE) * rel) DESC, neighbor_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT probe_id, neighbor_id, rel, mmr_score, mmr_rank FROM s$MmrK
+       |ORDER BY probe_id, mmr_rank""".stripMargin
+  }
+
   /** Cluster-sample oracle: the kmeans chain, then a per-cluster
     * ROW_NUMBER over the identical salted-hash order (u DESC, vec_id —
     * TopKByScore's exact tie contract). */
@@ -493,6 +562,7 @@ object VectorQueries {
     "emb_knn_pq" -> pqOracle,
     "emb_kmeans" -> kmeansOracle,
     "emb_cluster_sample" -> clusterSampleOracle,
+    "emb_mmr" -> mmrOracle,
     "hybrid_search" -> hybridOracle,
     "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
@@ -510,6 +580,7 @@ object VectorQueries {
     "emb_knn_pq" -> embKnnPq _,
     "emb_kmeans" -> embKmeans _,
     "emb_cluster_sample" -> embClusterSample _,
+    "emb_mmr" -> embMmr _,
     "hybrid_search" -> hybridSearch _,
     "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,

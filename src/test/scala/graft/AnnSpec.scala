@@ -220,6 +220,33 @@ class AnnSpec extends SparkSpec {
     assert(got((1, 0L)) == 10.0 && got((1, 1L)) == 20.0)
   }
 
+  test("mmrDiversify: near-duplicate top hits are diversified, rank 1 = argmax rel") {
+    // probe 0; candidates: 1 and 2 nearly identical (both very relevant),
+    // 3 less relevant but orthogonal to them
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.98f, 0.01f, 0.0f)),
+      (2L, Array(0.97f, 0.02f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.86f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.mmrDiversify(vecs, "vec_id", "embedding",
+        col("vec_id") === 0L, c = 3, k = 2)
+      .orderBy("mmr_rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("neighbor_id") == 1L) // pure relevance argmax
+    // plain top-2 would take 2 (rel ~0.999); MMR penalizes its ~1.0
+    // similarity to the already-picked 1 and takes the orthogonal 3
+    assert(out(1).getAs[Long]("neighbor_id") == 3L)
+    // selection is deterministic and exhausts at the candidate count
+    val all = Ann.mmrDiversify(vecs, "vec_id", "embedding",
+      col("vec_id") === 0L, c = 3, k = 5)
+    assert(all.count() == 3)
+    val rerun = Ann.mmrDiversify(vecs, "vec_id", "embedding",
+        col("vec_id") === 0L, c = 3, k = 2)
+      .orderBy("mmr_rank").collect()
+    assert(rerun.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
+  }
+
   test("clusterSample: per-cluster quota, hash-deterministic, stable reruns") {
     // two tight groups of 4; quota m=2 must keep exactly 2 per cluster
     val vecs = (0L to 3L).map(i => (i, Array(1.0f, i.toFloat * 0.01f))) ++
