@@ -32,4 +32,13 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Session-unique scratch dir for queries that materialize an
+    * intermediate file layout (JSONL/ORC round-trips, DPP fact tables).
+    * Keyed by the Spark applicationId so two concurrent runs over the
+    * SAME dataset dir never race on one path (mode=overwrite would let
+    * one run read the other's half-rewritten files). */
+  def scratchDir(spark: SparkSession, kind: String, dir: String): String =
+    s"/tmp/graft_$kind/${spark.sparkContext.applicationId}/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 }

@@ -444,7 +444,9 @@ object Ann {
     * top-`c` candidates, iteratively select the candidate maximizing
     * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
     * against similarity to what is already picked — until `k` are
-    * chosen. Selection order IS the output ranking.
+    * chosen or the probe's candidates are exhausted (a probe with
+    * fewer than `k` candidates returns them all). Selection order IS
+    * the output ranking.
     *
     * Scale shape: candidate generation is the [[knnBrute]] pattern
     * (bounded aggregate — replace with an LSH/IVF front at larger N);
@@ -465,7 +467,7 @@ object Ann {
     * via [[Curate.release]]. */
   def mmrDiversify(df: DataFrame, idCol: String, vecCol: String,
       probePred: Column, c: Int, k: Int, lam: Double = 0.5): DataFrame = {
-    require(k >= 1 && c >= k, s"need c >= k >= 1, got c=$c k=$k")
+    require(k >= 1 && c >= 1, s"need k >= 1 and c >= 1, got c=$c k=$k")
     require(lam >= 0.0 && lam <= 1.0, s"lambda must be in [0,1], got $lam")
     val qdf = quantized(df, idCol, vecCol).localCheckpoint(true)
     try {
@@ -518,8 +520,13 @@ object Ann {
                 col("__m.__rel").as("rel"), col("__m.__score").as("mmr_score"),
                 lit(r.toLong).as("mmr_rank"))
           }
+          // selection EXHAUSTS at the per-probe candidate count: no probe
+          // ever has more than c candidates, so rounds beyond c are
+          // provably empty (probes with < c candidates exhaust earlier —
+          // the anti-join leaves them an empty remainder and the groupBy
+          // simply emits no row for them)
           var selected = pickRound(None, 1).localCheckpoint(true)
-          for (r <- 2 to k) {
+          for (r <- 2 to math.min(k, c)) {
             val next = selected.unionByName(pickRound(Some(selected), r))
               .localCheckpoint(true)
             NearDup.freeCheckpoint(selected)

@@ -194,7 +194,8 @@ object Sketch {
     * dimension-sized frame. Returns ONE row: (n_a, n_b, d_scaled,
     * drift_bin, ks); drift_bin = the lowest bin attaining the max (where
     * the ECDFs diverge most). Empty sides propagate NULL rather than a
-    * 0/0. */
+    * 0/0; BOTH sides empty still returns the one row (all NULLs) — the
+    * output is seeded from the always-one-row stats aggregate. */
   def ksDrift(a: DataFrame, b: DataFrame, valueCol: Column, bins: Int): DataFrame = {
     require(bins >= 1 && bins <= 100000, s"bins must be in 1..100000, got $bins")
     import org.apache.spark.sql.expressions.Window
@@ -213,13 +214,18 @@ object Sketch {
       .groupBy(col("bin"))
       .agg(sum(col("__ia")).as("__ca"), sum(col("__ib")).as("__cb"))
     // ≤bins rows from here — the windows are dimension-sized
-    counts
+    val best = counts
       .withColumn("__cuma", sum(col("__ca")).over(Window.orderBy("bin")))
       .withColumn("__cumb", sum(col("__cb")).over(Window.orderBy("bin")))
       .crossJoin(broadcast(stats))
       .withColumn("__ds", abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
       .withColumn("__rn", row_number().over(Window.orderBy(col("__ds").desc, col("bin"))))
       .filter(col("__rn") === 1)
+      .select(col("__ds"), col("bin"))
+    // seed the output from the stats row (always exactly 1 row, even on
+    // empty input where every aggregate is NULL) so BOTH-empty inputs
+    // yield the documented one row of NULLs instead of zero rows
+    stats.join(best, lit(true), "left_outer")
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
         col("__ds").as("d_scaled"), col("bin").as("drift_bin"),
         when(col("__na") > 0 && col("__nb") > 0,

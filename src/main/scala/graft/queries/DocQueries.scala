@@ -461,7 +461,7 @@ object DocQueries {
     val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
     val corrupted = when(col("doc_id") % 50 === 0, line.substr(lit(1), length(line) - 1))
       .otherwise(line)
-    val path = "/tmp/graft_jsonl/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = Tables.scratchDir(spark, "jsonl", dir)
     docs.select(corrupted.as("value")).coalesce(1)
       .write.mode("overwrite").text(path)
     val schema = StructType(Seq(
@@ -486,7 +486,7 @@ object DocQueries {
     * the same aggregate from the parquet original — the gate proves
     * the ORC write/read preserves values exactly, bytes included. */
   def docOrc(spark: SparkSession, dir: String): DataFrame = {
-    val path = "/tmp/graft_orc/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = Tables.scratchDir(spark, "orc", dir)
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").orc(path)
     spark.read.orc(path)

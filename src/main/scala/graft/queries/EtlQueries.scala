@@ -179,7 +179,7 @@ object EtlQueries {
     * PlanSpec asserts the dynamic filter reaches PartitionFilters. */
   def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val path = "/tmp/graft_dpp/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = Tables.scratchDir(spark, "dpp", dir)
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_totalprice", "o_orderstatus")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)

@@ -185,8 +185,9 @@ object StreamOps {
     * appId or genuinely-novel early batches would be mistaken for
     * replays and silently dropped; under a new appId they re-check
     * against the corpus instead (the dedup keeps replayed CONTENT from
-    * duplicating). One logical writer per root at a time: the marker
-    * keeps only the latest app's watermark. */
+    * duplicating). The marker keeps ONE watermark row per appId (merged
+    * on every commit, never wholesale-replaced), so interleaving writers
+    * under distinct appIds preserves each other's replay guarantee. */
   def ingestBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
       table: String, idCol: String, textCol: String,
       minJaccard: Double = 0.5, appId: String = "default"): Boolean = {
@@ -216,7 +217,15 @@ object StreamOps {
       else unique.localCheckpoint(true)
     try {
       import spark.implicits._
-      val marker = Seq((appId, batchId)).toDF("app_id", "batch_id")
+      // MERGE the marker, never wholesale-replace it: other appIds'
+      // watermarks survive an interleaved writer (one row per app, max
+      // batch_id — the ≤apps-row canonical form the replay check reads)
+      val markerNew = Seq((appId, batchId)).toDF("app_id", "batch_id")
+      val marker =
+        if (tablesNow.contains(MarkerTable))
+          Snapshot.read(spark, root, MarkerTable).unionByName(markerNew)
+            .groupBy(col("app_id")).agg(max(col("batch_id")).as("batch_id"))
+        else markerNew
       val appends =
         if (fresh.isEmpty) Map.empty[String, org.apache.spark.sql.DataFrame]
         else Map(table -> fresh)

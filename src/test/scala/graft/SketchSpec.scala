@@ -165,5 +165,10 @@ class SketchSpec extends SparkSpec {
     val empty = Seq.empty[Long].map(Tuple1(_)).toDF("v")
     val row = Sketch.ksDrift(a, empty, col("v"), 8).collect()
     assert(row.length == 1 && row.head.isNullAt(row.head.fieldIndex("ks")))
+    // BOTH sides empty: still one row, every field NULL (not zero rows)
+    val both = Sketch.ksDrift(empty, empty, col("v"), 8).collect()
+    assert(both.length == 1 &&
+      Seq("n_a", "n_b", "d_scaled", "drift_bin", "ks")
+        .forall(f => both.head.isNullAt(both.head.fieldIndex(f))))
   }
 }

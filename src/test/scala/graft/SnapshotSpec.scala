@@ -337,4 +337,26 @@ class SnapshotSpec extends SparkSpec {
     // and ITS replay no-ops too
     assert(!StreamOps.ingestBatchExactlyOnce(b2, 2L, root, "corpus", "doc_id", "text"))
   }
+
+  test("ingestBatchExactlyOnce: interleaved appIds keep independent watermarks") {
+    import graft.streaming.StreamOps
+    val root = freshRoot()
+    val a0 = Seq((0L, "alpha stream first document with plenty of distinct words here"))
+      .toDF("doc_id", "text")
+    val b0 = Seq((10L, "beta stream opening text carrying a wholly different vocabulary set"))
+      .toDF("doc_id", "text")
+    val a1 = Seq((1L, "alpha stream second novel document continuing with fresh content now"))
+      .toDF("doc_id", "text")
+    assert(StreamOps.ingestBatchExactlyOnce(a0, 0L, root, "corpus", "doc_id", "text", appId = "appA"))
+    assert(StreamOps.ingestBatchExactlyOnce(b0, 0L, root, "corpus", "doc_id", "text", appId = "appB"))
+    // appB's commit must NOT have clobbered appA's watermark: a replay of
+    // appA batch 0 still no-ops, and appA's next batch still publishes
+    assert(!StreamOps.ingestBatchExactlyOnce(a0, 0L, root, "corpus", "doc_id", "text", appId = "appA"))
+    assert(StreamOps.ingestBatchExactlyOnce(a1, 1L, root, "corpus", "doc_id", "text", appId = "appA"))
+    val marks = Snapshot.read(spark, root, "_ingest").collect()
+      .map(r => r.getAs[String]("app_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(marks == Map("appA" -> 1L, "appB" -> 0L))
+    // one row per app — merged canonical form, not an append log
+    assert(Snapshot.read(spark, root, "_ingest").count() == 2)
+  }
 }
