@@ -541,9 +541,10 @@ object NearDup {
     * Batch-INTERNAL duplicates are out of scope by design — run the
     * batch through exact dedup / [[dupClusters]] first (the curation
     * order); this operator is the cross-corpus gate that follows.
-    * At production scale the corpus signatures/bands would be PERSISTED
-    * as a table and maintained incrementally — this derivation costs
-    * one corpus scan; the shape of the join work is unchanged.
+    * The PERSISTED-state variant is [[DedupState.dedupeAgainstState]] —
+    * the streaming ingest paths bootstrap and incrementally maintain its
+    * signature table so corpus text is never re-scanned; this text-based
+    * variant remains for one-shot use where no state exists.
     * Same eager-checkpoint execution semantics as [[minhashPairs]]. */
   def dedupeAgainst(corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5,

@@ -216,20 +216,31 @@ object DocQueries {
         minContainment = 0.0)
       .orderBy("doc_a", "doc_b")
 
-  /** doc_dedupe_incremental — batch-vs-corpus dedup
-    * (NearDup.dedupeAgainst): corpus = even doc_ids, batch = odd; the
-    * surviving batch rows are the odd docs that are neither exact-
-    * fingerprint nor verified-near duplicates of any EVEN doc. Corpus-
-    * internal pairs are never generated — the continuous-ingestion
-    * shape. */
+  /** doc_dedupe_incremental — batch-vs-corpus dedup via the PERSISTED
+    * state path (graft.operators.DedupState): corpus = even doc_ids,
+    * batch = odd; the corpus side is reduced ONCE to its signature state
+    * (fp + hashed shingle set + minhash sig — what a continuously-
+    * ingesting deployment keeps as a table, see
+    * StreamOps.ingestBatchExactlyOnce) and the batch is absorbed against
+    * the state alone: surviving odd docs are those neither exact- nor
+    * verified-near duplicates of any EVEN doc. Corpus-internal pairs are
+    * never generated, and after the one derivation no corpus text is
+    * touched (DedupStateSpec asserts the plan). */
   def docDedupeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DedupState
     val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
-    NearDup.dedupeAgainst(
-        d.filter(col("doc_id") % 2 === 0),
-        d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", minJaccard = 0.5)
-      .select("doc_id", "lang")
-      .orderBy("doc_id")
+    // materialize the derived state ONCE — dedupeAgainstState reads its
+    // state input three times (fp set, band rows, candidate sh arrays);
+    // in a deployment that's a cheap table re-scan, here it would re-run
+    // the whole text derivation per consumer
+    val state = DedupState.stateOf(d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .localCheckpoint(true)
+    try {
+      DedupState.dedupeAgainstState(state, d.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", minJaccard = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    } finally graft.operators.NearDup.freeCheckpoint(state)
   }
 
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
@@ -734,20 +745,24 @@ object DocQueries {
 
   /** Incremental-dedup oracle: the full-corpus band CTEs restricted to
     * CROSS-parity candidate pairs (corpus = even ids, batch = odd), the
-    * same verified-jaccard cut, plus the exact fingerprint anti-set.
-    * Near-drops computed for exact-dropped batch docs coincide with the
-    * exact drop, so the survivor set matches the operator (which only
-    * bands exact-survivors) by construction. */
+    * verified-jaccard cut over the 31-bit HASHED shingle sets (exactly
+    * what DedupState persists — shh's hb DISTINCT per doc, so a hash
+    * collision merges shingles identically in both engines), plus the
+    * exact fingerprint anti-set. Near-drops computed for exact-dropped
+    * batch docs coincide with the exact drop, so the survivor set
+    * matches the operator (which only bands exact-survivors) by
+    * construction. */
   private val dedupeIncrementalOracle: String =
     s"""WITH ${candCtes()},
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |shd AS (SELECT DISTINCT doc_id, hb FROM shh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
        |xp AS (SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS corpus_id,
        |              CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS batch_id
        |       FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)),
        |xc AS (SELECT x.corpus_id, x.batch_id, COUNT(*) AS n_common
        |       FROM xp x
-       |       JOIN sh sa ON sa.doc_id = x.corpus_id
-       |       JOIN sh sb ON sb.doc_id = x.batch_id AND sb.shingle = sa.shingle
+       |       JOIN shd sa ON sa.doc_id = x.corpus_id
+       |       JOIN shd sb ON sb.doc_id = x.batch_id AND sb.hb = sa.hb
        |       GROUP BY 1, 2),
        |neardrop AS (SELECT DISTINCT c.batch_id
        |             FROM xc c

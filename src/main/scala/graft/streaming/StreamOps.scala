@@ -109,10 +109,12 @@ object StreamOps {
     * continuous corpus-building loop: the published corpus only ever
     * grows by genuinely novel documents.
     *
-    * Scale: per batch the corpus pays one signature scan + cross-
-    * candidate joins (see dedupeAgainst's scaladoc — at production scale
-    * the corpus signatures would persist as a table and this becomes
-    * O(batch)); the append itself is new files only, no rewrite. NOT
+    * Scale: the corpus-side signatures PERSIST in a sibling
+    * `<corpusPath>_sig` parquet dir ([[graft.operators.DedupState]]) that
+    * is bootstrapped once and appended per batch alongside the corpus —
+    * absorbing a batch reads the state dir, never corpus text, so the
+    * per-batch cost is one O(corpus-rows) state scan + cross-candidate
+    * joins; the appends are new files only, no rewrite. NOT
     * idempotent under batch REPLAY the way the keyed MERGE is: a
     * replayed batch re-checks against the corpus its first run extended,
     * finds its own documents there, and drops them — converging content,
@@ -122,22 +124,40 @@ object StreamOps {
       idCol: String, textCol: String, minJaccard: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.operators.DedupState
       val spark = batch.sparkSession
-      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      val hfs = new org.apache.hadoop.fs.Path(corpusPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def exists(p: String) = hfs.exists(new org.apache.hadoop.fs.Path(p))
+      val sigPath = DedupState.stateTable(corpusPath)
       // in-batch exact dedup: keep the min id per fingerprint
       val fp = graft.functions.Text.fingerprint(col(textCol))
       val keyed = batch.withColumn("__fp", fp)
       val canon = keyed.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
       val unique = keyed.join(canon, Seq("__fp", idCol), "left_semi").drop("__fp")
+      // the corpus side of the dedup reads ONLY the signature state dir;
+      // a corpus predating the state dir gets it bootstrapped here (the
+      // last time corpus text is ever read on this path)
       val fresh =
-        if (fs.exists(new org.apache.hadoop.fs.Path(corpusPath)))
-          graft.operators.NearDup.dedupeAgainst(
-            spark.read.parquet(corpusPath), unique, idCol, textCol, minJaccard)
-        else unique.localCheckpoint(true)
+        if (exists(corpusPath)) {
+          if (!exists(sigPath))
+            DedupState.stateOf(spark.read.parquet(corpusPath), idCol, textCol)
+              .write.mode("overwrite").parquet(sigPath)
+          DedupState.dedupeAgainstState(spark.read.parquet(sigPath), unique,
+            idCol, textCol, minJaccard)
+        } else DedupState.withState(unique, idCol, textCol).localCheckpoint(true)
       try {
-        if (fresh.count() > 0)
-          fresh.write.mode("append").parquet(corpusPath)
+        if (fresh.count() > 0) {
+          // data first, then state: a crash between the two leaves the
+          // new docs unindexed and a replay can double-append them —
+          // the same documented double-append window this variant always
+          // had; the snapshot variant below closes it atomically
+          fresh.drop(DedupState.StateCols: _*)
+            .write.mode("append").parquet(corpusPath)
+          fresh.select(col(idCol), col(DedupState.FpCol),
+              col(DedupState.ShCol), col(DedupState.SigCol))
+            .write.mode("append").parquet(sigPath)
+        }
       } finally graft.operators.Curate.release(fresh)
       ()
     }
@@ -159,10 +179,13 @@ object StreamOps {
     *  - `expectBase` pins the version read at batch start: a concurrent
     *    writer fails this batch loudly and the retry re-reads.
     *
-    * Per batch the corpus pays the same dedup as the non-transactional
-    * variant plus one O(batch) segment write and an O(tables) manifest —
-    * never a corpus rewrite ([[graft.sources.Snapshot.compactTable]]
-    * folds segments off the ingest path). */
+    * Per batch the corpus pays the same state-table dedup as the
+    * non-transactional variant (the `<table>_sig` signature table rides
+    * in the SAME atomic commit as the corpus append — a doc and its
+    * signature rows publish together or not at all) plus one O(batch)
+    * segment write and an O(tables) manifest — never a corpus rewrite
+    * ([[graft.sources.Snapshot.compactTable]] folds segments off the
+    * ingest path). */
   def streamingCorpusIngestExactlyOnce(docs: DataFrame, root: String,
       table: String, idCol: String, textCol: String, minJaccard: Double = 0.5,
       appId: String = "default")
@@ -191,6 +214,7 @@ object StreamOps {
   def ingestBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
       table: String, idCol: String, textCol: String,
       minJaccard: Double = 0.5, appId: String = "default"): Boolean = {
+    import graft.operators.DedupState
     import graft.sources.Snapshot
     val spark = batch.sparkSession
     val baseVersion = Snapshot.currentVersion(spark, root)
@@ -210,11 +234,21 @@ object StreamOps {
     val keyed = batch.withColumn("__fp", fp)
     val canon = keyed.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
     val unique = keyed.join(canon, Seq("__fp", idCol), "left_semi").drop("__fp")
+    // the corpus side of the dedup reads ONLY the persisted signature
+    // state table (fp + hashed shingle set + minhash sig per doc, see
+    // DedupState) — corpus TEXT is read at most once per root lifetime,
+    // to bootstrap the state for a corpus that predates it
+    val sigT = DedupState.stateTable(table)
+    val bootstrapState =
+      if (tablesNow.contains(table) && !tablesNow.contains(sigT))
+        Some(DedupState.stateOf(Snapshot.read(spark, root, table),
+          idCol, textCol).localCheckpoint(true))
+      else None
     val fresh =
-      if (tablesNow.contains(table))
-        graft.operators.NearDup.dedupeAgainst(
-          Snapshot.read(spark, root, table), unique, idCol, textCol, minJaccard)
-      else unique.localCheckpoint(true)
+      if (tablesNow.contains(table)) {
+        val state = bootstrapState.getOrElse(Snapshot.read(spark, root, sigT))
+        DedupState.dedupeAgainstState(state, unique, idCol, textCol, minJaccard)
+      } else DedupState.withState(unique, idCol, textCol).localCheckpoint(true)
     try {
       import spark.implicits._
       // MERGE the marker, never wholesale-replace it: other appIds'
@@ -226,14 +260,29 @@ object StreamOps {
           Snapshot.read(spark, root, MarkerTable).unionByName(markerNew)
             .groupBy(col("app_id")).agg(max(col("batch_id")).as("batch_id"))
         else markerNew
+      val freshState = fresh.select(col(idCol), col(DedupState.FpCol),
+        col(DedupState.ShCol), col(DedupState.SigCol))
+      // corpus append + state append + marker are ONE manifest: no
+      // failure can publish a doc without its signature rows (or either
+      // without the watermark)
       val appends =
         if (fresh.isEmpty) Map.empty[String, org.apache.spark.sql.DataFrame]
-        else Map(table -> fresh)
+        else Map(table -> fresh.drop(DedupState.StateCols: _*), sigT -> freshState)
+      val appendsWithBoot = bootstrapState match {
+        case Some(b) => appends.updatedWith(sigT) {
+          case Some(f) => Some(b.unionByName(f))
+          case None    => Some(b)
+        }
+        case None => appends
+      }
       // all-dup batches still advance the marker — replays skip cheaply
-      Snapshot.commitAppend(spark, root, appends, Map(MarkerTable -> marker),
+      Snapshot.commitAppend(spark, root, appendsWithBoot, Map(MarkerTable -> marker),
         expectBase = Some(baseVersion.getOrElse(0L)))
       true
-    } finally graft.operators.Curate.release(fresh)
+    } finally {
+      graft.operators.Curate.release(fresh)
+      bootstrapState.foreach(graft.operators.NearDup.freeCheckpoint)
+    }
   }
 
   private val MarkerTable = "_ingest"

@@ -338,6 +338,36 @@ class SnapshotSpec extends SparkSpec {
     assert(!StreamOps.ingestBatchExactlyOnce(b2, 2L, root, "corpus", "doc_id", "text"))
   }
 
+  test("ingestBatchExactlyOnce: signature state bootstrapped once, then maintained") {
+    import graft.streaming.StreamOps
+    val root = freshRoot()
+    // a corpus that PREDATES the state table (committed directly)
+    val seed = Seq((0L, "seed document body with plenty of words to shingle across the gate"))
+      .toDF("doc_id", "text")
+    Snapshot.commitAppend(spark, root, Map("corpus" -> seed))
+    val b0 = Seq(
+      (1L, "seed document body with plenty of words to shingle across the gate"), // exact dup
+      (2L, "a brand new second document carrying its own distinct vocabulary")
+    ).toDF("doc_id", "text")
+    assert(StreamOps.ingestBatchExactlyOnce(b0, 0L, root, "corpus", "doc_id", "text"))
+    // the bootstrap rode the same atomic commit: state covers the
+    // pre-existing corpus doc AND the batch survivor
+    assert(Snapshot.read(spark, root, "corpus_sig").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 2L))
+    assert(Snapshot.read(spark, root, "corpus").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 2L))
+    // subsequent batches only APPEND survivor state rows
+    val b1 = Seq((3L, "yet another entirely novel third document for the state table"))
+      .toDF("doc_id", "text")
+    assert(StreamOps.ingestBatchExactlyOnce(b1, 1L, root, "corpus", "doc_id", "text"))
+    assert(Snapshot.read(spark, root, "corpus_sig").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq == Seq(0L, 2L, 3L))
+    // state rows carry the full signature schema
+    val row = Snapshot.read(spark, root, "corpus_sig").filter($"doc_id" === 3L).head()
+    assert(row.getAs[String]("fp").nonEmpty && row.getAs[scala.collection.Seq[Long]]("sig").length == 12
+      && row.getAs[scala.collection.Seq[Long]]("sh").nonEmpty)
+  }
+
   test("ingestBatchExactlyOnce: interleaved appIds keep independent watermarks") {
     import graft.streaming.StreamOps
     val root = freshRoot()
