@@ -150,7 +150,7 @@ object Ann {
       planes: Array[Array[Long]], probePred: Column, k: Int): DataFrame =
     topK(lshPaired(df, idCol, vecCol, planes, probePred), k)
 
-  private def topKAgg(paired: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKAgg(paired: DataFrame, k: Int): DataFrame = {
     import graft.expressions.TopKByScore
     val scored = paired
       .filter(col("probe_id") =!= col("neighbor_id"))
@@ -253,18 +253,22 @@ object Ann {
     * lowest label); probe lists are rank-within-probe ≤ nProbe over the
     * bounded probe×nlist frame. Candidate search is an equi-join on the
     * centroid id — inverted lists, never all-pairs. */
-  def knnIvf(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
-      probePred: Column, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Pivot (cb_label, dim_idx, cq) → one row per centroid: vector in
-    // dim order + precomputed self-dot. array_sort on struct(dim_idx, cq)
-    // orders lexicographically by dim_idx — engine-portable.
-    val cvecs = codebook
+  /** Pivot an (cb_label, dim_idx, cq) codebook → one row per centroid:
+    * (cb_label, __cv vector in dim order, __cc self-dot). array_sort on
+    * struct(dim_idx, cq) orders lexicographically by dim_idx —
+    * engine-portable. Shared with [[AnnIndex]]'s persisted layout. */
+  private[operators] def pivotCodebook(codebook: DataFrame): DataFrame =
+    codebook
       .groupBy(col("cb_label"))
       .agg(array_sort(collect_list(struct(col("dim_idx"), col("cq")))).as("__cs"))
       .select(col("cb_label"),
         transform(col("__cs"), s => s.getField("cq")).as("__cv"))
       .withColumn("__cc", dotQ(col("__cv"), col("__cv")))
+
+  def knnIvf(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
+      probePred: Column, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cvecs = pivotCodebook(codebook)
     val qdf = quantized(df, idCol, vecCol)
     val scored = qdf.crossJoin(broadcast(cvecs))
       .withColumn("__dist",

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN serving indexes — the build-once-query-many shape every
+  * vector store serves (cf. the in-query variants in [[Ann]], which
+  * re-derive quantization and bucket assignment per call; at 100 TB the
+  * index derivation is paid once at ingest and every search reads the
+  * stored rows).
+  *
+  * Index row layout (LSH): every input column except the raw vector,
+  * plus `q` (quantized vector), `n` (self-dot), `bucket` (sign-LSH
+  * bucket id). The index is written Hive-PARTITIONED BY `bucket`, which
+  * turns serving into a dynamically-pruned scan: the probe side's bucket
+  * set arrives at runtime through the broadcast join and reaches the
+  * candidate scan as a `dynamicpruning` PartitionFilter — a search
+  * touches only its probes' bucket directories, never the full
+  * collection (asserted in WarehouseSpec).
+  *
+  * Keeping the metadata columns in the index rows is what makes
+  * FILTERED search (`candPred` over e.g. a label/license/date column)
+  * serveable from the index alone. */
+object AnnIndex {
+
+  /** Reserved index column names (guarded in [[lshIndexRows]]). */
+  val QCol = "q"
+  val NCol = "n"
+  val BucketCol = "bucket"
+
+  /** The serving rows of an LSH index: all columns but the raw vector,
+    * plus (q, n, bucket). One scan, pure map — quantization, self-dot
+    * and bucket assignment happen exactly once per vector, here. */
+  def lshIndexRows(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]]): DataFrame = {
+    Seq(QCol, NCol, BucketCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named the reserved index column '$c'") }
+    df.withColumn(QCol, Ann.quantize(col(vecCol)))
+      .drop(vecCol)
+      .withColumn(NCol, Ann.dotQ(col(QCol), col(QCol)))
+      .withColumn(BucketCol, Ann.lshBucket(col(QCol), planes))
+  }
+
+  /** Build and persist the LSH index at `path`, partitioned by bucket
+    * (2^planes directories). Overwrite = rebuild; incremental growth is
+    * an append of [[lshIndexRows]] over the new batch only — the same
+    * O(batch) maintenance as [[DedupState]]. */
+  def writeLshIndex(df: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], path: String): Unit =
+    lshIndexRows(df, idCol, vecCol, planes)
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+
+  /** Top-k LSH search served from a PERSISTED index frame: no
+    * quantization, no hyperplane dots, no bucket assignment — probes and
+    * candidates are both read from the stored rows and meet in the
+    * bucket equi-join (broadcast probes ⇒ the candidate side's partition
+    * filter arrives at runtime via dynamic partition pruning). Same
+    * selection contract as [[Ann.knnLsh]] (bounded top-k aggregate,
+    * ties to the lowest neighbor id) — hash-identical results, asserted
+    * by the emb_knn_lsh_persisted gate. `candPred` restricts the
+    * searchable side (metadata-filtered serving); both predicates may
+    * reference any stored column. */
+  def knnLshServe(index: DataFrame, idCol: String, probePred: Column,
+      k: Int, candPred: Column = lit(true)): DataFrame = {
+    val probes = index.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(QCol).as("__pq"),
+        col(NCol).as("__pn"), col(BucketCol))
+    val cands = index.filter(candPred)
+      .select(col(idCol).as("neighbor_id"), col(QCol).as("__nq"),
+        col(NCol).as("__nn"), col(BucketCol))
+    Ann.topKAgg(cands.join(broadcast(probes), BucketCol), k)
+  }
+
+  /** Centroid-assignment column of the persisted IVF layout. */
+  val CentCol = "cent"
+
+  /** The serving rows of an IVF index: all columns but the raw vector,
+    * plus (q, n, cent) — cent the nearest-centroid assignment by exact
+    * integer L2 (ties to the lowest label, identical to [[Ann.knnIvf]]'s
+    * in-query assignment). One collection scan + the broadcast codebook
+    * cross — the map-side-combined min(struct) keeps the shuffle at one
+    * row per vector. */
+  def ivfIndexRows(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    Seq(QCol, NCol, CentCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named the reserved index column '$c'") }
+    val base = df.withColumn(QCol, Ann.quantize(col(vecCol)))
+      .drop(vecCol)
+      .withColumn(NCol, Ann.dotQ(col(QCol), col(QCol)))
+    val scored = base.crossJoin(broadcast(Ann.pivotCodebook(codebook)))
+      .withColumn("__dist",
+        col(NCol) - lit(2L) * Ann.dotQ(col(QCol), col("__cv")) + col("__cc"))
+    val others = base.columns.filterNot(_ == idCol)
+    scored.groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("cb_label"))).as("__best"),
+        others.map(c => first(col(c)).as(c)): _*)
+      .withColumn(CentCol, col("__best").getField("cb_label"))
+      .drop("__best")
+  }
+
+  /** Build and persist the IVF index: inverted lists partitioned by
+    * centroid at `path`, the pivoted codebook (cb_label, cv, cc) at
+    * `path + "_codebook"` — both stored, so serving needs neither the
+    * collection nor the codebook derivation. */
+  def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, path: String): Unit = {
+    ivfIndexRows(df, idCol, vecCol, codebook)
+      .write.mode("overwrite").partitionBy(CentCol).parquet(path)
+    Ann.pivotCodebook(codebook)
+      .select(col("cb_label"), col("__cv").as("cv"), col("__cc").as("cc"))
+      .write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** Top-k IVF search served from the PERSISTED index + codebook: each
+    * probe ranks the stored codebook by exact integer L2 from its stored
+    * quantized vector, keeps its `nProbe` nearest lists, and meets
+    * candidates in the centroid equi-join — the inverted-list probe with
+    * zero assignment or quantization work at serve time. The centroid is
+    * the index's partition column, so the probe side's list choice
+    * dynamically prunes the candidate scan. Selection contract identical
+    * to [[Ann.knnIvf]] (same window order, same bounded top-k). */
+  def knnIvfServe(index: DataFrame, codebook: DataFrame, idCol: String,
+      probePred: Column, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cvecs = codebook.select(col("cb_label"),
+      col("cv").as("__cv"), col("cc").as("__cc"))
+    val pw = Window.partitionBy(col(idCol)).orderBy(col("__dist"), col("cb_label"))
+    val probes = index.filter(probePred)
+      .crossJoin(broadcast(cvecs))
+      .withColumn("__dist",
+        col(NCol) - lit(2L) * Ann.dotQ(col(QCol), col("__cv")) + col("__cc"))
+      .withColumn("__r", row_number().over(pw))
+      .filter(col("__r") <= nProbe)
+      .select(col(idCol).as("probe_id"), col(QCol).as("__pq"),
+        col(NCol).as("__pn"), col("cb_label").as("__probe_cent"))
+    val cands = index
+      .select(col(idCol).as("neighbor_id"), col(QCol).as("__nq"),
+        col(NCol).as("__nn"), col(CentCol))
+    Ann.topKAgg(
+      cands.join(broadcast(probes), col(CentCol) === col("__probe_cent"))
+        .drop(CentCol, "__probe_cent"), k)
+  }
+}

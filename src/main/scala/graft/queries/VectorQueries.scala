@@ -34,6 +34,25 @@ object VectorQueries {
         Planes, col("vec_id") < ProbeMax, K)
       .orderBy("probe_id", "rank")
 
+  /** emb_knn_lsh_persisted — the SAME search served from a PERSISTED
+    * LSH index (graft.operators.AnnIndex): the collection is indexed
+    * once (quantized vectors + self-dots + bucket ids, written
+    * partitioned by bucket) and the query runs entirely against the
+    * stored rows — no quantization or hyperplane math at serve time,
+    * and the candidate scan's bucket partitions are dynamically pruned
+    * by the broadcast probe side (WarehouseSpec asserts both). Gated
+    * against the same oracle as emb_knn_lsh: the build-once-query-many
+    * path must be hash-identical to the in-query derivation. */
+  def embKnnLshPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val path = Tables.scratchDir(spark, "annlsh", dir)
+    AnnIndex.writeLshIndex(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Planes, path)
+    AnnIndex.knnLshServe(spark.read.parquet(path), "vec_id",
+        col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+  }
+
   def embNearDup(spark: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
         Planes, threshold = 0.4)
@@ -64,6 +83,23 @@ object VectorQueries {
     val emb = Tables.embeddings(spark, dir)
     val codebook = Ann.ivfCodebook(emb, "label", "embedding")
     Ann.knnIvf(emb, "vec_id", "embedding", codebook,
+        col("vec_id") < ProbeMax, K, nProbe = 2)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** emb_knn_ivf_persisted — the SAME IVF search served from PERSISTED
+    * inverted lists + codebook (graft.operators.AnnIndex): assignment
+    * and quantization happen once at build; serving ranks the stored
+    * codebook per probe and joins only the chosen centroid partitions
+    * (dynamically pruned). Gated against the same oracle as emb_knn_ivf. */
+  def embKnnIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annivf", dir)
+    AnnIndex.writeIvfIndex(emb, "vec_id", "embedding",
+      Ann.ivfCodebook(emb, "label", "embedding"), path)
+    AnnIndex.knnIvfServe(spark.read.parquet(path),
+        spark.read.parquet(path + "_codebook"), "vec_id",
         col("vec_id") < ProbeMax, K, nProbe = 2)
       .orderBy("probe_id", "rank")
   }
@@ -568,8 +604,10 @@ object VectorQueries {
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
+    "emb_knn_lsh_persisted" -> lshOracle, // identical selection from the stored index
     "emb_knn_lsh_window" -> lshOracle, // same selection, window-shaped plan
     "emb_knn_ivf" -> ivfOracle,
+    "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
     "emb_near_dup" -> nearDupOracle,
     "emb_centroids" -> centroidsOracle,
   )
@@ -586,8 +624,10 @@ object VectorQueries {
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,
+    "emb_knn_lsh_persisted" -> embKnnLshPersisted _,
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
+    "emb_knn_ivf_persisted" -> embKnnIvfPersisted _,
     "emb_near_dup" -> embNearDup _,
     "emb_centroids" -> embCentroids _,
   )

@@ -170,4 +170,56 @@ class WarehouseSpec extends SparkSpec {
     assert(dscan.contains("PushedFilters") && dscan.contains("doc_id"),
       s"doc_id predicate should push into the ORC scan:\n$dscan")
   }
+
+  test("persisted LSH index serves without rebuild; bucket partitions prune dynamically") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-annidx").toString
+    val planes = Ann.hashPlanes(nPlanes = 4, dim = 8)
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.writeLshIndex(vecs, "vec_id", "embedding", planes, s"$base/idx")
+    val index = spark.read.parquet(s"$base/idx")
+    val served = AnnIndex.knnLshServe(index, "vec_id", col("vec_id") < 3L, k = 2)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    // NO REBUILD: serving never touches a raw embedding column — the
+    // quantized vector, norm and bucket all come from the stored rows
+    assert(!plan.contains("embedding"), s"serve plan re-derives the index:\n$plan")
+    // the candidate scan's bucket partitions are pruned at RUNTIME by
+    // the broadcast probe side (dynamic partition pruning), so a search
+    // reads only its probes' bucket directories
+    assert(plan.contains("dynamicpruning"), s"no dynamic bucket pruning:\n$plan")
+    assert(plan.contains("PartitionFilters"), plan)
+    // and the served results equal the in-query LSH search exactly
+    val direct = Ann.knnLsh(vecs, "vec_id", "embedding", planes,
+      col("vec_id") < 3L, k = 2)
+    assert(served.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+      == direct.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq)
+  }
+
+  test("persisted IVF index serves from stored lists + codebook, no assignment work") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-ivfidx").toString
+    val vecs = (0L until 64L).map(i =>
+      (i, i % 4, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "label", "embedding")
+    val codebook = Ann.ivfCodebook(vecs, "label", "embedding")
+    AnnIndex.writeIvfIndex(vecs, "vec_id", "embedding", codebook, s"$base/idx")
+    val served = AnnIndex.knnIvfServe(
+      spark.read.parquet(s"$base/idx"),
+      spark.read.parquet(s"$base/idx_codebook"),
+      "vec_id", col("vec_id") < 3L, k = 2, nProbe = 2)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    // serving reads stored rows only — no raw vector, no re-assignment
+    assert(!plan.contains("embedding"), s"serve plan re-derives the index:\n$plan")
+    // the probes' chosen lists prune the candidate scan at runtime
+    assert(plan.contains("dynamicpruning"), s"no dynamic list pruning:\n$plan")
+    // identical selection to the in-query IVF search
+    val direct = Ann.knnIvf(vecs, "vec_id", "embedding", codebook,
+      col("vec_id") < 3L, k = 2, nProbe = 2)
+    assert(served.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+      == direct.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq)
+  }
 }
