@@ -74,6 +74,87 @@ object Curate {
     } finally NearDup.freeCheckpoint(scored)
   }
 
+  /** CURATION v2 — the modern CCNet/DSIR-shaped pipeline composed from
+    * the TRAINED components (the heuristic chain of [[curate]] upgraded
+    * model-by-model):
+    *
+    *  1. TRAINED language-ID ([[LangProfile.classify]], Cavnar-Trenkle
+    *     rank profiles learned from the labeled corpus): keep docs whose
+    *     predicted language is in `keepLangs` (docs too short to carry a
+    *     trigram are dropped — nothing to classify);
+    *  2. heuristic quality floor (`Text.qualityScore >= minQuality` —
+    *     NOTE: the score's alpha/stopword features are latin-centric, so
+    *     a CJK entry in `keepLangs` wants its own threshold);
+    *  3. LM quality gate ([[LangModel.unigramNll]] trained once on the
+    *     full corpus's `langCol == 'en'` slice — the fixed reference
+    *     model): keep docs with average NLL <= `maxAvgNllMicro`
+    *     micro-nats/token, compared CROSS-MULTIPLIED in exact integers
+    *     (`nll_micro <= maxAvgNllMicro · n_tokens` — no division);
+    *     docs with an empty normalized token stream have no score and
+    *     pass (nothing to judge);
+    *  4. exact dedup (minimum-id survivor per normalized fingerprint);
+    *  5. near-dup dedup (minhash → LSH bands → verified jaccard >=
+    *     `minJaccard` → connected components → anti-join);
+    *  6. DSIR importance resampling ([[Dsir.resample]] over the
+    *     SURVIVORS — both its LMs train on the curated set): the
+    *     `dsirK` winners of the deterministic salted-Gumbel draw are
+    *     the final training mix, sampled ∝ softmax(importance ratio).
+    *
+    * Returns (idCol, lang_pred, quality_score, n_tokens, lr_micro,
+    * key_micro, rank) — rank 1..dsirK in selection order. Same
+    * checkpoint discipline as [[curate]] (scored frame materialized
+    * once, intermediates freed on all paths, result released via
+    * [[release]]); every stage is engine-exact, so the whole
+    * composition gates against a DuckDB oracle that chains the
+    * doc_lang_trained / doc_lm_score / doc_dsir CTE blocks. */
+  def curateV2(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      dsirTargetPred: org.apache.spark.sql.Column, dsirK: Int,
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
+      minQuality: Double = 0.5,
+      maxAvgNllMicro: Long = 3410000L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val keep = docs.columns.toSeq
+    Seq("lang_pred", "quality_score", "n_tokens", "nll_micro", "__fp").foreach { c =>
+      require(!keep.contains(c), s"curateV2: input must not already carry '$c'") }
+    val pred = LangProfile.classify(docs, idCol, langCol, textCol)
+    val lm = LangModel.unigramNll(docs, idCol, textCol, col(langCol) === "en")
+    try {
+      val scored = docs
+        .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
+        .join(lm.select(col(idCol), col("n_tokens"), col("nll_micro")),
+          Seq(idCol), "left_outer")
+        .withColumn("quality_score", Text.qualityScore(col(textCol)))
+        .withColumn("__fp", Text.fingerprint(col(textCol)))
+        .localCheckpoint(true)
+      try {
+        val filtered = scored
+          .filter(col("lang_pred").isin(keepLangs: _*))
+          .filter(col("quality_score") >= minQuality)
+          .filter(col("nll_micro").isNull ||
+            col("nll_micro") <= lit(maxAvgNllMicro) * col("n_tokens"))
+        val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+        val exact = filtered.join(canon, Seq("__fp", idCol), "left_semi")
+        val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
+        val surv =
+          try Transform.dropNearDups(exact, clusters, idCol)
+            .drop("__fp", "n_tokens", "nll_micro")
+            .localCheckpoint(true)
+          finally NearDup.freeCheckpoint(clusters)
+        try {
+          val picked = Dsir.resample(surv, idCol, textCol, dsirTargetPred, dsirK)
+          try {
+            picked
+              .join(surv.select(col(idCol), col("lang_pred"), col("quality_score")),
+                Seq(idCol))
+              .select(col(idCol), col("lang_pred"), col("quality_score"),
+                col("n_tokens"), col("lr_micro"), col("key_micro"), col("rank"))
+              .localCheckpoint(true)
+          } finally release(picked)
+        } finally NearDup.freeCheckpoint(surv)
+      } finally NearDup.freeCheckpoint(scored)
+    } finally { release(pred); release(lm) }
+  }
+
   /** Free the storage blocks behind a frame [[curate]] returned (or any
     * frame rooted at an eager localCheckpoint). Safe no-op on frames
     * with no checkpoint leaf. */

@@ -410,6 +410,27 @@ object DocQueries {
       .select(col("doc_id"), col("lang"), col("lang_pred"), col("quality_score"))
       .orderBy("doc_id")
 
+  private val CurateV2K = 32
+  private val CurateV2MaxNllMicro = 3410000L
+
+  /** doc_curate_v2 — the TRAINED curation pipeline
+    * (graft.operators.Curate.curateV2): Cavnar-Trenkle language-ID keeps
+    * latin-predicted docs, the heuristic quality floor and the
+    * English-reference unigram-LM gate (avg NLL <= 3.41 nats/token,
+    * compared cross-multiplied in exact integers) filter, exact + LSH
+    * near-dup dedup collapse, and DSIR importance resampling draws the
+    * final 32-doc training mix from the survivors. The oracle chains the
+    * doc_lang_trained / doc_quality / doc_lm_score CTE blocks into the
+    * survivor set and replays doc_dsir's Gumbel selection over it. */
+  def docCurateV2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curate.curateV2(
+        Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"),
+        "doc_id", "text", "lang",
+        dsirTargetPred = col("source").isin(DsirTargetSources: _*),
+        dsirK = CurateV2K,
+        maxAvgNllMicro = CurateV2MaxNllMicro)
+      .orderBy("rank")
+
   /** doc_edit_pairs — edit-distance-verified near-dup pairs: the same
     * LSH candidate front half as doc_minhash_pairs, verified with
     * levenshtein(normalized_a, normalized_b) <= 40 — the character-edit
@@ -959,6 +980,112 @@ object DocQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Curation-v2 oracle: the doc_lang_trained chain (lt..tbest) picks
+    * each doc's predicted language, cscore (from curatedCtes) carries
+    * the heuristic quality + fingerprint, the doc_lm_score chain
+    * (l-prefixed) scores the English-reference NLL; s0 applies the three
+    * filters, canon2/s1 the exact dedup, pairCtes("s1") + the recursive
+    * closure the near-dup dedup, and the doc_dsir chain (z-prefixed,
+    * sourced FROM s2 — both its LMs train on the survivors, exactly as
+    * the operator composes them) performs the final Gumbel top-k.
+    * Chained CTEs referenced repeatedly are MATERIALIZED (the BPE-oracle
+    * lesson — DuckDB otherwise re-inlines the whole upstream chain). */
+  private val curateV2Oracle: String = {
+    val nc = normSql.replace("lower(text)", "lower(COALESCE(text, ''))")
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE $curatedCtes,
+       |lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, lang, substr(t, CAST(i AS BIGINT), 3) AS gram
+       |      FROM lt, unnest(range(1, length(t) - 1)) AS u(i)),
+       |pc AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+       |prof AS (SELECT lang, gram, rnk FROM (
+       |           SELECT lang, gram,
+       |                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rnk
+       |           FROM pc) WHERE rnk <= 64),
+       |tlangs AS (SELECT DISTINCT lang FROM prof),
+       |tdc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+       |dprof AS (SELECT doc_id, gram, drank FROM (
+       |            SELECT doc_id, gram,
+       |                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+       |            FROM tdc) WHERE drank <= 64),
+       |tdist AS (SELECT d.doc_id, l.lang,
+       |           CAST(SUM(COALESCE(ABS(d.drank - p.rnk), 64)) AS BIGINT) AS dist
+       |         FROM dprof d CROSS JOIN tlangs l
+       |         LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+       |         GROUP BY 1, 2),
+       |tbest AS (SELECT doc_id, lang AS lang_pred, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+       |         FROM tdist),
+       |pred AS MATERIALIZED (SELECT doc_id, lang_pred FROM tbest WHERE rn = 1),
+       |lnorm AS (SELECT doc_id, lang, $nc AS t FROM documents),
+       |lex AS MATERIALIZED (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS tok FROM lnorm),
+       |lvcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM lex
+       |          WHERE lang = 'en' GROUP BY 1),
+       |lst AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM lvcnt),
+       |lvoc AS (SELECT tok,
+       |           CAST(round(1000000.0 * (-ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT) AS nllq
+       |         FROM lvcnt CROSS JOIN lst),
+       |lsc AS (SELECT e.doc_id,
+       |          COALESCE(lvoc.nllq,
+       |            CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT)) AS q
+       |        FROM lex e LEFT JOIN lvoc ON lvoc.tok = e.tok CROSS JOIN lst),
+       |lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |           CAST(SUM(q) AS BIGINT) AS nll_micro FROM lsc GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT c.doc_id, c.lang, d.source, c.text, p.lang_pred, c.quality_score, c.fp
+       |  FROM cscore c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  JOIN pred p ON p.doc_id = c.doc_id
+       |  LEFT JOIN lagg la ON la.doc_id = c.doc_id
+       |  WHERE p.lang_pred IN ('en', 'es', 'de', 'fr')
+       |    AND c.quality_score >= CAST(0.5 AS DOUBLE)
+       |    AND (la.nll_micro IS NULL OR la.nll_micro <= $CurateV2MaxNllMicro * la.n_tokens)),
+       |canon2 AS (SELECT fp, MIN(doc_id) AS doc_id FROM s0 GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT s0.* FROM s0 JOIN canon2 ON canon2.fp = s0.fp AND canon2.doc_id = s0.doc_id),
+       |${pairCtes("s1")},
+       |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |znorm AS (SELECT doc_id, source, $nc AS t FROM s2),
+       |zex AS MATERIALIZED (SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM znorm),
+       |zvr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS rc FROM zex GROUP BY 1),
+       |zvt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc FROM zex
+       |        WHERE source IN ($tgt) GROUP BY 1),
+       |zsr AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtotal, CAST(COUNT(*) AS BIGINT) AS rv FROM zvr),
+       |zst AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttotal, CAST(COUNT(*) AS BIGINT) AS tv FROM zvt),
+       |zvoc AS (SELECT zvr.tok,
+       |    CAST(round(1000000.0 * (-ln(CAST(zvr.rc + 1 AS DOUBLE) / CAST(zsr.rtotal + zsr.rv AS DOUBLE)))) AS BIGINT)
+       |  - COALESCE(
+       |      CAST(round(1000000.0 * (-ln(CAST(zvt.tc + 1 AS DOUBLE) / CAST(zst.ttotal + zst.tv AS DOUBLE)))) AS BIGINT),
+       |      CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(zst.ttotal + zst.tv AS DOUBLE)))) AS BIGINT)) AS delta
+       |  FROM zvr LEFT JOIN zvt USING (tok) CROSS JOIN zsr CROSS JOIN zst),
+       |zsc AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(zvoc.delta) AS BIGINT) AS lr_micro
+       |       FROM zex e JOIN zvoc ON zvoc.tok = e.tok GROUP BY 1),
+       |zg AS (SELECT doc_id, n_tokens, lr_micro,
+       |        lr_micro + CAST(round(1000000.0 * (-ln(
+       |          CAST(GREATEST(CAST(round(1000000000.0 * (-ln(
+       |            (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~g'), 1, 12) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |            / CAST(281474976710656 AS DOUBLE)))) AS BIGINT), 1) AS DOUBLE)
+       |          / CAST(1000000000 AS DOUBLE)))) AS BIGINT) AS key_micro
+       |      FROM zsc),
+       |zr AS (SELECT doc_id, n_tokens, lr_micro, key_micro,
+       |        ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS "rank" FROM zg)
+       |SELECT z.doc_id, s2.lang_pred, s2.quality_score,
+       |       z.n_tokens, z.lr_micro, z.key_micro, z."rank"
+       |FROM zr z JOIN s2 ON s2.doc_id = z.doc_id
+       |WHERE z."rank" <= $CurateV2K ORDER BY z."rank"""".stripMargin
+  }
+
   private val tfidfOracle: String =
     s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS token
@@ -1167,6 +1294,7 @@ object DocQueries {
     "doc_dsir" -> dsirOracle,
     "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
+    "doc_curate_v2" -> curateV2Oracle,
     "doc_tfidf" -> tfidfOracle,
     "doc_edit_pairs" -> editPairsOracle,
     "doc_sql_text" -> sqlTextOracle,
@@ -1397,6 +1525,7 @@ object DocQueries {
     "doc_dsir" -> docDsir _,
     "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,
+    "doc_curate_v2" -> docCurateV2 _,
     "doc_tfidf" -> docTfidf _,
     "doc_edit_pairs" -> docEditPairs _,
     "doc_sql_text" -> docSqlText _,

@@ -123,6 +123,47 @@ class CurationSpec extends SparkSpec {
     assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0)
   }
 
+  test("curateV2: trained lang gate, LM gate, dedups and DSIR compose") {
+    import graft.operators.Curate
+    import org.apache.spark.sql.functions.col
+    // a 12-word shared vocabulary, heavily repeated, so in-vocab docs
+    // score low average NLL against the en reference model
+    val base = "the cat and the dog walk to the old park near the river " +
+      "and the cat sees the dog by the park gate under the old tree"
+    val other = "under the old tree by the river gate the dog and the cat " +
+      "rest near the park and the dog walks to the river with the cat"
+    // en-looking trigrams (the/ing/ove...) but OUT-OF-VOCAB words: the
+    // trained classifier calls it 'en', the LM gate rejects it
+    val gibberish = "thering overing quickle foxed jumper thering overing " +
+      "quickle foxed jumper thering overing quickle foxed jumper"
+    val zz = "zzz qqq vvv www zzz qqq vvv www zzz qqq vvv www zzz qqq vvv www"
+    val docs = Seq(
+      (1L, "en", "src0", base),                      // kept
+      (2L, "en", "src1", base),                      // exact dup of 1 → dropped
+      (3L, "en", "src0", base + " extra tail words"),// near dup of 1 → dropped
+      (4L, "en", "src1", other),                     // kept
+      (5L, "en", "src0", gibberish),                 // LM gate → dropped
+      (6L, "xx", "src2", zz),                        // predicted xx → dropped
+      (7L, "xx", "src2", zz + " more")               // predicted xx → dropped
+    ).toDF("doc_id", "lang", "source", "text")
+    def run(maxNll: Long) = Curate.curateV2(docs, "doc_id", "text", "lang",
+      dsirTargetPred = col("source") === "src0", dsirK = 10,
+      maxAvgNllMicro = maxNll)
+    val out = run(3500000L)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.getAs[String]("lang_pred") == "en"))
+    // the gibberish doc was dropped by the LM gate specifically: with
+    // the gate relaxed it survives every other stage
+    val relaxed = run(Long.MaxValue / 4096)
+    assert(relaxed.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L, 5L))
+    // deterministic: identical rerun
+    val again = run(3500000L).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    Curate.release(out)
+  }
+
   test("doc_curate: filters, exact-dedup canonical, and near-dup drop compose") {
     val en = "the quick brown fox jumps over the lazy dog and runs to the forest " +
       "with a pack of hounds chasing it through the trees of the old park"
