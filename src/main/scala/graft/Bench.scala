@@ -42,7 +42,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // run-major order (full pass 1, full pass 2, ...) so a query's repeats
     // don't feed each other's caches back-to-back
-    val samples = (1 to runs).flatMap { _ =>
+    val samples = (1 to runs).flatMap { pass =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val err =
@@ -55,24 +55,32 @@ object Bench {
             None
           }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        (name, pass, (System.nanoTime() - t0) / 1e9, err)
       }
     }
-    val byName = samples.groupBy(_._1).toSeq.sortBy(_._1)
+    // Pass 1 is each query's OWN codegen/broadcast warmup (the heaviest
+    // queries measured a first run 2x their steady state even after the
+    // table-family warm() block) — with 2+ passes it is excluded from
+    // both the median and the spread, so round-over-round deltas compare
+    // steady states, not warmup luck. Errors stay visible from any pass.
+    val timed = if (runs >= 2) samples.filter(_._2 >= 2) else samples
+    val byName = timed.groupBy(_._1).toSeq.sortBy(_._1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = byName.map { case (k, ss) => s"\"" + k + "\":" + median(ss.map(_._2)) }
+    val qs = byName.map { case (k, ss) => s"\"" + k + "\":" + median(ss.map(_._3)) }
       .mkString("{", ",", "}")
     val spread = byName.map { case (k, ss) =>
-      s"\"" + k + "\":[" + ss.map(_._2).min + "," + ss.map(_._2).max + "]"
+      s"\"" + k + "\":[" + ss.map(_._3).min + "," + ss.map(_._3).max + "]"
     }.mkString("{", ",", "}")
-    val errs = byName.flatMap { case (k, ss) => ss.flatMap(_._3).headOption.map(e =>
-      s"\"" + k + "\":\"" + e + "\"")
-    }.mkString("{", ",", "}")
-    val total = byName.map { case (_, ss) => median(ss.map(_._2)) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"sf":"$sfDir"}"""
+    val errs = samples.groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (k, ss) => ss.flatMap(_._4).headOption.map(e =>
+        s"\"" + k + "\":\"" + e + "\"")
+      }.mkString("{", ",", "}")
+    val total = byName.map { case (_, ss) => median(ss.map(_._3)) }.sum
+    val discarded = if (runs >= 2) 1 else 0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"warmup_runs_discarded":$discarded,"sf":"$sfDir"}"""
     println(json)
     // The r7 artifact captured only an sbt-log tail and truncated the
     // per-query map — always ALSO write the full JSON line to a file.

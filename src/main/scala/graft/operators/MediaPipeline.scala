@@ -8,17 +8,28 @@ import org.apache.spark.sql.types._
   * BINARY columns with typed metadata, and a distributed featurization
   * pass with the batch shape a real codec needs.
   *
-  * The DECODE STEP IS A STUB — this container ships no image/audio
-  * libraries, so [[StubDecoder]] produces deterministic fake features
-  * from the raw bytes. Everything around it is real and tested: the
-  * schema, the typed Dataset API, the mapPartitions batch shape
-  * (one decoder instance per partition — the init-once pattern a JNI
-  * codec or ONNX session requires; this is the legitimate use of
-  * mapPartitions, matching pyspark's mapInPandas for the same job),
-  * and the column-pruning-friendly metadata layout (meta is a separate
-  * struct column, so `SELECT media_id, meta.kind` never reads bytes —
-  * at 100 TB the scan reads the 40-byte struct, not the megabyte blob).
-  */
+  * The DEFAULT API surface is real end to end:
+  *
+  *  - [[OpaqueBytesDecoder]] — byte-block statistics over any payload
+  *    (the honest feature extractor for bytes whose format is unknown;
+  *    not a decode, and not claimed to be one);
+  *  - [[ImageIoDecoder]] / [[imageChannelStats]] / [[resizeImage]] — a
+  *    REAL image path on the JDK's bundled ImageIO readers (PNG, JPEG,
+  *    BMP, GIF — no external codec libraries), gated end-to-end by the
+  *    mm_image_stats query: this module's own [[encodeBmp]] writes the
+  *    pixels, the independent JDK reader decodes them back, and the
+  *    DuckDB oracle reproduces the channel sums without ever seeing an
+  *    image;
+  *  - audio/video codec SIMULATIONS (payload-chunk resize, fake frame
+  *    sampling) live behind the explicitly-named [[MediaSim]] namespace
+  *    — opt-in only, nothing on the default surface pretends to decode
+  *    a container it cannot.
+  *
+  * Layout notes (100 TB): meta is a separate struct column, so
+  * `SELECT media_id, meta.kind` never reads bytes — the scan reads the
+  * 40-byte struct, not the megabyte blob. mapPartitions instantiates
+  * one decoder per partition (the init-once pattern a JNI codec or ONNX
+  * session requires — the legitimate mapPartitions use). */
 object MediaPipeline {
 
   case class MediaMeta(kind: String, width: Int, height: Int,
@@ -26,6 +37,8 @@ object MediaPipeline {
   case class MediaRecord(media_id: Long, meta: MediaMeta, bytes: Array[Byte])
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
       features: Array[Float])
+  case class ImageChannelStats(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
 
   /** At-rest schema for a media table (parquet: blob column encoded as
     * BYTE_ARRAY, metadata as a co-located struct). */
@@ -39,18 +52,17 @@ object MediaPipeline {
       StructField("durationMs", LongType))), nullable = false),
     StructField("bytes", BinaryType)))
 
-  /** Decoder contract: one instance per partition, called per record.
-    * Implementations wrap the real codec (JPEG decode → pixel stats,
-    * PCM decode → spectral bins, video → frame samples). */
+  /** Decoder contract: one instance per partition, called per record. */
   trait Decoder extends Serializable {
     def features(meta: MediaMeta, bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** STUB decoder standing in for the real codecs (none are available in
-    * this environment). Deterministic fake: byte-chunk averages — stable
-    * across runs/partitions, so the plumbing is fully testable. Replace
-    * ONLY this object to productionize. */
-  object StubDecoder extends Decoder {
+  /** Byte-block statistics over an OPAQUE payload: feature i = mean of
+    * the i-th of `dim` equal byte chunks. A real, deterministic feature
+    * for bytes of unknown format (content-shift detection, corrupt-blob
+    * triage) — NOT a media decode and not claimed to be one; use
+    * [[ImageIoDecoder]] when the payload is a decodable image. */
+  object OpaqueBytesDecoder extends Decoder {
     def features(meta: MediaMeta, bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       if (bytes == null || bytes.isEmpty) return out
@@ -68,12 +80,83 @@ object MediaPipeline {
     }
   }
 
+  /** REAL image decode on the JDK's bundled ImageIO readers (PNG, JPEG,
+    * BMP, GIF — present in every JRE, no codec libraries): feature i =
+    * mean luminance ((r+g+b)/3) of the i-th of `dim` vertical image
+    * stripes. Undecodable payloads yield all-zero features (the
+    * batch-robust contract; [[imageChannelStats]] is the loud variant). */
+  object ImageIoDecoder extends Decoder {
+    def features(meta: MediaMeta, bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      val img = decodeImage(bytes).orNull
+      if (img == null) return out
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](dim); val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = img.getRGB(x, y)
+          val lum = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+          val stripe = math.min(dim - 1, x * dim / w)
+          sums(stripe) += lum; counts(stripe) += 3
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < dim) {
+        out(i) = if (counts(i) > 0) sums(i).toFloat / counts(i) else 0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode an image payload via ImageIO; None if no bundled reader
+    * recognizes the bytes. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+  /** Encode RGB pixels as an uncompressed 24-bit BMP (the simplest
+    * lossless format every ImageIO ships a reader for): `rgb` holds
+    * row-major (r, g, b) byte triplets, top-left first. Bottom-up rows,
+    * BGR order, 4-byte row padding — the classic BITMAPINFOHEADER
+    * layout. Lossless: [[decodeImage]] returns the identical pixels. */
+  def encodeBmp(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    require(rgb.length == width * height * 3,
+      s"need ${width * height * 3} rgb bytes, got ${rgb.length}")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val fileSize = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val i = (y * width + x) * 3
+        b.put(rgb(i + 2)).put(rgb(i + 1)).put(rgb(i)) // BGR
+        x += 1
+      }
+      var pad = rowSize - width * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
   /** Distributed featurization. mapPartitions so the decoder is
     * instantiated once per partition (not per record) and records flow
     * through as an iterator — constant memory regardless of partition
     * size, no driver involvement. */
   def featurize(media: Dataset[MediaRecord], dim: Int = 8,
-      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+      decoder: Decoder = OpaqueBytesDecoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
       val d = decoder // per-partition init point (codec/session handle)
@@ -84,50 +167,66 @@ object MediaPipeline {
     }
   }
 
-  /** STUB resize — real impl decodes, scales, re-encodes. The fake keeps
-    * the plumbing honest: output metadata carries the new dimensions and
-    * the payload is deterministically derived from (bytes, w, h). */
-  def resizeStub(r: MediaRecord, width: Int, height: Int): MediaRecord = {
-    // Degenerate payloads pass through with updated dimensions: null text
-    // in fromDocuments yields null bytes, and a distributed resize must
-    // not throw on them.
-    if (r.bytes == null || r.bytes.isEmpty)
-      return MediaRecord(r.media_id,
-        r.meta.copy(width = width, height = height), Array.emptyByteArray)
-    val target = math.max(1, (r.bytes.length.toLong * width * height /
-      math.max(1, r.meta.width.toLong * r.meta.height)).toInt)
-    val out = new Array[Byte](math.min(target, math.max(1, r.bytes.length)))
-    var i = 0
-    while (i < out.length) { out(i) = r.bytes(i % math.max(1, r.bytes.length)); i += 1 }
-    MediaRecord(r.media_id, r.meta.copy(width = width, height = height), out)
-  }
-
-  /** Distributed resize pass (same mapPartitions batch shape). */
-  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+  /** REAL per-image channel sums via the JDK decode — exact integers,
+    * so the result is oracle-comparable. Throws on an undecodable
+    * payload (the pipeline-gate contract: a corrupt image in a batch
+    * that claims to be images should fail loudly, not feature as
+    * zeros). */
+  def imageChannelStats(media: Dataset[MediaRecord]): Dataset[ImageChannelStats] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(resizeStub(_, width, height)))
-  }
-
-  /** STUB frame sampling — real impl seeks keyframes in the container;
-    * the fake cuts the payload into `frameCount` equal chunks and emits
-    * every `stride`-th as (media_id, frame_idx, frame bytes). The output
-    * SHAPE (one row per sampled frame, ordered frame index) is what a
-    * downstream embedding stage consumes. */
-  def sampleFrames(media: Dataset[MediaRecord], frameCount: Int, stride: Int)
-      : Dataset[(Long, Int, Array[Byte])] = {
-    import media.sparkSession.implicits._
-    require(frameCount > 0 && stride > 0, "frameCount and stride must be positive")
-    media.flatMap { r =>
-      if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
-      else {
-        val sz = math.max(1, r.bytes.length / frameCount)
-        (0 until frameCount by stride).iterator.map { f =>
-          val from = f * sz
-          val until = math.min(r.bytes.length, from + sz)
-          (r.media_id, f, java.util.Arrays.copyOfRange(r.bytes, math.min(from, r.bytes.length), until))
+    media.mapPartitions { records =>
+      records.map { r =>
+        val img = decodeImage(r.bytes).getOrElse(
+          throw new IllegalArgumentException(
+            s"media_id ${r.media_id}: payload is not a decodable image"))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val px = img.getRGB(x, y)
+            sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+            x += 1
+          }
+          y += 1
         }
+        ImageChannelStats(r.media_id, img.getWidth, img.getHeight, sr, sg, sb)
       }
     }
+  }
+
+  /** REAL distributed image resize: JDK decode → nearest-neighbor
+    * rescale → lossless BMP re-encode, metadata updated to the new
+    * dimensions. Throws on undecodable payloads (same loud contract as
+    * [[imageChannelStats]]); for opaque non-image payloads see
+    * [[MediaSim.resizePayload]]. */
+  def resizeImage(media: Dataset[MediaRecord], width: Int, height: Int)
+      : Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(width > 0 && height > 0, s"bad dimensions ${width}x$height")
+    media.mapPartitions(_.map { r =>
+      val img = decodeImage(r.bytes).getOrElse(
+        throw new IllegalArgumentException(
+          s"media_id ${r.media_id}: payload is not a decodable image"))
+      val rgb = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val sy = y * img.getHeight / height
+        var x = 0
+        while (x < width) {
+          val sx = x * img.getWidth / width
+          val px = img.getRGB(sx, sy)
+          val i = (y * width + x) * 3
+          rgb(i) = ((px >> 16) & 0xff).toByte
+          rgb(i + 1) = ((px >> 8) & 0xff).toByte
+          rgb(i + 2) = (px & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      MediaRecord(r.media_id, r.meta.copy(width = width, height = height),
+        encodeBmp(width, height, rgb))
+    })
   }
 
   /** Demo wiring on harness data: documents' text bytes as the opaque
@@ -142,5 +241,60 @@ object MediaPipeline {
           lit(0).as("sampleRateHz"), lit(0L).as("durationMs")).as("meta"),
         col("text").cast("binary").as("bytes"))
       .as[MediaRecord]
+  }
+}
+
+/** EXPLICITLY-OPT-IN codec SIMULATIONS — deterministic fakes standing in
+  * for decoders this environment cannot ship (audio PCM, video
+  * containers). They exercise the distributed batch SHAPE (schemas,
+  * partitioning, iterator flow) and nothing else; nothing in
+  * [[MediaPipeline]]'s default surface routes here. Replace with real
+  * codec calls to productionize. */
+object MediaSim {
+  import MediaPipeline.{MediaRecord, MediaMeta}
+
+  /** SIMULATED resize for opaque payloads — scales the BYTE COUNT to the
+    * target pixel ratio and cycles payload bytes. Metadata handling
+    * (dimension update, null/empty passthrough) is real; the pixels are
+    * not. For decodable images use [[MediaPipeline.resizeImage]]. */
+  def resizePayload(r: MediaRecord, width: Int, height: Int): MediaRecord = {
+    if (r.bytes == null || r.bytes.isEmpty)
+      return MediaRecord(r.media_id,
+        r.meta.copy(width = width, height = height), Array.emptyByteArray)
+    val target = math.max(1, (r.bytes.length.toLong * width * height /
+      math.max(1, r.meta.width.toLong * r.meta.height)).toInt)
+    val out = new Array[Byte](math.min(target, math.max(1, r.bytes.length)))
+    var i = 0
+    while (i < out.length) { out(i) = r.bytes(i % math.max(1, r.bytes.length)); i += 1 }
+    MediaRecord(r.media_id, r.meta.copy(width = width, height = height), out)
+  }
+
+  /** Distributed simulated-resize pass (same mapPartitions batch shape). */
+  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(resizePayload(_, width, height)))
+  }
+
+  /** SIMULATED frame sampling — a real implementation seeks keyframes in
+    * the container; the fake cuts the payload into `frameCount` equal
+    * chunks and emits every `stride`-th as (media_id, frame_idx, bytes).
+    * The output SHAPE (one row per sampled frame, ordered frame index)
+    * is what a downstream embedding stage consumes. */
+  def sampleFrames(media: Dataset[MediaRecord], frameCount: Int, stride: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    require(frameCount > 0 && stride > 0, "frameCount and stride must be positive")
+    media.flatMap { r =>
+      if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
+      else {
+        val sz = math.max(1, r.bytes.length / frameCount)
+        (0 until frameCount by stride).iterator.map { f =>
+          val from = f * sz
+          val until = math.min(r.bytes.length, from + sz)
+          (r.media_id, f,
+            java.util.Arrays.copyOfRange(r.bytes, math.min(from, r.bytes.length), until))
+        }
+      }
+    }
   }
 }

@@ -476,6 +476,46 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** mm_image_stats — REAL image decode gate (graft.operators
+    * .MediaPipeline): every doc becomes a deterministic 4×4 RGB image
+    * (48 channel bytes = 3 md5 digests of the doc id), encoded by THIS
+    * module's BMP writer and decoded back by the INDEPENDENT JDK ImageIO
+    * reader in the distributed mapPartitions pass; the exact integer
+    * channel sums gate both directions at once, against an oracle that
+    * derives the same sums from the md5 hex pairs without ever seeing an
+    * image. Proves a real (no external codec) decode path end to end —
+    * the BMP layout (bottom-up rows, BGR order, padding) cannot be wrong
+    * in any bit or the sums shift. */
+  def mmImageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val rgb = new Array[Byte](48)
+        var k = 0
+        while (k < 3) {
+          val dg = md.digest(s"$id~p$k".getBytes("UTF-8"))
+          System.arraycopy(dg, 0, rgb, k * 16, 16)
+          k += 1
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("image/bmp", 4, 4, 0, 0L),
+          MediaPipeline.encodeBmp(4, 4, rgb))
+      }
+    }
+    MediaPipeline.imageChannelStats(media).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        (col("sum_r").cast("double") / lit(16.0)).as("mean_r"),
+        (col("sum_g").cast("double") / lit(16.0)).as("mean_g"),
+        (col("sum_b").cast("double") / lit(16.0)).as("mean_b"))
+      .orderBy("doc_id")
+  }
+
   /** doc_jsonl — JSONL ingestion round-trip (graft.sources.JsonLines):
     * the documents table is serialized to newline-delimited JSON with
     * every 50th doc's line corrupted (final `}` dropped — truncated-write
@@ -1515,6 +1555,23 @@ object DocQueries {
         |       sha256(text) AS sha256,
         |       substr(sha256(text), 1, 8) AS feature_prefix
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_image_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, j,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~p' || CAST(j // 16 AS VARCHAR)),
+        |                             (j % 16) * 2 + 1, 2) AS BIGINT) AS v
+        |  FROM documents, range(0, 48) r(j)),
+        |s AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+        |        CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+        |        CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+        |      FROM b GROUP BY 1)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       sum_r, sum_g, sum_b,
+        |       CAST(sum_r AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_r,
+        |       CAST(sum_g AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
+        |       CAST(sum_b AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1559,5 +1616,6 @@ object DocQueries {
     "doc_jsonl" -> docJsonl _,
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,
+    "mm_image_stats" -> mmImageStats _,
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MediaPipeline
+import graft.operators.{MediaPipeline, MediaSim}
 import graft.operators.MediaPipeline.{MediaMeta, MediaRecord}
 
 class MediaPipelineSpec extends SparkSpec {
@@ -38,22 +38,22 @@ class MediaPipelineSpec extends SparkSpec {
     assert(one.kind == "text" && one.byte_len > 0 && one.features.length == 8)
   }
 
-  test("resize updates metadata dimensions and stays deterministic") {
+  test("simulated resize updates metadata dimensions and stays deterministic") {
     val ds = Seq(rec(1, "0123456789abcdef")).toDS()
-    val out = MediaPipeline.resize(ds, 2, 2).collect().head
+    val out = MediaSim.resize(ds, 2, 2).collect().head
     assert(out.meta.width == 2 && out.meta.height == 2)
     assert(out.media_id == 1L && out.bytes.nonEmpty)
-    val again = MediaPipeline.resize(ds, 2, 2).collect().head
+    val again = MediaSim.resize(ds, 2, 2).collect().head
     assert(out.bytes.toSeq == again.bytes.toSeq)
   }
 
-  test("resize survives null and empty payloads from fromDocuments") {
+  test("simulated resize survives null and empty payloads from fromDocuments") {
     val docs = Seq(
         (0L, "some real text"),
         (1L, null.asInstanceOf[String]), // null text → null bytes
         (2L, ""))                        // empty text → empty bytes
       .toDF("doc_id", "text")
-    val out = MediaPipeline.resize(MediaPipeline.fromDocuments(docs), 2, 2)
+    val out = MediaSim.resize(MediaPipeline.fromDocuments(docs), 2, 2)
       .collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq == Seq(0L, 1L, 2L))
     assert(out.forall(r => r.meta.width == 2 && r.meta.height == 2))
@@ -61,14 +61,66 @@ class MediaPipelineSpec extends SparkSpec {
     assert(out(1).bytes.isEmpty && out(2).bytes.isEmpty)
   }
 
-  test("sampleFrames emits one row per sampled frame with ordered indices") {
+  test("simulated sampleFrames emits one row per sampled frame with ordered indices") {
     val ds = Seq(rec(1, "aabbccddeeffgghh"), rec(2, "")).toDS()
-    val frames = MediaPipeline.sampleFrames(ds, frameCount = 8, stride = 2)
+    val frames = MediaSim.sampleFrames(ds, frameCount = 8, stride = 2)
       .collect().sortBy(f => (f._1, f._2))
     assert(frames.map(_._1).forall(_ == 1L)) // empty payload emits nothing
     assert(frames.map(_._2).toSeq == Seq(0, 2, 4, 6))
     assert(frames.forall(_._3.length == 2)) // 16 bytes / 8 frames
     assert(new String(frames.head._3, "UTF-8") == "aa")
+  }
+
+  test("BMP encode → JDK ImageIO decode round-trips pixels exactly") {
+    // a 2x3 image with distinctive per-pixel channels (includes >127
+    // bytes — the signed-byte trap — and row-padding widths)
+    val rgb = Array[Int](
+      10, 20, 30, 250, 130, 5,
+      0, 255, 128, 1, 2, 3,
+      99, 100, 101, 200, 150, 50).map(_.toByte)
+    val bmp = MediaPipeline.encodeBmp(2, 3, rgb)
+    val img = MediaPipeline.decodeImage(bmp).get
+    assert(img.getWidth == 2 && img.getHeight == 3)
+    for (y <- 0 until 3; x <- 0 until 2) {
+      val px = img.getRGB(x, y)
+      val i = (y * 2 + x) * 3
+      assert(((px >> 16) & 0xff) == (rgb(i) & 0xff), s"r at ($x,$y)")
+      assert(((px >> 8) & 0xff) == (rgb(i + 1) & 0xff), s"g at ($x,$y)")
+      assert((px & 0xff) == (rgb(i + 2) & 0xff), s"b at ($x,$y)")
+    }
+  }
+
+  test("imageChannelStats sums real decoded pixels; corrupt payloads fail loudly") {
+    val rgb = Array.tabulate(4 * 4 * 3)(i => ((i * 37) % 251).toByte)
+    val media = Seq(MediaRecord(7L, MediaMeta("image/bmp", 4, 4, 0, 0L),
+      MediaPipeline.encodeBmp(4, 4, rgb))).toDS()
+    val st = MediaPipeline.imageChannelStats(media).collect().head
+    def chanSum(c: Int) = (0 until 16).map(p => rgb(p * 3 + c) & 0xff).map(_.toLong).sum
+    assert(st.media_id == 7L && st.width == 4 && st.height == 4)
+    assert((st.sum_r, st.sum_g, st.sum_b) == ((chanSum(0), chanSum(1), chanSum(2))))
+    // and the ImageIoDecoder feature path sees the same pixels: one
+    // stripe = whole-image mean luminance
+    val f = MediaPipeline.featurize(media, dim = 1, MediaPipeline.ImageIoDecoder)
+      .collect().head.features
+    assert(math.abs(f(0) - (chanSum(0) + chanSum(1) + chanSum(2)).toFloat / 48) < 1e-4)
+    val bad = Seq(rec(8, "not an image at all")).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaPipeline.imageChannelStats(bad).collect() }
+    assert(e.getMessage.contains("not a decodable image")
+      || Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
+  test("resizeImage decodes, rescales and re-encodes real pixels") {
+    // solid-color image: any resample preserves the color exactly
+    val rgb = Array.fill(4 * 4)(Array[Byte](40, 80, 120)).flatten
+    val media = Seq(MediaRecord(9L, MediaMeta("image/bmp", 4, 4, 0, 0L),
+      MediaPipeline.encodeBmp(4, 4, rgb))).toDS()
+    val out = MediaPipeline.resizeImage(media, 2, 2).collect().head
+    assert(out.meta.width == 2 && out.meta.height == 2)
+    val img = MediaPipeline.decodeImage(out.bytes).get
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((img.getRGB(x, y) & 0xffffff) == ((40 << 16) | (80 << 8) | 120))
   }
 
   test("media parquet round-trip keeps the blob and struct columns") {
