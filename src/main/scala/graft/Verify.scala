@@ -19,13 +19,17 @@ object Verify {
     // subset (and dumps the full oracle_sql.json either way). Unset for the
     // driver's full run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    // sorted-name order (the Bench contract): deterministic across runs,
+    // and the per-query start/done lines make a wedged query visible
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         graft.operators.Curate.release(df)
+        System.err.println(f"[verify] $name done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
