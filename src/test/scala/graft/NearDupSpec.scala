@@ -192,8 +192,13 @@ class NearDupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) == 0L) // identical token sets
     assert(pairs.get((1L, 2L)).exists(_ <= 3L)) // near-dup within 3 bits
     assert(!pairs.keySet.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).nonEmpty })
+    // band layout is candidate generation only: a non-dividing band
+    // count (unequal widths) must produce the IDENTICAL lossless pair set
+    val unequal = NearDup.simhashPairs(docs, "doc_id", "text", bands = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(unequal == pairs)
     intercept[IllegalArgumentException](
-      NearDup.simhashPairs(docs, "doc_id", "text", bands = 5))
+      NearDup.simhashPairs(docs, "doc_id", "text", bits = 16, bands = 17))
     intercept[IllegalArgumentException](
       NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 4))
   }

@@ -85,15 +85,25 @@ def main() -> None:
         src = pq.read_table(f"{SRC}/{name}.parquet")
         pq.write_table(src, f"{OUT}/{name}.parquet")
         print(f"{name}: {src.num_rows} rows (copied)")
+    # Scaled tables are DIRECTORIES of one part file per replica (the
+    # many-files layout a real corpus has): a single-file single-row-group
+    # table caps every scan at one task no matter how wide the cluster.
+    # Spark reads the directory natively; tools/oracle_check.py globs it.
+    # Small row groups inside each part keep the files splittable further.
     for name in KEY_COLS:
         src = pq.read_table(f"{SRC}/{name}.parquet")
-        parts = [replica(src, name, k) for k in range(REPLICAS)]
-        out = pa.concat_tables(parts)
-        # version 2.6 keeps timestamp[ns] as TIMESTAMP(NANOS) — the events
-        # reader depends on the nanos physical type
-        pq.write_table(out, f"{OUT}/{name}.parquet",
-                       coerce_timestamps=None, version="2.6")
-        print(f"{name}: {src.num_rows} -> {out.num_rows} rows")
+        d = f"{OUT}/{name}.parquet"
+        os.makedirs(d, exist_ok=True)
+        total = 0
+        for k in range(REPLICAS):
+            part = replica(src, name, k)
+            total += part.num_rows
+            # version 2.6 keeps timestamp[ns] as TIMESTAMP(NANOS) — the
+            # events reader depends on the nanos physical type
+            pq.write_table(part, f"{d}/part-{k:02d}.parquet",
+                           coerce_timestamps=None, version="2.6",
+                           row_group_size=max(4096, part.num_rows // 8))
+        print(f"{name}: {src.num_rows} -> {total} rows ({REPLICAS} files)")
 
 
 if __name__ == "__main__":

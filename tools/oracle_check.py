@@ -9,7 +9,7 @@ columns by name, sort rows, and compare values cell-by-cell (exact for
 ints/strings/dates, bit-exact for floats — the engine is designed so
 aggregates are order-independent). Reports per-query PASS/FAIL.
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 
@@ -25,7 +25,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table may be a single file (driver testdata) or a directory of
+        # part files (tools/make_sf1.py layout) — glob the directory form
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name in sorted(oracle):
