@@ -39,6 +39,26 @@ object NearDup {
   private[graft] def freeCheckpoint(df: DataFrame): Unit =
     checkpointRdd(df).foreach(_.unpersist(blocking = false))
 
+  /** Rebuild a checkpointed frame as a leaf with DEFAULT statistics.
+    *
+    * Spark's (eager) checkpoint rewrites the child plan's ESTIMATED
+    * Statistics onto the LogicalRDD leaf it returns. In a checkpoint-
+    * stepped loop whose round plan joins the previous leaf in k places,
+    * the stored sizeInBytes is ~ prev^k per round: the BigInt's bit
+    * length compounds geometrically, and once rounds reach ~8-10 the
+    * driver burns MINUTES inside stats estimation multiplying million-
+    * bit integers (observed: emb_dup_clusters at 10× sf0.1 pinned one
+    * core in BigInteger.multiplyToomCook3 under Dataset.checkpoint).
+    * Re-wrapping the checkpointed data through createDataFrame yields a
+    * fresh LogicalRDD with defaultSizeInBytes — constant-size numbers
+    * every round, so estimation stays O(plan) forever. Cost: one extra
+    * Row deser/ser pass over the frame per downstream job — only ever
+    * applied to O(|V|) label frames. The caller keeps the ORIGINAL
+    * frame as the freeCheckpoint handle (the wrapper's LogicalRDD is a
+    * derived RDD, not the persisted blocks). */
+  private def resetStats(ck: DataFrame): DataFrame =
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+
   /** Exact-duplicate groups by normalized-text fingerprint: one row per
     * distinct fingerprint with the canonical (minimum) id and group size.
     * Single hash-aggregate — the classic exact-dedup plan at any scale. */
@@ -463,9 +483,13 @@ object NearDup {
       .union(edges.select(col(dstCol).as("__u"), col(srcCol).as("__v")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("__u").as("id")).distinct()
+    // ck* frames are the checkpoint handles (blocks freed per round);
+    // plans build on stats-reset wrappers so each round's estimated
+    // sizeInBytes starts from constants — see resetStats.
+    var ckLabels = sym.select(col("__u").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    var labels = resetStats(ckLabels)
     var iter = 0
     var changed = true
     while (changed) {
@@ -494,8 +518,9 @@ object NearDup {
       // Without this the loop leaks one label frame per round and `sym`
       // forever (measured in a 52-query bench session: queries AFTER a
       // clustering call degraded 2-25× from the accumulated blocks).
-      freeCheckpoint(labels)
-      labels = next.drop("__changed")
+      freeCheckpoint(ckLabels)
+      ckLabels = next
+      labels = resetStats(next).drop("__changed")
       iter += 1
     }
     freeCheckpoint(sym)
@@ -703,8 +728,14 @@ object NearDup {
           col("fa.simhash") < col("fb.simhash"))
         .select(col("fa.simhash").as("__fpa"), col("fb.simhash").as("__fpb"),
           bit_count(col("fa.simhash").bitwiseXOR(col("fb.simhash"))).cast("long").as("hamming"))
-        .distinct()
+        // Hamming BEFORE distinct: the filter is two codegen'd integer
+        // ops evaluated in the join stage, so only qualifying pairs (≈
+        // output-sized) reach the dedup shuffle — candidates that fail
+        // the filter never leave their partition. Filter-then-distinct
+        // equals distinct-then-filter for a per-row deterministic
+        // predicate; at 50k docs this removes a ~19M-row shuffle.
         .filter(col("hamming") <= maxHamming)
+        .distinct()
       val cross = fpPairs
         .join(sh.select(col(idCol).as("__ida"), col("simhash").as("__fpa")), "__fpa")
         .join(sh.select(col(idCol).as("__idb"), col("simhash").as("__fpb")), "__fpb")
