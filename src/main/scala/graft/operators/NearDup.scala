@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -546,6 +546,33 @@ object NearDup {
     val cc = connectedComponents(pairs, "doc_a", "doc_b")
     freeCheckpoint(pairs)
     cc.select(col("id").as(idCol), col("component").as("cluster_id"))
+  }
+
+  /** Cluster-canonical KEEP-BEST dedup — the near-dup removal policy
+    * production curation actually wants: where [[dupClusters]] (and the
+    * curate chains) keep each cluster's MINIMUM id, here the survivor is
+    * the cluster's highest-`score` member (ties to the lowest id), so a
+    * near-dup family keeps its cleanest copy instead of its oldest.
+    * Every input row comes back labeled: (idCol, cluster_id, score,
+    * keep) — singletons are their own cluster and always keep.
+    *
+    * Scale shape: pair generation + pointer-jump CC are [[dupClusters]]
+    * unchanged (band equi-joins, candidate-bounded verify, O(log d)
+    * rounds); the label join is per-doc against the (small) clustered
+    * subset, left-outer so singletons never enter the shuffle twice; the
+    * survivor pick is a window partitioned BY CLUSTER — millions of
+    * tiny partitions, the shape that spreads, never a global sort. */
+  def keepBestByScore(df: DataFrame, idCol: String, textCol: String,
+      score: Column, minJaccard: Double = 0.5, shingleN: Int = 3,
+      numHashes: Int = 12, bands: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(df, idCol, textCol, minJaccard, shingleN, numHashes, bands)
+    val lab = df.select(col(idCol), score.as("score"))
+      .join(clusters, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col("score"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("score").desc, col(idCol))
+    lab.withColumn("keep", row_number().over(w) === lit(1))
   }
 
   /** INCREMENTAL dedup: the rows of `batch` that are neither exact nor

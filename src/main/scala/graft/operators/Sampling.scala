@@ -110,6 +110,43 @@ object Sampling {
     df.filter(u.cast("double") < w * lit(4294967296.0))
   }
 
+  /** TEMPERATURE-flattened domain MIXTURE sampling — the multilingual /
+    * multi-domain pretraining mix rule (mC4, XLM-R): sample domain d
+    * with probability ∝ n_d^α, α < 1 flattening head domains toward the
+    * tail so low-resource domains keep a larger share of the final mix.
+    * α is FIXED at 1/2: the per-domain keep rate is then
+    * `largestKeep · sqrt(n_max / n_d)` (capped at 1), a chain of one
+    * IEEE divide, one sqrt, and one multiply — ALL correctly-rounded
+    * operations, so any engine derives the bit-identical rate. A free
+    * α would need pow(), whose last-ulp behavior is libm-dependent and
+    * breaks cross-engine gating. `largestKeep` is the head domain's
+    * keep rate (the mix's overall thinning knob); every other domain
+    * keeps proportionally more, up to 1.
+    *
+    * Scale shape: ONE map-side-combined count over the corpus produces
+    * the (≤ domains)-row rate table; the corpus then takes a BROADCAST
+    * equi-join on the domain column plus a pure per-row salted-md5
+    * Bernoulli predicate (the [[weightedSample]] construction, salt
+    * "~t" for independence from the other samplers) — no corpus
+    * shuffle at any scale. Appends n_domain and keep_rate. */
+  def mixtureSample(df: DataFrame, idCol: String, domainCol: String,
+      largestKeep: Double = 1.0): DataFrame = {
+    require(largestKeep > 0.0 && largestKeep <= 1.0,
+      s"largestKeep must be in (0,1], got $largestKeep")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__nd"))
+    val nmax = counts.agg(max(col("__nd")).as("__nmax"))
+    val rates = counts.crossJoin(broadcast(nmax))
+      .select(col(domainCol), col("__nd").as("n_domain"),
+        least(lit(1.0), lit(largestKeep) *
+          sqrt(col("__nmax").cast("double") / col("__nd").cast("double")))
+          .as("keep_rate"))
+    val u = conv(substring(
+        md5(concat(col(idCol).cast("string"), lit("~t")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(u.cast("double") < col("keep_rate") * lit(4294967296.0))
+  }
+
   /** Global deterministic shuffle with batch assignment: orders the
     * dataset by md5(id) (a reproducible pseudo-random permutation),
     * assigns a contiguous 0-based `shuffle_idx`, and groups every

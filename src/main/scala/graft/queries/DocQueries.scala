@@ -277,6 +277,29 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_mixture_sample — temperature-flattened domain mixture
+    * (Sampling.mixtureSample, α=1/2, head keep rate 0.5): per-language
+    * keep rates ∝ 1/sqrt(n_lang) derived from one corpus count, then a
+    * broadcast rate join + salted per-row Bernoulli draw — the mC4-style
+    * low-resource upweighting as a single relational pass. */
+  def docMixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(spark, dir), "doc_id", "lang",
+        largestKeep = 0.5)
+      .select("doc_id", "lang", "n_domain", "keep_rate")
+      .orderBy("doc_id")
+
+  /** doc_dedupe_keep_best — near-dup dedup keeping each cluster's
+    * HIGHEST-quality member (NearDup.keepBestByScore over the gated
+    * minhash pair/cluster configuration, score = Text.qualityScore):
+    * every doc labeled (cluster_id, score, keep), survivor = argmax
+    * score, ties to lowest id, singletons always keep. */
+  def docDedupeKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Text
+    NearDup.keepBestByScore(Tables.documents(spark, dir), "doc_id", "text",
+        Text.qualityScore(col("text")))
+      .orderBy("doc_id")
+  }
+
   /** doc_splits — deterministic disjoint train/val/test labeling
     * (Sampling.splitCorpus, 240/8/8 of 256 md5 buckets): exhaustive,
     * disjoint, stable across runs/engines/partitionings — the leak-free
@@ -859,6 +882,65 @@ object DocQueries {
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** Keep-best oracle: the dupClusters recursive closure + the
+    * doc_quality score chain (CTE names q-prefixed to dodge the pair
+    * CTEs') + a per-cluster argmax window. Singletons label themselves
+    * through the LEFT JOIN + COALESCE. */
+  private val dedupeKeepBestOracle: String = {
+    val alpha = "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+    s"""WITH RECURSIVE ${pairCtes()},
+       |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+       |clus AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |qpad AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+       |qfeat AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS token_count,
+       |    CASE WHEN length(text) > 0
+       |         THEN CAST($alpha AS DOUBLE) / length(text) ELSE CAST(0.0 AS DOUBLE) END AS alpha_ratio,
+       |    $stopHitsSql AS sw_hits
+       |  FROM qpad
+       |), qrat AS (
+       |  SELECT *, CASE WHEN token_count > 0 THEN CAST(sw_hits AS DOUBLE) / token_count
+       |                 ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio
+       |  FROM qfeat
+       |), qsc AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN CAST(token_count AS DOUBLE) >= 10 AND CAST(token_count AS DOUBLE) <= 10000
+       |          THEN CAST(1.0 AS DOUBLE)
+       |          WHEN CAST(token_count AS DOUBLE) > 0 THEN CAST(0.5 AS DOUBLE)
+       |          ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.4 AS DOUBLE)
+       |      + alpha_ratio * CAST(0.4 AS DOUBLE)
+       |      + (CASE WHEN stopword_ratio > CAST(0.01 AS DOUBLE) AND stopword_ratio < CAST(0.6 AS DOUBLE)
+       |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+       |      AS score
+       |  FROM qrat
+       |),
+       |lab AS (SELECT q.doc_id, COALESCE(c.cluster_id, q.doc_id) AS cluster_id, q.score
+       |        FROM qsc q LEFT JOIN clus c ON q.doc_id = c.doc_id)
+       |SELECT doc_id, cluster_id, score,
+       |  (row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1) AS keep
+       |FROM lab ORDER BY doc_id""".stripMargin
+  }
+
+  private val mixtureSampleOracle: String =
+    s"""WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_domain FROM documents GROUP BY lang),
+       |mx AS (SELECT max(n_domain) AS nmax FROM cnt),
+       |rate AS (SELECT lang, n_domain,
+       |           least(CAST(1.0 AS DOUBLE),
+       |                 CAST(0.5 AS DOUBLE) * sqrt(CAST(nmax AS DOUBLE) / CAST(n_domain AS DOUBLE))) AS keep_rate
+       |         FROM cnt, mx)
+       |SELECT d.doc_id, d.lang, r.n_domain, r.keep_rate
+       |FROM documents d JOIN rate r ON d.lang = r.lang
+       |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '~t'), 1, 8) AS BIGINT) AS DOUBLE)
+       |      < r.keep_rate * CAST(4294967296.0 AS DOUBLE)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Winnowing CTE chain — positioned 3-gram md5s (the shingle CTEs
     * WITHOUT the dedup), window-min over 4 rows, distinct survivors as
     * `fp(doc_id, fingerprint)`. The oracle's 1-based shingle start i
@@ -1351,6 +1433,8 @@ object DocQueries {
     "doc_containment_pairs" -> containmentOracle,
     "doc_dedupe_incremental" -> dedupeIncrementalOracle,
     "doc_dup_clusters" -> dupClustersOracle,
+    "doc_dedupe_keep_best" -> dedupeKeepBestOracle,
+    "doc_mixture_sample" -> mixtureSampleOracle,
     "doc_dedup_corpus" ->
       s"""WITH RECURSIVE ${pairCtes()},
          |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
@@ -1596,6 +1680,8 @@ object DocQueries {
     "doc_containment_pairs" -> docContainmentPairs _,
     "doc_dedupe_incremental" -> docDedupeIncremental _,
     "doc_dup_clusters" -> docDupClusters _,
+    "doc_dedupe_keep_best" -> docDedupeKeepBest _,
+    "doc_mixture_sample" -> docMixtureSample _,
     "doc_dedup_corpus" -> docDedupCorpus _,
     "doc_hash_sample" -> docHashSample _,
     "doc_stratified_sample" -> docStratifiedSample _,

@@ -186,6 +186,26 @@ class NearDupSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("keepBestByScore keeps the highest-scoring cluster member, singletons keep") {
+    import org.apache.spark.sql.functions.{col, length}
+    // score = text length: doc 3 (punctuated variant) is the longest of
+    // the {1,2,3} near-dup cluster, so it survives instead of min-id 1
+    val out = NearDup.keepBestByScore(docs, "doc_id", "text",
+        length(col("text")).cast("double"), minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // cluster of {1,2,3} labeled by min id 1; 4 and 5 are singletons
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).forall(_ == 1L))
+    assert(out(4L)._1 == 4L && out(5L)._1 == 5L)
+    assert(out.filter(_._2._3).keySet == Set(3L, 4L, 5L))
+    // tie-break: equal scores keep the LOWEST id
+    val ties = NearDup.keepBestByScore(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.lit(1.0), minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(ties.filter(_._2).keySet == Set(1L, 4L, 5L))
+  }
+
   test("simhashPairs: banded buckets find close fingerprints, verify Hamming") {
     val pairs = NearDup.simhashPairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap

@@ -55,6 +55,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedSample(strat, "id", "lang", Map("en" -> 300), 0))
   }
 
+  test("mixtureSample: sqrt-flattened rates, head at largestKeep, partition-independent") {
+    // 600 en / 150 zh / 150 fr: en is the head domain (rate = largestKeep),
+    // zh and fr keep sqrt(600/150) = 2x en's rate
+    val mix = (1L to 900L)
+      .map(i => (i, if (i % 2 == 0) "en" else if (i % 4 == 1) "zh" else "fr"))
+      .toDF("id", "lang")
+    val out = Sampling.mixtureSample(mix, "id", "lang", largestKeep = 0.4)
+    val rates = out.select("lang", "n_domain", "keep_rate").distinct()
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rates("en") == (450L, 0.4))
+    assert(rates("zh")._1 == 225L && rates("fr")._1 == 225L)
+    assert(math.abs(rates("zh")._2 - 0.4 * math.sqrt(2.0)) < 1e-15)
+    // realized keeps are binomial around n_d * rate
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") > 120 && kept("en") < 240, s"en=${kept("en")}")
+    assert(kept("zh") > 80 && kept("zh") < 175, s"zh=${kept("zh")}")
+    // membership is partition-independent and rerun-deterministic
+    val again = Sampling.mixtureSample(mix.repartition(7), "id", "lang", 0.4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    // a single domain caps at rate=largestKeep; rate 1.0 keeps everything
+    val one = Sampling.mixtureSample(mix.filter(col("lang") === "en"), "id", "lang", 1.0)
+    assert(one.count() == 450)
+    intercept[IllegalArgumentException](Sampling.mixtureSample(mix, "id", "lang", 0.0))
+  }
+
   test("splitCorpus: exhaustive disjoint splits, stable, nested with hashSample") {
     val docs = spark.range(0, 2000).toDF("id")
     val split = Sampling.splitCorpus(docs, "id",
