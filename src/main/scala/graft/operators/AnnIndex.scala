@@ -113,6 +113,96 @@ object AnnIndex {
       .write.mode("overwrite").parquet(path + "_codebook")
   }
 
+  /** Subspace / code columns of the persisted PQ layout. */
+  val SubspaceCol = "subspace"
+  val CodeCol = "code"
+
+  /** The serving rows of a PQ index: ONE (idCol, subspace, code) row per
+    * vector per subspace — the product-quantized collection, m small
+    * integers per vector instead of the vector itself (the compression
+    * that lets a 100 TB collection's searchable form fit a fraction of
+    * the footprint). Derivation mirrors [[Ann.knnPq]]'s encode block
+    * exactly (exact-integer L2 to each subspace centroid, ties to the
+    * lowest cluster), so the stored codes are bit-identical to the
+    * in-query encoding. `codebooks` is [[Ann.pqCodebooks]]' output. */
+  def pqIndexRows(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    Seq(SubspaceCol, CodeCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named the reserved index column '$c'") }
+    val subDim = dim / m
+    val subs = df.select(col(idCol), Ann.quantize(col(vecCol)).as("__q"))
+      .select(col(idCol), posexplode(
+        array((0 until m).map(s => slice(col("__q"), s * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("pos").cast("long").as(SubspaceCol), col("col").as("__sub"))
+      .withColumn("__sn", Ann.dotQ(col("__sub"), col("__sub")))
+    subs.join(broadcast(codebooks), SubspaceCol)
+      .withColumn("__dist",
+        col("__sn") - lit(2L) * Ann.dotQ(col("__sub"), col("__cv")) + col("__cc"))
+      .groupBy(col(idCol), col(SubspaceCol))
+      .agg(min(struct(col("__dist"), col("cluster"))).as("__best"))
+      .select(col(idCol), col(SubspaceCol),
+        col("__best").getField("cluster").as(CodeCol))
+  }
+
+  /** Build and persist the PQ index: the code rows at `path` (flat — an
+    * ADC search consumes every subspace, there is nothing to prune by),
+    * the trained codebooks (subspace, cluster, cv, cc) at
+    * `path + "_codebook"`. Incremental growth = append [[pqIndexRows]]
+    * over the new batch with the SAME stored codebooks — O(batch). */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int, path: String): Unit = {
+    pqIndexRows(df, idCol, vecCol, codebooks, dim, m)
+      .write.mode("overwrite").parquet(path)
+    codebooks
+      .select(col(SubspaceCol), col("cluster"),
+        col("__cv").as("cv"), col("__cc").as("cc"))
+      .write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** Top-k PQ search served from the PERSISTED codes + codebooks: the
+    * collection side reads ONLY stored (id, subspace, code) rows — no
+    * vector, no quantization, no re-encoding. The probe side arrives
+    * WITH its vectors (the real serving shape: the query vector comes in
+    * the request) and builds its per-subspace asymmetric-distance table
+    * against the stored codebooks — per-request work on ≤ probes rows,
+    * never a collection pass. ADC = the (subspace, code) equi-join +
+    * integer sum + bounded top-k, the identical aggregation order as
+    * [[Ann.knnPq]] — hash-identical results, asserted by the
+    * emb_knn_pq_persisted gate. */
+  def knnPqServe(codes: DataFrame, codebooks: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cbs = codebooks.select(col(SubspaceCol), col("cluster"),
+      col("cv").as("__cv"), col("cc").as("__cc"))
+    val tables = probes.select(col(idCol), Ann.quantize(col(vecCol)).as("__q"))
+      .select(col(idCol), posexplode(
+        array((0 until m).map(s => slice(col("__q"), s * subDim + 1, subDim)): _*)))
+      .select(col(idCol), col("pos").cast("long").as(SubspaceCol), col("col").as("__sub"))
+      .withColumn("__sn", Ann.dotQ(col("__sub"), col("__sub")))
+      .join(broadcast(cbs), SubspaceCol)
+      .select(col(idCol).as("probe_id"), col(SubspaceCol),
+        col("cluster").as(CodeCol),
+        (col("__sn") - lit(2L) * Ann.dotQ(col("__sub"), col("__cv")) + col("__cc"))
+          .as("__d"))
+    codes.select(col(idCol).as("neighbor_id"), col(SubspaceCol), col(CodeCol))
+      .join(broadcast(tables), Seq(SubspaceCol, CodeCol))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("adc_dist2"))
+      .groupBy(col("probe_id"))
+      .agg(TopKByScore(-col("adc_dist2").cast("double"),
+        col("neighbor_id").cast("long"), k).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")))
+      .select(col("probe_id"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("adc_dist2"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Top-k IVF search served from the PERSISTED index + codebook: each
     * probe ranks the stored codebook by exact integer L2 from its stored
     * quantized vector, keeps its `nProbe` nearest lists, and meets

@@ -230,6 +230,27 @@ object VectorQueries {
     finally graft.operators.NearDup.freeCheckpoint(cbs)
   }
 
+  /** emb_knn_pq_persisted — the SAME PQ search served from a PERSISTED
+    * code table + codebooks (AnnIndex.writePqIndex/knnPqServe): the
+    * collection side reads only stored (id, subspace, code) rows, the
+    * probe side builds its ADC tables per-request from the stored
+    * codebooks. Gated against the identical oracle as emb_knn_pq — the
+    * stored path must be hash-identical to the in-query encoding. */
+  def embKnnPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annpq", dir)
+    val cbs = Ann.pqCodebooks(emb, "vec_id", "embedding", PqDim, PqM, PqK, PqIters)
+    try {
+      AnnIndex.writePqIndex(emb, "vec_id", "embedding", cbs, PqDim, PqM, path)
+      AnnIndex.knnPqServe(spark.read.parquet(path),
+          spark.read.parquet(path + "_codebook"),
+          emb.filter(col("vec_id") < PqProbeMax), "vec_id", "embedding",
+          PqDim, PqM, K)
+        .orderBy("probe_id", "rank")
+    } finally graft.operators.NearDup.freeCheckpoint(cbs)
+  }
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Quantized-embedding CTE (mirrors Ann.quantize). */
@@ -596,6 +617,7 @@ object VectorQueries {
     "emb_dup_clusters" -> embDupClustersOracle,
     "emb_semdedup" -> semDedupOracle,
     "emb_knn_pq" -> pqOracle,
+    "emb_knn_pq_persisted" -> pqOracle, // identical ADC from the stored codes
     "emb_kmeans" -> kmeansOracle,
     "emb_cluster_sample" -> clusterSampleOracle,
     "emb_mmr" -> mmrOracle,
@@ -616,6 +638,7 @@ object VectorQueries {
     "emb_dup_clusters" -> embDupClusters _,
     "emb_semdedup" -> embSemDedup _,
     "emb_knn_pq" -> embKnnPq _,
+    "emb_knn_pq_persisted" -> embKnnPqPersisted _,
     "emb_kmeans" -> embKmeans _,
     "emb_cluster_sample" -> embClusterSample _,
     "emb_mmr" -> embMmr _,

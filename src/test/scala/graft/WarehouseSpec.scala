@@ -198,6 +198,34 @@ class WarehouseSpec extends SparkSpec {
       == direct.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq)
   }
 
+  test("persisted PQ codes serve ADC search without re-encoding the collection") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-pqidx").toString
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    val cbs = Ann.pqCodebooks(vecs, "vec_id", "embedding", dim = 8, m = 2, k = 4, iters = 1)
+    AnnIndex.writePqIndex(vecs, "vec_id", "embedding", cbs, dim = 8, m = 2, s"$base/idx")
+    val served = AnnIndex.knnPqServe(
+      spark.read.parquet(s"$base/idx"),
+      spark.read.parquet(s"$base/idx_codebook"),
+      vecs.filter(col("vec_id") < 3L), "vec_id", "embedding", dim = 8, m = 2, k = 2)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    // the collection side reads ONLY the stored code rows (ReadSchema of
+    // the codes scan), and — the probe frame being a local relation —
+    // ANY appearance of the embedding column would mean the collection
+    // was re-encoded from vectors
+    assert(plan.contains("code:bigint"), s"no stored-code scan:\n$plan")
+    assert(!plan.contains("embedding"), s"collection re-encoded from vectors:\n$plan")
+    // identical selection to the in-query PQ search
+    val direct = Ann.knnPq(vecs, "vec_id", "embedding", cbs, dim = 8, m = 2,
+      col("vec_id") < 3L, k = 2)
+    assert(served.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+      == direct.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq)
+    graft.operators.NearDup.freeCheckpoint(cbs)
+  }
+
   test("persisted IVF index serves from stored lists + codebook, no assignment work") {
     import graft.operators.{Ann, AnnIndex}
     val base = Files.createTempDirectory("graft-ivfidx").toString
