@@ -21,14 +21,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** The events parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as BIGINT
-    * (legacy conf) and convert with integer division — never a double
-    * divide, which would lose precision above 2^53 ns. */
+  /** Some testdata generations write `events.ts` as TIMESTAMP(NANOS) —
+    * which Spark's parquet reader rejects outright (PARQUET_TYPE_ILLEGAL)
+    * unless read as BIGINT via the legacy conf — while others write plain
+    * microsecond timestamps (read back as TIMESTAMP_NTZ). Normalize both
+    * to a session-TZ TIMESTAMP at microsecond precision: nanos convert by
+    * integer division (never a double divide, which would lose precision
+    * above 2^53 ns); NTZ casts 1:1 under the UTC session timezone. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    val norm = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => expr("CAST(ts AS TIMESTAMP)")
+    }
+    df.withColumn("ts", norm)
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

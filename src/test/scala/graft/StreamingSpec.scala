@@ -114,8 +114,8 @@ class StreamingSpec extends SparkSpec {
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(dir.toString).schema
-    val src = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val src = graft.model.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = StreamOps.hourlyStats(StreamOps.withEventWatermark(src, "2 hours"))
       .writeStream.format("memory").queryName("file_hourly_t").outputMode("complete").start()
     try {
