@@ -9,9 +9,23 @@ object Bench {
     // 4-8x phantom "regressions"). Default to 3 runs per query and report
     // the per-query MEDIAN, with min/max spread recorded alongside.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // The heavy doc_*/emb_* families carried 10-35x min/max spreads in the
+    // r9 driver run (pure-map queries cannot intrinsically vary that much
+    // — machine contention during their alphabetical stretch). More
+    // samples per heavy query so the median survives a bad pass.
+    // (a 1-run quick-iterate session stays 1-run everywhere)
+    val heavyRuns = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_RUNS")
+      .map(_.toInt).getOrElse(if (runs <= 1) 1 else 5).max(runs)
+    def runsFor(name: String): Int =
+      if (name.startsWith("doc_") || name.startsWith("emb_")) heavyRuns else runs
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Session timezone pinned like Verify/SparkSpec: the TIMESTAMP_NTZ
+      // normalization in Tables is only 1:1 with the verified oracle runs
+      // under UTC — an unpinned Bench on a non-UTC host would bench
+      // different hour buckets than the ones correctness verified.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -41,22 +55,33 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // run-major order (full pass 1, full pass 2, ...) so a query's repeats
-    // don't feed each other's caches back-to-back
-    val samples = (1 to runs).flatMap { pass =>
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err =
-          try {
-            val df = fn(spark, sfDir)
-            df.count()
-            // checkpoint-returning queries (doc_curate) would otherwise
-            // leave corpus-sized blocks resident for the whole session
-            graft.operators.Curate.release(df)
-            None
-          }
-          catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        (name, pass, (System.nanoTime() - t0) / 1e9, err)
-      }
+    // don't feed each other's caches back-to-back. Heavy families run in
+    // the extra passes alone (pass > runs times only doc_*/emb_*).
+    val maxRuns = names.map { case (n, _) => runsFor(n) }.max
+    val samples = (1 to maxRuns).flatMap { pass =>
+      names.filter { case (name, _) => pass <= runsFor(name) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err =
+            try {
+              val df = fn(spark, sfDir)
+              df.count()
+              // checkpoint-returning queries (doc_curate) would otherwise
+              // leave corpus-sized blocks resident for the whole session
+              graft.operators.Curate.release(df)
+              None
+            }
+            catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+          val sample = (name, pass, (System.nanoTime() - t0) / 1e9, err)
+          // Sweep EVERY persisted block (not just the Curate-released
+          // frame) outside the timer: a leaked localCheckpoint from one
+          // query otherwise crowds executor memory and taxes every later
+          // query's measurement — the r9 driver bench charged 47 s of
+          // such cross-query noise to innocent pure-map queries.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          sample
+        }
     }
     // Pass 1 is each query's OWN codegen/broadcast warmup (the heaviest
     // queries measured a first run 2x their steady state even after the

@@ -382,14 +382,18 @@ object DocQueries {
     * distinct token, O(distinct×total) comparisons per doc like
     * Text.topElementCount), so the exploded (doc, token, tf) frame is a
     * PURE MAP and the corpus-token-sized (doc, token) exchange the
-    * groupBy form pays — twice, since column pruning un-shares the tf
-    * and df subtrees and Catalyst re-canonicalizes count(non-null) to
-    * count(1), defeating exchange reuse — never exists. df is one
+    * groupBy form pays never exists. The tf frame is consumed TWICE —
+    * once by the df aggregate, once as the join's left side — and column
+    * pruning un-shares the two subtrees (Catalyst re-canonicalizes
+    * count(non-null) to count(1), defeating exchange reuse), so it is
+    * eagerly localCheckpoint'd once and both consumers read the stored
+    * blocks instead of re-running the O(distinct×total) token count
+    * (the Curate/L55 discipline; blocks freed before return). df is one
     * map-combined token aggregate (vocab-sized result, broadcast back;
     * drop the hint past ~10⁸-token vocabularies and AQE plans a shuffle
     * join). The rank<=3 filter plans as Spark 4's WindowGroupLimit:
-    * rows leave the map doc-clustered, so the PARTIAL group-limit cuts
-    * to <=3 rows per doc before the only doc-keyed exchange. */
+    * rows leave the checkpoint doc-clustered, so the PARTIAL group-limit
+    * cuts to <=3 rows per doc before the only doc-keyed exchange. */
   def docTfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tk = col("__tk")
@@ -404,15 +408,19 @@ object DocQueries {
             size(filter(tk, y => y === t)).cast("long").as("tf")))).as("__e"))
       .filter(col("__e").isNotNull)
       .select(col("doc_id"), col("__e.token").as("token"), col("__e.tf").as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(broadcast(df), "token")
-      .withColumn("score", expr("tf * 1000000 div df"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("doc_id"), col("rank").cast("long").as("rank"),
-        col("token"), col("tf"), col("df"), col("score"))
-      .orderBy("doc_id", "rank")
+      .localCheckpoint(true)
+    try {
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df), "token")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("tf"), col("df"), col("score"))
+        .orderBy("doc_id", "rank")
+        .localCheckpoint(true)
+    } finally graft.operators.NearDup.freeCheckpoint(tf)
   }
 
   /** doc_curate — the END-TO-END curation flagship: the full filter →
