@@ -116,8 +116,26 @@ object Curate {
     val keep = docs.columns.toSeq
     Seq("lang_pred", "quality_score", "n_tokens", "nll_micro", "__fp").foreach { c =>
       require(!keep.contains(c), s"curateV2: input must not already carry '$c'") }
-    val pred = LangProfile.classify(docs, idCol, langCol, textCol)
-    val lm = LangModel.unigramNll(docs, idCol, textCol, col(langCol) === "en")
+    // ONE shared corpus scan for every token-consuming stage: the word
+    // tokens (LM gate + DSIR) and char trigrams (language-ID) both
+    // derive from the same pass over the text column and checkpoint
+    // together — without this, classify / unigramNll / DSIR each
+    // re-scan + re-tokenize the corpus (three full normalize+split
+    // passes, measured ~4+1.5+2 s of the r9 query's 16 s at sf0.1).
+    // The array expressions are byte-for-byte the ones the standalone
+    // operators build, so every stage's result is bit-identical to its
+    // standalone gated query. At 100 TB this intermediate would be
+    // written to a table instead (the `scored` note below).
+    val shared = docs
+      .select(col(idCol), col(langCol),
+        split(lower(col(textCol)), "").as("__ch"),
+        Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__toks"))
+      .select(col(idCol), col(langCol), col("__toks"),
+        LangProfile.charTrigrams(col("__ch")).as("__grams"))
+      .localCheckpoint(true)
+    val pred = LangProfile.classifyFromArrays(
+      shared.select(col(idCol), col(langCol).as("lang"), col("__grams")), idCol)
+    val lm = LangModel.unigramNllFromTokens(shared, idCol, col(langCol) === "en")
     try {
       val scored = docs
         .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
@@ -141,7 +159,14 @@ object Curate {
             .localCheckpoint(true)
           finally NearDup.freeCheckpoint(clusters)
         try {
-          val picked = Dsir.resample(surv, idCol, textCol, dsirTargetPred, dsirK)
+          // DSIR re-reads the SHARED token arrays restricted to the
+          // survivors (an equi-join of the small (id, target-flag)
+          // survivor frame onto the checkpointed arrays — AQE broadcasts
+          // the survivor side at these sizes) instead of re-tokenizing;
+          // tokens per id are identical, so the draw is bit-identical.
+          val survToks = surv.select(col(idCol), dsirTargetPred.as("__tgt"))
+            .join(shared.select(col(idCol), col("__toks")), Seq(idCol))
+          val picked = Dsir.resampleFromTokens(survToks, idCol, col("__tgt"), dsirK)
           try {
             picked
               .join(surv.select(col(idCol), col("lang_pred"), col("quality_score")),
@@ -152,7 +177,7 @@ object Curate {
           } finally release(picked)
         } finally NearDup.freeCheckpoint(surv)
       } finally NearDup.freeCheckpoint(scored)
-    } finally { release(pred); release(lm) }
+    } finally { release(pred); release(lm); NearDup.freeCheckpoint(shared) }
   }
 
   /** Free the storage blocks behind a frame [[curate]] returned (or any

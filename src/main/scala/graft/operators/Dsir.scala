@@ -54,14 +54,27 @@ object Dsir {
     * propagates NULL ratios (never a `round(±Inf)`). NULL text scores
     * like the empty string, so every input row comes back. */
   def logRatios(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column): DataFrame = {
+      targetPred: Column): DataFrame =
+    logRatiosCore(df.select(col(idCol), targetPred.as("__tgt"),
+      explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok")),
+      idCol)
+
+  /** [[logRatios]] over a pre-tokenized frame carrying `idCol`, a
+    * `__toks` array column (the exact [[Text.tokens]] ∘ [[Text.normalize]]
+    * ∘ coalesce('') chain) and whatever columns `targetPred` reads —
+    * the shared-scan entry [[Curate.curateV2]] uses so DSIR never
+    * re-tokenizes a corpus another stage already tokenized. */
+  def logRatiosFromTokens(tokArrays: DataFrame, idCol: String,
+      targetPred: Column): DataFrame =
+    logRatiosCore(tokArrays.select(col(idCol), targetPred.as("__tgt"),
+      explode(col("__toks")).as("__tok")), idCol)
+
+  private def logRatiosCore(toksIn: DataFrame, idCol: String): DataFrame = {
     // the tokenized stream feeds THREE consumers (raw counts, target
     // counts, the scoring join) — checkpoint once or the corpus scan +
     // normalize + explode re-runs per consumer; freed before returning
     // (the result aggregate is its own frame, lineage cut at the join)
-    val toks = df.select(col(idCol), targetPred.as("__tgt"),
-      explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok"))
-      .localCheckpoint(true)
+    val toks = toksIn.localCheckpoint(true)
     try {
       val rawCnt = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__rc"))
       val tgtCnt = toks.filter(col("__tgt"))
@@ -101,7 +114,17 @@ object Dsir {
     * reach round — DuckDB errors where Spark saturates); outer stage
     * g_micro = round(1e6·(−ln(v/10⁹))) ∈ [−3.6e6, +20.8e6]. */
   def resample(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, k: Int): DataFrame = {
+      targetPred: Column, k: Int): DataFrame =
+    resampleCore(logRatios(df, idCol, textCol, targetPred), idCol, k)
+
+  /** [[resample]] over a pre-tokenized (idCol, ..., __toks) frame — see
+    * [[logRatiosFromTokens]]. Bit-identical to [[resample]] on the frame
+    * the token arrays came from. */
+  def resampleFromTokens(tokArrays: DataFrame, idCol: String,
+      targetPred: Column, k: Int): DataFrame =
+    resampleCore(logRatiosFromTokens(tokArrays, idCol, targetPred), idCol, k)
+
+  private def resampleCore(ratios: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k > 0, s"resample: k must be positive, got $k")
     val h48 = conv(substring(
         md5(concat(col(idCol).cast("string"), lit("~g")).cast("binary")), 1, 12),
@@ -110,7 +133,7 @@ object Dsir {
     val vNano = greatest(round(lit(1e9) * -log(u)).cast("long"), lit(1L))
     val gMicro = round(lit(1e6) * -log(vNano.cast("double") / lit(1e9))).cast("long")
     val key = (col("lr_micro") + gMicro).as("key_micro")
-    logRatios(df, idCol, textCol, targetPred)
+    ratios
       .select(col(idCol), col("n_tokens"), col("lr_micro"), key)
       .orderBy(col("key_micro").desc, col(idCol))
       .limit(k)

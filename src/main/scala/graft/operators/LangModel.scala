@@ -38,9 +38,23 @@ object LangModel {
     * (one empty OOV token) so every input row really does come back —
     * a bare explode would silently drop NULL-text docs. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
-      refPred: Column): DataFrame = {
-    val toks = df.select(col(idCol), refPred.as("__ref"),
-      explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok"))
+      refPred: Column): DataFrame =
+    nllFromExploded(df.select(col(idCol), refPred.as("__ref"),
+      explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok")),
+      idCol)
+
+  /** [[unigramNll]] over a pre-tokenized frame carrying `idCol`, a
+    * `__toks` array column (built with the exact [[Text.tokens]] ∘
+    * [[Text.normalize]] ∘ coalesce('' ) chain — same arrays, same
+    * scores), and whatever columns `refPred` reads. Lets a multi-stage
+    * pipeline ([[Curate.curateV2]]) tokenize the corpus ONCE for every
+    * token-consuming stage instead of once per stage. */
+  def unigramNllFromTokens(tokArrays: DataFrame, idCol: String,
+      refPred: Column): DataFrame =
+    nllFromExploded(tokArrays.select(col(idCol), refPred.as("__ref"),
+      explode(col("__toks")).as("__tok")), idCol)
+
+  private def nllFromExploded(toks: DataFrame, idCol: String): DataFrame = {
     val vcnt = toks.filter(col("__ref"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
     val stats = vcnt.agg(sum(col("__cnt")).as("__total"), count(lit(1)).as("__v"))

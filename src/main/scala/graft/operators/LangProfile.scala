@@ -41,7 +41,7 @@ object LangProfile {
     * gram keep it linear. Callers must PROJECT the split array first
     * (the shingleSets HOF pitfall: an inlined split would re-run per
     * gram). */
-  private def charTrigrams(ch: Column): Column =
+  private[operators] def charTrigrams(ch: Column): Column =
     when(size(ch) >= 3,
       transform(sequence(lit(0), size(ch) - 3),
         i => concat(element_at(ch, i + 1), element_at(ch, i + 2), element_at(ch, i + 3))))
@@ -61,6 +61,16 @@ object LangProfile {
       .select(col("lang"), col("gram"), col("rank"))
   }
 
+  /** (idCol, lang, __grams) trigram-array frame for [[classifyFromArrays]]
+    * — the char split is projected FIRST (the HOF pitfall of
+    * [[charTrigrams]]'s scaladoc). Exposed so a multi-stage pipeline
+    * ([[Curate.curateV2]]) can fold this into ONE shared corpus scan
+    * alongside the word-token arrays the other stages need. */
+  def trigramArrays(df: DataFrame, idCol: String, langCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
+      .select(col(idCol), col("lang"), charTrigrams(col("__ch")).as("__grams"))
+
   /** Classify every doc with >= 1 trigram: (idCol, lang_pred, dist)
     * by minimal out-of-place distance against [[profiles]] trained on
     * (`langCol`, `textCol`) of the same frame — ties prefer the
@@ -76,10 +86,17 @@ object LangProfile {
     * before returning, the result is an eager checkpoint (release via
     * [[Curate.release]]). */
   def classify(df: DataFrame, idCol: String, langCol: String, textCol: String,
+      k: Int = 64): DataFrame =
+    classifyFromArrays(trigramArrays(df, idCol, langCol, textCol), idCol, k)
+
+  /** [[classify]] over a pre-built (idCol, lang, __grams) frame (see
+    * [[trigramArrays]]) — lets a pipeline that already materialized the
+    * arrays skip the corpus re-scan. Result is bit-identical to
+    * [[classify]] on the frame the arrays came from. */
+  def classifyFromArrays(gramArrays: DataFrame, idCol: String,
       k: Int = 64): DataFrame = {
-    val counts = df
-      .select(col(idCol), col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
-      .select(col(idCol), col("lang"), explode(charTrigrams(col("__ch"))).as("gram"))
+    val counts = gramArrays
+      .select(col(idCol), col("lang"), explode(col("__grams")).as("gram"))
       .groupBy(col(idCol), col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
     try {

@@ -20,10 +20,16 @@ import org.apache.spark.sql.types._
   *    pixels, the independent JDK reader decodes them back, and the
   *    DuckDB oracle reproduces the channel sums without ever seeing an
   *    image;
-  *  - audio/video codec SIMULATIONS (payload-chunk resize, fake frame
-  *    sampling) live behind the explicitly-named [[MediaSim]] namespace
-  *    — opt-in only, nothing on the default surface pretends to decode
-  *    a container it cannot.
+  *  - [[decodeWav]] / [[audioChannelStats]] / [[resampleAudio]] — a
+  *    REAL audio path on the JDK's bundled `javax.sound.sampled` WAV
+  *    reader (same zero-external-codec recipe), gated end-to-end by
+  *    mm_audio_stats: [[encodeWav]] writes canonical RIFF/PCM, the
+  *    independent JDK parser decodes it back, exact per-channel sample
+  *    sums checked against an oracle that never sees audio;
+  *  - VIDEO frame sampling remains a SIMULATION behind the
+  *    explicitly-named [[MediaSim]] namespace (no container parser in
+  *    the JDK) — opt-in only, nothing on the default surface pretends
+  *    to decode a container it cannot.
   *
   * Layout notes (100 TB): meta is a separate struct column, so
   * `SELECT media_id, meta.kind` never reads bytes — the scan reads the
@@ -39,6 +45,10 @@ object MediaPipeline {
       features: Array[Float])
   case class ImageChannelStats(media_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
+  /** Interleaved 16-bit PCM: samples(frame*channels + ch). */
+  case class AudioPcm(channels: Int, sampleRateHz: Int, samples: Array[Short])
+  case class AudioChannelStats(media_id: Long, channel: Int,
+      sample_rate_hz: Int, n_frames: Long, sum_samples: Long)
 
   /** At-rest schema for a media table (parquet: blob column encoded as
     * BYTE_ARRAY, metadata as a co-located struct). */
@@ -151,6 +161,113 @@ object MediaPipeline {
     b.array()
   }
 
+  /** Encode interleaved 16-bit PCM as a canonical WAV (RIFF/WAVE,
+    * `fmt ` + `data` chunks, little-endian PCM — the layout every WAV
+    * reader since 1991 parses). The audio twin of [[encodeBmp]]:
+    * lossless, so the INDEPENDENT JDK reader behind [[decodeWav]]
+    * returns the identical samples — any wrong bit in the 44-byte
+    * header and the decode fails or the sums shift. */
+  def encodeWav(sampleRateHz: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRateHz > 0 && channels > 0,
+      s"bad format ${channels}ch @ $sampleRateHz Hz")
+    require(samples.length % channels == 0,
+      s"${samples.length} samples do not tile $channels channels")
+    val dataSize = samples.length * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); b.putInt(36 + dataSize); tag("WAVE")
+    tag("fmt "); b.putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sampleRateHz).putInt(sampleRateHz * channels * 2)
+      .putShort((channels * 2).toShort).putShort(16)
+    tag("data"); b.putInt(dataSize)
+    var i = 0
+    while (i < samples.length) { b.putShort(samples(i)); i += 1 }
+    b.array()
+  }
+
+  /** REAL audio decode on the JDK's bundled `javax.sound.sampled` WAV
+    * reader (present in every JRE, no codec libraries): parse the RIFF
+    * container, return interleaved 16-bit PCM. None if the payload is
+    * not a WAV the JDK recognizes or not 16-bit signed PCM. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioPcm] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val out = new Array[Short](raw.length / 2)
+          java.nio.ByteBuffer.wrap(raw, 0, out.length * 2)
+            .order(if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                   else java.nio.ByteOrder.LITTLE_ENDIAN)
+            .asShortBuffer().get(out)
+          Some(AudioPcm(fmt.getChannels, fmt.getSampleRate.toInt, out))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** REAL per-channel sample sums via the JDK WAV decode — exact
+    * integers, so the result is oracle-comparable (the audio twin of
+    * [[imageChannelStats]]). One row per (media_id, channel). Throws on
+    * an undecodable payload — a corrupt blob in a batch that claims to
+    * be audio fails loudly, not as silent zeros. */
+  def audioChannelStats(media: Dataset[MediaRecord]): Dataset[AudioChannelStats] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val pcm = decodeWav(r.bytes).getOrElse(
+        throw new IllegalArgumentException(
+          s"media_id ${r.media_id}: payload is not decodable 16-bit PCM WAV"))
+      val nFrames = pcm.samples.length / pcm.channels
+      (0 until pcm.channels).map { ch =>
+        var s = 0L
+        var f = 0
+        while (f < nFrames) { s += pcm.samples(f * pcm.channels + ch); f += 1 }
+        AudioChannelStats(r.media_id, ch, pcm.sampleRateHz, nFrames.toLong, s)
+      }
+    }
+  }
+
+  /** REAL distributed audio resample: JDK decode → nearest-neighbor
+    * frame pick at the target rate → lossless WAV re-encode, metadata
+    * updated (the audio twin of [[resizeImage]] — retires the
+    * [[MediaSim]] byte-chunk stand-in for audio columns). Throws on
+    * undecodable payloads. */
+  def resampleAudio(media: Dataset[MediaRecord], targetRateHz: Int)
+      : Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(targetRateHz > 0, s"bad target rate $targetRateHz")
+    media.mapPartitions(_.map { r =>
+      val pcm = decodeWav(r.bytes).getOrElse(
+        throw new IllegalArgumentException(
+          s"media_id ${r.media_id}: payload is not decodable 16-bit PCM WAV"))
+      val inFrames = pcm.samples.length / pcm.channels
+      val outFrames = ((inFrames.toLong * targetRateHz) / pcm.sampleRateHz).toInt
+      val out = new Array[Short](outFrames * pcm.channels)
+      var f = 0
+      while (f < outFrames) {
+        val src = ((f.toLong * pcm.sampleRateHz) / targetRateHz).toInt
+        var ch = 0
+        while (ch < pcm.channels) {
+          out(f * pcm.channels + ch) = pcm.samples(src * pcm.channels + ch)
+          ch += 1
+        }
+        f += 1
+      }
+      MediaRecord(r.media_id,
+        r.meta.copy(sampleRateHz = targetRateHz,
+          durationMs = if (targetRateHz > 0) outFrames * 1000L / targetRateHz else 0L),
+        encodeWav(targetRateHz, pcm.channels, out))
+    })
+  }
+
   /** Distributed featurization. mapPartitions so the decoder is
     * instantiated once per partition (not per record) and records flow
     * through as an iterator — constant memory regardless of partition
@@ -245,8 +362,11 @@ object MediaPipeline {
 }
 
 /** EXPLICITLY-OPT-IN codec SIMULATIONS — deterministic fakes standing in
-  * for decoders this environment cannot ship (audio PCM, video
-  * containers). They exercise the distributed batch SHAPE (schemas,
+  * for decoders this environment cannot ship (now only VIDEO
+  * containers: images decode for real via [[MediaPipeline.decodeImage]]
+  * and audio via [[MediaPipeline.decodeWav]] — prefer
+  * [[MediaPipeline.resampleAudio]] over [[resizePayload]] for audio
+  * columns). They exercise the distributed batch SHAPE (schemas,
   * partitioning, iterator flow) and nothing else; nothing in
   * [[MediaPipeline]]'s default surface routes here. Replace with real
   * codec calls to productionize. */

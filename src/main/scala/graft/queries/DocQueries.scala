@@ -550,6 +550,52 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** mm_audio_stats — REAL audio decode gate (graft.operators
+    * .MediaPipeline): every doc becomes a deterministic stereo 16-bit
+    * PCM clip (24 samples = 12 frames × 2 channels, the 48 bytes of 3
+    * md5 digests of the doc id read as little-endian shorts), encoded
+    * by THIS module's canonical WAV writer and decoded back by the
+    * INDEPENDENT JDK `javax.sound.sampled` reader in the distributed
+    * pass; the exact per-channel integer sample sums gate both
+    * directions at once, against an oracle that derives the same sums
+    * from the md5 hex pairs without ever seeing audio. The audio twin
+    * of mm_image_stats — the RIFF layout (chunk sizes, fmt fields,
+    * little-endian data) cannot be wrong in any bit or the JDK parser
+    * rejects it / the sums shift. */
+  def mmAudioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val raw = new Array[Byte](48)
+        var k = 0
+        while (k < 3) {
+          val dg = md.digest(s"$id~a$k".getBytes("UTF-8"))
+          System.arraycopy(dg, 0, raw, k * 16, 16)
+          k += 1
+        }
+        val samples = new Array[Short](24)
+        var i = 0
+        while (i < 24) {
+          samples(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("audio/wav", 0, 0, 8000, 1L),
+          MediaPipeline.encodeWav(8000, 2, samples))
+      }
+    }
+    MediaPipeline.audioChannelStats(media).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("channel").cast("long").as("channel"),
+        col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("n_frames"), col("sum_samples"),
+        (col("sum_samples").cast("double") / lit(12.0)).as("mean_sample"))
+      .orderBy("doc_id", "channel")
+  }
+
   /** doc_jsonl — JSONL ingestion round-trip (graft.sources.JsonLines):
     * the documents table is serialized to newline-delimited JSON with
     * every 50th doc's line corrupted (final `}` dropped — truncated-write
@@ -1667,6 +1713,22 @@ object DocQueries {
         |       CAST(sum_g AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
         |       CAST(sum_b AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b
         |FROM s ORDER BY doc_id""".stripMargin,
+    "mm_audio_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, j,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~a' || CAST(j // 16 AS VARCHAR)),
+        |                             (j % 16) * 2 + 1, 2) AS BIGINT) AS v
+        |  FROM documents, range(0, 48) r(j)),
+        |s AS (SELECT doc_id, CAST(j // 2 AS BIGINT) AS k,
+        |        SUM(CASE WHEN j % 2 = 0 THEN v ELSE 256 * v END) AS raw
+        |      FROM b GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(k % 2 AS BIGINT) AS channel,
+        |          SUM(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS sum_samples
+        |        FROM s GROUP BY 1, 2)
+        |SELECT doc_id, channel, CAST(8000 AS BIGINT) AS sample_rate_hz,
+        |       CAST(12 AS BIGINT) AS n_frames, sum_samples,
+        |       CAST(sum_samples AS DOUBLE) / CAST(12 AS DOUBLE) AS mean_sample
+        |FROM agg ORDER BY doc_id, channel""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1714,5 +1776,6 @@ object DocQueries {
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,
     "mm_image_stats" -> mmImageStats _,
+    "mm_audio_stats" -> mmAudioStats _,
   )
 }

@@ -123,6 +123,55 @@ class MediaPipelineSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xffffff) == ((40 << 16) | (80 << 8) | 120))
   }
 
+  test("WAV encode → JDK javax.sound decode round-trips samples exactly") {
+    // stereo, includes negative samples, extremes, and asymmetric
+    // channels — any header-bit error and the JDK parser rejects it or
+    // the samples shift
+    val samples = Array[Short](0, -1, 32767, -32768, 1000, -1000, 257, -257)
+    val wav = MediaPipeline.encodeWav(8000, 2, samples)
+    val pcm = MediaPipeline.decodeWav(wav).get
+    assert(pcm.channels == 2 && pcm.sampleRateHz == 8000)
+    assert(pcm.samples.toSeq == samples.toSeq)
+    // mono at a different rate too
+    val mono = MediaPipeline.decodeWav(MediaPipeline.encodeWav(44100, 1, samples)).get
+    assert(mono.channels == 1 && mono.sampleRateHz == 44100)
+    assert(mono.samples.toSeq == samples.toSeq)
+  }
+
+  test("audioChannelStats sums real decoded samples; corrupt payloads fail loudly") {
+    val samples = Array[Short](10, -20, 30, -40, 50, -60) // L: 10,30,50  R: -20,-40,-60
+    val media = Seq(MediaRecord(11L, MediaMeta("audio/wav", 0, 0, 8000, 0L),
+      MediaPipeline.encodeWav(8000, 2, samples))).toDS()
+    val st = MediaPipeline.audioChannelStats(media).collect().sortBy(_.channel)
+    assert(st.length == 2)
+    assert(st(0) == MediaPipeline.AudioChannelStats(11L, 0, 8000, 3L, 90L))
+    assert(st(1) == MediaPipeline.AudioChannelStats(11L, 1, 8000, 3L, -120L))
+    val bad = Seq(rec(12, "not audio either")).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaPipeline.audioChannelStats(bad).collect() }
+    assert(e.getMessage.contains("not decodable 16-bit PCM WAV")
+      || Option(e.getCause).exists(_.getMessage.contains("not decodable 16-bit PCM WAV")))
+    // a TRUNCATED wav (valid header prefix, cut mid-data) must also fail
+    // loudly, not decode partially silent
+    val cut = MediaPipeline.encodeWav(8000, 2, samples).take(20)
+    val badCut = Seq(MediaRecord(13L, MediaMeta("audio/wav", 0, 0, 8000, 0L), cut)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      MediaPipeline.audioChannelStats(badCut).collect() }
+  }
+
+  test("resampleAudio decodes, rate-converts and re-encodes real PCM") {
+    // constant-valued channels: any frame pick preserves values exactly
+    val samples = Array.tabulate[Short](16)(i => if (i % 2 == 0) 500 else -700)
+    val media = Seq(MediaRecord(14L, MediaMeta("audio/wav", 0, 0, 8000, 1L),
+      MediaPipeline.encodeWav(8000, 2, samples))).toDS()
+    val out = MediaPipeline.resampleAudio(media, 4000).collect().head
+    assert(out.meta.sampleRateHz == 4000)
+    val pcm = MediaPipeline.decodeWav(out.bytes).get
+    assert(pcm.sampleRateHz == 4000 && pcm.channels == 2)
+    assert(pcm.samples.length == 8) // 8 frames → 4 frames × 2 channels
+    assert(pcm.samples.toSeq == Seq[Short](500, -700, 500, -700, 500, -700, 500, -700))
+  }
+
   test("media parquet round-trip keeps the blob and struct columns") {
     val out = java.nio.file.Files.createTempDirectory("graft-media").toString + "/m"
     Seq(rec(1, "hello"), rec(2, "world")).toDS().write.parquet(out)
