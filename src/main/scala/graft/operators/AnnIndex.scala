@@ -51,6 +51,20 @@ object AnnIndex {
     lshIndexRows(df, idCol, vecCol, planes)
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
 
+  /** INCREMENTAL index maintenance: append a NEW batch's serving rows to
+    * an existing index at `path`. O(batch) — the job derives (q, n,
+    * bucket) over the batch alone and appends the resulting part files
+    * into the bucket directories; the stored index is never read and its
+    * existing files are never rewritten (asserted in WarehouseSpec).
+    * Same hyperplanes as the original build or the bucket spaces
+    * diverge — the serving contract is that serve-after-append is
+    * hash-identical to a full rebuild over the union (the
+    * emb_knn_lsh_incremental gate). */
+  def appendLshIndex(batch: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], path: String): Unit =
+    lshIndexRows(batch, idCol, vecCol, planes)
+      .write.mode("append").partitionBy(BucketCol).parquet(path)
+
   /** Top-k LSH search served from a PERSISTED index frame: no
     * quantization, no hyperplane dots, no bucket assignment — probes and
     * candidates are both read from the stored rows and meet in the

@@ -53,6 +53,27 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** emb_knn_lsh_incremental — INCREMENTAL index maintenance gate: the
+    * collection arrives in two ingests (vec_id % 5 != 3, then the rest);
+    * the first builds the index, the second APPENDS its serving rows
+    * (graft.operators.AnnIndex.appendLshIndex — O(batch): derives rows
+    * over the new batch alone, never reads or rewrites the stored
+    * files; WarehouseSpec asserts both). Serving the appended index is
+    * gated against the SAME full-collection oracle as emb_knn_lsh —
+    * append-then-serve must be hash-identical to a full rebuild. */
+  def embKnnLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annlshinc", dir)
+    AnnIndex.writeLshIndex(emb.filter(col("vec_id") % 5 =!= 3),
+      "vec_id", "embedding", Planes, path)
+    AnnIndex.appendLshIndex(emb.filter(col("vec_id") % 5 === 3),
+      "vec_id", "embedding", Planes, path)
+    AnnIndex.knnLshServe(spark.read.parquet(path), "vec_id",
+        col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+  }
+
   def embNearDup(spark: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
         Planes, threshold = 0.4)
@@ -627,6 +648,7 @@ object VectorQueries {
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
     "emb_knn_lsh_persisted" -> lshOracle, // identical selection from the stored index
+    "emb_knn_lsh_incremental" -> lshOracle, // append-then-serve == full rebuild
     "emb_knn_lsh_window" -> lshOracle, // same selection, window-shaped plan
     "emb_knn_ivf" -> ivfOracle,
     "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
@@ -648,6 +670,7 @@ object VectorQueries {
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,
     "emb_knn_lsh_persisted" -> embKnnLshPersisted _,
+    "emb_knn_lsh_incremental" -> embKnnLshIncremental _,
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_knn_ivf_persisted" -> embKnnIvfPersisted _,

@@ -198,6 +198,43 @@ class WarehouseSpec extends SparkSpec {
       == direct.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq)
   }
 
+  test("incremental LSH append is O(batch) and serve-after-append equals full rebuild") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-annappend").toString
+    val planes = Ann.hashPlanes(nPlanes = 4, dim = 8)
+    def vec(i: Long) = Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)
+    val all = (0L until 64L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val first = all.filter(col("vec_id") < 48L)
+    val batch = all.filter(col("vec_id") >= 48L)
+    AnnIndex.writeLshIndex(first, "vec_id", "embedding", planes, s"$base/idx")
+    def partFiles() = {
+      val fs = new java.io.File(s"$base/idx")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq(f) else Nil
+      walk(fs).map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = partFiles()
+    // O(batch): the append job's scan reads the batch rows only — the
+    // stored index path appears nowhere in its plan
+    val rows = AnnIndex.lshIndexRows(batch, "vec_id", "embedding", planes)
+    assert(!rows.queryExecution.executedPlan.toString.contains(s"$base/idx"),
+      "append derivation must not read the stored index")
+    AnnIndex.appendLshIndex(batch, "vec_id", "embedding", planes, s"$base/idx")
+    val after = partFiles()
+    // pre-existing part files are untouched (same path, size, mtime) —
+    // append only ADDS files into the bucket directories
+    assert(after.size > before.size, "append added no files")
+    assert(before.toSet.subsetOf(after.toSet),
+      "append rewrote pre-existing index files")
+    // serve-after-append is row-identical to a full rebuild over the union
+    AnnIndex.writeLshIndex(all, "vec_id", "embedding", planes, s"$base/full")
+    def serve(p: String) = AnnIndex.knnLshServe(spark.read.parquet(p), "vec_id",
+        col("vec_id") < 3L, k = 2)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    assert(serve(s"$base/idx") == serve(s"$base/full"))
+  }
+
   test("persisted PQ codes serve ADC search without re-encoding the collection") {
     import graft.operators.{Ann, AnnIndex}
     val base = Files.createTempDirectory("graft-pqidx").toString
