@@ -196,7 +196,48 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_schema_evolution — SCHEMA-EVOLVED snapshot read
+    * (graft.sources.Snapshot): the orders table arrives in two commits
+    * with DIFFERENT schemas — the initial load has no `o_year`, a later
+    * commitAppend ADDS it (the most common table change a training-data
+    * store sees). Nothing is rewritten: each segment records its schema
+    * in a sidecar, the reader unions them in commit order and
+    * NULL-backfills the old segment's rows (SnapshotSpec also pins the
+    * old version's ORIGINAL schema via time travel and the loud
+    * type-change reject). The gate aggregates across both segments —
+    * rows grouped under o_year IS NULL are exactly the pre-evolution
+    * ingest — against an oracle that derives the same split
+    * relationally. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapevo", dir)
+    // rebuild the two-schema store from scratch each run (idempotent
+    // under Bench's repeated passes)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+    Snapshot.commit(spark, root, Map("orders_evo" ->
+      o.filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")))
+    Snapshot.commitAppend(spark, root, appends = Map("orders_evo" ->
+      o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("o_year"))))
+    Snapshot.read(spark, root, "orders_evo")
+      .groupBy(col("o_orderstatus"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus", "o_year")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_schema_evolution" ->
+      """SELECT o_orderstatus,
+        |       CASE WHEN o_orderkey % 3 = 0 THEN CAST(year(o_orderdate) AS BIGINT) END AS o_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_dpp_join" ->
       """WITH c AS (
         |  SELECT o_orderstatus AS status, COUNT(*) AS n FROM orders GROUP BY 1
@@ -324,5 +365,6 @@ object EtlQueries {
     "etl_incremental_agg" -> incrementalAgg _,
     "etl_dpp_join" -> dppJoin _,
     "etl_bloom_semi" -> bloomSemi _,
+    "etl_schema_evolution" -> schemaEvolution _,
   )
 }

@@ -39,6 +39,16 @@ import graft.operators.Upsert.MergeStats
   * scan parquet as usual (column pruning and filter pushdown are
   * untouched because the data files are plain parquet). Old versions
   * stay readable (snapshot isolation / time travel) until [[vacuum]].
+  *
+  * SCHEMA EVOLUTION: every segment records its written schema in a
+  * `_graft_schema` sidecar; a table's read schema is the union of its
+  * segments' schemas in commit order ([[mergedSchema]]). An appended
+  * batch may ADD columns — readers NULL-backfill them for older
+  * segments (and NULL-backfill the batch's rows for columns it omits)
+  * with zero data rewritten; a shared column changing TYPE is rejected
+  * loudly at commit time ([[commitAppend]]) and again at read time for
+  * legacy dirs. Time travel pins each version to its own segment list,
+  * hence to exactly the schema that version committed with.
   */
 object Snapshot {
 
@@ -106,8 +116,72 @@ object Snapshot {
     * segments. */
   private def relDirs(rel: String): Seq[String] = rel.split(',').toSeq
 
-  private def readRel(spark: SparkSession, root: String, rel: String): DataFrame =
-    spark.read.parquet(relDirs(rel).map(r => new Path(root, r).toString): _*)
+  /** Read a table's segment list under ONE union schema (see
+    * [[mergedSchema]]): segments written before a column existed
+    * NULL-backfill it — the parquet reader fills requested-but-absent
+    * columns with NULL when handed an explicit schema, so the backfill
+    * costs nothing and no segment is ever rewritten. */
+  private def readRel(spark: SparkSession, root: String, rel: String): DataFrame = {
+    val paths = relDirs(rel).map(r => new Path(root, r).toString)
+    spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
+  }
+
+  /** Sidecar recording the exact schema a segment was written with
+    * (underscore prefix = hidden from data reads, like [[StatsName]]). */
+  private val SchemaName = "_graft_schema"
+
+  /** A segment's written schema: the sidecar when present (O(1) — no
+    * footer sampling), else the segment's own parquet footers (legacy
+    * dirs written before schema tracking). */
+  private def segmentSchema(spark: SparkSession, root: String,
+      seg: String): org.apache.spark.sql.types.StructType = {
+    val fs = fsOf(spark, root)
+    val p = new Path(new Path(root, seg), SchemaName)
+    val fromSidecar =
+      if (!fs.exists(p)) None
+      else Try {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, UTF_8.name()).mkString
+                   finally in.close()
+        org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.toOption
+    fromSidecar.getOrElse(spark.read.parquet(new Path(root, seg).toString).schema)
+  }
+
+  /** SCHEMA EVOLUTION: the union schema of a segment list, in segment
+    * (commit) order — later segments may ADD columns (readers backfill
+    * NULL for older segments); a column present in several segments must
+    * keep ONE type, or the read fails loudly (silent cross-type
+    * coercion corrupts data; rewrite the table to change a type). Each
+    * version's manifest pins its own segment list, so time travel reads
+    * each version under exactly the schema it committed with. Cost is
+    * O(segments) sidecar reads — never a data or footer scan. */
+  private[graft] def mergedSchema(spark: SparkSession, root: String,
+      rel: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val segs = relDirs(rel)
+    segs.map(segmentSchema(spark, root, _)).reduceLeft { (acc: StructType, s: StructType) =>
+      val byName = acc.fields.map(f => f.name -> f).toMap
+      val extra = s.fields.filterNot(f => byName.contains(f.name))
+      s.fields.foreach { f =>
+        byName.get(f.name).foreach { prev =>
+          if (prev.dataType != f.dataType) throw new IllegalStateException(
+            s"snapshot: column '${f.name}' changes type across segments " +
+              s"(${prev.dataType.simpleString} -> ${f.dataType.simpleString}) — " +
+              "type changes require a table rewrite, not an append")
+        }
+      }
+      // a column absent from any segment must be readable as NULL there
+      val widened = acc.fields.map { f =>
+        s.fields.find(_.name == f.name) match {
+          case Some(sf) => f.copy(nullable = f.nullable || sf.nullable)
+          case None => f.copy(nullable = true)
+        }
+      }
+      StructType(widened ++ extra.map((f: StructField) => f.copy(nullable = true)))
+    }
+  }
 
   /** Table → absolute data path(s) of the newest committed snapshot
     * (comma-joined when the table has appended segments). */
@@ -219,6 +293,25 @@ object Snapshot {
     }
     val pinnedBase = expectBase.getOrElse(base.map(_._1).getOrElse(0L))
     val baseRels = base.map(_._2).getOrElse(Map.empty)
+    // SCHEMA EVOLUTION gate, checked BEFORE any data writes: an appended
+    // batch may add columns (older segments read them back as NULL) and
+    // may omit columns (its rows read back NULL there), but a column it
+    // shares with the stored table must keep the stored type — rejected
+    // loudly here, at commit time, not discovered by some later reader.
+    appends.foreach { case (t, df) =>
+      baseRels.get(t).foreach { rel =>
+        val stored = mergedSchema(spark, root, rel)
+        val storedByName = stored.fields.map(f => f.name -> f).toMap
+        df.schema.fields.foreach { f =>
+          storedByName.get(f.name).foreach { prev =>
+            require(prev.dataType == f.dataType,
+              s"snapshot commitAppend: table '$t' column '${f.name}' type change " +
+                s"${prev.dataType.simpleString} -> ${f.dataType.simpleString} — " +
+                "type changes require a replace commit (table rewrite), not an append")
+          }
+        }
+      }
+    }
     val appended = appends.map { case (t, df) =>
       val seg = writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
       t -> baseRels.get(t).map(old => s"$old,$seg").getOrElse(seg)
@@ -316,6 +409,11 @@ object Snapshot {
       s"snapshot: invalid table name '$table'")
     val rel = s"$DataDir/$table/${UUID.randomUUID().toString}"
     df.write.parquet(new Path(root, rel).toString)
+    // record the written schema next to the data (still invisible):
+    // segment-list readers union these instead of sampling footers
+    val fs = fsOf(spark, root)
+    val out = fs.create(new Path(new Path(root, rel), SchemaName), false)
+    try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
     if (statsCols.nonEmpty) writeStats(spark, root, rel, statsCols)
     rel
   }
@@ -433,7 +531,7 @@ object Snapshot {
     }
     if (paths.isEmpty)
       readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(paths: _*)
+    else spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
   }
 
   /** How long a committer waits for an in-flight claim on its target

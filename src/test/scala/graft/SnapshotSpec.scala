@@ -305,6 +305,62 @@ class SnapshotSpec extends SparkSpec {
     assert(ids.exists(_ >= 200L))      // statless segment read whole
   }
 
+  test("schema evolution: appended columns NULL-backfill; time travel pins each schema") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    // append a batch that ADDS a column — no rewrite of the v1 segment
+    val v2 = Snapshot.commitAppend(spark, root,
+      appends = Map("t" -> Seq((3L, "c", 30L)).toDF("id", "v", "score")))
+    val head = Snapshot.read(spark, root, "t").orderBy("id")
+    assert(head.columns.toSeq == Seq("id", "v", "score"))
+    // old rows read the new column as NULL; the new row carries its value
+    assert(head.collect().map(r =>
+        (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2)))
+      .toSeq == Seq((1L, "a", null), (2L, "b", null), (3L, "c", 30L)))
+    // a later batch may OMIT the new column — its rows backfill NULL
+    Snapshot.commitAppend(spark, root,
+      appends = Map("t" -> Seq((4L, "d")).toDF("id", "v")))
+    val after = Snapshot.read(spark, root, "t")
+    assert(after.filter(col("id") === 4L).select("score").collect().head.isNullAt(0))
+    assert(after.count() == 4L)
+    // time travel pins each version's OWN schema: v1 has no score column
+    assert(Snapshot.readAt(spark, root, "t", v1).columns.toSeq == Seq("id", "v"))
+    assert(Snapshot.readAt(spark, root, "t", v2).columns.toSeq == Seq("id", "v", "score"))
+    // a TYPE change on a shared column is rejected loudly at commit
+    // time, before any data lands
+    val filesBefore = Files.walk(Paths.get(root)).count()
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.commitAppend(spark, root,
+        appends = Map("t" -> Seq(("5", "e")).toDF("id", "v")))
+    }
+    assert(e.getMessage.contains("type change"))
+    assert(Files.walk(Paths.get(root)).count() == filesBefore,
+      "rejected append must not write data")
+    // replace commits may change types freely (whole-table rewrite)
+    Snapshot.commit(spark, root, Map("t" -> Seq(("9", "z")).toDF("id", "v")))
+    assert(Snapshot.read(spark, root, "t").schema("id").dataType.typeName == "string")
+  }
+
+  test("schema evolution composes with data-skipping stats and readPruned") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, 10L), (2L, 20L)).toDF("id", "x")),
+      statsCols = Map("t" -> Seq("id")))
+    Snapshot.commitAppend(spark, root,
+      appends = Map("t" -> Seq((100L, 5L, "w")).toDF("id", "x", "tag")),
+      statsCols = Map("t" -> Seq("id")))
+    // pruned read keeps only the matching segment's files AND reads them
+    // under the union schema (tag NULL-backfilled for the old segment)
+    val pruned = Snapshot.readPruned(spark, root, "t", "id", 1L, 2L)
+      .filter(col("id").between(1L, 2L))
+    assert(pruned.columns.toSeq == Seq("id", "x", "tag"))
+    assert(pruned.orderBy("id").collect().map(r => (r.getLong(0), r.isNullAt(2)))
+      .toSeq == Seq((1L, true), (2L, true)))
+  }
+
   test("ingestBatchExactlyOnce: replay no-ops, all-dup batches advance the marker") {
     import org.apache.spark.sql.functions.col
     import graft.streaming.StreamOps
