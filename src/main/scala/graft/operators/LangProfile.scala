@@ -87,16 +87,29 @@ object LangProfile {
     * [[Curate.release]]). */
   def classify(df: DataFrame, idCol: String, langCol: String, textCol: String,
       k: Int = 64): DataFrame =
-    classifyFromArrays(trigramArrays(df, idCol, langCol, textCol), idCol, k)
+    classifyFromCounts(df
+      .select(col(idCol), col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
+      .select(col(idCol), col("lang"), explode(charTrigrams(col("__ch"))).as("gram")),
+      idCol, k)
 
-  /** [[classify]] over a pre-built (idCol, lang, __grams) frame (see
-    * [[trigramArrays]]) — lets a pipeline that already materialized the
-    * arrays skip the corpus re-scan. Result is bit-identical to
-    * [[classify]] on the frame the arrays came from. */
+  /** [[classify]] over a pre-built (idCol, lang, __grams) frame — ONLY
+    * sound when the arrays are MATERIALIZED (an eager checkpoint /
+    * stored table, the [[Curate.curateV2]] shared frame): on a lazy
+    * frame the optimizer may substitute the char-split into the
+    * trigram lambda's three element_at references, re-running the
+    * O(len) split per gram (O(len²)/doc — measured 36× on
+    * doc_lang_trained at sf0.1, which is why [[classify]] keeps the
+    * inline generator form). Result is bit-identical to [[classify]]
+    * on the frame the arrays came from. */
   def classifyFromArrays(gramArrays: DataFrame, idCol: String,
-      k: Int = 64): DataFrame = {
-    val counts = gramArrays
-      .select(col(idCol), col("lang"), explode(col("__grams")).as("gram"))
+      k: Int = 64): DataFrame =
+    classifyFromCounts(gramArrays
+      .select(col(idCol), col("lang"), explode(col("__grams")).as("gram")),
+      idCol, k)
+
+  private def classifyFromCounts(grams: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val counts = grams
       .groupBy(col(idCol), col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
     try {

@@ -25,7 +25,9 @@ Derivation (replica k = 0..9; k=0 is the original rows):
   - events ts keeps its TIMESTAMP(NANOS) physical type (pyarrow ns
     passthrough) — graft.model.Tables.events depends on it.
 
-Usage: python3 tools/make_sf1.py [outdir]   (default /tmp/graft_sf1)
+Usage: python3 tools/make_sf1.py [outdir] [replicas]
+  (defaults: /tmp/graft_sf1, 10 — i.e. sf1; replicas=30 derives sf3 for
+  the second scaling decade, any factor works up to OFF collisions)
 """
 import sys
 
@@ -35,7 +37,10 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+# replica k's keys live in [k*OFF, k*OFF + max base key]; base keys at
+# sf0.1 top out well under 10M, so ranges never collide at any replica
+# count that fits int64
 OFF = 10_000_000
 
 KEY_COLS = {
