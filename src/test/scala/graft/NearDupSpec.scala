@@ -223,6 +223,29 @@ class NearDupSpec extends SparkSpec {
       NearDup.simhashPairs(docs, "doc_id", "text", maxHamming = 4))
   }
 
+  test("simhashPairsCombo: identical pair set to contiguous banding, validated params") {
+    // banding generates candidates only — the exact Hamming filter
+    // decides membership, so the Manku combination layout must produce
+    // the IDENTICAL pair set as the minimal contiguous layout
+    val contiguous = NearDup.simhashPairs(docs, "doc_id", "text",
+        bits = 64, bands = 6, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    val combo = NearDup.simhashPairsCombo(docs, "doc_id", "text",
+        bits = 64, blocks = 8, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(combo == contiguous)
+    // uneven block widths (64 bits / 7 blocks) stay lossless too
+    val uneven = NearDup.simhashPairsCombo(docs, "doc_id", "text",
+        bits = 64, blocks = 7, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("hamming")).toMap
+    assert(uneven == contiguous)
+    intercept[IllegalArgumentException]( // maxHamming must be < blocks
+      NearDup.simhashPairsCombo(docs, "doc_id", "text", blocks = 5, maxHamming = 5))
+    intercept[IllegalArgumentException]( // combination explosion guard
+      NearDup.simhashPairsCombo(docs, "doc_id", "text", bits = 64, blocks = 24,
+        maxHamming = 12))
+  }
+
   test("simhash rejects out-of-range bit widths") {
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 0))
     intercept[IllegalArgumentException](NearDup.simhash(docs, "doc_id", "text", bits = 65))
