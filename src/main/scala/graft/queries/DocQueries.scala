@@ -598,6 +598,43 @@ object DocQueries {
       .orderBy("doc_id", "channel")
   }
 
+  /** mm_video_stats — REAL multi-frame (video-shaped) decode gate
+    * (graft.operators.MediaPipeline): every doc becomes a deterministic
+    * 4-frame animated GIF (each 4×4 frame's 16 gray pixels = one md5
+    * digest of the doc id and frame index), encoded by THIS module's
+    * GIF89a writer — gray global palette, 9-bit literal LZW with
+    * periodic CLEARs — and decoded frame-by-frame by the INDEPENDENT
+    * JDK ImageIO GIF parser in the distributed pass; exact per-frame
+    * pixel sums gate both directions against an oracle that derives the
+    * same sums from md5 hex pairs without ever seeing a container. The
+    * video row of the mm_image/mm_audio family: with this, all three
+    * modalities decode for real (GIF being the one multi-frame
+    * container a bare JRE can parse), and frame sampling
+    * (MediaPipeline.sampleGifFrames) is a real decode → transcode. */
+  def mmVideoStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val frames = (0 until 4).map { k =>
+          md.digest(s"$id~f$k".getBytes("UTF-8"))
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("video/gif", 4, 4, 0, 400L),
+          MediaPipeline.encodeGif(4, 4, frames))
+      }
+    }
+    MediaPipeline.videoFrameStats(media).toDF()
+      .select(col("media_id").as("doc_id"), col("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_gray"),
+        (col("sum_gray").cast("double") / lit(16.0)).as("mean_gray"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** doc_jsonl — JSONL ingestion round-trip (graft.sources.JsonLines):
     * the documents table is serialized to newline-delimited JSON with
     * every 50th doc's line corrupted (final `}` dropped — truncated-write
@@ -1731,6 +1768,17 @@ object DocQueries {
         |       CAST(12 AS BIGINT) AS n_frames, sum_samples,
         |       CAST(sum_samples AS DOUBLE) / CAST(12 AS DOUBLE) AS mean_sample
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+    "mm_video_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, k, j,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~f' || CAST(k AS VARCHAR)),
+        |                             j * 2 + 1, 2) AS BIGINT) AS v
+        |  FROM documents, range(0, 4) fr(k), range(0, 16) px(j))
+        |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS sum_gray,
+        |       CAST(SUM(v) AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_gray
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1779,5 +1827,6 @@ object DocQueries {
     "mm_blob_stats" -> mmBlobStats _,
     "mm_image_stats" -> mmImageStats _,
     "mm_audio_stats" -> mmAudioStats _,
+    "mm_video_stats" -> mmVideoStats _,
   )
 }

@@ -172,6 +172,55 @@ class MediaPipelineSpec extends SparkSpec {
     assert(pcm.samples.toSeq == Seq[Short](500, -700, 500, -700, 500, -700, 500, -700))
   }
 
+  test("animated GIF encode → JDK ImageIO multi-frame decode round-trips pixels") {
+    // 3 frames of 4x3 gray with full-range values (0, 255, mid) — the
+    // palette path must be lossless, not quantized
+    val frames = Seq(
+      Array.tabulate[Byte](12)(i => (i * 21).toByte),
+      Array.tabulate[Byte](12)(i => (255 - i * 9).toByte),
+      Array.fill[Byte](12)(0x80.toByte))
+    val gif = MediaPipeline.encodeGif(4, 3, frames)
+    val back = MediaPipeline.decodeGifFrames(gif)
+    assert(back.size == 3)
+    for ((img, fi) <- back.zipWithIndex) {
+      assert(img.getWidth == 4 && img.getHeight == 3)
+      for (y <- 0 until 3; x <- 0 until 4) {
+        val v = frames(fi)(y * 4 + x) & 0xff
+        assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v),
+          s"frame $fi pixel ($x,$y)")
+      }
+    }
+    // a frame large enough to exercise the periodic-CLEAR cadence and
+    // multiple 255-byte sub-blocks
+    val big = Array.tabulate[Byte](64 * 64)(i => ((i * 7) % 256).toByte)
+    val bigBack = MediaPipeline.decodeGifFrames(MediaPipeline.encodeGif(64, 64, Seq(big)))
+    assert(bigBack.size == 1)
+    val sums = (0 until 64).flatMap(y => (0 until 64).map(x =>
+      bigBack.head.getRGB(x, y) & 0xff)).map(_.toLong).sum
+    assert(sums == big.map(v => (v & 0xff).toLong).sum)
+  }
+
+  test("videoFrameStats sums real decoded frames; sampleGifFrames transcodes to BMP") {
+    val frames = Seq(
+      Array.fill[Byte](16)(10), Array.fill[Byte](16)(20),
+      Array.fill[Byte](16)(30), Array.fill[Byte](16)(40))
+    val media = Seq(MediaRecord(21L, MediaMeta("video/gif", 4, 4, 0, 0L),
+      MediaPipeline.encodeGif(4, 4, frames))).toDS()
+    val st = MediaPipeline.videoFrameStats(media).collect().sortBy(_.frame_idx)
+    assert(st.map(_.sum_gray).toSeq == Seq(160L, 320L, 480L, 640L))
+    assert(st.forall(s => s.width == 4 && s.height == 4))
+    // every 2nd frame, re-encoded as a standalone decodable BMP
+    val sampled = MediaPipeline.sampleGifFrames(media, stride = 2)
+      .collect().sortBy(_._2)
+    assert(sampled.map(_._2).toSeq == Seq(0, 2))
+    val f2 = MediaPipeline.decodeImage(sampled(1)._3).get
+    assert((f2.getRGB(1, 1) & 0xff) == 30)
+    // corrupt payloads fail loudly
+    val bad = Seq(rec(22, "definitely not a gif")).toDS()
+    intercept[org.apache.spark.SparkException] {
+      MediaPipeline.videoFrameStats(bad).collect() }
+  }
+
   test("media parquet round-trip keeps the blob and struct columns") {
     val out = java.nio.file.Files.createTempDirectory("graft-media").toString + "/m"
     Seq(rec(1, "hello"), rec(2, "world")).toDS().write.parquet(out)
