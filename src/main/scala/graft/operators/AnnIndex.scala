@@ -96,14 +96,23 @@ object AnnIndex {
     * cross — the map-side-combined min(struct) keeps the shuffle at one
     * row per vector. */
   def ivfIndexRows(df: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame): DataFrame = {
+      codebook: DataFrame): DataFrame =
+    ivfRowsFromPivoted(df, idCol, vecCol, Ann.pivotCodebook(codebook))
+
+  /** Shared assignment block over an already-PIVOTED (cb_label, __cv,
+    * __cc) codebook — the form [[Ann.pivotCodebook]] produces at build
+    * and the stored `path + "_codebook"` yields (after rename) at
+    * append. Keeping one code path is what makes append-time encoding
+    * bit-identical to build-time encoding. */
+  private def ivfRowsFromPivoted(df: DataFrame, idCol: String, vecCol: String,
+      pivoted: DataFrame): DataFrame = {
     Seq(QCol, NCol, CentCol).foreach { c =>
       require(!df.columns.contains(c),
         s"input already has a column named the reserved index column '$c'") }
     val base = df.withColumn(QCol, Ann.quantize(col(vecCol)))
       .drop(vecCol)
       .withColumn(NCol, Ann.dotQ(col(QCol), col(QCol)))
-    val scored = base.crossJoin(broadcast(Ann.pivotCodebook(codebook)))
+    val scored = base.crossJoin(broadcast(pivoted))
       .withColumn("__dist",
         col(NCol) - lit(2L) * Ann.dotQ(col(QCol), col("__cv")) + col("__cc"))
     val others = base.columns.filterNot(_ == idCol)
@@ -125,6 +134,23 @@ object AnnIndex {
     Ann.pivotCodebook(codebook)
       .select(col("cb_label"), col("__cv").as("cv"), col("__cc").as("cc"))
       .write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** INCREMENTAL IVF maintenance: append a NEW batch's inverted-list
+    * rows to an existing index at `path`, encoding with the STORED
+    * codebook (`path + "_codebook"`) — the frozen serve-time parameter,
+    * exactly as [[appendLshIndex]]'s hyperplanes. O(batch) + O(nlist):
+    * the job scans the batch and the ≤ nlist-row codebook; the stored
+    * index data is never read and its files are never rewritten
+    * (asserted in WarehouseSpec). Serve-after-append is hash-identical
+    * to a full rebuild over the union with the same codebook (the
+    * emb_knn_ivf_incremental gate). */
+  def appendIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val stored = batch.sparkSession.read.parquet(path + "_codebook")
+      .select(col("cb_label"), col("cv").as("__cv"), col("cc").as("__cc"))
+    ivfRowsFromPivoted(batch, idCol, vecCol, stored)
+      .write.mode("append").partitionBy(CentCol).parquet(path)
   }
 
   /** Subspace / code columns of the persisted PQ layout. */
@@ -173,6 +199,22 @@ object AnnIndex {
       .select(col(SubspaceCol), col("cluster"),
         col("__cv").as("cv"), col("__cc").as("cc"))
       .write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** INCREMENTAL PQ maintenance: append a NEW batch's code rows to an
+    * existing index at `path`, encoding with the STORED codebooks
+    * (`path + "_codebook"` — the frozen m·k-row quantizer). O(batch):
+    * the job scans the batch plus the broadcast codebooks; stored codes
+    * are never read or rewritten (asserted in WarehouseSpec).
+    * Serve-after-append is hash-identical to a full rebuild over the
+    * union with the same codebooks (the emb_knn_pq_incremental gate). */
+  def appendPqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, path: String): Unit = {
+    val stored = batch.sparkSession.read.parquet(path + "_codebook")
+      .select(col(SubspaceCol), col("cluster"),
+        col("cv").as("__cv"), col("cc").as("__cc"))
+    pqIndexRows(batch, idCol, vecCol, stored, dim, m)
+      .write.mode("append").parquet(path)
   }
 
   /** Top-k PQ search served from the PERSISTED codes + codebooks: the

@@ -125,6 +125,34 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** emb_knn_ivf_incremental — INCREMENTAL IVF maintenance gate: the
+    * collection arrives in two ingests (vec_id % 5 != 3, then the
+    * rest); the first builds the inverted lists, the second APPENDS its
+    * rows encoded with the STORED codebook
+    * (graft.operators.AnnIndex.appendIvfIndex — O(batch): the stored
+    * index data is never read or rewritten; WarehouseSpec asserts
+    * both). The codebook is the index's FROZEN serve-time parameter —
+    * the exact analogue of the LSH gate's hyperplanes — so the gate
+    * trains it once over the collection and both build and append
+    * encode against it; serve-after-append is gated against the SAME
+    * full-collection oracle as emb_knn_ivf (append-then-serve ==
+    * full rebuild). WarehouseSpec additionally exercises the
+    * production shape where the codebook is trained on the initial
+    * ingest alone. */
+  def embKnnIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annivfinc", dir)
+    AnnIndex.writeIvfIndex(emb.filter(col("vec_id") % 5 =!= 3),
+      "vec_id", "embedding", Ann.ivfCodebook(emb, "label", "embedding"), path)
+    AnnIndex.appendIvfIndex(emb.filter(col("vec_id") % 5 === 3),
+      "vec_id", "embedding", path)
+    AnnIndex.knnIvfServe(spark.read.parquet(path),
+        spark.read.parquet(path + "_codebook"), "vec_id",
+        col("vec_id") < ProbeMax, K, nProbe = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Metadata-filtered search: neighbors restricted to even labels. */
   def embKnnFiltered(spark: SparkSession, dir: String): DataFrame =
     Ann.knnLshFiltered(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -264,6 +292,33 @@ object VectorQueries {
     val cbs = Ann.pqCodebooks(emb, "vec_id", "embedding", PqDim, PqM, PqK, PqIters)
     try {
       AnnIndex.writePqIndex(emb, "vec_id", "embedding", cbs, PqDim, PqM, path)
+      AnnIndex.knnPqServe(spark.read.parquet(path),
+          spark.read.parquet(path + "_codebook"),
+          emb.filter(col("vec_id") < PqProbeMax), "vec_id", "embedding",
+          PqDim, PqM, K)
+        .orderBy("probe_id", "rank")
+    } finally graft.operators.NearDup.freeCheckpoint(cbs)
+  }
+
+  /** emb_knn_pq_incremental — INCREMENTAL PQ maintenance gate: codes
+    * arrive in two ingests; the second APPENDS its (id, subspace, code)
+    * rows encoded with the STORED codebooks
+    * (graft.operators.AnnIndex.appendPqIndex — O(batch), stored codes
+    * never read or rewritten; WarehouseSpec asserts both). The m·k-row
+    * codebook is the frozen quantizer (trained once, here over the
+    * collection so the gate shares emb_knn_pq's oracle); ADC serving
+    * over the appended index must be hash-identical to a full rebuild
+    * over the union. */
+  def embKnnPqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annpqinc", dir)
+    val cbs = Ann.pqCodebooks(emb, "vec_id", "embedding", PqDim, PqM, PqK, PqIters)
+    try {
+      AnnIndex.writePqIndex(emb.filter(col("vec_id") % 5 =!= 3),
+        "vec_id", "embedding", cbs, PqDim, PqM, path)
+      AnnIndex.appendPqIndex(emb.filter(col("vec_id") % 5 === 3),
+        "vec_id", "embedding", PqDim, PqM, path)
       AnnIndex.knnPqServe(spark.read.parquet(path),
           spark.read.parquet(path + "_codebook"),
           emb.filter(col("vec_id") < PqProbeMax), "vec_id", "embedding",
@@ -652,6 +707,8 @@ object VectorQueries {
     "emb_knn_lsh_window" -> lshOracle, // same selection, window-shaped plan
     "emb_knn_ivf" -> ivfOracle,
     "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
+    "emb_knn_ivf_incremental" -> ivfOracle, // append-then-serve == full rebuild
+    "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
     "emb_near_dup" -> nearDupOracle,
     "emb_centroids" -> centroidsOracle,
   )
@@ -674,6 +731,8 @@ object VectorQueries {
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_knn_ivf_persisted" -> embKnnIvfPersisted _,
+    "emb_knn_ivf_incremental" -> embKnnIvfIncremental _,
+    "emb_knn_pq_incremental" -> embKnnPqIncremental _,
     "emb_near_dup" -> embNearDup _,
     "emb_centroids" -> embCentroids _,
   )

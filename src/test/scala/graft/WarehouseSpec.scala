@@ -287,4 +287,78 @@ class WarehouseSpec extends SparkSpec {
     assert(served.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
       == direct.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq)
   }
+
+  /** (path, size, mtime) of every data part file under `dir` — the
+    * physical fingerprint the append tests assert is preserved. */
+  private def partFiles(dir: String): Seq[(String, Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.startsWith("part-")) Seq(f) else Nil
+    walk(new java.io.File(dir)).map(f => (f.getPath, f.length, f.lastModified))
+      .sortBy(_._1)
+  }
+
+  test("incremental IVF append encodes with the stored codebook, O(batch)") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-ivfappend").toString
+    val all = (0L until 64L).map(i =>
+      (i, i % 4, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "label", "embedding")
+    val first = all.filter(col("vec_id") < 48L)
+    val batch = all.filter(col("vec_id") >= 48L)
+    // PRODUCTION shape: codebook trained on the initial ingest alone,
+    // then FROZEN — appends encode against the stored copy
+    val cbFirst = Ann.ivfCodebook(first, "label", "embedding")
+    AnnIndex.writeIvfIndex(first, "vec_id", "embedding", cbFirst, s"$base/idx")
+    val before = partFiles(s"$base/idx")
+    // O(batch): the derivation scans the batch + the codebook only —
+    // the stored index data appears nowhere in its plan
+    val rows = AnnIndex.ivfIndexRows(batch, "vec_id", "embedding", cbFirst)
+    assert(!rows.queryExecution.executedPlan.toString.contains(s"$base/idx"),
+      "append derivation must not read the stored index")
+    AnnIndex.appendIvfIndex(batch, "vec_id", "embedding", s"$base/idx")
+    val after = partFiles(s"$base/idx")
+    assert(after.size > before.size, "append added no files")
+    assert(before.toSet.subsetOf(after.toSet),
+      "append rewrote pre-existing index files")
+    // serve-after-append == full rebuild over the union, same codebook
+    AnnIndex.writeIvfIndex(all, "vec_id", "embedding", cbFirst, s"$base/full")
+    def serve(p: String) = AnnIndex.knnIvfServe(spark.read.parquet(p),
+        spark.read.parquet(p + "_codebook"), "vec_id",
+        col("vec_id") < 3L, k = 2, nProbe = 2)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    assert(serve(s"$base/idx") == serve(s"$base/full"))
+  }
+
+  test("incremental PQ append encodes with the stored codebooks, O(batch)") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-pqappend").toString
+    val all = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    val first = all.filter(col("vec_id") < 48L)
+    val batch = all.filter(col("vec_id") >= 48L)
+    // frozen quantizer: codebooks trained on the initial ingest alone
+    val cbs = Ann.pqCodebooks(first, "vec_id", "embedding", dim = 8, m = 2, k = 4, iters = 1)
+    try {
+      AnnIndex.writePqIndex(first, "vec_id", "embedding", cbs, dim = 8, m = 2, s"$base/idx")
+      val before = partFiles(s"$base/idx")
+      val rows = AnnIndex.pqIndexRows(batch, "vec_id", "embedding", cbs, dim = 8, m = 2)
+      assert(!rows.queryExecution.executedPlan.toString.contains(s"$base/idx"),
+        "append derivation must not read the stored index")
+      AnnIndex.appendPqIndex(batch, "vec_id", "embedding", dim = 8, m = 2, s"$base/idx")
+      val after = partFiles(s"$base/idx")
+      assert(after.size > before.size, "append added no files")
+      assert(before.toSet.subsetOf(after.toSet),
+        "append rewrote pre-existing index files")
+      // ADC over the appended codes == full rebuild over the union
+      AnnIndex.writePqIndex(all, "vec_id", "embedding", cbs, dim = 8, m = 2, s"$base/full")
+      def serve(p: String) = AnnIndex.knnPqServe(spark.read.parquet(p),
+          spark.read.parquet(p + "_codebook"),
+          all.filter(col("vec_id") < 3L), "vec_id", "embedding",
+          dim = 8, m = 2, k = 2)
+        .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+      assert(serve(s"$base/idx") == serve(s"$base/full"))
+    } finally graft.operators.NearDup.freeCheckpoint(cbs)
+  }
 }
