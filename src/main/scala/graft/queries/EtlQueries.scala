@@ -231,7 +231,46 @@ object EtlQueries {
       .orderBy("o_orderstatus", "o_year")
   }
 
+  /** etl_delete_merge_read — MERGE-ON-READ DELETE gate
+    * (graft.sources.Snapshot.deleteWhere): the orders table is loaded,
+    * a key-set is deleted by tombstone (O(deleted keys) — zero data
+    * files rewritten, SnapshotSpec asserts the byte-identical
+    * fingerprint), and a later ingest RE-APPENDS some of the deleted
+    * keys — which must stay suppressed (the by-key contract: a
+    * tombstone outlives appends until a compaction folds it). The gate
+    * aggregates the resolved read against an oracle that never saw a
+    * delete: plain `WHERE key NOT IN deleted-set` relational algebra.
+    * If the engine resurrected the re-appended rows, both n_orders and
+    * cents_total would shift. */
+  def deleteMergeRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapdel", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Snapshot.commit(spark, root, Map("orders_del" -> o))
+    Snapshot.deleteWhere(spark, root, "orders_del",
+      col("o_orderkey") % 7 === 3, Seq("o_orderkey"))
+    // an ingest re-appends a slice of the DELETED keys (tweaked prices
+    // make any resurrection visible in cents_total, not just counts)
+    Snapshot.commitAppend(spark, root, appends = Map("orders_del" ->
+      o.filter(col("o_orderkey") % 21 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))))
+    Snapshot.read(spark, root, "orders_del")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_delete_merge_read" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM orders WHERE o_orderkey % 7 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_schema_evolution" ->
       """SELECT o_orderstatus,
         |       CASE WHEN o_orderkey % 3 = 0 THEN CAST(year(o_orderdate) AS BIGINT) END AS o_year,
@@ -366,5 +405,6 @@ object EtlQueries {
     "etl_dpp_join" -> dppJoin _,
     "etl_bloom_semi" -> bloomSemi _,
     "etl_schema_evolution" -> schemaEvolution _,
+    "etl_delete_merge_read" -> deleteMergeRead _,
   )
 }

@@ -49,6 +49,14 @@ import graft.operators.Upsert.MergeStats
   * loudly at commit time ([[commitAppend]]) and again at read time for
   * legacy dirs. Time travel pins each version to its own segment list,
   * hence to exactly the schema that version committed with.
+  *
+  * MERGE-ON-READ DELETE: [[deleteWhere]] commits the matching rows' key
+  * tuples as a tombstone segment under a `table~del` shadow entry —
+  * O(deleted keys) write cost, zero data rewritten; every read path
+  * anti-joins the keys back out, and [[compactTable]] folds the deletes
+  * into a physical rewrite (the deletion-vector discipline of the
+  * Delta/Iceberg merge-on-read position papers, keyed rather than
+  * file-positional because plain parquet has no stable row ids).
   */
 object Snapshot {
 
@@ -183,21 +191,51 @@ object Snapshot {
     }
   }
 
+  /** Manifest entry name of `table`'s tombstone shadow — the
+    * merge-on-read DELETE state ([[deleteWhere]]). '~' can't appear in
+    * a committed table name (guarded in the write APIs), so the shadow
+    * can never collide with a real table. */
+  private def delKey(table: String): String = table + "~del"
+
+  private def isDelKey(entry: String): Boolean = entry.endsWith("~del")
+
+  private def requireCommittableName(table: String): Unit =
+    require(!isDelKey(table),
+      s"snapshot: table name '$table' is reserved for tombstone shadows")
+
+  /** Anti-join `df` against `table`'s tombstoned keys, if any — the
+    * merge-on-read resolve every read path applies. The tombstone
+    * segments hold ONLY key columns, so the broadcast-able anti-join
+    * side is O(deleted keys), never O(table). */
+  private def applyTombstones(spark: SparkSession, root: String,
+      rels: Map[String, String], table: String, df: DataFrame): DataFrame =
+    rels.get(delKey(table)) match {
+      case None => df
+      case Some(rel) =>
+        val tomb = readRel(spark, root, rel)
+        df.join(tomb, tomb.columns.toSeq, "left_anti")
+    }
+
   /** Table → absolute data path(s) of the newest committed snapshot
-    * (comma-joined when the table has appended segments). */
+    * (comma-joined when the table has appended segments). Tombstone
+    * shadows are internal state, not tables — hidden here. */
   def tables(spark: SparkSession, root: String): Map[String, String] =
     current(fsOf(spark, root), root).map(_._2).getOrElse(Map.empty)
+      .filter { case (t, _) => !isDelKey(t) }
       .map { case (t, rel) =>
         t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
       }
 
-  /** Read one table of the newest committed snapshot. */
+  /** Read one table of the newest committed snapshot (tombstoned rows
+    * resolved away — see [[deleteWhere]]). */
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
+    requireCommittableName(table)
     val byName = currentRels(spark, root)
     val rel = byName.getOrElse(table,
       throw new IllegalArgumentException(
-        s"snapshot: no table '$table' at $root (have: ${byName.keys.toSeq.sorted.mkString(", ")})"))
-    readRel(spark, root, rel)
+        s"snapshot: no table '$table' at $root (have: ${
+          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
+    applyTombstones(spark, root, byName, table, readRel(spark, root, rel))
   }
 
   private def currentRels(spark: SparkSession, root: String): Map[String, String] =
@@ -210,6 +248,7 @@ object Snapshot {
     * Throws if the version never committed completely or was vacuumed. */
   def tablesAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
     relsAt(spark, root, version)
+      .filter { case (t, _) => !isDelKey(t) }
       .map { case (t, rel) =>
         t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
       }
@@ -230,12 +269,15 @@ object Snapshot {
     * (reproducible ablations, audits, incremental-delta baselines)
     * while writers keep committing. */
   def readAt(spark: SparkSession, root: String, table: String, version: Long): DataFrame = {
+    requireCommittableName(table)
     val byName = relsAt(spark, root, version)
     val rel = byName.getOrElse(table,
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root version $version (have: ${
-          byName.keys.toSeq.sorted.mkString(", ")})"))
-    readRel(spark, root, rel)
+          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
+    // the version's OWN tombstone state: a version committed before a
+    // delete still reads the deleted rows (time travel)
+    applyTombstones(spark, root, byName, table, readRel(spark, root, rel))
   }
 
   /** Atomically publish new contents for `newTables` (other tables keep
@@ -249,11 +291,15 @@ object Snapshot {
       expectBase: Option[Long] = None,
       statsCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(newTables.nonEmpty, "snapshot commit: no tables given")
+    newTables.keys.foreach(requireCommittableName)
     val fs = fsOf(spark, root)
     val written = newTables.map { case (t, df) =>
       t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
     }
-    commitManifest(fs, root, written, expectBase)
+    // a replace supersedes any accumulated merge-on-read deletes: the
+    // new contents are what the caller wants readable, verbatim
+    commitManifest(fs, root, written, expectBase,
+      removals = newTables.keySet.map(delKey))
   }
 
   /** LOG-STRUCTURED append commit: each table in `appends` gains ONE new
@@ -281,6 +327,7 @@ object Snapshot {
       expectBase: Option[Long] = None,
       statsCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(appends.nonEmpty || replaces.nonEmpty, "snapshot commitAppend: no tables given")
+    (appends.keys ++ replaces.keys).foreach(requireCommittableName)
     require(appends.keySet.intersect(replaces.keySet).isEmpty,
       s"snapshot commitAppend: tables in both appends and replaces: ${
         appends.keySet.intersect(replaces.keySet).mkString(", ")}")
@@ -319,22 +366,88 @@ object Snapshot {
     val replaced = replaces.map { case (t, df) =>
       t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
     }
-    commitManifest(fs, root, appended ++ replaced, Some(pinnedBase))
+    commitManifest(fs, root, appended ++ replaced, Some(pinnedBase),
+      removals = replaces.keySet.map(delKey))
+  }
+
+  /** MERGE-ON-READ DELETE: remove every row of `table` matching `pred`
+    * by committing the matching rows' `keyCols` tuples as a TOMBSTONE
+    * segment — no data file is read beyond the predicate scan and NONE
+    * is rewritten, so delete cost is O(matching scan) + O(deleted keys),
+    * never O(table) (the shape a GDPR/right-to-be-forgotten erasure
+    * needs on a 100 TB corpus). Every read path ([[read]], [[readAt]],
+    * [[readPruned]]) anti-joins the tombstoned keys back out;
+    * [[compactTable]] folds the deletes into a physical rewrite and
+    * clears the tombstones.
+    *
+    * Contract: deletion is BY KEY — a tombstoned key tuple suppresses
+    * every current and FUTURE-appended row with that key until a
+    * compaction folds the tombstones (after which the key may be
+    * re-inserted). Key columns must be non-NULL for matching rows and
+    * must be the SAME columns (names and types) across a table's
+    * accumulated deletes — a mismatch is rejected loudly. Versions
+    * committed before the delete still read the rows (time travel is
+    * pinned to each version's own tombstone state).
+    *
+    * Optimistic CAS like [[commitAppend]]: the tombstone list is
+    * derived from the base read on entry; a concurrent commit fails
+    * this one loudly (re-call to retry on the advanced base). */
+  def deleteWhere(spark: SparkSession, root: String, table: String,
+      pred: org.apache.spark.sql.Column, keyCols: Seq[String],
+      expectBase: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "snapshot deleteWhere: no key columns given")
+    requireCommittableName(table)
+    val fs = fsOf(spark, root)
+    val base = current(fs, root)
+    expectBase.foreach { e =>
+      val baseV = base.map(_._1).getOrElse(0L)
+      if (baseV != e) throw new IllegalStateException(
+        s"snapshot commit conflict at $root: expected base version $e, found $baseV")
+    }
+    val pinnedBase = expectBase.getOrElse(base.map(_._1).getOrElse(0L))
+    val baseRels = base.map(_._2).getOrElse(Map.empty)
+    val rel = baseRels.getOrElse(table,
+      throw new IllegalArgumentException(s"snapshot deleteWhere: no table '$table' at $root"))
+    import org.apache.spark.sql.functions.col
+    // resolve EXISTING tombstones first so already-deleted rows don't
+    // re-tombstone, then keep only the key tuples of matching rows
+    val deleted = applyTombstones(spark, root, baseRels, table,
+        readRel(spark, root, rel))
+      .filter(pred)
+      .select(keyCols.map(col): _*)
+      .distinct()
+    baseRels.get(delKey(table)).foreach { drel =>
+      val stored = mergedSchema(spark, root, drel)
+      require(stored.fields.map(f => (f.name, f.dataType)).toSeq ==
+          deleted.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"snapshot deleteWhere: key columns ${deleted.schema.fieldNames.mkString(",")} " +
+          s"differ from the table's prior deletes (${stored.fieldNames.mkString(",")}) — " +
+          "compact the table before changing delete keys")
+    }
+    val seg = writeData(spark, root, delKey(table), deleted)
+    val newRel = baseRels.get(delKey(table)).map(old => s"$old,$seg").getOrElse(seg)
+    commitManifest(fs, root, Map(delKey(table) -> newRel), Some(pinnedBase))
   }
 
   /** Fold an append-table's segments back into one dir (a new version;
     * the old segmented versions stay readable until [[vacuum]]). The
     * costs-O(table) rewrite every log-structured store schedules
-    * off the ingest path. */
+    * off the ingest path. Accumulated tombstones ([[deleteWhere]]) are
+    * resolved INTO the rewrite and cleared from the manifest — after a
+    * compaction the deletes are physical and the keys re-insertable. */
   def compactTable(spark: SparkSession, root: String, table: String,
       statsCols: Seq[String] = Seq.empty): Long = {
     val fs = fsOf(spark, root)
     val base = current(fs, root)
-    val rel = base.map(_._2).getOrElse(Map.empty).getOrElse(table,
+    val baseRels = base.map(_._2).getOrElse(Map.empty)
+    val rel = baseRels.getOrElse(table,
       throw new IllegalArgumentException(s"snapshot compact: no table '$table' at $root"))
-    val folded = writeData(spark, root, table, readRel(spark, root, rel), statsCols)
+    val resolved = applyTombstones(spark, root, baseRels, table,
+      readRel(spark, root, rel))
+    val folded = writeData(spark, root, table, resolved, statsCols)
     commitManifest(fs, root, Map(table -> folded),
-      expectBase = Some(base.map(_._1).getOrElse(0L)))
+      expectBase = Some(base.map(_._1).getOrElse(0L)),
+      removals = Set(delKey(table)))
   }
 
   /** MERGE-style upsert of several staged tables in ONE atomic commit —
@@ -348,6 +461,7 @@ object Snapshot {
       stages: Map[String, (DataFrame, Seq[String])],
       statsCols: Map[String, Seq[String]] = Map.empty): (Long, Map[String, MergeStats]) = {
     require(stages.nonEmpty, "snapshot mergeCommit: no tables given")
+    stages.keys.foreach(requireCommittableName)
     val fs = fsOf(spark, root)
     val base = current(fs, root)
     val baseTables = base.map(_._2).getOrElse(Map.empty)
@@ -356,7 +470,10 @@ object Snapshot {
       try {
         val staged = stageP.count()
         Upsert.requireUniqueKeys(stageP, keys, staged)
-        val existing = baseTables.get(t).map(rel => readRel(spark, root, rel))
+        // merge against the RESOLVED view: tombstoned rows are gone and
+        // stay gone (the rewrite below also clears the tombstones)
+        val existing = baseTables.get(t).map(rel =>
+          applyTombstones(spark, root, baseTables, t, readRel(spark, root, rel)))
         val before = existing.map(_.count()).getOrElse(0L)
         val out = existing.map(Upsert.upsert(_, stageP, keys)).getOrElse(stageP)
         val rel = writeData(spark, root, t, out, statsCols.getOrElse(t, Seq.empty))
@@ -367,7 +484,8 @@ object Snapshot {
     }
     val v = commitManifest(fs, root,
       merged.map { case (t, rel, _) => t -> rel }.toMap,
-      expectBase = Some(base.map(_._1).getOrElse(0L)))
+      expectBase = Some(base.map(_._1).getOrElse(0L)),
+      removals = stages.keySet.map(delKey))
     (v, merged.map { case (t, _, s) => t -> s }.toMap)
   }
 
@@ -504,6 +622,7 @@ object Snapshot {
     * a correctness gate. */
   def readPruned(spark: SparkSession, root: String, table: String,
       column: String, lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    requireCommittableName(table)
     val byName = version.map(v => relsAt(spark, root, v))
       .getOrElse(currentRels(spark, root))
     val rel = byName.getOrElse(table,
@@ -529,9 +648,12 @@ object Snapshot {
           }.toSeq.sorted
       }
     }
-    if (paths.isEmpty)
-      readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
+    val df =
+      if (paths.isEmpty)
+        readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
+    // merge-on-read deletes apply to every read path, pruned or not
+    applyTombstones(spark, root, byName, table, df)
   }
 
   /** How long a committer waits for an in-flight claim on its target
@@ -552,7 +674,8 @@ object Snapshot {
     * throws — loud, not silent; [[vacuum]] sweeps the dead claim file
     * and unblocks the slot. */
   private def commitManifest(fs: FileSystem, root: String,
-      updates: Map[String, String], expectBase: Option[Long]): Long = {
+      updates: Map[String, String], expectBase: Option[Long],
+      removals: Set[String] = Set.empty): Long = {
     val deadline = System.currentTimeMillis() + claimWaitMs
     while (true) {
       val base = current(fs, root)
@@ -561,7 +684,7 @@ object Snapshot {
         if (baseV != e) throw new IllegalStateException(
           s"snapshot commit conflict at $root: expected base version $e, found $baseV")
       }
-      val merged = base.map(_._2).getOrElse(Map.empty) ++ updates
+      val merged = (base.map(_._2).getOrElse(Map.empty) ++ updates) -- removals
       val next = baseV + 1L
       val target = manifestPath(root, next)
       fs.mkdirs(target.getParent)

@@ -445,4 +445,90 @@ class SnapshotSpec extends SparkSpec {
     // one row per app — merged canonical form, not an append log
     assert(Snapshot.read(spark, root, "_ingest").count() == 2)
   }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("merge-on-read delete: tombstones suppress rows with zero data rewrite") {
+    val root = freshRoot()
+    val vData = Snapshot.commit(spark, root,
+      Map("t" -> (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")))
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[(String, Long, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq((f.getPath, f.length, f.lastModified))
+        else Nil
+      walk(new java.io.File(s"$root/data/t")).sortBy(_._1)
+    }
+    val before = dataFiles()
+    import org.apache.spark.sql.functions.col
+    val vDel = Snapshot.deleteWhere(spark, root, "t", col("id") % 2 === 0, Seq("id"))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 3L, 5L))
+    // ZERO rewrite: every data file of `t` is byte-identical; the delete
+    // wrote only a key-column tombstone segment under the shadow entry
+    assert(dataFiles() == before, "delete rewrote data files")
+    val tombDirs = new java.io.File(s"$root/data/t~del").listFiles().filter(_.isDirectory)
+    assert(tombDirs.length == 1)
+    assert(spark.read.parquet(tombDirs.head.toString).columns.toSeq == Seq("id"))
+    // the shadow is internal state, not a table
+    assert(!Snapshot.tables(spark, root).contains("t~del"))
+    intercept[IllegalArgumentException](Snapshot.read(spark, root, "t~del"))
+    // time travel: the pre-delete version still reads all 6 rows
+    assert(ids(Snapshot.readAt(spark, root, "t", vData)) == (1L to 6L))
+    assert(ids(Snapshot.readAt(spark, root, "t", vDel)) == Seq(1L, 3L, 5L))
+    // deletes accumulate; already-deleted rows don't re-tombstone
+    Snapshot.deleteWhere(spark, root, "t", col("id") <= 3L, Seq("id"))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(5L))
+    // changing the key columns mid-stream is rejected loudly
+    intercept[IllegalArgumentException](
+      Snapshot.deleteWhere(spark, root, "t", col("id") === 5L, Seq("id", "v")))
+    // committing a table under the shadow suffix is rejected loudly
+    intercept[IllegalArgumentException](Snapshot.commit(spark, root,
+      Map("x~del" -> Seq((1L, "a")).toDF("id", "v"))))
+  }
+
+  test("delete suppresses re-appended keys until compaction folds the tombstones") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 2L, Seq("id"))
+    // the documented BY-KEY contract: an appended row with a tombstoned
+    // key stays suppressed (the tombstone is key-scoped, not file-scoped)
+    Snapshot.commitAppend(spark, root, Map("t" -> Seq((2L, "b2")).toDF("id", "v")))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 3L))
+    // compaction folds the resolved view and clears the tombstones...
+    Snapshot.compactTable(spark, root, "t")
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 3L))
+    assert(!new java.io.File(s"$root/data").listFiles().map(_.getName).contains("t~del")
+      || Snapshot.tables(spark, root).contains("t")) // dirs may linger until vacuum
+    // ...after which the key is re-insertable
+    Snapshot.commitAppend(spark, root, Map("t" -> Seq((2L, "b3")).toDF("id", "v")))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 2L, 3L))
+    // a REPLACE commit likewise supersedes accumulated tombstones
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 1L, Seq("id"))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(2L, 3L))
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "fresh")).toDF("id", "v")))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L))
+  }
+
+  test("readPruned and mergeCommit resolve tombstones") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    Snapshot.commit(spark, root,
+      Map("t" -> (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")),
+      statsCols = Map("t" -> Seq("id")))
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 4L, Seq("id"))
+    // the stats-pruned read path must not resurrect deleted rows
+    val pruned = Snapshot.readPruned(spark, root, "t", "id", 3L, 5L)
+    assert(ids(pruned.filter(col("id").between(3L, 5L))) == Seq(3L, 5L))
+    // mergeCommit merges against the RESOLVED view: the deleted row is
+    // not counted as pre-existing, and the rewrite clears the tombstones
+    val (_, stats) = Snapshot.mergeCommit(spark, root,
+      Map("t" -> (Seq((4L, "new4"), (8L, "up8")).toDF("id", "v"), Seq("id"))))
+    assert(stats("t").inserted == 1L) // id 4 re-inserts, id 8 updates
+    assert(ids(Snapshot.read(spark, root, "t")) == (1L to 8L))
+    assert(Snapshot.read(spark, root, "t").filter(col("id") === 8L)
+      .head().getString(1) == "up8")
+  }
 }
