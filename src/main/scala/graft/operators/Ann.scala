@@ -187,7 +187,15 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs: same-bucket pairs (id_a <
     * id_b) with cosine >= `threshold`. The LSH bucket equi-join keeps it
     * off the all-pairs cliff; the threshold filter runs on the exact
-    * quantized cosine. */
+    * quantized cosine.
+    *
+    * SCALE NOTE: with FIXED planes, bucket occupancy grows ∝ n/2^r and
+    * the same-bucket pair volume crosses into quadratic growth once the
+    * corpus outgrows the keyspace — measured at the sf3→sf10 decade
+    * (16 buckets, 200k vectors: 10.5× wall for 3.3× data). Size r ∝
+    * log2(n/targetBucket) as the corpus grows, and recover the recall
+    * lost to longer keys with [[nearDupPairsBanded]]'s independent
+    * tables — the prescribed large-corpus path. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       planes: Array[Array[Long]], threshold: Double): DataFrame = {
     val qdf = quantized(df, idCol, vecCol)
@@ -198,6 +206,52 @@ object Ann {
       col("__q").as("__qb"), col("__n").as("__nb"))
     a.join(b, "__bucket")
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim",
+        pairCosine(col("__qa"), col("__qb"), col("__na"), col("__nb")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
+  /** BANDED embedding near-dup pairs — the SCALE path beside
+    * [[nearDupPairs]]'s single table, mirroring how combination banding
+    * rescued the 64-bit simhash pairs: a single sign-LSH table with
+    * FIXED planes has bucket occupancy ∝ n/2^r, so its same-bucket pair
+    * volume crosses into Σ C(n/2^r, 2) quadratic growth as the corpus
+    * outgrows the keyspace (measured: the 4-plane/16-bucket gate went
+    * 10.5× for 3.3× data at 200k vectors). The production discipline is
+    * r ∝ log2(n/targetBucket) — and because per-plane agreement
+    * probability p = 1 − θ/π decays recall as p^r, the lost recall is
+    * bought back with b INDEPENDENT tables (recall 1 − (1−p^r)^b, the
+    * classic LSH banding trade).
+    *
+    * Shape: each vector explodes into b (table, bucket) keys —
+    * fingerprint-sized, never pair-sized; candidates meet in the
+    * (table, bucket) equi-join; the pair set DEDUPS on ids BEFORE the
+    * exact verify (a pair sharing buckets in several tables scores
+    * once); verify re-joins the quantized vectors and keeps cosine >=
+    * threshold. Output identical in contract to [[nearDupPairs]]
+    * (id_a < id_b, exact quantized cosine) over the banded candidate
+    * front. */
+  def nearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      tables: Array[Array[Array[Long]]], threshold: Double): DataFrame = {
+    require(tables.nonEmpty, "nearDupPairsBanded: no hash tables given")
+    val qdf = quantized(df, idCol, vecCol)
+    val keyed = qdf.select(col(idCol),
+        explode(array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t.toLong).as("t"), lshBucket(col("__q"), planes).as("b"))
+        }: _*)).as("__tb"))
+      .select(col(idCol), col("__tb.t").as("__t"), col("__tb.b").as("__bucket"))
+    val cands = keyed.select(col("__t"), col("__bucket"), col(idCol).as("id_a"))
+      .join(keyed.select(col("__t"), col("__bucket"), col(idCol).as("id_b")),
+        Seq("__t", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(qdf.select(col(idCol).as("id_a"), col("__q").as("__qa"),
+        col("__n").as("__na")), "id_a")
+      .join(qdf.select(col(idCol).as("id_b"), col("__q").as("__qb"),
+        col("__n").as("__nb")), "id_b")
       .withColumn("cosine_sim",
         pairCosine(col("__qa"), col("__qb"), col("__na"), col("__nb")))
       .filter(col("cosine_sim") >= threshold)

@@ -265,7 +265,43 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_point_lookup — per-file BLOOM skipping gate
+    * (graft.sources.Snapshot.{commit bloomCols, readPrunedEq}): the
+    * orders table is committed HASH-partitioned on the key, the layout
+    * where min/max range stats prune nothing (every file spans the full
+    * key range) but a per-file Bloom filter still answers "might this
+    * file hold key k?" — the point-lookup skipping layer a 100 TB
+    * id-keyed corpus needs (SnapshotSpec asserts the pruned file
+    * counts; this gate pins the VALUE contract: skip-then-exact-filter
+    * returns precisely the key's rows). The probe key is the table's
+    * MIN key — one bounded 1-row aggregate, deterministic at any scale
+    * factor. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapbloom", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val minKey = o.agg(min(col("o_orderkey"))).head().getLong(0)
+    Snapshot.commit(spark, root,
+      Map("orders_pt" -> o.repartition(8, col("o_orderkey"))),
+      bloomCols = Map("orders_pt" -> Seq("o_orderkey")))
+    Snapshot.readPrunedEq(spark, root, "orders_pt", "o_orderkey", minKey)
+      .filter(col("o_orderkey") === minKey)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+        |ORDER BY 1""".stripMargin,
     "etl_delete_merge_read" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
@@ -406,5 +442,6 @@ object EtlQueries {
     "etl_bloom_semi" -> bloomSemi _,
     "etl_schema_evolution" -> schemaEvolution _,
     "etl_delete_merge_read" -> deleteMergeRead _,
+    "etl_point_lookup" -> pointLookup _,
   )
 }

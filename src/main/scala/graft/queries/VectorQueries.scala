@@ -79,6 +79,26 @@ object VectorQueries {
         Planes, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** 2 independent tables × 3 planes (sliced from one deterministic
+    * 6-plane draw) — the banded gate's parameterization; production
+    * sizes r ∝ log2(n/targetBucket) and b to the recall target. */
+  val BandedPlanes: Array[Array[Array[Long]]] =
+    Ann.hashPlanes(nPlanes = 6, dim = 64).grouped(3).toArray
+
+  /** emb_near_dup_banded — the banded SCALE path for embedding
+    * near-dup pairs (graft.operators.Ann.nearDupPairsBanded): b
+    * independent sign-LSH tables, candidates dedup on ids BEFORE the
+    * exact-cosine verify. The fixed-plane single-table gate
+    * (emb_near_dup, and emb_dup_clusters built on it) stays as the
+    * cross-engine anchor; this gate pins the banded candidate front —
+    * the oracle replays both tables' buckets as an OR-join, the same
+    * pair set the Spark side reaches through the exploded (table,
+    * bucket) equi-join + distinct. */
+  def embNearDupBanded(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairsBanded(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        BandedPlanes, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
   def embCentroids(spark: SparkSession, dir: String): DataFrame =
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
@@ -360,11 +380,13 @@ object VectorQueries {
 
   /** LSH bucket expression over a quantized column named `qv` — the same
     * plane literals the Spark plan uses. */
-  private def bucketSql(qv: String): String =
-    Planes.zipWithIndex.map { case (p, i) =>
+  private def bucketSqlFor(planes: Array[Array[Long]], qv: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
       val lits = p.mkString("[", ", ", "]")
       s"(CASE WHEN ${dotSql(qv, lits)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(qv: String): String = bucketSqlFor(Planes, qv)
 
   private val lshOracle: String = knnOracle(
     s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
@@ -394,6 +416,24 @@ object VectorQueries {
        |        ${dotSql("a.qv", "a.qv")} AS pn,
        |        ${dotSql("c.qv", "c.qv")} AS nn
        |      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+       |s AS (SELECT id_a, id_b, $cosineSql AS cosine_sim FROM p)
+       |SELECT id_a, id_b, cosine_sim FROM s
+       |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+
+  /** Banded near-dup oracle: both tables' buckets as columns, the pair
+    * front an OR of per-table bucket equality (one row per pair by
+    * construction — the relational twin of Spark's explode + distinct),
+    * exact verify identical to the single-table oracle. */
+  private val nearDupBandedOracle: String =
+    s"""WITH $qCte,
+       |b AS (SELECT vec_id, qv, ${bucketSqlFor(BandedPlanes(0), "qv")} AS b0,
+       |             ${bucketSqlFor(BandedPlanes(1), "qv")} AS b1 FROM q),
+       |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c
+       |      ON a.vec_id < c.vec_id AND (a.b0 = c.b0 OR a.b1 = c.b1)),
        |s AS (SELECT id_a, id_b, $cosineSql AS cosine_sim FROM p)
        |SELECT id_a, id_b, cosine_sim FROM s
        |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
@@ -710,6 +750,7 @@ object VectorQueries {
     "emb_knn_ivf_incremental" -> ivfOracle, // append-then-serve == full rebuild
     "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
     "emb_near_dup" -> nearDupOracle,
+    "emb_near_dup_banded" -> nearDupBandedOracle,
     "emb_centroids" -> centroidsOracle,
   )
 
@@ -734,6 +775,7 @@ object VectorQueries {
     "emb_knn_ivf_incremental" -> embKnnIvfIncremental _,
     "emb_knn_pq_incremental" -> embKnnPqIncremental _,
     "emb_near_dup" -> embNearDup _,
+    "emb_near_dup_banded" -> embNearDupBanded _,
     "emb_centroids" -> embCentroids _,
   )
 }

@@ -289,12 +289,15 @@ object Snapshot {
     * `None` means blind last-writer-wins on the touched tables. */
   def commit(spark: SparkSession, root: String, newTables: Map[String, DataFrame],
       expectBase: Option[Long] = None,
-      statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      bloomCols: Map[String, Seq[String]] = Map.empty,
+      bloomBits: Long = 1L << 20): Long = {
     require(newTables.nonEmpty, "snapshot commit: no tables given")
     newTables.keys.foreach(requireCommittableName)
     val fs = fsOf(spark, root)
     val written = newTables.map { case (t, df) =>
-      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
+        bloomCols.getOrElse(t, Seq.empty), bloomBits)
     }
     // a replace supersedes any accumulated merge-on-read deletes: the
     // new contents are what the caller wants readable, verbatim
@@ -325,7 +328,9 @@ object Snapshot {
       appends: Map[String, DataFrame],
       replaces: Map[String, DataFrame] = Map.empty,
       expectBase: Option[Long] = None,
-      statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      bloomCols: Map[String, Seq[String]] = Map.empty,
+      bloomBits: Long = 1L << 20): Long = {
     require(appends.nonEmpty || replaces.nonEmpty, "snapshot commitAppend: no tables given")
     (appends.keys ++ replaces.keys).foreach(requireCommittableName)
     require(appends.keySet.intersect(replaces.keySet).isEmpty,
@@ -360,11 +365,13 @@ object Snapshot {
       }
     }
     val appended = appends.map { case (t, df) =>
-      val seg = writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+      val seg = writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
+        bloomCols.getOrElse(t, Seq.empty), bloomBits)
       t -> baseRels.get(t).map(old => s"$old,$seg").getOrElse(seg)
     }
     val replaced = replaces.map { case (t, df) =>
-      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
+        bloomCols.getOrElse(t, Seq.empty), bloomBits)
     }
     commitManifest(fs, root, appended ++ replaced, Some(pinnedBase),
       removals = replaces.keySet.map(delKey))
@@ -521,7 +528,8 @@ object Snapshot {
     * PRUNES). Costs one extra scan of the newly written data at commit
     * time — O(batch), never O(table). */
   private def writeData(spark: SparkSession, root: String, table: String,
-      df: DataFrame, statsCols: Seq[String] = Seq.empty): String = {
+      df: DataFrame, statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomBits: Long = 1L << 20): String = {
     // ',' joins segment dirs in manifest values, so names can't carry it
     require(table.nonEmpty && !table.exists(c => c == '/' || c == '\t' || c == '\n' || c == ','),
       s"snapshot: invalid table name '$table'")
@@ -533,6 +541,9 @@ object Snapshot {
     val out = fs.create(new Path(new Path(root, rel), SchemaName), false)
     try out.write(df.schema.json.getBytes(UTF_8)) finally out.close()
     if (statsCols.nonEmpty) writeStats(spark, root, rel, statsCols)
+    if (bloomCols.nonEmpty)
+      // bits/item ≈ 10 → ~1% fpp at capacity; both knobs scale together
+      writeBloom(spark, root, rel, bloomCols, (bloomBits / 10L).max(1L), bloomBits)
     rel
   }
 
@@ -583,6 +594,141 @@ object Snapshot {
     val out = fs.create(statsPath(root, rel), false)
     try out.write((Header +: lines.toSeq :+ s"END ${lines.length}").mkString("\n").getBytes(UTF_8))
     finally out.close()
+  }
+
+  /** Sidecar of per-file BLOOM filters ([[writeBloom]]). */
+  private val BloomName = "_graft_bloom"
+
+  /** Column types the bloom sidecar supports. Integral columns insert
+    * their long value; strings insert xxhash64(value) (seed 42, the
+    * `functions.xxhash64` default) — probe-side hashing must match. */
+  private val BloomTypes = Set("tinyint", "smallint", "int", "bigint", "string")
+
+  private def bloomPath(root: String, rel: String): Path =
+    new Path(new Path(root, rel), BloomName)
+
+  /** Derive a per-file Bloom filter for each of `cols` from the
+    * just-written (still invisible) dir and persist them next to the
+    * data — the POINT-LOOKUP skipping layer beside [[writeStats]]'
+    * min/max ranges: a hash-distributed layout gives every file the
+    * full [min, max] span (ranges prune nothing), but an equality probe
+    * answers "might this file hold key k?" per file and skips the rest.
+    * One aggregate over `_metadata.file_name` (Spark's own
+    * BloomFilterAggregate, the engine that powers AQE runtime filters),
+    * collecting O(files × cols × numBits/8) bytes — size the filter to
+    * the driver: `numBits` defaults to 2^20 (128 KiB/file/column,
+    * ~1% fpp at 100k distinct keys per file); production tables with
+    * very many files budget bits accordingly (the sidecar is read
+    * whole at probe time). */
+  private def writeBloom(spark: SparkSession, root: String, rel: String,
+      cols: Seq[String], expectedItems: Long, numBits: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    import org.apache.spark.sql.graft.BloomBridge
+    val d = spark.read.parquet(new Path(root, rel).toString)
+    val types = cols.map(c => c -> d.schema(c).dataType.simpleString).toMap
+    cols.foreach { c =>
+      require(BloomTypes.contains(types(c)),
+        s"snapshot bloom: column '$c' has unsupported type ${types(c)} " +
+          s"(supported: ${BloomTypes.mkString(", ")})")
+    }
+    def input(c: String) = types(c) match {
+      case "string" => xxhash64(col(c))
+      case _ => col(c).cast("long")
+    }
+    val aggs = cols.map(c =>
+      BloomBridge.bloomAgg(input(c), expectedItems, numBits).as(s"__bf_$c"))
+    val rows = d.groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    def enc(s: String): String = java.net.URLEncoder.encode(s, UTF_8.name())
+    val b64 = java.util.Base64.getEncoder
+    val lines = rows.flatMap { r =>
+      val f = r.getAs[String]("__f")
+      cols.flatMap { c =>
+        Option(r.getAs[Array[Byte]](s"__bf_$c")).map(bytes =>
+          s"${enc(f)}\t${enc(c)}\t${types(c)}\t${b64.encodeToString(bytes)}")
+      }
+    }
+    val fs = fsOf(spark, root)
+    val out = fs.create(bloomPath(root, rel), false)
+    try out.write((Header +: lines.toSeq :+ s"END ${lines.length}").mkString("\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  /** (file name → (type, bloom bytes)) for `column`; None when the
+    * sidecar is absent/torn or has nothing for the column — callers
+    * MUST then read everything (skipping is an optimization). */
+  private def fileBlooms(fs: FileSystem, root: String, rel: String,
+      column: String): Option[Map[String, (String, Array[Byte])]] = {
+    val p = bloomPath(root, rel)
+    if (!fs.exists(p)) return None
+    val text =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, UTF_8.name()).mkString
+        finally in.close()
+      } catch { case _: IOException => return None }
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != Header) return None
+    if (!lines.last.startsWith("END ")) return None
+    def dec(s: String): String = java.net.URLDecoder.decode(s, UTF_8.name())
+    val b64 = java.util.Base64.getDecoder
+    val entries = lines.tail.init.map(_.split("\t", -1)).collect {
+      case Array(f, c, t, blob) if dec(c) == column =>
+        dec(f) -> ((t, b64.decode(blob)))
+    }
+    if (entries.isEmpty) None else Some(entries.toMap)
+  }
+
+  /** The long a probe value inserts/probes under — MUST mirror
+    * [[writeBloom]]'s input expression exactly (same xxhash64 seed). */
+  private def bloomProbeHash(t: String, value: Any): Long = t match {
+    case "string" =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+      XxHash64(Seq(CLit(String.valueOf(value))), 42L).eval(null).asInstanceOf[Long]
+    case _ => String.valueOf(value).toLong
+  }
+
+  /** Read `table` keeping only the files whose Bloom filter says
+    * `column` MIGHT contain `value` — the point-lookup twin of
+    * [[readPruned]], effective where min/max ranges are not: a
+    * hash-distributed or unsorted layout spans the whole key range in
+    * every file, yet each file's filter still rejects absent keys, so
+    * an equality probe touches ~1 file (plus the fpp share) instead of
+    * the table. The result may contain non-matching rows from kept
+    * files: apply the exact predicate on top (this method SKIPS, never
+    * filters). False positives only — a file is never wrongly skipped.
+    * Falls back to the full read for segments without a bloom sidecar
+    * for `column`; tombstoned rows are resolved like every read path. */
+  def readPrunedEq(spark: SparkSession, root: String, table: String,
+      column: String, value: Any, version: Option[Long] = None): DataFrame = {
+    requireCommittableName(table)
+    val byName = version.map(v => relsAt(spark, root, v))
+      .getOrElse(currentRels(spark, root))
+    val rel = byName.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"snapshot: no table '$table' at $root (have: ${
+          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
+    val fs = fsOf(spark, root)
+    val paths = relDirs(rel).flatMap { seg =>
+      val segPath = new Path(root, seg).toString
+      fileBlooms(fs, root, seg, column) match {
+        case None => Seq(segPath)
+        case Some(blooms) =>
+          blooms.collect {
+            case (f, (t, bytes))
+                if org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(bytes))
+                  .mightContainLong(bloomProbeHash(t, value)) =>
+              s"$segPath/$f"
+          }.toSeq.sorted
+      }
+    }
+    val df =
+      if (paths.isEmpty)
+        readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
+    applyTombstones(spark, root, byName, table, df)
   }
 
   /** (file name → (min, max)) for `column`, parsed from the sidecar; None

