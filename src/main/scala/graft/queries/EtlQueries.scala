@@ -265,6 +265,79 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_upsert_mor — MERGE-ON-READ UPSERT gate
+    * (graft.sources.Snapshot.upsertMergeOnRead): a base table is
+    * committed, a key-set erased by tombstone, then a batch row-level
+    * MERGEs in — existing keys updated, new keys inserted, erased keys
+    * resurrected — with ZERO stored data read or rewritten (the upsert
+    * appends one segment and reshapes the O(tombstones) shadow;
+    * SnapshotSpec asserts the untouched part-file fingerprints). The
+    * gate aggregates the resolved read against an oracle computing the
+    * same final relation in plain algebra: base rows that neither the
+    * delete nor the batch touched, union the batch. */
+  def upsertMor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapmor", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Snapshot.commit(spark, root, Map("orders_mor" ->
+      o.filter(col("o_orderkey") % 2 === 0)))
+    Snapshot.deleteWhere(spark, root, "orders_mor",
+      col("o_orderkey") % 5 === 1, Seq("o_orderkey"))
+    // the batch (keys %3==0) UPDATEs live even keys, INSERTs odd keys,
+    // and RESURRECTS deleted ones (keys ≡ 6 mod 30 were erased above);
+    // tweaked prices make every path visible in cents_total
+    Snapshot.upsertMergeOnRead(spark, root, "orders_mor",
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    Snapshot.read(spark, root, "orders_mor")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** etl_change_feed — incremental CDC gate
+    * (graft.sources.Snapshot.changesBetween): a table goes through
+    * append → merge-on-read delete → merge-on-read upsert, and the feed
+    * over that range is aggregated per (version, change type, status).
+    * The feed reads ONLY the appended segments and tombstone shadows —
+    * SnapshotSpec asserts the base segment's files never appear in the
+    * plan's inputs — while the oracle reconstructs every event from the
+    * raw table: v2's appended rows as inserts, v3's erased keys as
+    * deletes, v4's batch as delete+insert pairs (minus the
+    * already-erased keys, whose coverage did not increase). */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapcdf", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = Snapshot.commit(spark, root, Map("orders_cdf" ->
+      o.filter(col("o_orderkey") % 5 =!= 0)))
+    Snapshot.commitAppend(spark, root, appends = Map("orders_cdf" ->
+      o.filter(col("o_orderkey") % 5 === 0)))
+    Snapshot.deleteWhere(spark, root, "orders_cdf",
+      col("o_orderkey") % 7 === 2, Seq("o_orderkey"))
+    val v4 = Snapshot.upsertMergeOnRead(spark, root, "orders_cdf",
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    Snapshot.changesBetween(spark, root, "orders_cdf", v1, v4)
+      .groupBy(col(Snapshot.CommitVersionCol), col(Snapshot.ChangeTypeCol),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy(Snapshot.CommitVersionCol, Snapshot.ChangeTypeCol, "o_orderstatus")
+  }
+
   /** etl_point_lookup — per-file BLOOM skipping gate
     * (graft.sources.Snapshot.{commit bloomCols, readPrunedEq}): the
     * orders table is committed HASH-partitioned on the key, the layout
@@ -302,6 +375,39 @@ object EtlQueries {
         |FROM orders
         |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
         |ORDER BY 1""".stripMargin,
+    "etl_upsert_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        |), batch AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), final AS (
+        |  SELECT * FROM base
+        |  WHERE o_orderkey % 5 <> 1 AND o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+        |  UNION ALL SELECT * FROM batch
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_change_feed" ->
+      """WITH feed AS (
+        |  SELECT 2 AS v, 'insert' AS ct, o_orderstatus, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT 3, 'delete', CAST(NULL AS VARCHAR), o_orderkey, CAST(NULL AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 7 = 2
+        |  UNION ALL
+        |  SELECT 4, 'insert', o_orderstatus, o_orderkey, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 4, 'delete', CAST(NULL AS VARCHAR), o_orderkey, CAST(NULL AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 2
+        |)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, ct AS _change_type, o_orderstatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "etl_delete_merge_read" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
@@ -443,5 +549,7 @@ object EtlQueries {
     "etl_schema_evolution" -> schemaEvolution _,
     "etl_delete_merge_read" -> deleteMergeRead _,
     "etl_point_lookup" -> pointLookup _,
+    "etl_upsert_mor" -> upsertMor _,
+    "etl_change_feed" -> changeFeed _,
   )
 }

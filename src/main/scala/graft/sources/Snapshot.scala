@@ -50,13 +50,17 @@ import graft.operators.Upsert.MergeStats
   * legacy dirs. Time travel pins each version to its own segment list,
   * hence to exactly the schema that version committed with.
   *
-  * MERGE-ON-READ DELETE: [[deleteWhere]] commits the matching rows' key
-  * tuples as a tombstone segment under a `table~del` shadow entry —
-  * O(deleted keys) write cost, zero data rewritten; every read path
-  * anti-joins the keys back out, and [[compactTable]] folds the deletes
+  * MERGE-ON-READ DELETE / UPSERT: [[deleteWhere]] commits the matching
+  * rows' key tuples as a tombstone segment under a `table~del` shadow
+  * entry — O(deleted keys) write cost, zero data rewritten; every read
+  * path joins the keys back out, and [[compactTable]] folds the deletes
   * into a physical rewrite (the deletion-vector discipline of the
   * Delta/Iceberg merge-on-read position papers, keyed rather than
   * file-positional because plain parquet has no stable row ids).
+  * [[upsertMergeOnRead]] extends the same shadow with COVERAGE-scoped
+  * tombstones ([[CovCol]]) to give row-level MERGE at O(batch) write
+  * cost, and [[changesBetween]] reads the appended segments + shadow
+  * diffs back out as an O(changes) CDC change feed.
   */
 object Snapshot {
 
@@ -203,18 +207,86 @@ object Snapshot {
     require(!isDelKey(table),
       s"snapshot: table name '$table' is reserved for tombstone shadows")
 
-  /** Anti-join `df` against `table`'s tombstoned keys, if any — the
-    * merge-on-read resolve every read path applies. The tombstone
-    * segments hold ONLY key columns, so the broadcast-able anti-join
-    * side is O(deleted keys), never O(table). */
-  private def applyTombstones(spark: SparkSession, root: String,
-      rels: Map[String, String], table: String, df: DataFrame): DataFrame =
-    rels.get(delKey(table)) match {
-      case None => df
-      case Some(rel) =>
-        val tomb = readRel(spark, root, rel)
-        df.join(tomb, tomb.columns.toSeq, "left_anti")
+  /** Hidden tombstone COVERAGE column: a tombstone row (keys…, cov = c)
+    * suppresses key-matching rows of data segments with ordinal < c.
+    * [[deleteWhere]] writes c = Long.MaxValue — every current AND
+    * future segment, the by-key erasure contract; [[upsertMergeOnRead]]
+    * writes c = the data-segment count at its base version, so every
+    * PRIOR version of the key is suppressed while the batch it appends
+    * at exactly that ordinal is served. Legacy tombstone segments
+    * written before coverage existed lack the column and NULL-backfill
+    * on read ([[mergedSchema]]) — coalesced to MaxValue, their original
+    * suppress-everything semantics. */
+  private val CovCol = "__graft_cov"
+
+  /** Hidden per-row data-segment ordinal, attached only while resolving
+    * coverage-scoped tombstones and dropped before rows leave. */
+  private val SegCol = "__graft_seg"
+
+  /** `table`'s per-key tombstone state in `rels`: (key cols…, CovCol =
+    * MAX coverage across the key's tombstones — a row in segment s is
+    * suppressed iff s < some tombstone's cov iff s < the max). One row
+    * per tombstoned key, O(deleted keys); None when the table has no
+    * tombstone shadow. */
+  private def tombstoneKeys(spark: SparkSession, root: String,
+      rels: Map[String, String], table: String): Option[DataFrame] =
+    rels.get(delKey(table)).map { rel =>
+      import org.apache.spark.sql.functions.{coalesce, col, lit, max}
+      val raw = readRel(spark, root, rel)
+      val keys = raw.columns.filterNot(_ == CovCol).toSeq
+      val withCov =
+        if (raw.columns.contains(CovCol))
+          raw.withColumn(CovCol, coalesce(col(CovCol), lit(Long.MaxValue)))
+        else raw.withColumn(CovCol, lit(Long.MaxValue))
+      withCov.groupBy(keys.map(col): _*).agg(max(col(CovCol)).as(CovCol))
     }
+
+  /** Read `table`'s segment list with merge-on-read tombstones resolved
+    * — the one read body behind [[read]], [[readAt]], [[readPruned]]
+    * and [[readPrunedEq]]. With no tombstone shadow this is ONE
+    * multi-path parquet scan (identical plan to a plain read). With
+    * tombstones, each segment is tagged with its ordinal and ONE
+    * left-join against the aggregated O(deleted keys) coverage frame
+    * ([[tombstoneKeys]]) filters suppressed rows — rows with NULL key
+    * columns never match a tombstone and always survive, matching the
+    * old anti-join semantics. `filesPerSeg`, when given, narrows each
+    * segment to a pruned file subset (the stats/Bloom skipping paths);
+    * ordinals are positions in the FULL segment list either way, so
+    * coverage semantics are identical under pruning. */
+  private def readResolved(spark: SparkSession, root: String,
+      rels: Map[String, String], table: String,
+      filesPerSeg: Option[Seq[Seq[String]]] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rel = rels(table)
+    val segs = relDirs(rel)
+    val paths: Seq[Seq[String]] = filesPerSeg.getOrElse(
+      segs.map(s => Seq(new Path(root, s).toString)))
+    require(paths.length == segs.length,
+      s"snapshot readResolved: ${paths.length} per-segment path lists for ${segs.length} segments")
+    val schema = mergedSchema(spark, root, rel)
+    def empty = readRel(spark, root, rel).filter(lit(false))
+    tombstoneKeys(spark, root, rels, table) match {
+      case None =>
+        val flat = paths.flatten
+        if (flat.isEmpty) empty else spark.read.schema(schema).parquet(flat: _*)
+      case Some(tomb) =>
+        Seq(SegCol, CovCol).foreach { c =>
+          require(!schema.fieldNames.contains(c),
+            s"snapshot: table '$table' column '$c' collides with internal tombstone state")
+        }
+        val keys = tomb.columns.filterNot(_ == CovCol).toSeq
+        val tagged = paths.zipWithIndex.collect { case (ps, i) if ps.nonEmpty =>
+          spark.read.schema(schema).parquet(ps: _*).withColumn(SegCol, lit(i.toLong))
+        }
+        if (tagged.isEmpty) empty
+        else tagged.reduce(_.union(_))
+          .join(tomb, keys, "left_outer")
+          .filter(col(CovCol).isNull || col(SegCol) >= col(CovCol))
+          // a using-columns join reorders (keys first): restore the
+          // table's column order, dropping the internal columns
+          .select(schema.fieldNames.map(col).toSeq: _*)
+    }
+  }
 
   /** Table → absolute data path(s) of the newest committed snapshot
     * (comma-joined when the table has appended segments). Tombstone
@@ -231,11 +303,11 @@ object Snapshot {
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
     requireCommittableName(table)
     val byName = currentRels(spark, root)
-    val rel = byName.getOrElse(table,
+    if (!byName.contains(table))
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root (have: ${
-          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
-    applyTombstones(spark, root, byName, table, readRel(spark, root, rel))
+          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})")
+    readResolved(spark, root, byName, table)
   }
 
   private def currentRels(spark: SparkSession, root: String): Map[String, String] =
@@ -271,13 +343,13 @@ object Snapshot {
   def readAt(spark: SparkSession, root: String, table: String, version: Long): DataFrame = {
     requireCommittableName(table)
     val byName = relsAt(spark, root, version)
-    val rel = byName.getOrElse(table,
+    if (!byName.contains(table))
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root version $version (have: ${
-          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
+          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})")
     // the version's OWN tombstone state: a version committed before a
     // delete still reads the deleted rows (time travel)
-    applyTombstones(spark, root, byName, table, readRel(spark, root, rel))
+    readResolved(spark, root, byName, table)
   }
 
   /** Atomically publish new contents for `newTables` (other tables keep
@@ -415,25 +487,129 @@ object Snapshot {
     val baseRels = base.map(_._2).getOrElse(Map.empty)
     val rel = baseRels.getOrElse(table,
       throw new IllegalArgumentException(s"snapshot deleteWhere: no table '$table' at $root"))
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     // resolve EXISTING tombstones first so already-deleted rows don't
     // re-tombstone, then keep only the key tuples of matching rows
-    val deleted = applyTombstones(spark, root, baseRels, table,
-        readRel(spark, root, rel))
+    val deleted = readResolved(spark, root, baseRels, table)
       .filter(pred)
       .select(keyCols.map(col): _*)
       .distinct()
     baseRels.get(delKey(table)).foreach { drel =>
       val stored = mergedSchema(spark, root, drel)
-      require(stored.fields.map(f => (f.name, f.dataType)).toSeq ==
+      require(stored.fields.filterNot(_.name == CovCol).map(f => (f.name, f.dataType)).toSeq ==
           deleted.schema.fields.map(f => (f.name, f.dataType)).toSeq,
         s"snapshot deleteWhere: key columns ${deleted.schema.fieldNames.mkString(",")} " +
-          s"differ from the table's prior deletes (${stored.fieldNames.mkString(",")}) — " +
+          s"differ from the table's prior deletes (${stored.fieldNames.filterNot(_ == CovCol).mkString(",")}) — " +
           "compact the table before changing delete keys")
     }
-    val seg = writeData(spark, root, delKey(table), deleted)
+    // cov = MaxValue: suppress the key in every current AND future
+    // segment until a compaction folds the tombstones ([[CovCol]])
+    val seg = writeData(spark, root, delKey(table),
+      deleted.withColumn(CovCol, lit(Long.MaxValue)))
     val newRel = baseRels.get(delKey(table)).map(old => s"$old,$seg").getOrElse(seg)
     commitManifest(fs, root, Map(delKey(table) -> newRel), Some(pinnedBase))
+  }
+
+  /** MERGE-ON-READ UPSERT: row-level MERGE that never reads or rewrites
+    * stored data. One atomic commit publishes (a) `batch` as a new
+    * appended segment and (b) a reshaped tombstone shadow in which every
+    * batch key carries a COVERAGE-scoped tombstone (cov = the
+    * data-segment count at the base version — "suppress this key in
+    * every segment BEFORE the batch", [[CovCol]]); the batch's own rows,
+    * landing at exactly that ordinal, are served. After the commit,
+    * [[read]] sees precisely `old rows whose key is not in batch` ∪
+    * `batch`.
+    *
+    * Cost is O(batch) + O(accumulated tombstones): the shadow is FOLDED
+    * into one fresh segment (batch keys' prior tombstones drop — so an
+    * upsert RESURRECTS a key erased by [[deleteWhere]], the MERGE
+    * contract; non-batch tombstones carry over verbatim), and the data
+    * segments are untouched — the write shape a continuously upserted
+    * 100 TB table needs. Contrast [[mergeCommit]] / [[Upsert.upsert]],
+    * which rewrite the table (merge-on-WRITE) — the right trade only
+    * for small dimension tables or scheduled folds; [[compactTable]]
+    * turns the accumulated upserts physical off the ingest path.
+    *
+    * Preconditions, all rejected loudly: `batch` unique and non-NULL on
+    * `keyCols`; `keyCols` matching the table's prior tombstone keys (if
+    * any); shared columns keeping their stored type (`batch` MAY add
+    * columns — the [[commitAppend]] schema-evolution gate). Optimistic
+    * CAS like [[commitAppend]]: a concurrent commit fails this one
+    * loudly; re-call to retry on the advanced base. */
+  def upsertMergeOnRead(spark: SparkSession, root: String, table: String,
+      batch: DataFrame, keyCols: Seq[String],
+      expectBase: Option[Long] = None,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomBits: Long = 1L << 20): Long = {
+    require(keyCols.nonEmpty, "snapshot upsertMergeOnRead: no key columns given")
+    requireCommittableName(table)
+    keyCols.foreach { k =>
+      require(batch.columns.contains(k),
+        s"snapshot upsertMergeOnRead: batch lacks key column '$k'")
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fsOf(spark, root)
+    val base = current(fs, root)
+    expectBase.foreach { e =>
+      val baseV = base.map(_._1).getOrElse(0L)
+      if (baseV != e) throw new IllegalStateException(
+        s"snapshot commit conflict at $root: expected base version $e, found $baseV")
+    }
+    val pinnedBase = expectBase.getOrElse(base.map(_._1).getOrElse(0L))
+    val baseRels = base.map(_._2).getOrElse(Map.empty)
+    // schema-evolution gate, same as commitAppend: adds OK, type changes not
+    baseRels.get(table).foreach { rel =>
+      val storedByName = mergedSchema(spark, root, rel).fields.map(f => f.name -> f).toMap
+      batch.schema.fields.foreach { f =>
+        storedByName.get(f.name).foreach { prev =>
+          require(prev.dataType == f.dataType,
+            s"snapshot upsertMergeOnRead: table '$table' column '${f.name}' type change " +
+              s"${prev.dataType.simpleString} -> ${f.dataType.simpleString} — " +
+              "type changes require a replace commit (table rewrite), not an upsert")
+        }
+      }
+    }
+    val batchP = batch.persist()
+    try {
+      // one pass over the cached batch checks both MERGE preconditions
+      import org.apache.spark.sql.functions.{countDistinct, struct, sum, when}
+      val chk = batchP.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        countDistinct(struct(keyCols.map(col): _*)).as("nk"),
+        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("nulls"))
+        .head()
+      val (n, nk, nulls) =
+        (chk.getLong(0), chk.getLong(1), if (chk.isNullAt(2)) 0L else chk.getLong(2))
+      require(nulls == 0L,
+        s"snapshot upsertMergeOnRead: batch has NULL in key columns ${keyCols.mkString(",")}")
+      require(nk == n,
+        s"snapshot upsertMergeOnRead: batch must be unique on (${keyCols.mkString(", ")}) — " +
+          s"$n rows but $nk distinct keys")
+      baseRels.get(table) match {
+        case None =>
+          // first ingest: a plain create — no prior segments to suppress
+          val seg = writeData(spark, root, table, batchP, statsCols, bloomCols, bloomBits)
+          commitManifest(fs, root, Map(table -> seg), Some(pinnedBase))
+        case Some(rel) =>
+          val nSegs = relDirs(rel).length.toLong
+          val batchKeys = batchP.select(keyCols.map(col): _*)
+          val newTomb = batchKeys.withColumn(CovCol, lit(nSegs))
+          val folded = tombstoneKeys(spark, root, baseRels, table) match {
+            case None => newTomb
+            case Some(prior) =>
+              val priorKeys = prior.columns.filterNot(_ == CovCol).toSeq
+              require(priorKeys.sorted == keyCols.sorted,
+                s"snapshot upsertMergeOnRead: key columns ${keyCols.mkString(",")} differ " +
+                  s"from the table's prior tombstones (${priorKeys.mkString(",")}) — " +
+                  "compact the table before changing keys")
+              prior.join(batchKeys, keyCols, "left_anti").unionByName(newTomb)
+          }
+          val dataSeg = writeData(spark, root, table, batchP, statsCols, bloomCols, bloomBits)
+          val delSeg = writeData(spark, root, delKey(table), folded)
+          commitManifest(fs, root,
+            Map(table -> s"$rel,$dataSeg", delKey(table) -> delSeg), Some(pinnedBase))
+      }
+    } finally batchP.unpersist()
   }
 
   /** Fold an append-table's segments back into one dir (a new version;
@@ -447,10 +623,9 @@ object Snapshot {
     val fs = fsOf(spark, root)
     val base = current(fs, root)
     val baseRels = base.map(_._2).getOrElse(Map.empty)
-    val rel = baseRels.getOrElse(table,
-      throw new IllegalArgumentException(s"snapshot compact: no table '$table' at $root"))
-    val resolved = applyTombstones(spark, root, baseRels, table,
-      readRel(spark, root, rel))
+    if (!baseRels.contains(table))
+      throw new IllegalArgumentException(s"snapshot compact: no table '$table' at $root")
+    val resolved = readResolved(spark, root, baseRels, table)
     val folded = writeData(spark, root, table, resolved, statsCols)
     commitManifest(fs, root, Map(table -> folded),
       expectBase = Some(base.map(_._1).getOrElse(0L)),
@@ -479,8 +654,9 @@ object Snapshot {
         Upsert.requireUniqueKeys(stageP, keys, staged)
         // merge against the RESOLVED view: tombstoned rows are gone and
         // stay gone (the rewrite below also clears the tombstones)
-        val existing = baseTables.get(t).map(rel =>
-          applyTombstones(spark, root, baseTables, t, readRel(spark, root, rel)))
+        val existing =
+          if (baseTables.contains(t)) Some(readResolved(spark, root, baseTables, t))
+          else None
         val before = existing.map(_.count()).getOrElse(0L)
         val out = existing.map(Upsert.upsert(_, stageP, keys)).getOrElse(stageP)
         val rel = writeData(spark, root, t, out, statsCols.getOrElse(t, Seq.empty))
@@ -710,7 +886,7 @@ object Snapshot {
         s"snapshot: no table '$table' at $root (have: ${
           byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
     val fs = fsOf(spark, root)
-    val paths = relDirs(rel).flatMap { seg =>
+    val filesPerSeg = relDirs(rel).map { seg =>
       val segPath = new Path(root, seg).toString
       fileBlooms(fs, root, seg, column) match {
         case None => Seq(segPath)
@@ -724,11 +900,7 @@ object Snapshot {
           }.toSeq.sorted
       }
     }
-    val df =
-      if (paths.isEmpty)
-        readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
-      else spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
-    applyTombstones(spark, root, byName, table, df)
+    readResolved(spark, root, byName, table, Some(filesPerSeg))
   }
 
   /** (file name → (min, max)) for `column`, parsed from the sidecar; None
@@ -783,7 +955,7 @@ object Snapshot {
     val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
     // per SEGMENT: a stats sidecar prunes that segment's files; a
     // segment without stats reads whole (soundness over savings)
-    val paths = relDirs(rel).flatMap { seg =>
+    val filesPerSeg = relDirs(rel).map { seg =>
       val segPath = new Path(root, seg).toString
       fileStats(fs, root, seg, column) match {
         case None => Seq(segPath)
@@ -794,12 +966,118 @@ object Snapshot {
           }.toSeq.sorted
       }
     }
-    val df =
-      if (paths.isEmpty)
-        readRel(spark, root, rel).filter(org.apache.spark.sql.functions.lit(false))
-      else spark.read.schema(mergedSchema(spark, root, rel)).parquet(paths: _*)
     // merge-on-read deletes apply to every read path, pruned or not
-    applyTombstones(spark, root, byName, table, df)
+    readResolved(spark, root, byName, table, Some(filesPerSeg))
+  }
+
+  /** Feed metadata column: 'insert' | 'delete'. */
+  val ChangeTypeCol = "_change_type"
+  /** Feed metadata column: the version that produced the change. */
+  val CommitVersionCol = "_commit_version"
+
+  /** INCREMENTAL CHANGE FEED: the row-level changes `table` underwent
+    * over versions (fromVersion, toVersion], as the table's columns (at
+    * toVersion's schema, older rows NULL-backfilled) plus
+    * [[ChangeTypeCol]] and [[CommitVersionCol]]. The feed reads ONLY
+    * the segments those versions APPENDED plus the O(deleted keys)
+    * tombstone shadows — never the table body — so its cost is
+    * O(changes), the CDC shape a 100 TB downstream (index maintenance,
+    * replication, cache invalidation) needs; a version-diff by key
+    * ([[graft.queries.EtlQueries]] etl_table_diff) answers the same
+    * question at O(table) when history has been folded away.
+    *
+    * Per version v in range:
+    *   - INSERTS: the rows of v's appended segments that v's own
+    *     tombstone state serves — an upsert's batch IS emitted (its
+    *     coverage stops just before the batch), an append of a
+    *     [[deleteWhere]]-erased key is NOT (suppressed at birth);
+    *   - DELETES: the keys whose tombstone coverage INCREASED at v (an
+    *     erasure, or an upsert suppressing the key's prior versions) —
+    *     key columns populated, every other column NULL.
+    * An upsert therefore emits delete(key) + insert(new row) for EVERY
+    * batch key — including keys that were not previously live, whose
+    * delete events are no-ops on apply. That conservatism is the
+    * O(changes) trade: deciding prior liveness would read the table
+    * body, exactly what the feed exists to avoid (a consumer that needs
+    * the insert/update split joins the feed against its own
+    * materialization, which it holds anyway). Applying each version's
+    * deletes-then-inserts to a materialization of fromVersion
+    * reproduces toVersion exactly. `fromVersion = 0` feeds from table
+    * creation.
+    *
+    * Throws if any step in range REPLACED or compacted the table —
+    * those rewrite history instead of appending to it; schedule feed
+    * consumption before folds, like every log-structured store. */
+  def changesBetween(spark: SparkSession, root: String, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    requireCommittableName(table)
+    require(fromVersion >= 0L && fromVersion <= toVersion,
+      s"snapshot changesBetween: bad version range [$fromVersion, $toVersion]")
+    import org.apache.spark.sql.functions.{col, lit}
+    def relsOf(v: Long): Map[String, String] =
+      if (v == 0L) Map.empty else relsAt(spark, root, v)
+    val toRels = relsOf(toVersion)
+    val toRel = toRels.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"snapshot changesBetween: no table '$table' at $root version $toVersion"))
+    val schema = mergedSchema(spark, root, toRel)
+    Seq(ChangeTypeCol, CommitVersionCol).foreach { c =>
+      require(!schema.fieldNames.contains(c),
+        s"snapshot changesBetween: table '$table' column '$c' collides with feed metadata")
+    }
+    // align a step's frame (possibly at an older, narrower schema) to
+    // toVersion's schema, then stamp the metadata columns
+    def shaped(df: DataFrame, changeType: String, v: Long): DataFrame = {
+      val cols = schema.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toSeq: _*)
+        .withColumn(ChangeTypeCol, lit(changeType))
+        .withColumn(CommitVersionCol, lit(v))
+    }
+    val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
+      val prev = relsOf(v - 1L)
+      val cur = relsOf(v)
+      val oldSegs = prev.get(table).map(relDirs).getOrElse(Nil)
+      val newSegs = cur.get(table).map(relDirs).getOrElse(Nil)
+      require(newSegs.take(oldSegs.length) == oldSegs,
+        s"snapshot changesBetween: table '$table' was replaced or compacted at " +
+          s"version $v — the change feed covers append/delete/upsert history only")
+      val inserts: Option[DataFrame] =
+        if (newSegs.length == oldSegs.length) None
+        else {
+          // read ONLY the appended segments; ordinals stay global so the
+          // version's own coverage-scoped tombstones resolve correctly
+          val files = newSegs.zipWithIndex.map { case (s, i) =>
+            if (i < oldSegs.length) Seq.empty[String]
+            else Seq(new Path(root, s).toString)
+          }
+          Some(shaped(readResolved(spark, root, cur, table, Some(files)), "insert", v))
+        }
+      val deletes: Option[DataFrame] =
+        if (prev.get(delKey(table)) == cur.get(delKey(table))) None
+        else tombstoneKeys(spark, root, cur, table).flatMap { tn =>
+          val oldCov = "__graft_cov_prev"
+          val grown = tombstoneKeys(spark, root, prev, table) match {
+            case None => tn
+            case Some(to0) =>
+              val keys = tn.columns.filterNot(_ == CovCol).toSeq
+              tn.join(to0.withColumnRenamed(CovCol, oldCov), keys, "left_outer")
+                .filter(col(oldCov).isNull || col(CovCol) > col(oldCov))
+                .drop(oldCov)
+          }
+          Some(shaped(grown.drop(CovCol), "delete", v))
+        }
+      // deletes first: applying a version's events in feed order must
+      // reproduce its state, and an upsert's delete precedes its insert
+      deletes.toSeq ++ inserts.toSeq
+    }
+    val outCols = (schema.fieldNames.toSeq :+ ChangeTypeCol :+ CommitVersionCol).map(col)
+    parts.reduceOption(_.unionByName(_))
+      .getOrElse(shaped(readRel(spark, root, toRel).filter(lit(false)), "insert", toVersion)
+        .filter(lit(false)))
+      .select(outCols: _*)
   }
 
   /** How long a committer waits for an in-flight claim on its target

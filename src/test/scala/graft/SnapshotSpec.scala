@@ -469,7 +469,9 @@ class SnapshotSpec extends SparkSpec {
     assert(dataFiles() == before, "delete rewrote data files")
     val tombDirs = new java.io.File(s"$root/data/t~del").listFiles().filter(_.isDirectory)
     assert(tombDirs.length == 1)
-    assert(spark.read.parquet(tombDirs.head.toString).columns.toSeq == Seq("id"))
+    // keys + the hidden coverage column (MaxValue = suppress everywhere)
+    assert(spark.read.parquet(tombDirs.head.toString).columns.toSeq ==
+      Seq("id", "__graft_cov"))
     // the shadow is internal state, not a table
     assert(!Snapshot.tables(spark, root).contains("t~del"))
     intercept[IllegalArgumentException](Snapshot.read(spark, root, "t~del"))
@@ -575,5 +577,142 @@ class SnapshotSpec extends SparkSpec {
     assert(ids(Snapshot.read(spark, root, "t")) == (1L to 8L))
     assert(Snapshot.read(spark, root, "t").filter(col("id") === 8L)
       .head().getString(1) == "up8")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("upsertMergeOnRead: MERGE semantics with zero data rewrite") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    val v1 = Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[(String, Long, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq((f.getPath, f.length, f.lastModified))
+        else Nil
+      walk(new java.io.File(s"$root/data/t")).sortBy(_._1)
+    }
+    val before = dataFiles()
+    // update id 2, insert id 4 — old rows of id 2 suppressed, batch served
+    val v2 = Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((2L, "b2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(rows(Snapshot.read(spark, root, "t")) ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // ZERO rewrite of pre-existing data: the base segment's files are
+    // byte-identical; the upsert only APPENDED a segment + reshaped the shadow
+    assert(before.forall(dataFiles().contains), "upsert rewrote stored data")
+    // time travel: the pre-upsert version still reads the old rows
+    assert(rows(Snapshot.readAt(spark, root, "t", v1)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // chained upserts: the newest batch wins per key
+    Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((2L, "b3"), (1L, "a2")).toDF("id", "v"), Seq("id"))
+    assert(rows(Snapshot.read(spark, root, "t")) ==
+      Set((1L, "a2"), (2L, "b3"), (3L, "c"), (4L, "d")))
+    assert(rows(Snapshot.readAt(spark, root, "t", v2)) ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // a duplicate-key batch is rejected loudly (MERGE precondition)
+    intercept[IllegalArgumentException](Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((5L, "x"), (5L, "y")).toDF("id", "v"), Seq("id")))
+    // a NULL-key batch is rejected loudly
+    intercept[IllegalArgumentException](Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((Option.empty[Long], "x")).toDF("id", "v"), Seq("id")))
+    // compaction folds upserts physical and clears the shadow
+    Snapshot.compactTable(spark, root, "t")
+    assert(rows(Snapshot.read(spark, root, "t")) ==
+      Set((1L, "a2"), (2L, "b3"), (3L, "c"), (4L, "d")))
+    assert(!Snapshot.tables(spark, root).contains("t~del"))
+    // first-ingest form: upsert into an absent table is a plain create
+    Snapshot.upsertMergeOnRead(spark, root, "fresh",
+      Seq((1L, "x")).toDF("id", "v"), Seq("id"))
+    assert(rows(Snapshot.read(spark, root, "fresh")) == Set((1L, "x")))
+    // CAS: a stale base fails loudly
+    intercept[IllegalStateException](Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((9L, "z")).toDF("id", "v"), Seq("id"), expectBase = Some(v1)))
+  }
+
+  test("upsertMergeOnRead resurrects deleted keys; appends stay suppressed") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 2L, Seq("id"))
+    assert(rows(Snapshot.read(spark, root, "t")) == Set((1L, "a")))
+    // a plain append of an erased key stays suppressed (deleteWhere's
+    // by-key contract)...
+    Snapshot.commitAppend(spark, root, Map("t" -> Seq((2L, "b2")).toDF("id", "v")))
+    assert(rows(Snapshot.read(spark, root, "t")) == Set((1L, "a")))
+    // ...but an UPSERT of the key replaces its tombstone and resurrects
+    Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((2L, "b3")).toDF("id", "v"), Seq("id"))
+    assert(rows(Snapshot.read(spark, root, "t")) == Set((1L, "a"), (2L, "b3")))
+    // the suppressed append from before the upsert does NOT resurrect:
+    // the upsert's coverage spans every segment before its own batch
+    assert(Snapshot.read(spark, root, "t").filter(col("id") === 2L).count() == 1L)
+    // pruned read paths resolve coverage-scoped tombstones identically
+    Snapshot.upsertMergeOnRead(spark, root, "t2",
+      Seq((1L, "x"), (2L, "y")).toDF("id", "v"), Seq("id"))
+    Snapshot.upsertMergeOnRead(spark, root, "t2",
+      Seq((2L, "y2")).toDF("id", "v"), Seq("id"))
+    assert(rows(Snapshot.read(spark, root, "t2")) == Set((1L, "x"), (2L, "y2")))
+  }
+
+  test("changesBetween: O(changes) feed reproduces the table; rewrites refuse") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    val v1 = Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    val v2 = Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((4L, "d")).toDF("id", "v")))
+    val v3 = Snapshot.deleteWhere(spark, root, "t", col("id") === 1L, Seq("id"))
+    val v4 = Snapshot.upsertMergeOnRead(spark, root, "t",
+      Seq((2L, "b2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    val feed = Snapshot.changesBetween(spark, root, "t", v1, v4)
+      .select("id", "v", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(feed == Set(
+      (4L, Some("d"), "insert", v2),
+      (1L, None, "delete", v3),
+      (2L, Some("b2"), "insert", v4),
+      (5L, Some("e"), "insert", v4),
+      (2L, None, "delete", v4),   // the upsert's prior-version suppression
+      // conservative delete for the upsert's NEW key (no-op on apply —
+      // the O(changes) trade documented on changesBetween)
+      (5L, None, "delete", v4)))
+    // the feed reads ONLY appended segments + shadows, never the base
+    // segment of v1 (O(changes), not O(table))
+    val baseSeg = {
+      val m = Files.readString(Paths.get(s"$root/_commits/v%010d.manifest".format(v1)))
+      m.split("\n").find(_.startsWith("t\t")).get.split("\t")(1)
+    }
+    val feedFiles = Snapshot.changesBetween(spark, root, "t", v1, v4).inputFiles
+    assert(!feedFiles.exists(_.contains(baseSeg)), "feed read the table body")
+    // applying deletes-then-inserts per version to v1's state yields HEAD
+    var state = rows(Snapshot.readAt(spark, root, "t", v1))
+    Snapshot.changesBetween(spark, root, "t", v1, v4)
+      .orderBy(col("_commit_version"),
+        // within a version: deletes first
+        org.apache.spark.sql.functions.when(col("_change_type") === "delete", 0).otherwise(1))
+      .collect().foreach { r =>
+        val id = r.getLong(r.fieldIndex("id"))
+        if (r.getString(r.fieldIndex("_change_type")) == "delete")
+          state = state.filterNot(_._1 == id)
+        else state = state + ((id, r.getString(r.fieldIndex("v"))))
+      }
+    assert(state == rows(Snapshot.read(spark, root, "t")))
+    // feed from creation includes the initial segment as inserts
+    assert(Snapshot.changesBetween(spark, root, "t", 0L, v1).count() == 3L)
+    // a suppressed append (erased key) is not emitted as an insert
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 3L, Seq("id"))
+    val v6 = Snapshot.commitAppend(spark, root, Map("t" -> Seq((3L, "c2")).toDF("id", "v")))
+    assert(Snapshot.changesBetween(spark, root, "t", v4, v6)
+      .filter(col("_change_type") === "insert").count() == 0L)
+    // compaction in range refuses loudly — history was rewritten
+    val v7 = Snapshot.compactTable(spark, root, "t")
+    intercept[IllegalArgumentException](
+      Snapshot.changesBetween(spark, root, "t", v1, v7).count())
   }
 }
