@@ -338,6 +338,56 @@ object EtlQueries {
       .orderBy(Snapshot.CommitVersionCol, Snapshot.ChangeTypeCol, "o_orderstatus")
   }
 
+  /** etl_sync_replica — EXACTLY-ONCE incremental replication gate
+    * (graft.sources.Replica.sync over Snapshot.changesBetween +
+    * applyChanges): a source table lives through append → erase →
+    * row-level MERGE, and a downstream replica catches up in TWO sync
+    * steps — the first bootstraps through the feed, the second applies
+    * only the erase+upsert delta (O(changes): the feed never reads the
+    * source body). The gate aggregates the REPLICA and compares against
+    * an oracle computing the source's final state directly — any
+    * mis-netted event (a delete applied over its own version's insert,
+    * a resurrected key missed, a double-applied upsert) shifts
+    * n_orders or cents_total. A third sync call must no-op (replay
+    * safety), asserted inline. */
+  def syncReplica(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Replica, Snapshot}
+    val src = Tables.scratchDir(spark, "snapsrc", dir)
+    val dst = Tables.scratchDir(spark, "snapdst", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(src, dst).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    Snapshot.commit(spark, src, Map("orders_src" ->
+      o.filter(col("o_orderkey") % 5 =!= 0)))
+    Snapshot.commitAppend(spark, src, appends = Map("orders_src" ->
+      o.filter(col("o_orderkey") % 5 === 0)))
+    // sync #1: bootstrap the replica through the feed (cursor 0 → v2)
+    require(Replica.sync(spark, src, "orders_src", dst, "orders_rep",
+      Seq("o_orderkey")).contains(2L), "bootstrap sync did not publish")
+    Snapshot.deleteWhere(spark, src, "orders_src",
+      col("o_orderkey") % 7 === 2, Seq("o_orderkey"))
+    Snapshot.upsertMergeOnRead(spark, src, "orders_src",
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      Seq("o_orderkey"))
+    // sync #2: the erase+upsert delta only
+    require(Replica.sync(spark, src, "orders_src", dst, "orders_rep",
+      Seq("o_orderkey")).contains(4L), "delta sync did not publish")
+    // sync #3: already current — exactly-once replay no-op
+    require(Replica.sync(spark, src, "orders_src", dst, "orders_rep",
+      Seq("o_orderkey")).isEmpty, "replayed sync must no-op")
+    Snapshot.read(spark, dst, "orders_rep")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus")
+  }
+
   /** etl_point_lookup — per-file BLOOM skipping gate
     * (graft.sources.Snapshot.{commit bloomCols, readPrunedEq}): the
     * orders table is committed HASH-partitioned on the key, the layout
@@ -375,6 +425,17 @@ object EtlQueries {
         |FROM orders
         |WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
         |ORDER BY 1""".stripMargin,
+    "etl_sync_replica" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 2 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_upsert_mor" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
@@ -551,5 +612,6 @@ object EtlQueries {
     "etl_point_lookup" -> pointLookup _,
     "etl_upsert_mor" -> upsertMor _,
     "etl_change_feed" -> changeFeed _,
+    "etl_sync_replica" -> syncReplica _,
   )
 }

@@ -540,12 +540,46 @@ object Snapshot {
       batch: DataFrame, keyCols: Seq[String],
       expectBase: Option[Long] = None,
       statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomBits: Long = 1L << 20): Long =
+    applyChanges(spark, root, table, keyCols, upserts = Some(batch),
+      deleteKeys = None, expectBase = expectBase,
+      statsCols = statsCols, bloomCols = bloomCols, bloomBits = bloomBits)
+
+  /** The general merge-on-read WRITE primitive behind
+    * [[upsertMergeOnRead]] and [[graft.sources.Replica]]: in ONE atomic
+    * commit, row-level MERGE `upserts` (optional), erase `deleteKeys`
+    * (optional — key tuples only, exactly `keyCols`), and REPLACE the
+    * tables in `replaces` (progress markers — the exactly-once pairing
+    * of [[commitAppend]]). Tombstone shaping: upsert keys get
+    * cov = base-segment-count (prior versions suppressed, the appended
+    * batch served), delete keys get cov = MaxValue (erasure outlives
+    * future appends, the [[deleteWhere]] contract); both FOLD the
+    * existing shadow — their keys' prior tombstones drop, others carry
+    * over — so a key in BOTH sets ends up deleted (MaxValue wins the
+    * per-key max). Zero stored data read or rewritten; preconditions as
+    * [[upsertMergeOnRead]]. */
+  def applyChanges(spark: SparkSession, root: String, table: String,
+      keyCols: Seq[String],
+      upserts: Option[DataFrame], deleteKeys: Option[DataFrame],
+      replaces: Map[String, DataFrame] = Map.empty,
+      expectBase: Option[Long] = None,
+      statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty, bloomBits: Long = 1L << 20): Long = {
-    require(keyCols.nonEmpty, "snapshot upsertMergeOnRead: no key columns given")
+    require(keyCols.nonEmpty, "snapshot applyChanges: no key columns given")
     requireCommittableName(table)
-    keyCols.foreach { k =>
-      require(batch.columns.contains(k),
-        s"snapshot upsertMergeOnRead: batch lacks key column '$k'")
+    replaces.keys.foreach(requireCommittableName)
+    require(!replaces.contains(table),
+      s"snapshot applyChanges: table '$table' cannot also be replaced")
+    upserts.foreach { b =>
+      keyCols.foreach { k =>
+        require(b.columns.contains(k),
+          s"snapshot applyChanges: upsert batch lacks key column '$k'")
+      }
+    }
+    deleteKeys.foreach { d =>
+      require(d.columns.toSeq == keyCols,
+        s"snapshot applyChanges: deleteKeys columns ${d.columns.mkString(",")} " +
+          s"must be exactly the key columns ${keyCols.mkString(",")}")
     }
     import org.apache.spark.sql.functions.{col, lit}
     val fs = fsOf(spark, root)
@@ -558,58 +592,86 @@ object Snapshot {
     val pinnedBase = expectBase.getOrElse(base.map(_._1).getOrElse(0L))
     val baseRels = base.map(_._2).getOrElse(Map.empty)
     // schema-evolution gate, same as commitAppend: adds OK, type changes not
-    baseRels.get(table).foreach { rel =>
+    for (b <- upserts; rel <- baseRels.get(table)) {
       val storedByName = mergedSchema(spark, root, rel).fields.map(f => f.name -> f).toMap
-      batch.schema.fields.foreach { f =>
+      b.schema.fields.foreach { f =>
         storedByName.get(f.name).foreach { prev =>
           require(prev.dataType == f.dataType,
-            s"snapshot upsertMergeOnRead: table '$table' column '${f.name}' type change " +
+            s"snapshot applyChanges: table '$table' column '${f.name}' type change " +
               s"${prev.dataType.simpleString} -> ${f.dataType.simpleString} — " +
               "type changes require a replace commit (table rewrite), not an upsert")
         }
       }
     }
-    val batchP = batch.persist()
+    val batchP = upserts.map(_.persist())
     try {
-      // one pass over the cached batch checks both MERGE preconditions
-      import org.apache.spark.sql.functions.{countDistinct, struct, sum, when}
-      val chk = batchP.agg(
-        org.apache.spark.sql.functions.count(lit(1)).as("n"),
-        countDistinct(struct(keyCols.map(col): _*)).as("nk"),
-        sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("nulls"))
-        .head()
-      val (n, nk, nulls) =
-        (chk.getLong(0), chk.getLong(1), if (chk.isNullAt(2)) 0L else chk.getLong(2))
-      require(nulls == 0L,
-        s"snapshot upsertMergeOnRead: batch has NULL in key columns ${keyCols.mkString(",")}")
-      require(nk == n,
-        s"snapshot upsertMergeOnRead: batch must be unique on (${keyCols.mkString(", ")}) — " +
-          s"$n rows but $nk distinct keys")
-      baseRels.get(table) match {
+      batchP.foreach { bp =>
+        // one pass over the cached batch checks both MERGE preconditions
+        import org.apache.spark.sql.functions.{countDistinct, struct, sum, when}
+        val chk = bp.agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n"),
+          countDistinct(struct(keyCols.map(col): _*)).as("nk"),
+          sum(when(keyCols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)).as("nulls"))
+          .head()
+        val (n, nk, nulls) =
+          (chk.getLong(0), chk.getLong(1), if (chk.isNullAt(2)) 0L else chk.getLong(2))
+        require(nulls == 0L,
+          s"snapshot applyChanges: upsert batch has NULL in key columns ${keyCols.mkString(",")}")
+        require(nk == n,
+          s"snapshot applyChanges: upsert batch must be unique on (${keyCols.mkString(", ")}) — " +
+            s"$n rows but $nk distinct keys")
+      }
+      val replaced = replaces.map { case (t, df) =>
+        t -> writeData(spark, root, t, df)
+      }
+      val updates: Map[String, String] = baseRels.get(table) match {
         case None =>
-          // first ingest: a plain create — no prior segments to suppress
-          val seg = writeData(spark, root, table, batchP, statsCols, bloomCols, bloomBits)
-          commitManifest(fs, root, Map(table -> seg), Some(pinnedBase))
+          // first ingest: a plain create — no prior segments to
+          // suppress, deletes of a nonexistent table are no-ops
+          batchP match {
+            case Some(bp) =>
+              Map(table -> writeData(spark, root, table, bp, statsCols, bloomCols, bloomBits))
+            case None => Map.empty
+          }
         case Some(rel) =>
           val nSegs = relDirs(rel).length.toLong
-          val batchKeys = batchP.select(keyCols.map(col): _*)
-          val newTomb = batchKeys.withColumn(CovCol, lit(nSegs))
-          val folded = tombstoneKeys(spark, root, baseRels, table) match {
-            case None => newTomb
-            case Some(prior) =>
-              val priorKeys = prior.columns.filterNot(_ == CovCol).toSeq
-              require(priorKeys.sorted == keyCols.sorted,
-                s"snapshot upsertMergeOnRead: key columns ${keyCols.mkString(",")} differ " +
-                  s"from the table's prior tombstones (${priorKeys.mkString(",")}) — " +
-                  "compact the table before changing keys")
-              prior.join(batchKeys, keyCols, "left_anti").unionByName(newTomb)
+          val touched: Option[DataFrame] = {
+            val up = batchP.map(_.select(keyCols.map(col): _*)
+              .withColumn(CovCol, lit(nSegs)))
+            val del = deleteKeys.map(_.distinct().withColumn(CovCol, lit(Long.MaxValue)))
+            (up, del) match {
+              case (Some(u), Some(d)) =>
+                // a key in both: MaxValue wins the read path's per-key
+                // max — deleted, as documented
+                Some(u.unionByName(d))
+              case (u, d) => u.orElse(d)
+            }
           }
-          val dataSeg = writeData(spark, root, table, batchP, statsCols, bloomCols, bloomBits)
-          val delSeg = writeData(spark, root, delKey(table), folded)
-          commitManifest(fs, root,
-            Map(table -> s"$rel,$dataSeg", delKey(table) -> delSeg), Some(pinnedBase))
+          touched match {
+            case None => Map.empty
+            case Some(newTomb) =>
+              val folded = tombstoneKeys(spark, root, baseRels, table) match {
+                case None => newTomb
+                case Some(prior) =>
+                  val priorKeys = prior.columns.filterNot(_ == CovCol).toSeq
+                  require(priorKeys.sorted == keyCols.sorted,
+                    s"snapshot applyChanges: key columns ${keyCols.mkString(",")} differ " +
+                      s"from the table's prior tombstones (${priorKeys.mkString(",")}) — " +
+                      "compact the table before changing keys")
+                  prior.join(newTomb.select(keyCols.map(col): _*).distinct(),
+                    keyCols, "left_anti").unionByName(newTomb)
+              }
+              val dataEntry = batchP.map { bp =>
+                table -> s"$rel,${writeData(spark, root, table, bp, statsCols, bloomCols, bloomBits)}"
+              }
+              val delSeg = writeData(spark, root, delKey(table), folded)
+              dataEntry.toMap + (delKey(table) -> delSeg)
+          }
       }
-    } finally batchP.unpersist()
+      require(updates.nonEmpty || replaced.nonEmpty,
+        "snapshot applyChanges: nothing to commit (no upserts, deletes, or replaces)")
+      commitManifest(fs, root, updates ++ replaced, Some(pinnedBase))
+    } finally batchP.foreach(_.unpersist())
   }
 
   /** Fold an append-table's segments back into one dir (a new version;

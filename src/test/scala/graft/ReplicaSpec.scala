@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{Replica, Snapshot}
+
+class ReplicaSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("replica-spec").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("sync replicates incrementally and exactly-once") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Snapshot.commit(spark, src,
+      Map("t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    // bootstrap: the first sync feeds from creation
+    assert(Replica.sync(spark, src, "t", dst, "t", Seq("id")).contains(1L))
+    assert(rows(Snapshot.read(spark, dst, "t")) ==
+      rows(Snapshot.read(spark, src, "t")))
+    // replay no-ops: nothing new at the source
+    assert(Replica.sync(spark, src, "t", dst, "t", Seq("id")).isEmpty)
+    // source advances: append + erase + upsert (the key 2 chain nets to
+    // its LAST event; key 1 erased; key 4 appended; key 5 upsert-new)
+    Snapshot.commitAppend(spark, src, Map("t" -> Seq((4L, "d")).toDF("id", "v")))
+    Snapshot.deleteWhere(spark, src, "t", col("id") === 1L, Seq("id"))
+    Snapshot.upsertMergeOnRead(spark, src, "t",
+      Seq((2L, "b2"), (5L, "e")).toDF("id", "v"), Seq("id"))
+    Snapshot.upsertMergeOnRead(spark, src, "t",
+      Seq((2L, "b3")).toDF("id", "v"), Seq("id"))
+    val v = Snapshot.currentVersion(spark, src).get
+    assert(Replica.sync(spark, src, "t", dst, "t", Seq("id")).contains(v))
+    assert(rows(Snapshot.read(spark, dst, "t")) ==
+      Set((2L, "b3"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(rows(Snapshot.read(spark, dst, "t")) ==
+      rows(Snapshot.read(spark, src, "t")))
+    // the replica is a first-class snapshot table: the bootstrap sync's
+    // version still time-travels to the pre-delta state
+    assert(rows(Snapshot.readAt(spark, dst, "t", 1L)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("independent appIds keep independent cursors") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Snapshot.commit(spark, src, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    assert(Replica.sync(spark, src, "t", dst, "ta", Seq("id"), appId = "A").isDefined)
+    Snapshot.upsertMergeOnRead(spark, src, "t",
+      Seq((1L, "a2")).toDF("id", "v"), Seq("id"))
+    // B bootstraps from 0 into its own table; A only applies the delta
+    assert(Replica.sync(spark, src, "t", dst, "tb", Seq("id"), appId = "B").isDefined)
+    assert(Replica.sync(spark, src, "t", dst, "ta", Seq("id"), appId = "A").isDefined)
+    assert(rows(Snapshot.read(spark, dst, "ta")) == Set((1L, "a2")))
+    assert(rows(Snapshot.read(spark, dst, "tb")) == Set((1L, "a2")))
+    // both cursors are at the source head: replays no-op independently
+    assert(Replica.sync(spark, src, "t", dst, "ta", Seq("id"), appId = "A").isEmpty)
+    assert(Replica.sync(spark, src, "t", dst, "tb", Seq("id"), appId = "B").isEmpty)
+  }
+
+  test("a pure-delete delta replicates; source compaction refuses") {
+    val src = freshRoot()
+    val dst = freshRoot()
+    Snapshot.commit(spark, src,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")))
+    assert(Replica.sync(spark, src, "t", dst, "t", Seq("id")).isDefined)
+    Snapshot.deleteWhere(spark, src, "t", col("id") === 2L, Seq("id"))
+    assert(Replica.sync(spark, src, "t", dst, "t", Seq("id")).isDefined)
+    assert(rows(Snapshot.read(spark, dst, "t")) == Set((1L, "a")))
+    // a source fold inside the unsynced range breaks feed history — loud
+    Snapshot.upsertMergeOnRead(spark, src, "t",
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"))
+    Snapshot.compactTable(spark, src, "t")
+    intercept[IllegalArgumentException](
+      Replica.sync(spark, src, "t", dst, "t", Seq("id")))
+  }
+}
