@@ -86,6 +86,49 @@ object AnnIndex {
     Ann.topKAgg(cands.join(broadcast(probes), BucketCol), k)
   }
 
+  /** Top-k LSH search from a FROZEN base index + a FOLLOWING delta — a
+    * serving index that tracks a MUTATING corpus without rebuilds: the
+    * base is the persisted index ([[writeLshIndex]]) built from a
+    * snapshot version of the corpus; `deltaRoot`/`deltaTable` is a
+    * snapshot table kept current by [[graft.sources.Replica]] sync over
+    * the corpus feed from that version on (`initialCursor` = the build
+    * version). Serve-time composition, all O(touched) beyond the base:
+    * base rows whose id the delta TOUCHED (upserted, deleted —
+    * [[graft.sources.Snapshot.shadowedKeys]] ∪ the delta's current
+    * keys) are anti-joined out, the delta's live rows are encoded
+    * through the SAME [[lshIndexRows]] derivation (bit-identical
+    * bucketing) and unioned in, and the standard [[knnLshServe]]
+    * selection runs over the combined frame — hash-identical to a full
+    * rebuild over the corpus's current state (the emb_knn_lsh_follow
+    * gate). Fold the delta into a fresh base (rebuild + reset delta
+    * root) off the serving path, like every base+delta store; don't
+    * compact the delta table between folds (compaction clears the
+    * touched-key shadow). */
+  def knnLshServeFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, planes: Array[Array[Long]],
+      probePred: Column, k: Int, candPred: Column = lit(true)): DataFrame = {
+    import graft.sources.Snapshot
+    val base = spark.read.parquet(basePath)
+    val live = Snapshot.read(spark, deltaRoot, deltaTable)
+    val liveKeys = live.select(col(idCol))
+    val touched = Snapshot.shadowedKeys(spark, deltaRoot, deltaTable) match {
+      case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
+      case None => liveKeys.distinct()
+    }
+    // materialize the O(touched) delta rows: keeps the dynamic partition
+    // pruning machinery on the BASE scan only (pushing the DPP filter
+    // through the union onto the computed-bucket branch plants an
+    // unprepared InSubqueryExec — a plain Filter can't host one), and a
+    // multi-probe serve re-reads the checkpoint, not the derivation
+    val deltaRows = lshIndexRows(live, idCol, vecCol, planes)
+      .select(base.columns.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    val served = base.join(touched, Seq(idCol), "left_anti")
+      .unionByName(deltaRows)
+    knnLshServe(served, idCol, probePred, k, candPred)
+  }
+
   /** Centroid-assignment column of the persisted IVF layout. */
   val CentCol = "cent"
 

@@ -74,6 +74,51 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** emb_knn_lsh_follow — FOLLOWING-index gate
+    * (graft.operators.AnnIndex.knnLshServeFollow + sources.Replica):
+    * the serving story for a MUTATING corpus. A snapshot corpus is
+    * committed, the base LSH index is built from that version, then the
+    * corpus lives on — a key-set is erased (merge-on-read tombstones)
+    * and a batch row-level MERGEs in (new vectors, plus re-upserts of
+    * already-indexed ids whose base rows MUST be excluded or they'd
+    * double-serve and shift the k-th slot, plus resurrections of erased
+    * ids). One exactly-once Replica.sync (cursor seeded at the build
+    * version) lands the delta next to the frozen base, and the serve
+    * composes base-minus-touched ∪ re-encoded delta — gated against an
+    * oracle running the SAME LSH selection over the corpus's final
+    * state directly. Everything past the base scan is O(touched). */
+  def embKnnLshFollow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "annfsrc", dir)
+    val delta = Tables.scratchDir(spark, "annfdelta", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "annfbase", dir)
+    AnnIndex.writeLshIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", Planes, basePath)
+    // the corpus mutates past the frozen base: erase, then MERGE a batch
+    // that inserts (%5==3), re-upserts indexed ids (%9==1), and
+    // resurrects erased ones (their overlap with %7==0)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined, "follow sync did not publish")
+    AnnIndex.knnLshServeFollow(spark, basePath, delta, "emb_delta",
+        "vec_id", "embedding", Planes, col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+  }
+
   def embNearDup(spark: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
         Planes, threshold = 0.4)
@@ -390,6 +435,23 @@ object VectorQueries {
 
   private val lshOracle: String = knnOracle(
     s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket
+       |      WHERE a.vec_id < $ProbeMax AND c.vec_id <> a.vec_id)""".stripMargin)
+
+  /** Following-index oracle: the lshOracle selection over the corpus's
+    * FINAL state — live ids after the erase (%7==0) and the MERGE batch
+    * (%5==3 inserts, %9==1 re-upserts, erased∩batch resurrections):
+    * (%5≠3 ∧ %7≠0) ∪ %5==3 ∪ %9==1. Vector content is unchanged by the
+    * gate's upserts, so the pair math is identical — only MEMBERSHIP
+    * moves, which is exactly what base-minus-touched ∪ delta must get
+    * right. */
+  private val lshFollowOracle: String = knnOracle(
+    s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q
+       |      WHERE vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0),
        |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
        |        ${dotSql("a.qv", "c.qv")} AS d,
        |        ${dotSql("a.qv", "a.qv")} AS pn,
@@ -744,6 +806,7 @@ object VectorQueries {
     "emb_knn_lsh_mp" -> lshMpOracle,
     "emb_knn_lsh_persisted" -> lshOracle, // identical selection from the stored index
     "emb_knn_lsh_incremental" -> lshOracle, // append-then-serve == full rebuild
+    "emb_knn_lsh_follow" -> lshFollowOracle, // base+delta == rebuild on final state
     "emb_knn_lsh_window" -> lshOracle, // same selection, window-shaped plan
     "emb_knn_ivf" -> ivfOracle,
     "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
@@ -769,6 +832,7 @@ object VectorQueries {
     "emb_knn_lsh_mp" -> embKnnLshMp _,
     "emb_knn_lsh_persisted" -> embKnnLshPersisted _,
     "emb_knn_lsh_incremental" -> embKnnLshIncremental _,
+    "emb_knn_lsh_follow" -> embKnnLshFollow _,
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_knn_ivf_persisted" -> embKnnIvfPersisted _,

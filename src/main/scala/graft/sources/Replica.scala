@@ -48,10 +48,14 @@ object Replica {
     * published, None for an already-current no-op. `keyCols` must be
     * the table's row identity (the same keys its upserts/deletes use).
     * `appId` names this replication stream's cursor — distinct
-    * replicas of the same destination keep independent watermarks. */
+    * replicas of the same destination keep independent watermarks.
+    * `initialCursor` seeds an ABSENT cursor (default 0 = bootstrap the
+    * whole table): a consumer that froze its own base at a known source
+    * version — a serving index built from `readAt(v)` — passes v to
+    * follow only the changes SINCE its base. */
   def sync(spark: SparkSession, srcRoot: String, srcTable: String,
       dstRoot: String, dstTable: String, keyCols: Seq[String],
-      appId: String = "default"): Option[Long] = {
+      appId: String = "default", initialCursor: Long = 0L): Option[Long] = {
     require(keyCols.nonEmpty, "replica sync: no key columns given")
     val srcHead = Snapshot.currentVersion(spark, srcRoot).getOrElse(0L)
     val dstTables = Snapshot.tables(spark, dstRoot).keySet
@@ -61,10 +65,10 @@ object Replica {
         Snapshot.read(spark, dstRoot, MarkerTable)
           .filter(col("app_id") === appId)
           .agg(max(col("src_version"))).head() match {
-            case r if r.isNullAt(0) => 0L
+            case r if r.isNullAt(0) => initialCursor
             case r => r.getLong(0)
           }
-      else 0L
+      else initialCursor
     if (cursor >= srcHead) return None // already current: replay no-ops
     val feed = Snapshot.changesBetween(spark, srcRoot, srcTable, cursor, srcHead)
     keyCols.foreach { k =>

@@ -626,12 +626,28 @@ object Snapshot {
       }
       val updates: Map[String, String] = baseRels.get(table) match {
         case None =>
-          // first ingest: a plain create — no prior segments to
-          // suppress, deletes of a nonexistent table are no-ops
-          batchP match {
-            case Some(bp) =>
-              Map(table -> writeData(spark, root, table, bp, statsCols, bloomCols, bloomBits))
-            case None => Map.empty
+          // first ingest: create the table from the batch — no prior
+          // segments to suppress, so upsert keys need NO tombstones
+          // (keeping a bootstrap's shadow EMPTY is what keeps every
+          // later read on the plain no-join path). deleteKeys ARE
+          // recorded (cov=MaxValue): they erase matching batch rows
+          // (delete wins, as documented) and keep the shadow a complete
+          // touched-key record for base+delta consumers
+          // ([[shadowedKeys]]); deletes without any batch anchor an
+          // empty key-schema segment so the shadow has a table to
+          // shadow (later appends widen the schema).
+          val dataDf = batchP.orElse(deleteKeys.map(_.limit(0)))
+          dataDf match {
+            case None => Map.empty // replaces-only commit
+            case Some(df) =>
+              val entry = Map(table ->
+                writeData(spark, root, table, df, statsCols, bloomCols, bloomBits))
+              deleteKeys match {
+                case None => entry
+                case Some(d) =>
+                  entry + (delKey(table) -> writeData(spark, root, delKey(table),
+                    d.distinct().withColumn(CovCol, lit(Long.MaxValue))))
+              }
           }
         case Some(rel) =>
           val nSegs = relDirs(rel).length.toLong
@@ -1032,6 +1048,22 @@ object Snapshot {
     readResolved(spark, root, byName, table, Some(filesPerSeg))
   }
 
+  /** The key tuples currently tombstone-SHADOWED for `table`: every key
+    * a merge-on-read delete or upsert has touched since the table's
+    * creation or last fold (compaction/replace clears the shadow), one
+    * row per key, O(touched keys). None when no shadow exists. A
+    * base+delta consumer (e.g. a serving index following a mutating
+    * corpus, [[graft.operators.AnnIndex]] knnLshServeFollow) anti-joins
+    * this against its frozen base and unions the live delta rows —
+    * union with the table's current keys to also cover rows that
+    * arrived in the table's CREATION commit, whose upsert keys are
+    * deliberately not shadowed (see [[applyChanges]]). */
+  def shadowedKeys(spark: SparkSession, root: String, table: String): Option[DataFrame] = {
+    requireCommittableName(table)
+    tombstoneKeys(spark, root, currentRels(spark, root), table)
+      .map(_.drop(CovCol))
+  }
+
   /** Feed metadata column: 'insert' | 'delete'. */
   val ChangeTypeCol = "_change_type"
   /** Feed metadata column: the version that produced the change. */
@@ -1091,8 +1123,13 @@ object Snapshot {
     // toVersion's schema, then stamp the metadata columns
     def shaped(df: DataFrame, changeType: String, v: Long): DataFrame = {
       val cols = schema.fields.map { f =>
-        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+        // cast only on a REAL type difference — a cast between types
+        // differing only in nested nullability is unresolvable
+        // (catalogString renders types without nullability flags)
+        else if (df.schema(f.name).dataType.catalogString == f.dataType.catalogString)
+          col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
       }
       df.select(cols.toSeq: _*)
         .withColumn(ChangeTypeCol, lit(changeType))

@@ -63,6 +63,49 @@ class ReplicaSpec extends SparkSpec {
     assert(Replica.sync(spark, src, "t", dst, "tb", Seq("id"), appId = "B").isEmpty)
   }
 
+  test("knnLshServeFollow: base+delta serve equals a rebuild on the mutated corpus") {
+    import graft.operators.{Ann, AnnIndex}
+    val corpus = freshRoot()
+    val delta = freshRoot()
+    val baseIdx = Files.createTempDirectory("replica-annbase").toString
+    val planes = Ann.hashPlanes(nPlanes = 4, dim = 8)
+    def vec(i: Long) = Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)
+    val all = (0L until 64L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // corpus v1: ids < 48 — the frozen base is built from this version
+    val buildV = Snapshot.commit(spark, corpus,
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    AnnIndex.writeLshIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", planes, baseIdx)
+    // the corpus mutates: erase some indexed ids, MERGE in new ones plus
+    // re-upserts of indexed ids (their base rows must not double-serve)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      all.filter(col("vec_id") >= 48L || col("vec_id") % 13 === 1),
+      Seq("vec_id"))
+    assert(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined)
+    val follow = AnnIndex.knnLshServeFollow(spark, baseIdx, delta, "emb_delta",
+        "vec_id", "embedding", planes, col("vec_id") < 3L, k = 2)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    // ground truth: a full rebuild over the corpus's CURRENT state
+    val rebuilt = Files.createTempDirectory("replica-annfull").toString
+    AnnIndex.writeLshIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", planes, rebuilt)
+    val full = AnnIndex.knnLshServe(spark.read.parquet(rebuilt), "vec_id",
+        col("vec_id") < 3L, k = 2)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    assert(follow == full)
+    // the follow serve composes the FROZEN base — no rebuild happened:
+    // a deleted id is absent, a re-upserted id appears exactly once
+    val served = AnnIndex.knnLshServeFollow(spark, baseIdx, delta, "emb_delta",
+      "vec_id", "embedding", planes, org.apache.spark.sql.functions.lit(true), k = 1)
+    assert(served.filter(col("probe_id") === 11L).count() == 0L) // erased (11 % 11 == 0)
+    // replayed sync no-ops and the serve is stable
+    assert(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isEmpty)
+  }
+
   test("a pure-delete delta replicates; source compaction refuses") {
     val src = freshRoot()
     val dst = freshRoot()
