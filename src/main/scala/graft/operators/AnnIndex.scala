@@ -196,6 +196,41 @@ object AnnIndex {
       .write.mode("append").partitionBy(CentCol).parquet(path)
   }
 
+  /** IVF twin of [[knnLshServeFollow]] — base+delta serving over a
+    * MUTATING corpus where the frozen parameter is the TRAINED codebook
+    * (stored at `basePath + "_codebook"`) rather than LSH's
+    * hyperplanes: delta rows encode through the same
+    * stored-codebook assignment as [[appendIvfIndex]] (one code path ⇒
+    * bit-identical centroids), touched base ids anti-join out, and the
+    * standard [[knnIvfServe]] selection runs over the union —
+    * hash-identical to a full rebuild over the corpus's current state
+    * WITH THAT CODEBOOK (the emb_knn_ivf_follow gate). The PQ index
+    * composes identically (stored per-subspace codebooks encode the
+    * delta's codes); delta materialization keeps runtime filters on
+    * the base scan, as in the LSH twin. */
+  def knnIvfServeFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String,
+      probePred: Column, k: Int, nProbe: Int): DataFrame = {
+    import graft.sources.Snapshot
+    val base = spark.read.parquet(basePath)
+    val codebook = spark.read.parquet(basePath + "_codebook")
+    val live = Snapshot.read(spark, deltaRoot, deltaTable)
+    val liveKeys = live.select(col(idCol))
+    val touched = Snapshot.shadowedKeys(spark, deltaRoot, deltaTable) match {
+      case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
+      case None => liveKeys.distinct()
+    }
+    val stored = codebook
+      .select(col("cb_label"), col("cv").as("__cv"), col("cc").as("__cc"))
+    val deltaRows = ivfRowsFromPivoted(live, idCol, vecCol, stored)
+      .select(base.columns.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    val served = base.join(touched, Seq(idCol), "left_anti")
+      .unionByName(deltaRows)
+    knnIvfServe(served, codebook, idCol, probePred, k, nProbe)
+  }
+
   /** Subspace / code columns of the persisted PQ layout. */
   val SubspaceCol = "subspace"
   val CodeCol = "code"

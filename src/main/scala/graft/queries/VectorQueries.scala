@@ -218,6 +218,44 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** emb_knn_ivf_follow — the IVF twin of emb_knn_lsh_follow
+    * (graft.operators.AnnIndex.knnIvfServeFollow): same mutating-corpus
+    * scenario, but the frozen serve-time parameter is the TRAINED
+    * codebook — trained on the build-time corpus state, stored next to
+    * the base, and encoding the delta bit-identically to the base
+    * build. Gated against the ivfOracle selection with the codebook
+    * pinned to the build-time training set and membership moved to the
+    * corpus's final state. */
+  def embKnnIvfFollow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "annifsrc", dir)
+    val delta = Tables.scratchDir(spark, "annifdelta", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "annifbase", dir)
+    val atBuild = Snapshot.read(spark, corpus, "emb")
+    AnnIndex.writeIvfIndex(atBuild, "vec_id", "embedding",
+      Ann.ivfCodebook(atBuild, "label", "embedding"), basePath)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined, "follow sync did not publish")
+    AnnIndex.knnIvfServeFollow(spark, basePath, delta, "emb_delta",
+        "vec_id", "embedding", col("vec_id") < ProbeMax, K, nProbe = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Metadata-filtered search: neighbors restricted to even labels. */
   def embKnnFiltered(spark: SparkSession, dir: String): DataFrame =
     Ann.knnLshFiltered(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -547,6 +585,40 @@ object VectorQueries {
        |SELECT probe_id, neighbor_id, cosine_sim, "rank" FROM r
        |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
 
+  /** Following-IVF oracle: the ivfOracle selection with the codebook
+    * trained on the BUILD-TIME corpus state (%5≠3 — label-means over
+    * exactly the rows the frozen base indexed) and membership moved to
+    * the corpus's FINAL state, mirroring lshFollowOracle's predicate. */
+  private val ivfFollowOracle: String =
+    s"""WITH $qCte,
+       |vd AS (SELECT vec_id, label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |vdim AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim_idx, qv[i] AS qe FROM vd),
+       |cb AS (SELECT label AS cb_label, dim_idx,
+       |         CAST(FLOOR(CAST(SUM(qe) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |       FROM vdim WHERE vec_id % 5 <> 3 GROUP BY 1, 2),
+       |live AS (SELECT * FROM vdim
+       |         WHERE vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0),
+       |dist AS (SELECT v.vec_id, c.cb_label, SUM((v.qe - c.cq) * (v.qe - c.cq)) AS d2
+       |         FROM live v JOIN cb c ON c.dim_idx = v.dim_idx GROUP BY 1, 2),
+       |rankedc AS (SELECT vec_id, cb_label,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cb_label) AS crn
+       |            FROM dist),
+       |inv AS (SELECT vec_id, cb_label FROM rankedc WHERE crn = 1),
+       |probes AS (SELECT vec_id, cb_label FROM rankedc WHERE vec_id < $ProbeMax AND crn <= 2),
+       |p AS (SELECT pr.vec_id AS probe_id, i.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM probes pr
+       |      JOIN inv i ON i.cb_label = pr.cb_label AND i.vec_id <> pr.vec_id
+       |      JOIN q a ON a.vec_id = pr.vec_id
+       |      JOIN q b ON b.vec_id = i.vec_id),
+       |s AS (SELECT probe_id, neighbor_id, $cosineSql AS cosine_sim FROM p),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine_sim DESC, neighbor_id) AS "rank" FROM s)
+       |SELECT probe_id, neighbor_id, cosine_sim, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
+
   private val centroidsOracle: String =
     s"""WITH $qCte,
        |e AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
@@ -811,6 +883,7 @@ object VectorQueries {
     "emb_knn_ivf" -> ivfOracle,
     "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
     "emb_knn_ivf_incremental" -> ivfOracle, // append-then-serve == full rebuild
+    "emb_knn_ivf_follow" -> ivfFollowOracle, // base+delta, frozen build-time codebook
     "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
@@ -833,6 +906,7 @@ object VectorQueries {
     "emb_knn_lsh_persisted" -> embKnnLshPersisted _,
     "emb_knn_lsh_incremental" -> embKnnLshIncremental _,
     "emb_knn_lsh_follow" -> embKnnLshFollow _,
+    "emb_knn_ivf_follow" -> embKnnIvfFollow _,
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_knn_ivf_persisted" -> embKnnIvfPersisted _,

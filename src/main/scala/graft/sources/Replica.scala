@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions.{col, lit, max, row_number, when}
   * SYNC points, its own change feed, compaction and vacuum all apply.
   * Source compaction/replace inside the unsynced range throws
   * ([[Snapshot.changesBetween]]'s contract) — schedule source folds
-  * after replicas have caught up. */
+  * after replicas have caught up. Likewise VACUUM the source only past
+  * every replica's cursor: the feed reads the manifests and segments of
+  * the versions in (cursor, head], and a swept version fails the sync
+  * loudly (relsAt refuses), never silently skips. */
 object Replica {
 
   private val MarkerTable = "_sync"

@@ -106,6 +106,45 @@ class ReplicaSpec extends SparkSpec {
       Seq("vec_id"), initialCursor = buildV).isEmpty)
   }
 
+  test("knnIvfServeFollow: frozen-codebook base+delta equals a rebuild") {
+    import graft.operators.{Ann, AnnIndex}
+    val corpus = freshRoot()
+    val delta = freshRoot()
+    val baseIdx = Files.createTempDirectory("replica-ivfbase").toString
+    def vec(i: Long) = Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)
+    val all = (0L until 64L).map(i => (i, i % 3, vec(i))).toDF("vec_id", "label", "embedding")
+    val buildV = Snapshot.commit(spark, corpus,
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    val atBuild = Snapshot.read(spark, corpus, "emb")
+    // the codebook trains on the BUILD-TIME state and stays frozen
+    AnnIndex.writeIvfIndex(atBuild, "vec_id", "embedding",
+      Ann.ivfCodebook(atBuild, "label", "embedding"), baseIdx)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      all.filter(col("vec_id") >= 48L || col("vec_id") % 13 === 1)
+        .drop("label").withColumn("label", col("vec_id") % 3),
+      Seq("vec_id"))
+    assert(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined)
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val follow = served(AnnIndex.knnIvfServeFollow(spark, baseIdx, delta,
+      "emb_delta", "vec_id", "embedding", col("vec_id") < 3L, k = 2, nProbe = 2))
+    // ground truth: rebuild over the current state with the SAME frozen
+    // codebook — re-derived from the build-time state via time travel
+    // (ivfCodebook is deterministic, so this IS the stored codebook)
+    val rebuilt = Files.createTempDirectory("replica-ivffull").toString
+    AnnIndex.writeIvfIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding",
+      Ann.ivfCodebook(Snapshot.readAt(spark, corpus, "emb", buildV),
+        "label", "embedding"), rebuilt)
+    val full = served(AnnIndex.knnIvfServe(spark.read.parquet(rebuilt),
+      spark.read.parquet(rebuilt + "_codebook"), "vec_id",
+      col("vec_id") < 3L, k = 2, nProbe = 2))
+    assert(follow == full)
+  }
+
   test("a pure-delete delta replicates; source compaction refuses") {
     val src = freshRoot()
     val dst = freshRoot()
