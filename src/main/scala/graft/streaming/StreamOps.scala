@@ -100,6 +100,73 @@ object StreamOps {
       ()
     }
 
+  /** EXACTLY-ONCE streaming MERGE-ON-READ upsert — the O(batch)
+    * complement of [[streamingUpsert]]'s bucketed merge-on-write: each
+    * micro-batch keep-last-dedupes on its keys and publishes through
+    * ONE atomic [[graft.sources.Snapshot.applyChanges]] commit pairing
+    * the coverage-scoped upsert (zero stored data read or rewritten —
+    * the shape for high-rate CDC against a 100 TB table, where even
+    * touched-bucket rewrites are too much write amplification) with the
+    * replayed-batch marker ([[ingestBatchExactlyOnce]]'s txnAppId
+    * pattern) — at-least-once foreach-batch delivery becomes
+    * exactly-once. Schedule [[graft.sources.Snapshot.compactTable]]
+    * off the ingest path to fold the accumulated segments + shadow. */
+  def streamingUpsertMor(events: DataFrame, root: String, table: String,
+      keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      appId: String = "default")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      upsertBatchMorExactlyOnce(batch, batchId, root, table, keys, ord, appId)
+      ()
+    }
+
+  /** One micro-batch of [[streamingUpsertMor]] — public so replay
+    * semantics are directly testable. Returns true if this call
+    * published, false for a skipped replay. AppId semantics as
+    * [[ingestBatchExactlyOnce]]. */
+  def upsertBatchMorExactlyOnce(batch: DataFrame, batchId: Long, root: String,
+      table: String, keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      appId: String = "default"): Boolean = {
+    import graft.sources.Snapshot
+    val spark = batch.sparkSession
+    val baseVersion = Snapshot.currentVersion(spark, root)
+    val tablesNow = Snapshot.tables(spark, root).keySet
+    if (appliedBatch(spark, root, tablesNow, appId) >= batchId) return false
+    val stage = graft.operators.Transform.dedupeKeepLast(batch, keys, ord)
+    Snapshot.applyChanges(spark, root, table, keys,
+      upserts = Some(stage), deleteKeys = None,
+      replaces = Map(MarkerTable -> mergedMarker(spark, root, tablesNow, appId, batchId)),
+      expectBase = Some(baseVersion.getOrElse(0L)))
+    true
+  }
+
+  /** The highest batch id `appId` has published at `root`, -1 when none
+    * — the replay check shared by the exactly-once sinks. */
+  private def appliedBatch(spark: org.apache.spark.sql.SparkSession, root: String,
+      tablesNow: Set[String], appId: String): Long =
+    if (tablesNow.contains(MarkerTable))
+      graft.sources.Snapshot.read(spark, root, MarkerTable)
+        .filter(col("app_id") === appId)
+        .agg(max(col("batch_id"))).head() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+    else -1L
+
+  /** The marker table's next contents: one row per appId, this app's
+    * watermark advanced — MERGED, never wholesale-replaced, so
+    * interleaved writers under distinct appIds keep each other's
+    * replay guarantee. */
+  private def mergedMarker(spark: org.apache.spark.sql.SparkSession, root: String,
+      tablesNow: Set[String], appId: String, batchId: Long): DataFrame = {
+    import spark.implicits._
+    val markerNew = Seq((appId, batchId)).toDF("app_id", "batch_id")
+    if (tablesNow.contains(MarkerTable))
+      graft.sources.Snapshot.read(spark, root, MarkerTable).unionByName(markerNew)
+        .groupBy(col("app_id")).agg(max(col("batch_id")).as("batch_id"))
+    else markerNew
+  }
+
   /** STREAMING corpus ingestion with cross-corpus dedup: each micro-batch
     * of documents is (1) exact-deduped within itself (min id per
     * normalized fingerprint — a batch can repeat a doc), (2) deduped
@@ -219,16 +286,8 @@ object StreamOps {
     val spark = batch.sparkSession
     val baseVersion = Snapshot.currentVersion(spark, root)
     val tablesNow = Snapshot.tables(spark, root).keySet
-    val applied =
-      if (tablesNow.contains(MarkerTable))
-        Snapshot.read(spark, root, MarkerTable)
-          .filter(col("app_id") === appId)
-          .agg(max(col("batch_id"))).head() match {
-            case r if r.isNullAt(0) => -1L
-            case r => r.getLong(0)
-          }
-      else -1L
-    if (applied >= batchId) return false // replayed batch: already published
+    if (appliedBatch(spark, root, tablesNow, appId) >= batchId)
+      return false // replayed batch: already published
     // in-batch exact dedup: keep the min id per fingerprint
     val fp = graft.functions.Text.fingerprint(col(textCol))
     val keyed = batch.withColumn("__fp", fp)
@@ -250,16 +309,9 @@ object StreamOps {
         DedupState.dedupeAgainstState(state, unique, idCol, textCol, minJaccard)
       } else DedupState.withState(unique, idCol, textCol).localCheckpoint(true)
     try {
-      import spark.implicits._
-      // MERGE the marker, never wholesale-replace it: other appIds'
-      // watermarks survive an interleaved writer (one row per app, max
-      // batch_id — the ≤apps-row canonical form the replay check reads)
-      val markerNew = Seq((appId, batchId)).toDF("app_id", "batch_id")
-      val marker =
-        if (tablesNow.contains(MarkerTable))
-          Snapshot.read(spark, root, MarkerTable).unionByName(markerNew)
-            .groupBy(col("app_id")).agg(max(col("batch_id")).as("batch_id"))
-        else markerNew
+      // one row per app, max batch_id — the ≤apps-row canonical form
+      // the replay check reads ([[mergedMarker]])
+      val marker = mergedMarker(spark, root, tablesNow, appId, batchId)
       val freshState = fresh.select(col(idCol), col(DedupState.FpCol),
         col(DedupState.ShCol), col(DedupState.SigCol))
       // corpus append + state append + marker are ONE manifest: no

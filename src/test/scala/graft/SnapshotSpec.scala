@@ -659,6 +659,36 @@ class SnapshotSpec extends SparkSpec {
     assert(rows(Snapshot.read(spark, root, "t2")) == Set((1L, "x"), (2L, "y2")))
   }
 
+  test("upsertBatchMorExactlyOnce: replay no-ops, keep-last in-batch, marker pairs") {
+    import graft.streaming.StreamOps
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    // batch 0: two keys, key 1 twice — keep-last by seq wins
+    val b0 = Seq((1L, 10L, "a0"), (1L, 11L, "a1"), (2L, 10L, "b0"))
+      .toDF("id", "seq", "v")
+    assert(StreamOps.upsertBatchMorExactlyOnce(b0, 0L, root, "t",
+      Seq("id"), Seq(col("seq"))))
+    assert(rows(Snapshot.read(spark, root, "t")
+      .select(col("id"), col("v"))) == Set((1L, "a1"), (2L, "b0")))
+    // REPLAY of batch 0 (crash after commit, before checkpoint): no-op
+    assert(!StreamOps.upsertBatchMorExactlyOnce(b0, 0L, root, "t",
+      Seq("id"), Seq(col("seq"))))
+    assert(Snapshot.read(spark, root, "t").count() == 2L)
+    // batch 1 updates key 1 with zero data rewrite (MoR): latest wins
+    val b1 = Seq((1L, 20L, "a2")).toDF("id", "seq", "v")
+    assert(StreamOps.upsertBatchMorExactlyOnce(b1, 1L, root, "t",
+      Seq("id"), Seq(col("seq"))))
+    assert(rows(Snapshot.read(spark, root, "t")
+      .select(col("id"), col("v"))) == Set((1L, "a2"), (2L, "b0")))
+    // the marker stays one row per app and pairs atomically with the data
+    assert(Snapshot.read(spark, root, "_ingest").count() == 1L)
+    // a second app's batches keep an independent watermark
+    assert(StreamOps.upsertBatchMorExactlyOnce(b1, 0L, root, "t2",
+      Seq("id"), Seq(col("seq")), appId = "other"))
+    assert(!StreamOps.upsertBatchMorExactlyOnce(b1, 1L, root, "t",
+      Seq("id"), Seq(col("seq"))))
+  }
+
   test("changesBetween: O(changes) feed reproduces the table; rewrites refuse") {
     val root = freshRoot()
     import org.apache.spark.sql.functions.col
