@@ -84,6 +84,169 @@ object Pipeline {
     version
   }
 
+  /** EXACTLY-ONCE incremental curation over a snapshot store's change
+    * feed — the consumer that keeps a CURATED corpus current against a
+    * mutating raw corpus at O(changes + state), never re-reading the
+    * corpus body. The production answer to "new crawl batches land
+    * every hour into a 100 TB documents table; keep the training
+    * corpus curated": [[curateCorpus]] re-curates the world,
+    * this follows it.
+    *
+    * All tables live in ONE snapshot root, so every round is one
+    * atomic, mutually-consistent commit: the raw `srcTable` (written
+    * by ingest), the curated `dstTable` (src columns + lang_pred +
+    * quality_score), the frozen model artifacts (`<dst>_profiles`,
+    * `<dst>_vocab` — trained once at bootstrap, the CCNet
+    * fixed-yardstick contract), the dedup signature state
+    * (`<dst>_sig`, [[graft.operators.DedupState]]), and the per-app
+    * cursor (`_curate`).
+    *
+    * Each call:
+    *   1. reads the cursor; `cursor >= head` no-ops (a replayed call
+    *      after a crash-past-commit changes nothing — exactly-once
+    *      under at-least-once driving, the [[graft.sources.Replica]]
+    *      contract);
+    *   2. BOOTSTRAP (no cursor): trains profiles/vocab on the corpus
+    *      at `head`, starts from empty state, and curates the whole
+    *      corpus as the first delta;
+    *   3. otherwise pulls [[Snapshot.changesBetween]] over
+    *      (cursor, head] and NETS it per key (last event wins);
+    *   4. evicts touched keys: netted deletes AND re-upserted keys
+    *      leave the signature state (their old text no longer
+    *      suppresses anything — delete-then-reingest resurrects, the
+    *      MERGE contract) and are queued as dst deletes;
+    *   5. [[graft.operators.Curate.curateDelta]] gates the netted
+    *      inserts against the frozen artifacts and dedups them against
+    *      state-minus-evicted;
+    *   6. publishes ONE [[Snapshot.applyChanges]] commit: survivor
+    *      upserts + failed/deleted-key deletes on `dstTable`
+    *      (O(batch) merge-on-read, zero rewrite), the absorbed state
+    *      (replace — the state is signatures, not corpus text; a
+    *      deployment with a huge state would make it a second
+    *      merge-on-read table), and the advanced cursor. The cursor
+    *      records `base + 1` — this commit's own version, which never
+    *      touches `srcTable` — so a quiet source reads as current, not
+    *      as a feed to re-net forever.
+    *
+    * Returns Some(committed version), or None when already current.
+    * Concurrent root writers fail the CAS loudly — re-call to retry.
+    * Source compaction inside the unsynced range throws
+    * (changesBetween's contract); vacuum the source only past the
+    * cursor. */
+  def curateFollow(spark: SparkSession, root: String,
+      srcTable: String = "documents", dstTable: String = "documents_curated",
+      idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
+      minQuality: Double = 0.5, maxAvgNllMicro: Long = 3410000L,
+      minJaccard: Double = 0.5, profileK: Int = 64,
+      appId: String = "curate"): Option[Long] = {
+    import graft.operators.{Curate, DedupState, LangModel, LangProfile, NearDup}
+    import org.apache.spark.sql.expressions.Window
+    val MarkerTable = "_curate"
+    val profTable = dstTable + "_profiles"
+    val vocabTable = dstTable + "_vocab"
+    val sigTable = DedupState.stateTable(dstTable)
+    val head = Snapshot.currentVersion(spark, root).getOrElse(return None)
+    val tables = Snapshot.tables(spark, root).keySet
+    require(tables.contains(srcTable), s"curateFollow: no table '$srcTable' at $root")
+    val cursor =
+      if (tables.contains(MarkerTable))
+        Snapshot.read(spark, root, MarkerTable)
+          .filter(col("app_id") === appId)
+          .agg(max(col("src_version"))).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0))
+          }
+      else None
+    if (cursor.exists(_ >= head)) return None // already current
+    val bootstrap = cursor.isEmpty
+    // ---- the delta: netted inserts + deletes over (cursor, head] ----
+    // (the netted frame is checkpointed and must outlive the commit —
+    // freed in the outermost finally)
+    var netted: Option[DataFrame] = None
+    val (ins, delKeys) =
+      if (bootstrap) (Snapshot.readAt(spark, root, srcTable, head),
+        Snapshot.read(spark, root, srcTable).limit(0).select(col(idCol)))
+      else {
+        val feed = Snapshot.changesBetween(spark, root, srcTable, cursor.get, head)
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col(Snapshot.CommitVersionCol).desc,
+            when(col(Snapshot.ChangeTypeCol) === "insert", 1).otherwise(0).desc)
+        val last = feed.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint(true)
+        netted = Some(last)
+        (last.filter(col(Snapshot.ChangeTypeCol) === "insert")
+          .drop(Snapshot.ChangeTypeCol, Snapshot.CommitVersionCol),
+          last.filter(col(Snapshot.ChangeTypeCol) === "delete").select(col(idCol)))
+      }
+    // ---- frozen artifacts (trained at bootstrap, read ever after) ----
+    val (profiles, vocab) =
+      if (bootstrap)
+        (LangProfile.profiles(ins, langCol, textCol, profileK).localCheckpoint(true),
+          LangModel.train(ins, textCol, col(langCol) === "en").localCheckpoint(true))
+      else (Snapshot.read(spark, root, profTable), Snapshot.read(spark, root, vocabTable))
+    try {
+      // ---- evict touched keys from state (resurrect semantics) ----
+      val touched = delKeys.unionByName(ins.select(col(idCol))).distinct()
+      val state0 =
+        if (bootstrap) {
+          import spark.implicits._
+          // empty state with the exact persisted schema
+          DedupState.stateOf(ins.limit(0), idCol, textCol)
+        } else Snapshot.read(spark, root, sigTable)
+      val state = (if (bootstrap) state0 else state0.join(touched, Seq(idCol), "left_anti"))
+        .localCheckpoint(true)
+      try {
+        val survivors = Curate.curateDelta(profiles, vocab, state, ins,
+          idCol, textCol, keepLangs, minQuality, maxAvgNllMicro, minJaccard)
+        try {
+          val survRows = survivors.drop(DedupState.StateCols: _*)
+          val newState = state.unionByName(survivors.select(col(idCol),
+            col(DedupState.FpCol), col(DedupState.ShCol), col(DedupState.SigCol)))
+          // dst deletes: touched keys whose new text no longer survives
+          // curation AND that actually sit in the curated table — the
+          // semi-join keeps the tombstone shadow at O(really-deleted
+          // curated rows); tombstoning every gate-failed key would grow
+          // the shadow corpus-sized and tax every later dst read. The
+          // dst id scan is one column-pruned pass. At bootstrap there is
+          // no dst yet — nothing to delete.
+          val dels =
+            if (bootstrap) touched.limit(0)
+            else touched.join(survRows.select(col(idCol)), Seq(idCol), "left_anti")
+              .join(Snapshot.read(spark, root, dstTable).select(col(idCol)),
+                Seq(idCol), "left_semi")
+          val markerNew = {
+            import spark.implicits._
+            // base+1 = this very commit (it never touches srcTable)
+            Seq((appId, head + 1L)).toDF("app_id", "src_version")
+          }
+          val marker =
+            if (tables.contains(MarkerTable))
+              Snapshot.read(spark, root, MarkerTable).unionByName(markerNew)
+                .groupBy(col("app_id")).agg(max(col("src_version")).as("src_version"))
+            else markerNew
+          val replaces = Map(sigTable -> newState, MarkerTable -> marker) ++
+            (if (bootstrap) Map(profTable -> profiles, vocabTable -> vocab)
+             else Map.empty)
+          val nUps = survRows.limit(1).count()
+          val nDels = dels.limit(1).count()
+          val v = Snapshot.applyChanges(spark, root, dstTable, Seq(idCol),
+            upserts = if (nUps > 0) Some(survRows) else None,
+            deleteKeys = if (nDels > 0) Some(dels) else None,
+            replaces = replaces,
+            expectBase = Some(head))
+          Some(v)
+        } finally Curate.release(survivors)
+      } finally NearDup.freeCheckpoint(state)
+    } finally {
+      if (bootstrap) {
+        NearDup.freeCheckpoint(profiles); NearDup.freeCheckpoint(vocab)
+      }
+      netted.foreach(NearDup.freeCheckpoint)
+    }
+  }
+
   private def extractTransform(spark: SparkSession, dataDir: String,
       outDir: String): Staged = {
     // -- extract (S1-S2): schema-pinned, trimmed, coerce-to-NULL

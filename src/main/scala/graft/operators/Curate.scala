@@ -180,6 +180,91 @@ object Curate {
     } finally { release(pred); release(lm); NearDup.freeCheckpoint(shared) }
   }
 
+  /** INCREMENTAL curation — [[curateV2]]'s gates applied to a DELTA
+    * with every model FROZEN, the shape a continuously-ingesting
+    * 100 TB corpus actually runs: models train once at corpus-build
+    * time ([[LangProfile.profiles]], [[LangModel.train]],
+    * [[DedupState.stateOf]] — all persisted tables), and each arriving
+    * batch is curated against those artifacts at O(batch + state) —
+    * the corpus text is NEVER re-read, re-tokenized, or re-modeled.
+    *
+    *  1. frozen language-ID ([[LangProfile.classifyWith]] against the
+    *     persisted `profiles`): keep `keepLangs`, unscorable short docs
+    *     drop;
+    *  2. heuristic quality floor (`Text.qualityScore >= minQuality`);
+    *  3. frozen LM gate ([[LangModel.scoreWith]] against the persisted
+    *     `lm` vocab — the CCNet fixed-reference-model contract: every
+    *     batch judged by the SAME yardstick, integer cross-multiplied);
+    *  4. batch-internal exact dedup (min-id survivor per fingerprint)
+    *     then batch-internal near-dup dedup (the [[curateV2]] LSH →
+    *     verify → CC → anti-join chain — a delta can contain its own
+    *     duplicates);
+    *  5. corpus dedup against the PERSISTED signature state
+    *     ([[DedupState.dedupeAgainstState]]): survivors are neither
+    *     exact nor near duplicates of anything already absorbed.
+    *
+    * Returns the surviving batch rows with `lang_pred`/`quality_score`
+    * attached AND their own fp/sh/sig state columns retained, so the
+    * caller absorbs them into the state table without recomputing
+    * anything (drop [[DedupState.StateCols]] if unwanted). Gate
+    * arithmetic is stage-for-stage the [[curateV2]] trees, so the
+    * composition oracle-gates (doc_curate_incremental) and a batch
+    * curated here equals the same docs curated by a [[curateV2]] whose
+    * training slices were the frozen artifacts' sources. Same
+    * checkpoint discipline: the shared token/trigram scan and the
+    * scored frame materialize once each and are freed on all paths;
+    * the result is an eager checkpoint ([[release]] when done). */
+  def curateDelta(profiles: DataFrame, lm: DataFrame, state: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
+      minQuality: Double = 0.5,
+      maxAvgNllMicro: Long = 3410000L,
+      minJaccard: Double = 0.5): DataFrame = {
+    val keep = batch.columns.toSeq
+    (Seq("lang_pred", "quality_score", "n_tokens", "nll_micro", "__fp") ++
+      DedupState.StateCols).foreach { c =>
+      require(!keep.contains(c), s"curateDelta: input must not already carry '$c'") }
+    val shared = batch
+      .select(col(idCol),
+        split(lower(col(textCol)), "").as("__ch"),
+        Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        LangProfile.charTrigrams(col("__ch")).as("__grams"))
+      .localCheckpoint(true)
+    try {
+      val pred = LangProfile.classifyWithFromArrays(profiles,
+        shared.select(col(idCol), col("__grams")), idCol)
+      val lmScores = LangModel.scoreWithFromTokens(lm,
+        shared.select(col(idCol), col("__toks")), idCol)
+      val scored = batch
+        .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
+        .join(lmScores.select(col(idCol), col("n_tokens"), col("nll_micro")),
+          Seq(idCol), "left_outer")
+        .withColumn("quality_score", Text.qualityScore(col(textCol)))
+        .withColumn("__fp", Text.fingerprint(col(textCol)))
+        .localCheckpoint(true)
+      try {
+        val filtered = scored
+          .filter(col("lang_pred").isin(keepLangs: _*))
+          .filter(col("quality_score") >= minQuality)
+          .filter(col("nll_micro").isNull ||
+            col("nll_micro") <= lit(maxAvgNllMicro) * col("n_tokens"))
+        val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+        val exact = filtered.join(canon, Seq("__fp", idCol), "left_semi")
+        val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
+        // batch survivors stay LAZY into dedupeAgainstState (it scans
+        // its batch input exactly once, into its own persisted frame);
+        // clusters' blocks must outlive that evaluation — freed only
+        // after dedupeAgainstState's eager-checkpoint result exists
+        try {
+          val surv = Transform.dropNearDups(exact, clusters, idCol)
+            .drop("__fp", "n_tokens", "nll_micro")
+          DedupState.dedupeAgainstState(state, surv, idCol, textCol, minJaccard)
+        } finally NearDup.freeCheckpoint(clusters)
+      } finally NearDup.freeCheckpoint(scored)
+    } finally NearDup.freeCheckpoint(shared)
+  }
+
   /** Free the storage blocks behind a frame [[curate]] returned (or any
     * frame rooted at an eager localCheckpoint). Safe no-op on frames
     * with no checkpoint leaf. */

@@ -54,9 +54,47 @@ object LangModel {
     nllFromExploded(tokArrays.select(col(idCol), refPred.as("__ref"),
       explode(col("__toks")).as("__tok")), idCol)
 
-  private def nllFromExploded(toks: DataFrame, idCol: String): DataFrame = {
-    val vcnt = toks.filter(col("__ref"))
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+  /** Train the unigram model alone: (token, cnt) over the reference
+    * slice's normalized tokens — the PERSISTABLE artifact of the
+    * train-once/score-forever split. On a 100 TB corpus this is one
+    * map-side-combined aggregate run at model-build time; the table is
+    * vocabulary-sized and broadcasts to every later [[scoreWith]]. */
+  def train(df: DataFrame, textCol: String, refPred: Column): DataFrame =
+    df.filter(refPred)
+      .select(explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Score with a FROZEN model — `model` is a persisted [[train]] table
+    * (token, cnt); the smoothing totals re-derive from it (one ≤vocab
+    * aggregate), so the artifact is self-contained. Scores are
+    * bit-identical to [[unigramNll]] run with the same reference slice
+    * (the quantized per-token table is equal row-for-row), which is the
+    * CCNet contract an incremental pipeline needs: the reference model
+    * is fixed at build time and every later batch is judged by the SAME
+    * yardstick — never by a model that drifts with the batch. */
+  def scoreWith(model: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    nllFromVocab(model.select(col("token").as("__tok"), col("cnt").as("__cnt")),
+      df.select(col(idCol),
+        explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))))
+          .as("__tok")),
+      idCol)
+
+  /** [[scoreWith]] over a pre-tokenized (`idCol`, `__toks`) frame —
+    * the shared-corpus-scan form ([[unigramNllFromTokens]]'s caveat:
+    * arrays must come from the same tokenize chain). */
+  def scoreWithFromTokens(model: DataFrame, tokArrays: DataFrame,
+      idCol: String): DataFrame =
+    nllFromVocab(model.select(col("token").as("__tok"), col("cnt").as("__cnt")),
+      tokArrays.select(col(idCol), explode(col("__toks")).as("__tok")), idCol)
+
+  private def nllFromExploded(toks: DataFrame, idCol: String): DataFrame =
+    nllFromVocab(
+      toks.filter(col("__ref")).groupBy(col("__tok")).agg(count(lit(1)).as("__cnt")),
+      toks, idCol)
+
+  private def nllFromVocab(vcnt: DataFrame, toks: DataFrame, idCol: String): DataFrame = {
     val stats = vcnt.agg(sum(col("__cnt")).as("__total"), count(lit(1)).as("__v"))
     val denom = (col("__total") + col("__v")).cast("double")
     // empty reference slice → denom is NULL (sum over no rows), every

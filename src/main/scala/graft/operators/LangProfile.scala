@@ -107,6 +107,60 @@ object LangProfile {
       .select(col(idCol), col("lang"), explode(col("__grams")).as("gram")),
       idCol, k)
 
+  /** Classify with a FROZEN profile table — the serve side of the
+    * train-once/apply-forever split an incremental pipeline needs: the
+    * rank profiles come from [[profiles]] run at model-build time (on a
+    * 100 TB corpus, persisted as a ≤ langs·k-row table and broadcast
+    * ever after), and each arriving batch is classified against them
+    * WITHOUT touching the training corpus. Distance, tie-breaking, and
+    * the unscorable-short-doc exclusion are identical to [[classify]] —
+    * a batch classified against `profiles(df, …, k)` gets bit-identical
+    * (lang_pred, dist) to a self-trained [[classify]] whose training
+    * slice was `df` (spec-asserted in LangProfileSpec).
+    *
+    * Unlike [[classify]] (whose corpus counts feed BOTH the profile
+    * aggregate and the doc profiles, and so checkpoint), the frozen
+    * form's (doc, gram) counts have ONE consumer — the frame stays lazy
+    * and fuses into the scoring join. `prof` must carry (lang, gram,
+    * rank) and be trained with the same `k`. */
+  def classifyWith(prof: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, k: Int = 64): DataFrame =
+    classifyWithFromGrams(prof, df
+      .select(col(idCol), split(lower(col(textCol)), "").as("__ch"))
+      .select(col(idCol), explode(charTrigrams(col("__ch"))).as("gram")),
+      idCol, k)
+
+  /** [[classifyWith]] over a pre-built (idCol, `__grams`) trigram-array
+    * frame — the shared-corpus-scan form, with [[classifyFromArrays]]'s
+    * caveat: the arrays must be MATERIALIZED or the optimizer re-runs
+    * the char split per gram. */
+  def classifyWithFromArrays(prof: DataFrame, gramArrays: DataFrame,
+      idCol: String, k: Int = 64): DataFrame =
+    classifyWithFromGrams(prof,
+      gramArrays.select(col(idCol), explode(col("__grams")).as("gram")), idCol, k)
+
+  private def classifyWithFromGrams(prof: DataFrame, grams: DataFrame,
+      idCol: String, k: Int): DataFrame = {
+    val counts = grams
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+    val profCols = prof.select(col("lang"), col("gram"), col("rank"))
+    val langs = profCols.select(col("lang")).distinct()
+    val docProf = counts
+      .withColumn("__drank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__c").desc, col("gram")))
+        .cast("long"))
+      .filter(col("__drank") <= k)
+      .select(col(idCol), col("gram"), col("__drank"))
+    docProf
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profCols), Seq("lang", "gram"), "left_outer")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(abs(col("__drank") - col("rank")), lit(k.toLong))).as("__dist"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("lang"))).as("__m"))
+      .select(col(idCol), col("__m.lang").as("lang_pred"), col("__m.__dist").as("dist"))
+  }
+
   private def classifyFromCounts(grams: DataFrame, idCol: String,
       k: Int): DataFrame = {
     val counts = grams

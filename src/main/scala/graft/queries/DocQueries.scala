@@ -248,6 +248,44 @@ object DocQueries {
     } finally graft.operators.NearDup.freeCheckpoint(state)
   }
 
+  /** doc_curate_incremental — FROZEN-MODEL incremental curation
+    * (graft.operators.Curate.curateDelta): corpus = even doc_ids with
+    * every model trained on it ONCE and frozen (Cavnar-Trenkle rank
+    * profiles, English-reference unigram-LM vocab, minhash signature
+    * state — the persisted artifacts of a continuously-ingesting
+    * deployment, see Pipeline.curateFollow); batch = odd doc_ids
+    * arriving as one delta. The batch passes the trained language gate,
+    * the heuristic quality floor, and the fixed-yardstick LM gate, then
+    * exact+near dedups against ITSELF and finally against the corpus
+    * state — the corpus text is never re-read. The oracle chains the
+    * doc_lang_trained / doc_lm_score CTEs restricted per parity with
+    * ONE union-banded LSH front serving both the batch-internal
+    * (string-shingle) and batch-vs-state (hashed-shingle) verifies. */
+  def docCurateIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curate, DedupState, LangModel, LangProfile}
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    // the frozen artifacts — in a deployment these are persisted tables
+    // trained at corpus-build time; materialized here so each derives
+    // exactly once (curateDelta consumes the state three ways)
+    val profiles = LangProfile.profiles(corpus, "lang", "text", 64).localCheckpoint(true)
+    val vocab = LangModel.train(corpus, "text", col("lang") === "en").localCheckpoint(true)
+    val state = DedupState.stateOf(corpus, "doc_id", "text").localCheckpoint(true)
+    try {
+      // result is an EAGER checkpoint, so the artifact frees below are
+      // safe before the caller evaluates the final projection
+      Curate.curateDelta(profiles, vocab, state, batch, "doc_id", "text",
+          maxAvgNllMicro = CurateV2MaxNllMicro)
+        .select("doc_id", "lang", "lang_pred", "quality_score")
+        .orderBy("doc_id")
+    } finally {
+      graft.operators.NearDup.freeCheckpoint(profiles)
+      graft.operators.NearDup.freeCheckpoint(vocab)
+      graft.operators.NearDup.freeCheckpoint(state)
+    }
+  }
+
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
     * on md5(doc_id): stable across runs, engines, and partitionings. */
   def docHashSample(spark: SparkSession, dir: String): DataFrame =
@@ -1304,6 +1342,112 @@ object DocQueries {
        |WHERE z."rank" <= $CurateV2K ORDER BY z."rank"""".stripMargin
   }
 
+  /** Incremental-curation oracle: the doc_lang_trained chain with
+    * profile counts restricted to EVEN docs (the frozen model) and doc
+    * profiles to ODD docs (the batch); the doc_lm_score chain with the
+    * vocab from even-English tokens and scoring over odd tokens; the
+    * curatedCtes quality/fingerprint features; gates into s0, exact
+    * dedup into s1; then ONE banded LSH front over `ub` = even docs ∪
+    * s1 serving both verifies — batch-internal pairs (odd-odd) check
+    * STRING-shingle jaccard (NearDup.dupClusters semantics) into the
+    * recursive min-id closure, cross-parity pairs check HASHED-shingle
+    * jaccard (DedupState semantics, the dedupeIncrementalOracle form).
+    * Near-drops for exact-dropped docs coincide with the exact drop, so
+    * banding all of s1 (the operator bands only state-exact survivors)
+    * cannot change the survivor set. */
+  private val curateIncrementalOracle: String = {
+    val nc = normSql.replace("lower(text)", "lower(COALESCE(text, ''))")
+    s"""WITH RECURSIVE $curatedCtes,
+       |lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, lang, substr(t, CAST(i AS BIGINT), 3) AS gram
+       |      FROM lt, unnest(range(1, length(t) - 1)) AS u(i)),
+       |pc AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
+       |       WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |prof AS (SELECT lang, gram, rnk FROM (
+       |           SELECT lang, gram,
+       |                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rnk
+       |           FROM pc) WHERE rnk <= 64),
+       |tlangs AS (SELECT DISTINCT lang FROM prof),
+       |tdc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g
+       |        WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+       |dprof AS (SELECT doc_id, gram, drank FROM (
+       |            SELECT doc_id, gram,
+       |                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+       |            FROM tdc) WHERE drank <= 64),
+       |tdist AS (SELECT d.doc_id, l.lang,
+       |           CAST(SUM(COALESCE(ABS(d.drank - p.rnk), 64)) AS BIGINT) AS dist
+       |         FROM dprof d CROSS JOIN tlangs l
+       |         LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+       |         GROUP BY 1, 2),
+       |tbest AS (SELECT doc_id, lang AS lang_pred, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+       |         FROM tdist),
+       |pred AS MATERIALIZED (SELECT doc_id, lang_pred FROM tbest WHERE rn = 1),
+       |lnorm AS (SELECT doc_id, lang, $nc AS t FROM documents),
+       |lex AS MATERIALIZED (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS tok FROM lnorm),
+       |lvcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM lex
+       |          WHERE lang = 'en' AND doc_id % 2 = 0 GROUP BY 1),
+       |lst AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM lvcnt),
+       |lvoc AS (SELECT tok,
+       |           CAST(round(1000000.0 * (-ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT) AS nllq
+       |         FROM lvcnt CROSS JOIN lst),
+       |lsc AS (SELECT e.doc_id,
+       |          COALESCE(lvoc.nllq,
+       |            CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT)) AS q
+       |        FROM lex e LEFT JOIN lvoc ON lvoc.tok = e.tok CROSS JOIN lst
+       |        WHERE e.doc_id % 2 = 1),
+       |lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |           CAST(SUM(q) AS BIGINT) AS nll_micro FROM lsc GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT c.doc_id, c.lang, c.text, p.lang_pred, c.quality_score, c.fp
+       |  FROM cscore c
+       |  JOIN pred p ON p.doc_id = c.doc_id
+       |  LEFT JOIN lagg la ON la.doc_id = c.doc_id
+       |  WHERE p.lang_pred IN ('en', 'es', 'de', 'fr')
+       |    AND c.quality_score >= CAST(0.5 AS DOUBLE)
+       |    AND (la.nll_micro IS NULL OR la.nll_micro <= $CurateV2MaxNllMicro * la.n_tokens)),
+       |canon2 AS (SELECT fp, MIN(doc_id) AS doc_id FROM s0 GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT s0.* FROM s0 JOIN canon2 ON canon2.fp = s0.fp AND canon2.doc_id = s0.doc_id),
+       |ub AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+       |       UNION ALL SELECT doc_id, text FROM s1),
+       |${pairCtes("ub")},
+       |jp AS (SELECT doc_a, doc_b FROM jpairs
+       |       WHERE doc_a % 2 = 1 AND doc_b % 2 = 1 AND jaccard >= CAST(0.5 AS DOUBLE)),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |shd AS (SELECT DISTINCT doc_id, hb FROM shh),
+       |hsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY 1),
+       |xp AS (SELECT CASE WHEN doc_a % 2 = 0 THEN doc_a ELSE doc_b END AS corpus_id,
+       |              CASE WHEN doc_a % 2 = 0 THEN doc_b ELSE doc_a END AS batch_id
+       |       FROM pairs WHERE (doc_a % 2) <> (doc_b % 2)),
+       |xc AS (SELECT x.corpus_id, x.batch_id, COUNT(*) AS n_common
+       |       FROM xp x
+       |       JOIN shd sa ON sa.doc_id = x.corpus_id
+       |       JOIN shd sb ON sb.doc_id = x.batch_id AND sb.hb = sa.hb
+       |       GROUP BY 1, 2),
+       |neardrop AS (SELECT DISTINCT c.batch_id
+       |             FROM xc c
+       |             JOIN hsz za ON za.doc_id = c.corpus_id
+       |             JOIN hsz zb ON zb.doc_id = c.batch_id
+       |             WHERE CAST(n_common AS DOUBLE) / (za.n_sh + zb.n_sh - n_common)
+       |                   >= CAST(0.5 AS DOUBLE)),
+       |exactdrop AS (SELECT DISTINCT b.doc_id FROM s2 b
+       |              JOIN cscore c ON c.fp = b.fp AND c.doc_id % 2 = 0)
+       |SELECT doc_id, lang, lang_pred, quality_score FROM s2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM exactdrop)
+       |  AND doc_id NOT IN (SELECT batch_id FROM neardrop)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val tfidfOracle: String =
     s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS token
@@ -1513,6 +1657,7 @@ object DocQueries {
     "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
     "doc_curate_v2" -> curateV2Oracle,
+    "doc_curate_incremental" -> curateIncrementalOracle,
     "doc_tfidf" -> tfidfOracle,
     "doc_edit_pairs" -> editPairsOracle,
     "doc_sql_text" -> sqlTextOracle,
@@ -1790,6 +1935,7 @@ object DocQueries {
     "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,
     "doc_curate_v2" -> docCurateV2 _,
+    "doc_curate_incremental" -> docCurateIncremental _,
     "doc_tfidf" -> docTfidf _,
     "doc_edit_pairs" -> docEditPairs _,
     "doc_sql_text" -> docSqlText _,

@@ -164,6 +164,112 @@ class CurationSpec extends SparkSpec {
     Curate.release(out)
   }
 
+  test("curateDelta: frozen gates + state dedup curate a batch; absorb is idempotent") {
+    import graft.operators.{Curate, DedupState, LangModel, LangProfile}
+    import org.apache.spark.sql.functions.col
+    val base = "the cat and the dog walk to the old park near the river " +
+      "and the cat sees the dog by the park gate under the old tree"
+    val other = "under the old tree by the river gate the dog and the cat " +
+      "rest near the park and the dog walks to the river with the cat"
+    val fresh = "the dog and the cat walk by the gate and the river to the " +
+      "old tree near the park and rest under the tree by the gate"
+    val gibberish = "thering overing quickle foxed jumper thering overing " +
+      "quickle foxed jumper thering overing quickle foxed jumper"
+    val corpus = Seq(
+      (2L, "en", base),
+      (4L, "en", other)
+    ).toDF("doc_id", "lang", "text")
+    // frozen artifacts, trained once on the corpus
+    val profiles = LangProfile.profiles(corpus, "lang", "text", 64).localCheckpoint(true)
+    val vocab = LangModel.train(corpus, "text", col("lang") === "en").localCheckpoint(true)
+    val state = DedupState.stateOf(corpus, "doc_id", "text").localCheckpoint(true)
+    val batch = Seq(
+      (11L, "en", base),                              // exact dup of corpus 2 → dropped
+      (13L, "en", other + " extra tail words"),       // near dup of corpus 4 → dropped
+      (15L, "en", fresh),                             // kept
+      (17L, "en", fresh),                             // exact dup of 15 IN-batch → dropped
+      (19L, "en", gibberish),                         // frozen LM gate → dropped
+      (21L, "en", "zzz qqq vvv www zzz qqq vvv www")  // not latin-profiled → dropped
+    ).toDF("doc_id", "lang", "text")
+    val out = Curate.curateDelta(profiles, vocab, state, batch, "doc_id", "text",
+      maxAvgNllMicro = 3500000L)
+    assert(out.collect().map(_.getAs[Long]("doc_id")).toSet == Set(15L))
+    // survivors carry their own state rows — absorbing is one append,
+    // nothing recomputed
+    val absorbed = state.unionByName(
+      out.select(col("doc_id"), col(DedupState.FpCol), col(DedupState.ShCol),
+        col(DedupState.SigCol))).localCheckpoint(true)
+    Curate.release(out)
+    // replaying the same batch against the absorbed state is a no-op:
+    // every doc is now a duplicate of state or gate-dropped
+    val replay = Curate.curateDelta(profiles, vocab, absorbed, batch,
+      "doc_id", "text", maxAvgNllMicro = 3500000L)
+    assert(replay.count() == 0)
+    Curate.release(replay)
+    Seq(profiles, vocab, state, absorbed).foreach(Curate.release)
+  }
+
+  test("curateFollow: exactly-once incremental curation over the change feed") {
+    import graft.Pipeline
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_cfollow").toString
+    val base = "the cat and the dog walk to the old park near the river " +
+      "and the cat sees the dog by the park gate under the old tree"
+    val other = "under the old tree by the river gate the dog and the cat " +
+      "rest near the park and the dog walks to the river with the cat"
+    val fresh = "the dog and the cat walk by the gate and the river to the " +
+      "old tree near the park and rest under the tree by the gate"
+    val gibberish = "thering overing quickle foxed jumper thering overing " +
+      "quickle foxed jumper thering overing quickle foxed jumper"
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    def follow() = Pipeline.curateFollow(spark, root, maxAvgNllMicro = 3500000L)
+    def curated(): Set[Long] = Snapshot.read(spark, root, "documents_curated")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    def stateIds(): Set[Long] = Snapshot.read(spark, root, "documents_curated_sig")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+
+    // v1: initial corpus → bootstrap trains the frozen models and
+    // curates the whole table as the first delta
+    Snapshot.commit(spark, root, Map("documents" -> docs(2L -> base, 4L -> other)))
+    assert(follow().isDefined)
+    assert(curated() == Set(2L, 4L))
+    assert(stateIds() == Set(2L, 4L))
+    // exactly-once: replaying against an unchanged source is a no-op
+    assert(follow().isEmpty)
+
+    // a new ingest batch: dup of corpus, fresh doc, LM-gated noise —
+    // only the fresh doc joins the curated table; corpus never re-read
+    Snapshot.commitAppend(spark, root,
+      Map("documents" -> docs(11L -> base, 15L -> fresh, 19L -> gibberish)))
+    assert(follow().isDefined)
+    assert(curated() == Set(2L, 4L, 15L))
+    assert(follow().isEmpty)
+
+    // source delete propagates to the curated table and EVICTS the
+    // signature state
+    Snapshot.deleteWhere(spark, root, "documents", col("doc_id") === 2L, Seq("doc_id"))
+    assert(follow().isDefined)
+    assert(curated() == Set(4L, 15L))
+    assert(stateIds() == Set(4L, 15L))
+
+    // resurrect: the deleted doc's text re-ingested under a new id is
+    // no longer anyone's duplicate — it survives
+    Snapshot.commitAppend(spark, root, Map("documents" -> docs(21L -> base)))
+    assert(follow().isDefined)
+    assert(curated() == Set(4L, 15L, 21L))
+
+    // an upsert that degrades a curated doc's text below the gates
+    // removes it from the curated table (and state) on the next sync
+    Snapshot.upsertMergeOnRead(spark, root, "documents",
+      docs(15L -> gibberish), Seq("doc_id"))
+    assert(follow().isDefined)
+    assert(curated() == Set(4L, 21L))
+    assert(stateIds() == Set(4L, 21L))
+    assert(follow().isEmpty)
+  }
+
   test("doc_curate: filters, exact-dedup canonical, and near-dup drop compose") {
     val en = "the quick brown fox jumps over the lazy dog and runs to the forest " +
       "with a pack of hounds chasing it through the trees of the old park"

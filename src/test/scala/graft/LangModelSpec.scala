@@ -36,6 +36,27 @@ class LangModelSpec extends SparkSpec {
     assert(got.keySet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("scoreWith: frozen vocab reproduces unigramNll; the yardstick cannot drift") {
+    val model = LangModel.train(docs, "text", col("lang") === "en")
+    // persisted artifact shape: (token, cnt)
+    assert(model.columns.toSeq == Seq("token", "cnt"))
+    assert(model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("nll_micro"))).sortBy(_._1).toSeq
+    assert(rows(LangModel.scoreWith(model, docs, "doc_id", "text")) ==
+      rows(LangModel.unigramNll(docs, "doc_id", "text", col("lang") === "en")))
+    // scoring a batch the model never saw uses the FROZEN counts: the
+    // batch's own tokens do not enter the denominator (unlike a naive
+    // retrain-per-batch, where new vocab shifts every probability)
+    val batch = Seq((10L, "a zzz")).toDF("doc_id", "text")
+    val got = rows(LangModel.scoreWith(model, batch, "doc_id", "text")).head
+    val qa = nllq(4.0 / 8.0)
+    val qoov = nllq(1.0 / 8.0)
+    assert(got == ((10L, 2L, qa + qoov)))
+  }
+
   test("unigramNll: fluent-vs-noise ordering and partition independence") {
     val corpus = Seq(
       (0L, "en", "the cat sat on the mat"),

@@ -44,6 +44,29 @@ class LangProfileSpec extends SparkSpec {
     assert(out(7L) != "bb")
   }
 
+  test("classifyWith: frozen profiles reproduce classify bit-for-bit") {
+    val prof = LangProfile.profiles(docs, "lang", "text", k = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("dist"))).sortBy(_._1).toSeq
+    // frozen-apply on the training slice == self-trained classify
+    assert(rows(LangProfile.classifyWith(prof, docs, "doc_id", "text", k = 64)) ==
+      rows(LangProfile.classify(docs, "doc_id", "lang", "text", k = 64)))
+    // a NEW batch (no labels, never seen in training) classifies against
+    // the frozen table, and its presence cannot perturb another doc's
+    // score — the frozen-yardstick contract
+    val batch = Seq(
+      (10L, "und der wald und die katze und der hund laufen dort im regen"),
+      (11L, "el gato y el perro corren por el campo con la lluvia")
+    ).toDF("doc_id", "text")
+    val out = LangProfile.classifyWith(prof, batch, "doc_id", "text", k = 64)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out == Map(10L -> "aa", 11L -> "bb"))
+    val solo = LangProfile.classifyWith(prof, batch.filter($"doc_id" === 10L),
+      "doc_id", "text", k = 64).collect()
+    assert(solo.length == 1 && solo.head.getAs[String]("lang_pred") == "aa")
+  }
+
   test("docs too short for a trigram are excluded, not erroneous") {
     val withShort = docs.union(Seq((8L, "aa", "ab")).toDF("doc_id", "lang", "text"))
     val out = LangProfile.classify(withShort, "doc_id", "lang", "text")
