@@ -753,14 +753,41 @@ object Snapshot {
   /** Drop all but the newest `keepLast` complete versions: older commit
     * files and every data directory no retained version references.
     * Run only while no commit is in flight — an uncommitted writer's
-    * data dirs look unreferenced and would be swept. */
-  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
+    * data dirs look unreferenced and would be swept.
+    *
+    * SAME-ROOT consumer cursors are honored: when a `_curate` marker
+    * table exists ([[graft.Pipeline.curateFollow]] — its `src_version`
+    * names THIS root's versions), every version >= the lagging-most
+    * cursor is retained too, because the consumer's next sync replays
+    * [[changesBetween]] over (cursor, head] and a swept version in that
+    * range fails it loudly. An abandoned appId therefore pins history —
+    * release it by deleting its marker row (a replace commit on
+    * `_curate`) before vacuuming, or pass `respectCursors = false` to
+    * sweep regardless (accepting that lagging followers must
+    * re-bootstrap). CROSS-root consumers ([[Replica.sync]] — cursors
+    * live in the DESTINATION root) are invisible here by construction;
+    * their contract stays "vacuum the source only past every replica's
+    * cursor", scheduled by the operator. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
+      respectCursors: Boolean = true): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = fsOf(spark, root)
     val all = versions(fs, root)
     val complete = all.filter { case (_, p) => parseManifest(fs, p).isDefined }
-    val kept = complete.take(keepLast).map(_._2).toSet
-    val referenced = complete.take(keepLast)
+    val cursorFloor: Option[Long] =
+      if (respectCursors && current(fs, root).exists(_._2.contains("_curate")))
+        read(spark, root, "_curate")
+          .agg(org.apache.spark.sql.functions.min(
+            org.apache.spark.sql.functions.col("src_version"))).head() match {
+            case r if r.isNullAt(0) => None
+            case r => Some(r.getLong(0))
+          }
+      else None
+    val retained = complete.filter { case (v, _) =>
+      cursorFloor.exists(v >= _)
+    } ++ complete.take(keepLast)
+    val kept = retained.map(_._2).toSet
+    val referenced = retained
       .flatMap { case (_, p) => parseManifest(fs, p) }
       .flatMap(_.values).flatMap(relDirs).toSet
     all.collect { case (_, p) if !kept.contains(p) => fs.delete(p, false) }

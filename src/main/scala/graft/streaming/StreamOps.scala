@@ -140,6 +140,49 @@ object StreamOps {
     true
   }
 
+  /** STREAMING end-to-end curation: each micro-batch lands in the raw
+    * corpus table exactly-once ([[upsertBatchMorExactlyOnce]] — a
+    * replayed batch skips), then the frozen-model incremental curator
+    * ([[graft.Pipeline.curateFollow]]) advances the curated table over
+    * the corpus's change feed — itself exactly-once on its own cursor,
+    * so the composition is two idempotent commits per micro-batch and
+    * at-least-once foreach-batch delivery cannot double-curate. The
+    * stream keeps raw corpus, curated corpus, dedup state, model
+    * artifacts, and both cursors mutually consistent in ONE snapshot
+    * root.
+    *
+    * The FIRST delta trains the frozen models ([[graft.Pipeline
+    * .curateFollow]] bootstrap) — on a cold store that is the first
+    * micro-batch, which is a poor training slice; production seeds the
+    * corpus and runs one curateFollow BEFORE attaching the stream, so
+    * the stream only ever applies models trained on the seed corpus. */
+  def streamingCurate(docs: DataFrame, root: String,
+      srcTable: String = "documents", dstTable: String = "documents_curated",
+      idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
+      maxAvgNllMicro: Long = 3410000L, appId: String = "curate-ingest")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      curateBatchExactlyOnce(batch, batchId, root, srcTable, dstTable,
+        idCol, textCol, langCol, maxAvgNllMicro, appId)
+      ()
+    }
+
+  /** One micro-batch of [[streamingCurate]] — public so replay semantics
+    * are directly testable. Returns (ingest published, curate version)
+    * — (false, None) is a fully-replayed no-op. */
+  def curateBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
+      srcTable: String = "documents", dstTable: String = "documents_curated",
+      idCol: String = "doc_id", textCol: String = "text", langCol: String = "lang",
+      maxAvgNllMicro: Long = 3410000L,
+      appId: String = "curate-ingest"): (Boolean, Option[Long]) = {
+    val ingested = upsertBatchMorExactlyOnce(batch, batchId, root, srcTable,
+      Seq(idCol), ord = Seq(col(idCol)), appId = appId)
+    val curled = graft.Pipeline.curateFollow(batch.sparkSession, root,
+      srcTable, dstTable, idCol, textCol, langCol,
+      maxAvgNllMicro = maxAvgNllMicro)
+    (ingested, curled)
+  }
+
   /** The highest batch id `appId` has published at `root`, -1 when none
     * — the replay check shared by the exactly-once sinks. */
   private def appliedBatch(spark: org.apache.spark.sql.SparkSession, root: String,

@@ -270,6 +270,42 @@ class CurationSpec extends SparkSpec {
     assert(follow().isEmpty)
   }
 
+  test("vacuum honors the _curate cursor: a lagging follower survives the sweep") {
+    import graft.Pipeline
+    import graft.sources.Snapshot
+    val base = "the cat and the dog walk to the old park near the river " +
+      "and the cat sees the dog by the park gate under the old tree"
+    val fresh = "the dog and the cat walk by the gate and the river to the " +
+      "old tree near the park and rest under the tree by the gate"
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, "en", t) }.toDF("doc_id", "lang", "text")
+    def build(): String = {
+      val root = Files.createTempDirectory("graft_cfvac").toString
+      Snapshot.commit(spark, root, Map("documents" -> docs(2L -> base))) // v1
+      Pipeline.curateFollow(spark, root, maxAvgNllMicro = 3500000L)      // v2, cursor=2
+      Snapshot.commitAppend(spark, root, Map("documents" -> docs(15L -> fresh))) // v3
+      Snapshot.commitAppend(spark, root, Map("documents" -> docs(21L -> base)))  // v4
+      root
+    }
+    // cursor-aware sweep: the lagging follower's (cursor, head] range is
+    // retained even at keepLast=1 — the next sync still replays the feed
+    val root = build()
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    intercept[Exception](Snapshot.readAt(spark, root, "documents", 1).collect())
+    assert(Snapshot.readAt(spark, root, "documents", 3).count() == 2L)
+    assert(Pipeline.curateFollow(spark, root, maxAvgNllMicro = 3500000L).isDefined)
+    assert(Snapshot.read(spark, root, "documents_curated")
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(2L, 15L)) // 21 dups 2
+    // once current, a second sweep reclaims everything but head
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    assert(Pipeline.curateFollow(spark, root, maxAvgNllMicro = 3500000L).isEmpty)
+    // opting out sweeps regardless; the lagging follower then fails
+    // LOUDLY (never silently skips the gap)
+    val root2 = build()
+    Snapshot.vacuum(spark, root2, keepLast = 1, respectCursors = false)
+    intercept[Exception](Pipeline.curateFollow(spark, root2, maxAvgNllMicro = 3500000L))
+  }
+
   test("doc_curate: filters, exact-dedup canonical, and near-dup drop compose") {
     val en = "the quick brown fox jumps over the lazy dog and runs to the forest " +
       "with a pack of hounds chasing it through the trees of the old park"

@@ -172,6 +172,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCurate: exactly-once ingest + incremental curation per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.Snapshot
+    val root = java.nio.file.Files.createTempDirectory("graft-scurate").toString
+    val base = "the cat and the dog walk to the old park near the river " +
+      "and the cat sees the dog by the park gate under the old tree"
+    val other = "under the old tree by the river gate the dog and the cat " +
+      "rest near the park and the dog walks to the river with the cat"
+    val fresh = "the dog and the cat walk by the gate and the river to the " +
+      "old tree near the park and rest under the tree by the gate"
+    val gibberish = "thering overing quickle foxed jumper thering overing " +
+      "quickle foxed jumper thering overing quickle foxed jumper"
+    // seed the corpus and train the frozen models BEFORE attaching the
+    // stream (the scaladoc'd production shape)
+    Snapshot.commit(spark, root, Map("documents" ->
+      Seq((2L, "en", base), (4L, "en", other)).toDF("doc_id", "lang", "text")))
+    graft.Pipeline.curateFollow(spark, root, maxAvgNllMicro = 3500000L)
+    def curated(): Set[Long] = Snapshot.read(spark, root, "documents_curated")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(curated() == Set(2L, 4L))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.streamingCurate(ms.toDF().toDF("doc_id", "lang", "text"),
+        root, maxAvgNllMicro = 3500000L)
+      .outputMode("update").start()
+    try {
+      // dup of corpus, fresh doc, LM-gated noise — only fresh curates
+      ms.addData((11L, "en", base), (15L, "en", fresh), (19L, "en", gibberish))
+      q.processAllAvailable()
+      assert(curated() == Set(2L, 4L, 15L))
+      // the raw table has everything; curation filtered
+      assert(Snapshot.read(spark, root, "documents")
+        .collect().map(_.getAs[Long]("doc_id")).toSet ==
+        Set(2L, 4L, 11L, 15L, 19L))
+      // next batch: a dup of a STREAMED doc — state absorbed 15
+      ms.addData((21L, "en", fresh))
+      q.processAllAvailable()
+      assert(curated() == Set(2L, 4L, 15L))
+    } finally q.stop()
+    // a fully-replayed micro-batch is a no-op on both commits
+    val replay = StreamOps.curateBatchExactlyOnce(
+      Seq((11L, "en", base)).toDF("doc_id", "lang", "text"), 0L, root,
+      maxAvgNllMicro = 3500000L)
+    assert(replay == ((false, None)))
+    assert(curated() == Set(2L, 4L, 15L))
+  }
+
   test("streamingCorpusIngest appends only novel documents per micro-batch") {
     implicit val ctx = spark.sqlContext
     val corpus = java.nio.file.Files.createTempDirectory("graft-singest").toString + "/c"
