@@ -286,6 +286,29 @@ object DocQueries {
     }
   }
 
+  /** doc_substr_spans — EXACT-SUBSTRING duplicated spans
+    * (graft.operators.SubstrDedup, the Lee et al. 2022 ExactSubstr
+    * criterion): maximal token spans in which EVERY 8-token window
+    * occurs more than once corpus-wide — the verbatim boilerplate /
+    * license-block / template repeats INSIDE otherwise-unique docs that
+    * document-level dedup can't touch. (doc_id, span_start, span_tokens)
+    * over the shared normalized token stream. */
+  def docSubstrSpans(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstrDedup.duplicatedSpans(
+        Tables.documents(spark, dir), "doc_id", "text", minTokens = 8)
+      .orderBy("doc_id", "span_start")
+
+  /** doc_substr_scrub — the excised corpus: every duplicated span
+    * removed, unique remainder kept (clean_text), with the token
+    * accounting (n_tokens, kept_tokens) that audits how much of each
+    * doc was boilerplate. */
+  def docSubstrScrub(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstrDedup.exciseSpans(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", minTokens = 8)
+      .select("doc_id", "clean_text", "n_tokens", "kept_tokens")
+      .orderBy("doc_id")
+
   /** doc_hash_sample — deterministic 32/256 (~12.5%) corpus sample keyed
     * on md5(doc_id): stable across runs, engines, and partitionings. */
   def docHashSample(spark: SparkSession, dir: String): DataFrame =
@@ -1448,6 +1471,52 @@ object DocQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Positioned 8-gram CTE chain shared by the two exact-substring
+    * oracles: every window start (1-based i), md5 of the space-joined
+    * window, corpus-wide repeats, gaps-and-islands span merge (Spark's
+    * 0-based span_start = i − 1). */
+  private val substrCtes: String = {
+    val L = 8
+    val win = (0 until L).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
+    s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
+       |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+       |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${L - 2})) AS i
+       |        FROM toks WHERE len(tk) >= $L),
+       |g AS MATERIALIZED (SELECT doc_id, i, md5($win) AS h FROM idx),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+       |ds AS (SELECT doc_id, i FROM g WHERE h IN (SELECT h FROM dup)),
+       |isl AS (SELECT doc_id, i,
+       |          i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM ds),
+       |sp AS (SELECT doc_id, CAST(MIN(i) - 1 AS BIGINT) AS span_start,
+       |         CAST(COUNT(*) + ${L - 1} AS BIGINT) AS span_tokens
+       |       FROM isl GROUP BY doc_id, grp)""".stripMargin
+  }
+
+  private val substrSpansOracle: String =
+    s"""WITH $substrCtes
+       |SELECT doc_id, span_start, span_tokens FROM sp
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  private val substrScrubOracle: String =
+    s"""WITH $substrCtes,
+       |pos AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS q FROM toks),
+       |kept AS (SELECT p.doc_id, p.q, p.tk[p.q] AS tok FROM pos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM sp
+       |                           WHERE sp.doc_id = p.doc_id
+       |                             AND p.q - 1 >= sp.span_start
+       |                             AND p.q - 1 < sp.span_start + sp.span_tokens)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY q) AS clean_text,
+       |          CAST(COUNT(*) AS BIGINT) AS kept_tokens
+       |        FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       |       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |       COALESCE(a.kept_tokens, 0) AS kept_tokens
+       |FROM documents d
+       |JOIN toks t USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   private val tfidfOracle: String =
     s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS token
@@ -1658,6 +1727,8 @@ object DocQueries {
     "doc_curate" -> curateOracle,
     "doc_curate_v2" -> curateV2Oracle,
     "doc_curate_incremental" -> curateIncrementalOracle,
+    "doc_substr_spans" -> substrSpansOracle,
+    "doc_substr_scrub" -> substrScrubOracle,
     "doc_tfidf" -> tfidfOracle,
     "doc_edit_pairs" -> editPairsOracle,
     "doc_sql_text" -> sqlTextOracle,
@@ -1936,6 +2007,8 @@ object DocQueries {
     "doc_curate" -> docCurate _,
     "doc_curate_v2" -> docCurateV2 _,
     "doc_curate_incremental" -> docCurateIncremental _,
+    "doc_substr_spans" -> docSubstrSpans _,
+    "doc_substr_scrub" -> docSubstrScrub _,
     "doc_tfidf" -> docTfidf _,
     "doc_edit_pairs" -> docEditPairs _,
     "doc_sql_text" -> docSqlText _,
