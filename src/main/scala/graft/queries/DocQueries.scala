@@ -286,6 +286,26 @@ object DocQueries {
     }
   }
 
+  /** doc_quality_classifier — TRAINED quality classifier
+    * (graft.operators.QualityClassifier, the GPT-3/PaLM data-filtering
+    * recipe): a full-batch integer perceptron learns to separate the
+    * reference slice (source in the DSIR target set, label +1) from the
+    * rest of the corpus over 64 hashed bag-of-words buckets, 4 rounds
+    * from zero weights; every doc then scores margin = w·x in exact
+    * integers, keep = margin > 0. The oracle replays all 4 training
+    * rounds as unrolled CTEs — weights, misclassification sets, and
+    * margins are integer-exact, so the entire TRAINING TRAJECTORY
+    * gates bit-for-bit, not just the final scores. */
+  def docQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val d = Tables.documents(spark, dir).select("doc_id", "source", "text")
+    // train returns a local (feature, weight) relation — broadcast-sized
+    val wts = QualityClassifier.train(d, "doc_id", "text",
+      col("source").isin(DsirTargetSources: _*), iters = 4)
+    QualityClassifier.scoreWith(wts, d, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** doc_substr_spans — EXACT-SUBSTRING duplicated spans
     * (graft.operators.SubstrDedup, the Lee et al. 2022 ExactSubstr
     * criterion): maximal token spans in which EVERY 8-token window
@@ -1471,6 +1491,47 @@ object DocQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Perceptron oracle: hashed 64-bucket token counts (the shh 31-bit
+    * md5 base hash mod 64), ±1 labels from the DSIR target sources,
+    * then 4 UNROLLED full-batch rounds — round 1 updates on every doc
+    * (zero weights misclassify all), later rounds join the previous
+    * weight table for margins, cut misclassified (y·m <= 0, absent
+    * margins coalesce 0 — the all-zero-feature docs), and FULL-join the
+    * per-bucket update. Every quantity is an exact integer. */
+  private val qualityClassifierOracle: String = {
+    val nc = normSql.replace("lower(text)", "lower(COALESCE(text, ''))")
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    val later = (2 to 4).map { k =>
+      val p = k - 1
+      s"""m$k AS (SELECT f.doc_id, CAST(SUM(f.cnt * w$p.w) AS BIGINT) AS m
+         |       FROM fx f JOIN w$p ON w$p.b = f.b GROUP BY 1),
+         |mis$k AS (SELECT y.doc_id, y.y FROM y LEFT JOIN m$k USING (doc_id)
+         |          WHERE y.y * COALESCE(m$k.m, 0) <= 0),
+         |u$k AS (SELECT fx.b, CAST(SUM(mis$k.y * fx.cnt) AS BIGINT) AS u
+         |        FROM fx JOIN mis$k USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT COALESCE(w.b, u.b) AS b, COALESCE(w.w, 0) + COALESCE(u.u, 0) AS w
+         |        FROM w$p w FULL JOIN u$k u ON u.b = w.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nc AS (SELECT doc_id, source, $nc AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS tok
+       |        FROM nc),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) & 2147483647) % 64 AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |y AS (SELECT doc_id, CASE WHEN source IN ($tgt) THEN 1 ELSE -1 END AS y
+       |      FROM documents),
+       |w1 AS (SELECT b, CAST(SUM(y.y * fx.cnt) AS BIGINT) AS w
+       |       FROM fx JOIN y USING (doc_id) GROUP BY 1),
+       |$later,
+       |mf AS (SELECT f.doc_id, CAST(SUM(f.cnt * w4.w) AS BIGINT) AS m
+       |       FROM fx f JOIN w4 ON w4.b = f.b GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(mf.m, 0) AS margin, COALESCE(mf.m, 0) > 0 AS keep
+       |FROM documents d LEFT JOIN mf ON mf.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Positioned 8-gram CTE chain shared by the two exact-substring
     * oracles: every window start (1-based i), md5 of the space-joined
     * window, corpus-wide repeats, gaps-and-islands span merge (Spark's
@@ -1729,6 +1790,7 @@ object DocQueries {
     "doc_curate_incremental" -> curateIncrementalOracle,
     "doc_substr_spans" -> substrSpansOracle,
     "doc_substr_scrub" -> substrScrubOracle,
+    "doc_quality_classifier" -> qualityClassifierOracle,
     "doc_tfidf" -> tfidfOracle,
     "doc_edit_pairs" -> editPairsOracle,
     "doc_sql_text" -> sqlTextOracle,
@@ -2009,6 +2071,7 @@ object DocQueries {
     "doc_curate_incremental" -> docCurateIncremental _,
     "doc_substr_spans" -> docSubstrSpans _,
     "doc_substr_scrub" -> docSubstrScrub _,
+    "doc_quality_classifier" -> docQualityClassifier _,
     "doc_tfidf" -> docTfidf _,
     "doc_edit_pairs" -> docEditPairs _,
     "doc_sql_text" -> docSqlText _,
