@@ -108,6 +108,26 @@ object AnnIndex {
       basePath: String, deltaRoot: String, deltaTable: String,
       idCol: String, vecCol: String, planes: Array[Array[Long]],
       probePred: Column, k: Int, candPred: Column = lit(true)): DataFrame = {
+    val (served, _) = lshFollowResolved(spark, basePath, deltaRoot,
+      deltaTable, idCol, vecCol, planes)
+    knnLshServe(served, idCol, probePred, k, candPred)
+  }
+
+  /** The resolved serving rows of a following LSH index — base rows
+    * minus delta-touched ids, union the delta's live rows re-encoded
+    * through [[lshIndexRows]]. Shared verbatim by the serve path
+    * ([[knnLshServeFollow]]) and the fold ([[compactLshFollow]]), so a
+    * fold persists EXACTLY what the follow mode was serving. Returns
+    * (served, delta-checkpoint handle) — the delta rows are
+    * materialized: it keeps the dynamic partition pruning machinery on
+    * the BASE scan only (pushing the DPP filter through the union onto
+    * the computed-bucket branch plants an unprepared InSubqueryExec —
+    * a plain Filter can't host one), and a multi-probe serve re-reads
+    * the checkpoint, not the derivation. */
+  private def lshFollowResolved(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String,
+      planes: Array[Array[Long]]): (DataFrame, DataFrame) = {
     import graft.sources.Snapshot
     val base = spark.read.parquet(basePath)
     val live = Snapshot.read(spark, deltaRoot, deltaTable)
@@ -116,17 +136,52 @@ object AnnIndex {
       case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
       case None => liveKeys.distinct()
     }
-    // materialize the O(touched) delta rows: keeps the dynamic partition
-    // pruning machinery on the BASE scan only (pushing the DPP filter
-    // through the union onto the computed-bucket branch plants an
-    // unprepared InSubqueryExec — a plain Filter can't host one), and a
-    // multi-probe serve re-reads the checkpoint, not the derivation
     val deltaRows = lshIndexRows(live, idCol, vecCol, planes)
       .select(base.columns.map(col).toSeq: _*)
       .localCheckpoint(true)
-    val served = base.join(touched, Seq(idCol), "left_anti")
-      .unionByName(deltaRows)
-    knnLshServe(served, idCol, probePred, k, candPred)
+    (base.join(touched, Seq(idCol), "left_anti").unionByName(deltaRows),
+      deltaRows)
+  }
+
+  /** FOLD a following LSH index's delta into a fresh frozen base at
+    * `newBasePath` — the off-serving-path maintenance every base+delta
+    * store schedules once the delta's serve-time overhead (the
+    * touched-key anti-join + re-encode, O(touched) per search) has
+    * accumulated enough to matter. The fold writes the EXACT resolved
+    * frame the follow mode serves (shared [[lshFollowResolved]] path:
+    * stored base rows pass through untouched — no re-quantization, no
+    * corpus read — and only the delta's live rows encode), partitioned
+    * by bucket like any [[writeLshIndex]] base, so serving from the new
+    * base keeps the dynamically-pruned scan. O(base + delta), never
+    * O(corpus).
+    *
+    * Returns the HANDOFF CURSOR — the source version the delta was
+    * synced to ([[graft.sources.Replica.cursor]]); the new base
+    * represents the corpus at exactly that version. The follower then
+    * continues against a FRESH delta root seeded there
+    * (`Replica.sync(..., initialCursor = cursor)`): changes ≤ cursor
+    * are inside the new base, changes past it replay into the fresh
+    * delta — nothing is dropped or double-applied across the fold (the
+    * emb_knn_lsh_compacted gate runs this full lifecycle against the
+    * corpus's final state). A never-synced delta root throws: there is
+    * no cursor to hand off, and a fold that guessed one would break the
+    * exactly-once chain. Don't reuse the OLD delta root after a fold —
+    * its rows are now inside the base (the fresh-root requirement is
+    * what makes the fold atomic-by-construction: until the follower
+    * flips to (newBase, freshDelta), the old pair keeps serving). */
+  def compactLshFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, planes: Array[Array[Long]],
+      newBasePath: String): Long = {
+    val cur = graft.sources.Replica.cursor(spark, deltaRoot).getOrElse(
+      throw new IllegalStateException(
+        s"compactLshFollow: no sync cursor at $deltaRoot — the delta was " +
+          "never synced; nothing to fold or hand off"))
+    val (served, deltaRows) = lshFollowResolved(spark, basePath, deltaRoot,
+      deltaTable, idCol, vecCol, planes)
+    try served.write.mode("overwrite").partitionBy(BucketCol).parquet(newBasePath)
+    finally NearDup.freeCheckpoint(deltaRows)
+    cur
   }
 
   /** Centroid-assignment column of the persisted IVF layout. */

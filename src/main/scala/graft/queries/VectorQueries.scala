@@ -119,6 +119,67 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** emb_knn_lsh_compacted — the FOLD closing the following-index
+    * lifecycle (graft.operators.AnnIndex.compactLshFollow): runs the
+    * emb_knn_lsh_follow scenario (base frozen at the build version,
+    * wave-1 erasure + MERGE, one exactly-once sync), then FOLDS
+    * base+delta into a fresh frozen base — O(base+delta), stored base
+    * rows pass through without re-quantization, the corpus is never
+    * re-read — and the corpus LIVES ON past the fold: a second erasure
+    * wave and a second MERGE land, a FRESH delta root syncs seeded at
+    * the fold's handoff cursor (exactly the changes the fold did not
+    * absorb), and the serve composes newBase+freshDelta. Gated against
+    * an oracle running the SAME LSH selection over the corpus's FINAL
+    * state directly — green means the fold lost nothing, duplicated
+    * nothing, and handed the cursor off exactly-once. */
+  def embKnnLshCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "anncsrc", dir)
+    val delta1 = Tables.scratchDir(spark, "anncd1", dir)
+    val delta2 = Tables.scratchDir(spark, "anncd2", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta1, delta2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "anncbase", dir)
+    AnnIndex.writeLshIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", Planes, basePath)
+    // wave 1 — identical to the follow gate: erase, then MERGE inserts
+    // (%5==3), re-upserts (%9==1) and resurrections (overlap with %7==0)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta1, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined,
+      "compacted gate: wave-1 sync did not publish")
+    // the FOLD: base+delta1 → a fresh frozen base; cursor hands off
+    val base2 = Tables.scratchDir(spark, "anncbase2", dir)
+    val cur = AnnIndex.compactLshFollow(spark, basePath, delta1, "emb_delta",
+      "vec_id", "embedding", Planes, base2)
+    // wave 2 — the corpus keeps mutating past the fold: a second
+    // erasure (%11==0, incl. resurrections of ids the fold absorbed)
+    // and a second MERGE (%13==2: re-upserts of folded ids, inserts of
+    // never-seen ones, resurrections of wave-2 erasures)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 13 === 2), Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta2, "emb_delta",
+      Seq("vec_id"), initialCursor = cur).isDefined,
+      "compacted gate: wave-2 sync did not publish")
+    AnnIndex.knnLshServeFollow(spark, base2, delta2, "emb_delta",
+        "vec_id", "embedding", Planes, col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+  }
+
   def embNearDup(spark: SparkSession, dir: String): DataFrame =
     Ann.nearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
         Planes, threshold = 0.4)
@@ -490,6 +551,25 @@ object VectorQueries {
   private val lshFollowOracle: String = knnOracle(
     s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q
        |      WHERE vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0),
+       |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket
+       |      WHERE a.vec_id < $ProbeMax AND c.vec_id <> a.vec_id)""".stripMargin)
+
+  /** Compacted-follow oracle: the same LSH selection over the corpus's
+    * FINAL state after BOTH mutation waves — wave-1 live set
+    * (%5=3 ∨ %9=1 ∨ %7≠0, the lshFollowOracle predicate) minus the
+    * wave-2 erasure (%11=0), union the wave-2 MERGE batch (%13=2).
+    * The oracle never sees the base, the fold, or either delta — only
+    * the end state; green means the fold+handoff chain reconstructed
+    * it exactly. */
+  private val lshCompactedOracle: String = knnOracle(
+    s"""b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q
+       |      WHERE vec_id % 13 = 2
+       |         OR ((vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)
+       |             AND vec_id % 11 <> 0)),
        |p AS (SELECT a.vec_id AS probe_id, c.vec_id AS neighbor_id,
        |        ${dotSql("a.qv", "c.qv")} AS d,
        |        ${dotSql("a.qv", "a.qv")} AS pn,
@@ -879,6 +959,7 @@ object VectorQueries {
     "emb_knn_lsh_persisted" -> lshOracle, // identical selection from the stored index
     "emb_knn_lsh_incremental" -> lshOracle, // append-then-serve == full rebuild
     "emb_knn_lsh_follow" -> lshFollowOracle, // base+delta == rebuild on final state
+    "emb_knn_lsh_compacted" -> lshCompactedOracle, // fold + cursor handoff == final state
     "emb_knn_lsh_window" -> lshOracle, // same selection, window-shaped plan
     "emb_knn_ivf" -> ivfOracle,
     "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
@@ -906,6 +987,7 @@ object VectorQueries {
     "emb_knn_lsh_persisted" -> embKnnLshPersisted _,
     "emb_knn_lsh_incremental" -> embKnnLshIncremental _,
     "emb_knn_lsh_follow" -> embKnnLshFollow _,
+    "emb_knn_lsh_compacted" -> embKnnLshCompacted _,
     "emb_knn_ivf_follow" -> embKnnIvfFollow _,
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,

@@ -46,6 +46,23 @@ object Replica {
 
   private val MarkerTable = "_sync"
 
+  /** The SOURCE version `dstRoot`'s `appId` replication stream is
+    * current to — None before the first published sync. This is the
+    * HANDOFF value for consumers that freeze a derived artifact at the
+    * replica's state: [[graft.operators.AnnIndex.compactLshFollow]]
+    * folds a following index's base+delta at this version and a FRESH
+    * delta root then follows from it (`sync(initialCursor = cursor)`),
+    * replaying exactly the changes the fold has not absorbed. */
+  def cursor(spark: SparkSession, dstRoot: String,
+      appId: String = "default"): Option[Long] =
+    if (!Snapshot.tables(spark, dstRoot).keySet.contains(MarkerTable)) None
+    else Snapshot.read(spark, dstRoot, MarkerTable)
+      .filter(col("app_id") === appId)
+      .agg(max(col("src_version"))).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getLong(0))
+      }
+
   /** Incrementally apply `srcTable`'s changes since the last sync to
     * `dstTable`. Returns Some(sourceVersion synced to) when a commit
     * published, None for an already-current no-op. `keyCols` must be
@@ -63,17 +80,9 @@ object Replica {
     val srcHead = Snapshot.currentVersion(spark, srcRoot).getOrElse(0L)
     val dstTables = Snapshot.tables(spark, dstRoot).keySet
     val dstBase = Snapshot.currentVersion(spark, dstRoot)
-    val cursor =
-      if (dstTables.contains(MarkerTable))
-        Snapshot.read(spark, dstRoot, MarkerTable)
-          .filter(col("app_id") === appId)
-          .agg(max(col("src_version"))).head() match {
-            case r if r.isNullAt(0) => initialCursor
-            case r => r.getLong(0)
-          }
-      else initialCursor
-    if (cursor >= srcHead) return None // already current: replay no-ops
-    val feed = Snapshot.changesBetween(spark, srcRoot, srcTable, cursor, srcHead)
+    val cur = cursor(spark, dstRoot, appId).getOrElse(initialCursor)
+    if (cur >= srcHead) return None // already current: replay no-ops
+    val feed = Snapshot.changesBetween(spark, srcRoot, srcTable, cur, srcHead)
     keyCols.foreach { k =>
       require(feed.columns.contains(k),
         s"replica sync: source table '$srcTable' lacks key column '$k'")

@@ -361,4 +361,77 @@ class WarehouseSpec extends SparkSpec {
       assert(serve(s"$base/idx") == serve(s"$base/full"))
     } finally graft.operators.NearDup.freeCheckpoint(cbs)
   }
+
+  test("following-index fold persists the served state and hands the cursor off exactly-once") {
+    import graft.operators.{Ann, AnnIndex}
+    import graft.sources.{Replica, Snapshot}
+    val base = Files.createTempDirectory("graft-annfold").toString
+    val planes = Ann.hashPlanes(nPlanes = 4, dim = 8)
+    def vec(i: Long) = Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)
+    val all = (0L until 64L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // corpus v1 = ids < 48; the base index freezes there
+    val buildV = Snapshot.commit(spark, s"$base/corpus",
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    AnnIndex.writeLshIndex(Snapshot.read(spark, s"$base/corpus", "emb"),
+      "vec_id", "embedding", planes, s"$base/idx")
+    // a never-synced delta root cannot fold: no cursor to hand off, and
+    // a guessed one would break the exactly-once chain
+    Snapshot.commit(spark, s"$base/nosync", Map("emb_delta" -> all.limit(1)))
+    intercept[IllegalStateException] {
+      AnnIndex.compactLshFollow(spark, s"$base/idx", s"$base/nosync",
+        "emb_delta", "vec_id", "embedding", planes, s"$base/never")
+    }
+    // wave 1: erasure + MERGE (inserts >= 48, re-upserts %9==1,
+    // resurrections of the erased overlap), one exactly-once sync
+    Snapshot.deleteWhere(spark, s"$base/corpus", "emb",
+      col("vec_id") % 5 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, s"$base/corpus", "emb",
+      all.filter(col("vec_id") >= 48L || col("vec_id") % 9 === 1), Seq("vec_id"))
+    val synced = Replica.sync(spark, s"$base/corpus", "emb", s"$base/d1",
+      "emb_delta", Seq("vec_id"), initialCursor = buildV)
+    assert(synced.isDefined)
+    def serveRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val followNow = serveRows(AnnIndex.knnLshServeFollow(spark, s"$base/idx",
+      s"$base/d1", "emb_delta", "vec_id", "embedding", planes,
+      col("vec_id") < 3L, 2))
+    // the FOLD: base+delta → fresh frozen base, cursor returned
+    val cur = AnnIndex.compactLshFollow(spark, s"$base/idx", s"$base/d1",
+      "emb_delta", "vec_id", "embedding", planes, s"$base/idx2")
+    assert(cur == synced.get,
+      "handoff cursor must be the delta's synced source version")
+    // the folded base is row-identical to a full rebuild over the live
+    // corpus (stored rows passed through bit-exactly; only delta rows
+    // were encoded), and it serves exactly what the follow mode served
+    val folded = spark.read.parquet(s"$base/idx2")
+    AnnIndex.writeLshIndex(Snapshot.read(spark, s"$base/corpus", "emb"),
+      "vec_id", "embedding", planes, s"$base/full")
+    val rebuilt = spark.read.parquet(s"$base/full")
+      .select(folded.columns.map(col).toSeq: _*)
+    assert(folded.orderBy("vec_id").collect().map(_.toSeq).toSeq
+      == rebuilt.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+    val servedFold = AnnIndex.knnLshServe(folded, "vec_id", col("vec_id") < 3L, 2)
+    assert(serveRows(servedFold) == followNow)
+    // and it stays a first-class frozen index: the bucket scan still
+    // prunes dynamically under the broadcast probe side
+    val again = AnnIndex.knnLshServe(folded, "vec_id", col("vec_id") < 3L, 2)
+    again.collect()
+    assert(again.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "folded base lost the dynamically-pruned serve scan")
+    // wave 2 past the fold: a FRESH delta seeded at the handoff cursor
+    // replays exactly the unabsorbed changes — serve == final rebuild
+    Snapshot.deleteWhere(spark, s"$base/corpus", "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, s"$base/corpus", "emb",
+      all.filter(col("vec_id") % 3 === 2), Seq("vec_id"))
+    assert(Replica.sync(spark, s"$base/corpus", "emb", s"$base/d2",
+      "emb_delta", Seq("vec_id"), initialCursor = cur).isDefined)
+    val after = serveRows(AnnIndex.knnLshServeFollow(spark, s"$base/idx2",
+      s"$base/d2", "emb_delta", "vec_id", "embedding", planes,
+      col("vec_id") < 3L, 2))
+    AnnIndex.writeLshIndex(Snapshot.read(spark, s"$base/corpus", "emb"),
+      "vec_id", "embedding", planes, s"$base/full2")
+    assert(after == serveRows(AnnIndex.knnLshServe(
+      spark.read.parquet(s"$base/full2"), "vec_id", col("vec_id") < 3L, 2)))
+  }
 }
