@@ -180,6 +180,95 @@ object Curate {
     } finally { release(pred); release(lm); NearDup.freeCheckpoint(shared) }
   }
 
+  /** CURATION v3 — [[curateV2]] with its one remaining HEURISTIC gate
+    * upgraded to the third trained model: the hand-tuned
+    * `Text.qualityScore >= minQuality` floor is replaced by the
+    * TRAINED discriminative classifier ([[QualityClassifier]], the
+    * GPT-3 §A recipe verbatim — "a classifier to distinguish
+    * [high-quality reference] from raw Common Crawl", trained
+    * reference-slice-vs-raw over the UNFILTERED corpus, docs kept by
+    * positive margin). Every gate is now learned from the data:
+    *
+    *  1. TRAINED language-ID (keep `keepLangs`);
+    *  2. TRAINED quality gate: perceptron margin > 0 against the
+    *     reference slice `dsirTargetPred` — the same slice DSIR
+    *     targets, GPT-3's WebText-vs-crawl split re-expressed;
+    *  3. LM quality gate (unigram NLL, integer cross-multiplied);
+    *  4. exact dedup; 5. near-dup dedup; 6. DSIR resampling —
+    *  all stage-for-stage [[curateV2]].
+    *
+    * The classifier trains and scores FROM THE SHARED TOKEN SCAN
+    * ([[QualityClassifier.trainFromTokens]] / `scoreFromTokens` — the
+    * corpus text is read once for all four token consumers), so the
+    * margin per doc is bit-identical to the standalone
+    * doc_quality_classifier gate's and the whole composition
+    * oracle-gates. Returns (idCol, lang_pred, margin, n_tokens,
+    * lr_micro, key_micro, rank) — `margin` replacing v2's heuristic
+    * `quality_score`. Same checkpoint discipline as [[curateV2]]. */
+  def curateV3(docs: DataFrame, idCol: String, textCol: String, langCol: String,
+      dsirTargetPred: org.apache.spark.sql.Column, dsirK: Int,
+      keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
+      maxAvgNllMicro: Long = 3410000L,
+      minJaccard: Double = 0.5,
+      clsIters: Int = 4, clsFeatures: Int = 64): DataFrame = {
+    val keep = docs.columns.toSeq
+    Seq("lang_pred", "margin", "n_tokens", "nll_micro", "__fp").foreach { c =>
+      require(!keep.contains(c), s"curateV3: input must not already carry '$c'") }
+    val shared = docs
+      .select(col(idCol), col(langCol), dsirTargetPred.as("__tgt"),
+        split(lower(col(textCol)), "").as("__ch"),
+        Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__toks"))
+      .select(col(idCol), col(langCol), col("__tgt"), col("__toks"),
+        LangProfile.charTrigrams(col("__ch")).as("__grams"))
+      .localCheckpoint(true)
+    val pred = LangProfile.classifyFromArrays(
+      shared.select(col(idCol), col(langCol).as("lang"), col("__grams")), idCol)
+    val lm = LangModel.unigramNllFromTokens(shared, idCol, col(langCol) === "en")
+    // the trained quality gate: reference slice vs the RAW corpus —
+    // trained before any other gate touches the data (the GPT-3 split)
+    val wts = QualityClassifier.trainFromTokens(shared, idCol, "__toks",
+      col("__tgt"), iters = clsIters, numFeatures = clsFeatures)
+    try {
+      val scored = docs
+        .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
+        .join(lm.select(col(idCol), col("n_tokens"), col("nll_micro")),
+          Seq(idCol), "left_outer")
+        .join(QualityClassifier.scoreFromTokens(wts, shared, idCol, "__toks",
+            numFeatures = clsFeatures)
+          .select(col(idCol), col("margin")), Seq(idCol))
+        .withColumn("__fp", Text.fingerprint(col(textCol)))
+        .localCheckpoint(true)
+      try {
+        val filtered = scored
+          .filter(col("lang_pred").isin(keepLangs: _*))
+          .filter(col("margin") > 0)
+          .filter(col("nll_micro").isNull ||
+            col("nll_micro") <= lit(maxAvgNllMicro) * col("n_tokens"))
+        val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+        val exact = filtered.join(canon, Seq("__fp", idCol), "left_semi")
+        val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
+        val surv =
+          try Transform.dropNearDups(exact, clusters, idCol)
+            .drop("__fp", "n_tokens", "nll_micro")
+            .localCheckpoint(true)
+          finally NearDup.freeCheckpoint(clusters)
+        try {
+          val survToks = surv.select(col(idCol), dsirTargetPred.as("__tgt"))
+            .join(shared.select(col(idCol), col("__toks")), Seq(idCol))
+          val picked = Dsir.resampleFromTokens(survToks, idCol, col("__tgt"), dsirK)
+          try {
+            picked
+              .join(surv.select(col(idCol), col("lang_pred"), col("margin")),
+                Seq(idCol))
+              .select(col(idCol), col("lang_pred"), col("margin"),
+                col("n_tokens"), col("lr_micro"), col("key_micro"), col("rank"))
+              .localCheckpoint(true)
+          } finally release(picked)
+        } finally NearDup.freeCheckpoint(surv)
+      } finally NearDup.freeCheckpoint(scored)
+    } finally { release(pred); release(lm); NearDup.freeCheckpoint(shared) }
+  }
+
   /** INCREMENTAL curation — [[curateV2]]'s gates applied to a DELTA
     * with every model FROZEN, the shape a continuously-ingesting
     * 100 TB corpus actually runs: models train once at corpus-build

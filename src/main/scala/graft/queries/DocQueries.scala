@@ -548,6 +548,24 @@ object DocQueries {
         maxAvgNllMicro = CurateV2MaxNllMicro)
       .orderBy("rank")
 
+  /** doc_curate_v3 — curation with EVERY gate trained
+    * (graft.operators.Curate.curateV3): v2's one remaining heuristic —
+    * the hand-tuned quality floor — replaced by the trained
+    * discriminative classifier (the doc_quality_classifier perceptron,
+    * reference slice = the DSIR target sources, kept by margin > 0 —
+    * the GPT-3 recipe verbatim). The oracle chains the
+    * doc_quality_classifier training-trajectory CTEs into the
+    * doc_curate_v2 oracle, so the composed pipeline (including all
+    * four perceptron rounds) gates bit-for-bit. */
+  def docCurateV3(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Curate.curateV3(
+        Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"),
+        "doc_id", "text", "lang",
+        dsirTargetPred = col("source").isin(DsirTargetSources: _*),
+        dsirK = CurateV2K,
+        maxAvgNllMicro = CurateV2MaxNllMicro)
+      .orderBy("rank")
+
   /** doc_edit_pairs — edit-distance-verified near-dup pairs: the same
     * LSH candidate front half as doc_minhash_pairs, verified with
     * levenshtein(normalized_a, normalized_b) <= 40 — the character-edit
@@ -1385,6 +1403,136 @@ object DocQueries {
        |WHERE z."rank" <= $CurateV2K ORDER BY z."rank"""".stripMargin
   }
 
+  /** Curation-v3 oracle: the curateV2Oracle chain with the heuristic
+    * quality floor swapped for the qualityClassifierOracle's full
+    * 4-round perceptron trajectory (CTEs prefixed q*) — the gate is
+    * `margin > 0` against the weights after round 4, trained on the
+    * UNFILTERED corpus (reference = DSIR target sources), and `margin`
+    * replaces `quality_score` in the output. */
+  private val curateV3Oracle: String = {
+    val nc = normSql.replace("lower(text)", "lower(COALESCE(text, ''))")
+    val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    val qlater = (2 to 4).map { k =>
+      val p = k - 1
+      s"""qm$k AS (SELECT f.doc_id, CAST(SUM(f.cnt * qw$p.w) AS BIGINT) AS m
+         |       FROM qfx f JOIN qw$p ON qw$p.b = f.b GROUP BY 1),
+         |qmis$k AS (SELECT y.doc_id, y.y FROM qy y LEFT JOIN qm$k USING (doc_id)
+         |          WHERE y.y * COALESCE(qm$k.m, 0) <= 0),
+         |qu$k AS (SELECT qfx.b, CAST(SUM(qmis$k.y * qfx.cnt) AS BIGINT) AS u
+         |        FROM qfx JOIN qmis$k USING (doc_id) GROUP BY 1),
+         |qw$k AS (SELECT COALESCE(w.b, u.b) AS b, COALESCE(w.w, 0) + COALESCE(u.u, 0) AS w
+         |        FROM qw$p w FULL JOIN qu$k u ON u.b = w.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $curatedCtes,
+       |lt AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, lang, substr(t, CAST(i AS BIGINT), 3) AS gram
+       |      FROM lt, unnest(range(1, length(t) - 1)) AS u(i)),
+       |pc AS (SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+       |prof AS (SELECT lang, gram, rnk FROM (
+       |           SELECT lang, gram,
+       |                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS rnk
+       |           FROM pc) WHERE rnk <= 64),
+       |tlangs AS (SELECT DISTINCT lang FROM prof),
+       |tdc AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+       |dprof AS (SELECT doc_id, gram, drank FROM (
+       |            SELECT doc_id, gram,
+       |                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS drank
+       |            FROM tdc) WHERE drank <= 64),
+       |tdist AS (SELECT d.doc_id, l.lang,
+       |           CAST(SUM(COALESCE(ABS(d.drank - p.rnk), 64)) AS BIGINT) AS dist
+       |         FROM dprof d CROSS JOIN tlangs l
+       |         LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+       |         GROUP BY 1, 2),
+       |tbest AS (SELECT doc_id, lang AS lang_pred, dist,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+       |         FROM tdist),
+       |pred AS MATERIALIZED (SELECT doc_id, lang_pred FROM tbest WHERE rn = 1),
+       |lnorm AS (SELECT doc_id, lang, $nc AS t FROM documents),
+       |lex AS MATERIALIZED (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS tok FROM lnorm),
+       |lvcnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM lex
+       |          WHERE lang = 'en' GROUP BY 1),
+       |lst AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM lvcnt),
+       |lvoc AS (SELECT tok,
+       |           CAST(round(1000000.0 * (-ln(CAST(cnt + 1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT) AS nllq
+       |         FROM lvcnt CROSS JOIN lst),
+       |lsc AS (SELECT e.doc_id,
+       |          COALESCE(lvoc.nllq,
+       |            CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(total + v AS DOUBLE)))) AS BIGINT)) AS q
+       |        FROM lex e LEFT JOIN lvoc ON lvoc.tok = e.tok CROSS JOIN lst),
+       |lagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |           CAST(SUM(q) AS BIGINT) AS nll_micro FROM lsc GROUP BY 1),
+       |qnc AS (SELECT doc_id, source, $nc AS t FROM documents),
+       |qtok AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS tok
+       |        FROM qnc),
+       |qfx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         (CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) & 2147483647) % 64 AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM qtok GROUP BY 1, 2),
+       |qy AS (SELECT doc_id, CASE WHEN source IN ($tgt) THEN 1 ELSE -1 END AS y
+       |      FROM documents),
+       |qw1 AS (SELECT b, CAST(SUM(y.y * qfx.cnt) AS BIGINT) AS w
+       |       FROM qfx JOIN qy y USING (doc_id) GROUP BY 1),
+       |$qlater,
+       |qmf AS (SELECT f.doc_id, CAST(SUM(f.cnt * qw4.w) AS BIGINT) AS m
+       |       FROM qfx f JOIN qw4 ON qw4.b = f.b GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT c.doc_id, c.lang, d.source, c.text, p.lang_pred,
+       |         COALESCE(qmf.m, 0) AS margin, c.fp
+       |  FROM cscore c
+       |  JOIN documents d ON d.doc_id = c.doc_id
+       |  JOIN pred p ON p.doc_id = c.doc_id
+       |  LEFT JOIN lagg la ON la.doc_id = c.doc_id
+       |  LEFT JOIN qmf ON qmf.doc_id = c.doc_id
+       |  WHERE p.lang_pred IN ('en', 'es', 'de', 'fr')
+       |    AND COALESCE(qmf.m, 0) > 0
+       |    AND (la.nll_micro IS NULL OR la.nll_micro <= $CurateV2MaxNllMicro * la.n_tokens)),
+       |canon2 AS (SELECT fp, MIN(doc_id) AS doc_id FROM s0 GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT s0.* FROM s0 JOIN canon2 ON canon2.fp = s0.fp AND canon2.doc_id = s0.doc_id),
+       |${pairCtes("s1")},
+       |jp AS (SELECT doc_a, doc_b FROM jpairs WHERE jaccard >= CAST(0.5 AS DOUBLE)),
+       |e AS (SELECT doc_a AS u, doc_b AS v FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM e
+       |  UNION
+       |  SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+       |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |znorm AS (SELECT doc_id, source, $nc AS t FROM s2),
+       |zex AS MATERIALIZED (SELECT doc_id, source, unnest(string_split(t, ' ')) AS tok FROM znorm),
+       |zvr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS rc FROM zex GROUP BY 1),
+       |zvt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tc FROM zex
+       |        WHERE source IN ($tgt) GROUP BY 1),
+       |zsr AS (SELECT CAST(SUM(rc) AS BIGINT) AS rtotal, CAST(COUNT(*) AS BIGINT) AS rv FROM zvr),
+       |zst AS (SELECT CAST(SUM(tc) AS BIGINT) AS ttotal, CAST(COUNT(*) AS BIGINT) AS tv FROM zvt),
+       |zvoc AS (SELECT zvr.tok,
+       |    CAST(round(1000000.0 * (-ln(CAST(zvr.rc + 1 AS DOUBLE) / CAST(zsr.rtotal + zsr.rv AS DOUBLE)))) AS BIGINT)
+       |  - COALESCE(
+       |      CAST(round(1000000.0 * (-ln(CAST(zvt.tc + 1 AS DOUBLE) / CAST(zst.ttotal + zst.tv AS DOUBLE)))) AS BIGINT),
+       |      CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(zst.ttotal + zst.tv AS DOUBLE)))) AS BIGINT)) AS delta
+       |  FROM zvr LEFT JOIN zvt USING (tok) CROSS JOIN zsr CROSS JOIN zst),
+       |zsc AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(zvoc.delta) AS BIGINT) AS lr_micro
+       |       FROM zex e JOIN zvoc ON zvoc.tok = e.tok GROUP BY 1),
+       |zg AS (SELECT doc_id, n_tokens, lr_micro,
+       |        lr_micro + CAST(round(1000000.0 * (-ln(
+       |          CAST(GREATEST(CAST(round(1000000000.0 * (-ln(
+       |            (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~g'), 1, 12) AS BIGINT) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+       |            / CAST(281474976710656 AS DOUBLE)))) AS BIGINT), 1) AS DOUBLE)
+       |          / CAST(1000000000 AS DOUBLE)))) AS BIGINT) AS key_micro
+       |      FROM zsc),
+       |zr AS (SELECT doc_id, n_tokens, lr_micro, key_micro,
+       |        ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc_id) AS "rank" FROM zg)
+       |SELECT z.doc_id, s2.lang_pred, s2.margin,
+       |       z.n_tokens, z.lr_micro, z.key_micro, z."rank"
+       |FROM zr z JOIN s2 ON s2.doc_id = z.doc_id
+       |WHERE z."rank" <= $CurateV2K ORDER BY z."rank"""".stripMargin
+  }
+
   /** Incremental-curation oracle: the doc_lang_trained chain with
     * profile counts restricted to EVEN docs (the frozen model) and doc
     * profiles to ODD docs (the batch); the doc_lm_score chain with the
@@ -1787,6 +1935,7 @@ object DocQueries {
     "doc_bm25" -> bm25Oracle,
     "doc_curate" -> curateOracle,
     "doc_curate_v2" -> curateV2Oracle,
+    "doc_curate_v3" -> curateV3Oracle,
     "doc_curate_incremental" -> curateIncrementalOracle,
     "doc_substr_spans" -> substrSpansOracle,
     "doc_substr_scrub" -> substrScrubOracle,
@@ -2068,6 +2217,7 @@ object DocQueries {
     "doc_bm25" -> docBm25 _,
     "doc_curate" -> docCurate _,
     "doc_curate_v2" -> docCurateV2 _,
+    "doc_curate_v3" -> docCurateV3 _,
     "doc_curate_incremental" -> docCurateIncremental _,
     "doc_substr_spans" -> docSubstrSpans _,
     "doc_substr_scrub" -> docSubstrScrub _,

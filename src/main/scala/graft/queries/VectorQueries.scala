@@ -205,6 +205,31 @@ object VectorQueries {
         BandedPlanes, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** 2 tables × 10 planes (one deterministic 20-plane draw) — the
+    * production r ∝ log2(n/targetBucket) sizing at the ~100k–1M corpus
+    * decade: 1024-value bucket spaces hold per-bucket occupancy (and
+    * with it the ΣC(occ,2) candidate front) ~128× below the 3-plane
+    * gate's. Production also raises b to the recall target; b = 2 here
+    * keeps the gate's job — banded candidate-front EQUIVALENCE with
+    * the oracle — while the near-exact planted duplicates (cosine≈1 ⇒
+    * per-plane agreement p≈1 ⇒ p^10 still ≈1) keep the output
+    * populated at every scale. */
+  val BandedPlanesScaled: Array[Array[Array[Long]]] =
+    Ann.hashPlanes(nPlanes = 20, dim = 64).grouped(10).toArray
+
+  /** emb_near_dup_banded_scaled — the SAME banded operator at the
+    * production plane count ([[BandedPlanesScaled]]): the
+    * emb_near_dup_banded gate deliberately pins tiny 8-value buckets
+    * (its candidate front measured 86.8× across the sf0.1→sf1 decade —
+    * the quadratic knee its scaladoc predicts), this gate pins the
+    * prescribed escape: longer keys move the knee ~2^(r−r₀)× out in
+    * corpus size. Identical contract, identical oracle shape — only
+    * the plane draw differs. */
+  def embNearDupBandedScaled(spark: SparkSession, dir: String): DataFrame =
+    Ann.nearDupPairsBanded(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        BandedPlanesScaled, threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
   def embCentroids(spark: SparkSession, dir: String): DataFrame =
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
@@ -604,10 +629,11 @@ object VectorQueries {
     * front an OR of per-table bucket equality (one row per pair by
     * construction — the relational twin of Spark's explode + distinct),
     * exact verify identical to the single-table oracle. */
-  private val nearDupBandedOracle: String =
+  private def nearDupBandedOracleFor(
+      tables: Array[Array[Array[Long]]]): String =
     s"""WITH $qCte,
-       |b AS (SELECT vec_id, qv, ${bucketSqlFor(BandedPlanes(0), "qv")} AS b0,
-       |             ${bucketSqlFor(BandedPlanes(1), "qv")} AS b1 FROM q),
+       |b AS (SELECT vec_id, qv, ${bucketSqlFor(tables(0), "qv")} AS b0,
+       |             ${bucketSqlFor(tables(1), "qv")} AS b1 FROM q),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |        ${dotSql("a.qv", "c.qv")} AS d,
        |        ${dotSql("a.qv", "a.qv")} AS pn,
@@ -617,6 +643,9 @@ object VectorQueries {
        |s AS (SELECT id_a, id_b, $cosineSql AS cosine_sim FROM p)
        |SELECT id_a, id_b, cosine_sim FROM s
        |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
+
+  private val nearDupBandedOracle: String =
+    nearDupBandedOracleFor(BandedPlanes)
 
   private val lshMpOracle: String = {
     val expanded = ("bucket" +: Planes.indices.map(i => s"xor(bucket, ${1L << i})"))
@@ -968,6 +997,7 @@ object VectorQueries {
     "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
+    "emb_near_dup_banded_scaled" -> nearDupBandedOracleFor(BandedPlanesScaled),
     "emb_centroids" -> centroidsOracle,
   )
 
@@ -996,6 +1026,7 @@ object VectorQueries {
     "emb_knn_pq_incremental" -> embKnnPqIncremental _,
     "emb_near_dup" -> embNearDup _,
     "emb_near_dup_banded" -> embNearDupBanded _,
+    "emb_near_dup_banded_scaled" -> embNearDupBandedScaled _,
     "emb_centroids" -> embCentroids _,
   )
 }

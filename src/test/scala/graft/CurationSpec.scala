@@ -164,6 +164,65 @@ class CurationSpec extends SparkSpec {
     Curate.release(out)
   }
 
+  test("curateV3: the trained classifier replaces the heuristic quality floor") {
+    import graft.operators.Curate
+    import org.apache.spark.sql.functions.col
+    // reference slice (src0) vs raw: the perceptron learns the src0
+    // vocabulary; a doc sharing it scores positive margin, a doc of
+    // off-reference words scores negative — regardless of its clean
+    // heuristic shape (the v2/v3 behavioral split)
+    val refA = "the cat and the dog walk to the old park near the river " +
+      "and the cat sees the dog by the park gate under the old tree"
+    val refB = "under the old tree by the river gate the dog and the cat " +
+      "rest near the park and the dog walks to the river with the cat"
+    // fluent, heuristically clean English that shares NO content words
+    // with the reference slice: v2's hand-tuned floor would keep it,
+    // the trained gate rejects it (negative margin)
+    val offRef = "some other people often write many long letters about " +
+      "music and painting while they travel across several busy cities " +
+      "because they enjoy sharing those stories with friends everywhere"
+    // duplicates stay in the reference slice: a verbatim copy labeled
+    // raw would make the corpus inseparable (same features, flipped y)
+    val docs = Seq(
+      (1L, "en", "src0", refA),                       // reference → kept
+      (2L, "en", "src0", refA),                       // exact dup of 1 → dropped
+      (3L, "en", "src0", refA + " extra tail words"), // near dup → dropped
+      (4L, "en", "src0", refB),                       // reference → kept
+      (5L, "en", "src1", offRef),                     // negative margin → dropped
+      (6L, "en", "src0", refB + " by the park")       // near dup of 4 → dropped
+    ).toDF("doc_id", "lang", "source", "text")
+    // 256 hash buckets: at this toy vocabulary 64 buckets collide the
+    // off-reference words into heavy reference mass (the corpus-scale
+    // default stays 64, where collisions average out)
+    val out = Curate.curateV3(docs, "doc_id", "text", "lang",
+      dsirTargetPred = col("source") === "src0", dsirK = 10,
+      maxAvgNllMicro = Long.MaxValue / 4096, clsFeatures = 256)
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+    assert(rows.forall(_.getAs[Long]("margin") > 0))
+    // the off-reference doc was rejected by the CLASSIFIER: the frozen
+    // standalone gate agrees doc 5's margin is negative
+    val wts = graft.operators.QualityClassifier.train(
+      docs, "doc_id", "text", col("source") === "src0", numFeatures = 256)
+    val m5 = graft.operators.QualityClassifier
+      .scoreWith(wts, docs.filter(col("doc_id") === 5L), "doc_id", "text",
+        numFeatures = 256)
+      .collect().head
+    assert(m5.getAs[Long]("margin") <= 0 && !m5.getAs[Boolean]("keep"))
+    // margins in the composed pipeline match the standalone artifact's
+    val solo = graft.operators.QualityClassifier
+      .scoreWith(wts, docs, "doc_id", "text", numFeatures = 256)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("margin")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("margin") == solo(r.getAs[Long]("doc_id"))))
+    // deterministic: identical rerun
+    val again = Curate.curateV3(docs, "doc_id", "text", "lang",
+      dsirTargetPred = col("source") === "src0", dsirK = 10,
+      maxAvgNllMicro = Long.MaxValue / 4096, clsFeatures = 256)
+    assert(again.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+    Curate.release(out); Curate.release(again)
+  }
+
   test("curateDelta: frozen gates + state dedup curate a batch; absorb is idempotent") {
     import graft.operators.{Curate, DedupState, LangModel, LangProfile}
     import org.apache.spark.sql.functions.col
