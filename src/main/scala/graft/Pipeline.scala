@@ -210,9 +210,14 @@ object Pipeline {
           // curated rows); tombstoning every gate-failed key would grow
           // the shadow corpus-sized and tax every later dst read. The
           // dst id scan is one column-pruned pass. At bootstrap there is
-          // no dst yet — nothing to delete.
+          // no dst yet — nothing to delete. A missing dstTable on a
+          // NON-bootstrap round is the same case: a bootstrap whose
+          // training slice yielded zero survivors commits cursor and
+          // artifacts without ever creating dst (applyChanges with no
+          // upserts is replaces-only), so later rounds must treat the
+          // absent table as empty instead of throwing forever.
           val dels =
-            if (bootstrap) touched.limit(0)
+            if (bootstrap || !tables.contains(dstTable)) touched.limit(0)
             else touched.join(survRows.select(col(idCol)), Seq(idCol), "left_anti")
               .join(Snapshot.read(spark, root, dstTable).select(col(idCol)),
                 Seq(idCol), "left_semi")

@@ -168,20 +168,52 @@ object AnnIndex {
     * exactly-once chain. Don't reuse the OLD delta root after a fold —
     * its rows are now inside the base (the fresh-root requirement is
     * what makes the fold atomic-by-construction: until the follower
-    * flips to (newBase, freshDelta), the old pair keeps serving). */
+    * flips to (newBase, freshDelta), the old pair keeps serving).
+    *
+    * CONCURRENCY: the cursor is re-read after the new base lands and
+    * must be unchanged — a [[graft.sources.Replica.sync]] landing
+    * between the initial cursor read and the fold's delta reads would
+    * make the new base absorb changes PAST the returned cursor, which
+    * the fresh delta would then replay (idempotent for serving, but it
+    * silently weakens "the new base represents the corpus at exactly
+    * the handoff version"). A concurrent sync therefore fails the fold
+    * loudly; re-run it — the old (base, delta) pair was never stopped. */
   def compactLshFollow(spark: org.apache.spark.sql.SparkSession,
       basePath: String, deltaRoot: String, deltaTable: String,
       idCol: String, vecCol: String, planes: Array[Array[Long]],
       newBasePath: String): Long = {
-    val cur = graft.sources.Replica.cursor(spark, deltaRoot).getOrElse(
-      throw new IllegalStateException(
-        s"compactLshFollow: no sync cursor at $deltaRoot — the delta was " +
-          "never synced; nothing to fold or hand off"))
+    val cur = foldCursor(spark, deltaRoot, "compactLshFollow")
     val (served, deltaRows) = lshFollowResolved(spark, basePath, deltaRoot,
       deltaTable, idCol, vecCol, planes)
     try served.write.mode("overwrite").partitionBy(BucketCol).parquet(newBasePath)
     finally NearDup.freeCheckpoint(deltaRows)
+    requireCursorStable(spark, deltaRoot, cur, "compactLshFollow")
     cur
+  }
+
+  /** The delta's handoff cursor, or a loud throw for a never-synced
+    * delta root (no cursor to hand off — a guessed one would break the
+    * exactly-once chain). Shared by every fold. */
+  private def foldCursor(spark: org.apache.spark.sql.SparkSession,
+      deltaRoot: String, who: String): Long =
+    graft.sources.Replica.cursor(spark, deltaRoot).getOrElse(
+      throw new IllegalStateException(
+        s"$who: no sync cursor at $deltaRoot — the delta was " +
+          "never synced; nothing to fold or hand off"))
+
+  /** Post-write cursor stability check: a Replica.sync that landed
+    * while the fold ran advanced the cursor, so the new base may hold
+    * changes past the handoff version — fail loudly (the old pair is
+    * still serving; re-run the fold). */
+  private def requireCursorStable(spark: org.apache.spark.sql.SparkSession,
+      deltaRoot: String, expected: Long, who: String): Unit = {
+    val now = graft.sources.Replica.cursor(spark, deltaRoot)
+    if (!now.contains(expected))
+      throw new IllegalStateException(
+        s"$who: a concurrent sync advanced the delta cursor " +
+          s"($expected -> ${now.getOrElse("absent")}) while the fold ran; " +
+          "the written base may absorb changes past the handoff version — " +
+          "discard it and re-run the fold (the old base+delta pair kept serving)")
   }
 
   /** Centroid-assignment column of the persisted IVF layout. */
@@ -267,6 +299,21 @@ object AnnIndex {
       basePath: String, deltaRoot: String, deltaTable: String,
       idCol: String, vecCol: String,
       probePred: Column, k: Int, nProbe: Int): DataFrame = {
+    val (served, codebook, _) = ivfFollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol)
+    knnIvfServe(served, codebook, idCol, probePred, k, nProbe)
+  }
+
+  /** The resolved serving rows of a following IVF index — the
+    * [[lshFollowResolved]] discipline with the stored codebook as the
+    * frozen parameter: base rows minus delta-touched ids, union the
+    * delta's live rows encoded through the SAME stored-codebook
+    * assignment as [[appendIvfIndex]]. Shared verbatim by the serve
+    * path and the fold, so a fold persists EXACTLY the served frame.
+    * Returns (served, codebook, delta-checkpoint handle). */
+  private def ivfFollowResolved(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.Snapshot
     val base = spark.read.parquet(basePath)
     val codebook = spark.read.parquet(basePath + "_codebook")
@@ -281,9 +328,35 @@ object AnnIndex {
     val deltaRows = ivfRowsFromPivoted(live, idCol, vecCol, stored)
       .select(base.columns.map(col).toSeq: _*)
       .localCheckpoint(true)
-    val served = base.join(touched, Seq(idCol), "left_anti")
-      .unionByName(deltaRows)
-    knnIvfServe(served, codebook, idCol, probePred, k, nProbe)
+    (base.join(touched, Seq(idCol), "left_anti").unionByName(deltaRows),
+      codebook, deltaRows)
+  }
+
+  /** FOLD a following IVF index's delta into a fresh frozen base at
+    * `newBasePath` — the IVF twin of [[compactLshFollow]], with one
+    * extra obligation: the TRAINED codebook is the index's frozen
+    * serve-time parameter, so the fold copies it verbatim to
+    * `newBasePath + "_codebook"` (never retrained — retraining would
+    * shift every stored assignment). The fold writes the EXACT resolved
+    * frame the follow mode serves (shared [[ivfFollowResolved]] path:
+    * stored base rows pass through untouched, only the delta's live
+    * rows encode, the corpus is never read), partitioned by centroid
+    * like any [[writeIvfIndex]] base — the new base keeps the
+    * dynamically-pruned list scan. O(base + delta). Returns the handoff
+    * cursor under the same contract and concurrency check as the LSH
+    * fold: never-synced delta throws, a concurrent sync fails loudly. */
+  def compactIvfFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, newBasePath: String): Long = {
+    val cur = foldCursor(spark, deltaRoot, "compactIvfFollow")
+    val (served, codebook, deltaRows) = ivfFollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol)
+    try {
+      served.write.mode("overwrite").partitionBy(CentCol).parquet(newBasePath)
+      codebook.write.mode("overwrite").parquet(newBasePath + "_codebook")
+    } finally NearDup.freeCheckpoint(deltaRows)
+    requireCursorStable(spark, deltaRoot, cur, "compactIvfFollow")
+    cur
   }
 
   /** Subspace / code columns of the persisted PQ layout. */
@@ -348,6 +421,82 @@ object AnnIndex {
         col("cv").as("__cv"), col("cc").as("__cc"))
     pqIndexRows(batch, idCol, vecCol, stored, dim, m)
       .write.mode("append").parquet(path)
+  }
+
+  /** PQ twin of [[knnLshServeFollow]] — base+delta serving over a
+    * MUTATING corpus for the one index whose stored form is CODES, not
+    * vectors: the frozen parameters are the per-subspace codebooks
+    * (`basePath + "_codebook"`, trained at build time). The delta's
+    * live rows encode into (id, subspace, code) through the SAME
+    * stored-codebook assignment as [[appendPqIndex]] (bit-identical
+    * codes), base code rows whose id the delta touched anti-join out,
+    * and the standard [[knnPqServe]] ADC runs over the union — the
+    * collection side still reads only codes, the probe side still
+    * arrives with its vectors and builds per-request distance tables.
+    * Hash-identical to a full rebuild over the corpus's current state
+    * with the same codebooks (the emb_knn_pq_follow gate). The delta
+    * codes are materialized so a multi-probe serve re-reads the
+    * checkpoint, not the encode. */
+  def knnPqServeFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      probes: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int): DataFrame = {
+    val (codes, codebooks, _) = pqFollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol, dim, m)
+    knnPqServe(codes, codebooks, probes, idCol, vecCol, dim, m, k)
+  }
+
+  /** The resolved code table of a following PQ index — base codes minus
+    * delta-touched ids, union the delta's live rows encoded through the
+    * stored codebooks. Shared by serve and fold (the
+    * [[lshFollowResolved]] discipline). Returns (codes, codebooks,
+    * delta-checkpoint handle). */
+  private def pqFollowResolved(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String,
+      dim: Int, m: Int): (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.Snapshot
+    val base = spark.read.parquet(basePath)
+    val codebooks = spark.read.parquet(basePath + "_codebook")
+    val live = Snapshot.read(spark, deltaRoot, deltaTable)
+    val liveKeys = live.select(col(idCol))
+    val touched = Snapshot.shadowedKeys(spark, deltaRoot, deltaTable) match {
+      case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
+      case None => liveKeys.distinct()
+    }
+    val stored = codebooks
+      .select(col(SubspaceCol), col("cluster"),
+        col("cv").as("__cv"), col("cc").as("__cc"))
+    val deltaCodes = pqIndexRows(live, idCol, vecCol, stored, dim, m)
+      .select(base.columns.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    (base.join(touched, Seq(idCol), "left_anti").unionByName(deltaCodes),
+      codebooks, deltaCodes)
+  }
+
+  /** FOLD a following PQ index's delta into a fresh frozen base at
+    * `newBasePath` — completes the base+delta lifecycle for the third
+    * serving index: writes the EXACT resolved code table the follow
+    * mode serves (shared [[pqFollowResolved]] path — stored codes pass
+    * through untouched, only the delta's live rows encode) plus the
+    * frozen codebooks copied verbatim to `newBasePath + "_codebook"`
+    * (retraining would shift every stored code). Flat layout like any
+    * [[writePqIndex]] base (ADC consumes every subspace — nothing to
+    * partition-prune by). O(base + delta). Same handoff-cursor contract
+    * and concurrency check as [[compactLshFollow]]. */
+  def compactPqFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, dim: Int, m: Int,
+      newBasePath: String): Long = {
+    val cur = foldCursor(spark, deltaRoot, "compactPqFollow")
+    val (codes, codebooks, deltaCodes) = pqFollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol, dim, m)
+    try {
+      codes.write.mode("overwrite").parquet(newBasePath)
+      codebooks.write.mode("overwrite").parquet(newBasePath + "_codebook")
+    } finally NearDup.freeCheckpoint(deltaCodes)
+    requireCursorStable(spark, deltaRoot, cur, "compactPqFollow")
+    cur
   }
 
   /** Top-k PQ search served from the PERSISTED codes + codebooks: the

@@ -210,7 +210,8 @@ object Curate {
       keepLangs: Seq[String] = Seq("en", "es", "de", "fr"),
       maxAvgNllMicro: Long = 3410000L,
       minJaccard: Double = 0.5,
-      clsIters: Int = 4, clsFeatures: Int = 64): DataFrame = {
+      clsIters: Int = 4, clsFeatures: Int = 64,
+      clsMedianCut: Boolean = false): DataFrame = {
     val keep = docs.columns.toSeq
     Seq("lang_pred", "margin", "n_tokens", "nll_micro", "__fp").foreach { c =>
       require(!keep.contains(c), s"curateV3: input must not already carry '$c'") }
@@ -229,19 +230,40 @@ object Curate {
     val wts = QualityClassifier.trainFromTokens(shared, idCol, "__toks",
       col("__tgt"), iters = clsIters, numFeatures = clsFeatures)
     try {
+      val margins = QualityClassifier.scoreFromTokens(wts, shared, idCol,
+        "__toks", numFeatures = clsFeatures)
+        .select(col(idCol), col("margin"))
+      // The trained-quality cut. `clsMedianCut = false` keeps margin > 0
+      // (the GPT-3 recipe's natural zero for a separable reference
+      // slice). When the reference labels don't separate the corpus
+      // textually (e.g. a synthetic corpus whose slices share one token
+      // pool), the full-batch perceptron's margins move as a BLOCK —
+      // the common component dominates the between-class signal, so
+      // margin > 0 keeps everything or nothing depending on which side
+      // of the oscillation the final round lands. `clsMedianCut = true`
+      // CALIBRATES the cut at the corpus-median margin instead (the
+      // GPT-3 report's "threshold chosen to hit a keep rate" made
+      // deterministic): exact `percentile` over integer margins — a
+      // dyadic midpoint at even counts, bit-identical cross-engine —
+      // keeps the strictly-above-median half at any scale.
+      val cut: org.apache.spark.sql.Column =
+        if (clsMedianCut) {
+          // one-row bounded collect (the k-means codebook discipline);
+          // an empty corpus has no median — fall back to the zero cut
+          val r = margins.agg(expr("percentile(margin, 0.5D)").as("__mcut")).head()
+          lit(if (r.isNullAt(0)) 0.0 else r.getDouble(0))
+        } else lit(0L).cast("double")
       val scored = docs
         .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
         .join(lm.select(col(idCol), col("n_tokens"), col("nll_micro")),
           Seq(idCol), "left_outer")
-        .join(QualityClassifier.scoreFromTokens(wts, shared, idCol, "__toks",
-            numFeatures = clsFeatures)
-          .select(col(idCol), col("margin")), Seq(idCol))
+        .join(margins, Seq(idCol))
         .withColumn("__fp", Text.fingerprint(col(textCol)))
         .localCheckpoint(true)
       try {
         val filtered = scored
           .filter(col("lang_pred").isin(keepLangs: _*))
-          .filter(col("margin") > 0)
+          .filter(col("margin") > cut)
           .filter(col("nll_micro").isNull ||
             col("nll_micro") <= lit(maxAvgNllMicro) * col("n_tokens"))
         val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))

@@ -32,9 +32,8 @@ import org.apache.spark.sql.types._
   *    this module's own GIF89a writer encodes, the independent JDK
   *    ImageIO reader decodes frame-by-frame, and frame sampling is a
   *    real decode → BMP transcode, gated end-to-end by mm_video_stats.
-  *    With this, all three modalities decode for real and [[MediaSim]]
-  *    is retired to a byte-shape exercise kept only for opaque payloads
-  *    of genuinely unknown format.
+  *    With this, all three modalities decode for real; the byte-shape
+  *    simulations that once stood in for them (`MediaSim`) are deleted.
   *
   * Layout notes (100 TB): meta is a separate struct column, so
   * `SELECT media_id, meta.kind` never reads bytes — the scan reads the
@@ -242,8 +241,7 @@ object MediaPipeline {
 
   /** REAL distributed audio resample: JDK decode → nearest-neighbor
     * frame pick at the target rate → lossless WAV re-encode, metadata
-    * updated (the audio twin of [[resizeImage]] — retires the
-    * [[MediaSim]] byte-chunk stand-in for audio columns). Throws on
+    * updated (the audio twin of [[resizeImage]]). Throws on
     * undecodable payloads. */
   def resampleAudio(media: Dataset[MediaRecord], targetRateHz: Int)
       : Dataset[MediaRecord] = {
@@ -390,8 +388,7 @@ object MediaPipeline {
   /** REAL distributed frame sampling — decode the multi-frame container,
     * keep every `stride`-th frame, re-encode each as a standalone
     * lossless BMP (a real GIF → BMP transcode, the shape a downstream
-    * image-embedding stage consumes; retires [[MediaSim.sampleFrames]]'
-    * byte-chunk stand-in). Throws on undecodable payloads. */
+    * image-embedding stage consumes). Throws on undecodable payloads. */
   def sampleGifFrames(media: Dataset[MediaRecord], stride: Int)
       : Dataset[(Long, Int, Array[Byte])] = {
     import media.sparkSession.implicits._
@@ -468,8 +465,8 @@ object MediaPipeline {
   /** REAL distributed image resize: JDK decode → nearest-neighbor
     * rescale → lossless BMP re-encode, metadata updated to the new
     * dimensions. Throws on undecodable payloads (same loud contract as
-    * [[imageChannelStats]]); for opaque non-image payloads see
-    * [[MediaSim.resizePayload]]. */
+    * [[imageChannelStats]]); opaque non-image payloads have no resize —
+    * featurize them via [[OpaqueBytesDecoder]] instead. */
   def resizeImage(media: Dataset[MediaRecord], width: Int, height: Int)
       : Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
@@ -514,61 +511,12 @@ object MediaPipeline {
   }
 }
 
-/** EXPLICITLY-OPT-IN byte-shape SIMULATIONS, now fully superseded on
-  * the default surface: images decode for real via
-  * [[MediaPipeline.decodeImage]], audio via [[MediaPipeline.decodeWav]]
-  * / [[MediaPipeline.resampleAudio]], and multi-frame sampling via
-  * [[MediaPipeline.decodeGifFrames]] / [[MediaPipeline.sampleGifFrames]]
-  * — every modality has a real JDK decode path gated by its mm_* query.
-  * These fakes remain ONLY for payloads of genuinely unknown format
-  * (exercising the distributed batch shape — schemas, partitioning,
-  * iterator flow — with no format claim); nothing in [[MediaPipeline]]'s
-  * default surface routes here. */
-object MediaSim {
-  import MediaPipeline.{MediaRecord, MediaMeta}
-
-  /** SIMULATED resize for opaque payloads — scales the BYTE COUNT to the
-    * target pixel ratio and cycles payload bytes. Metadata handling
-    * (dimension update, null/empty passthrough) is real; the pixels are
-    * not. For decodable images use [[MediaPipeline.resizeImage]]. */
-  def resizePayload(r: MediaRecord, width: Int, height: Int): MediaRecord = {
-    if (r.bytes == null || r.bytes.isEmpty)
-      return MediaRecord(r.media_id,
-        r.meta.copy(width = width, height = height), Array.emptyByteArray)
-    val target = math.max(1, (r.bytes.length.toLong * width * height /
-      math.max(1, r.meta.width.toLong * r.meta.height)).toInt)
-    val out = new Array[Byte](math.min(target, math.max(1, r.bytes.length)))
-    var i = 0
-    while (i < out.length) { out(i) = r.bytes(i % math.max(1, r.bytes.length)); i += 1 }
-    MediaRecord(r.media_id, r.meta.copy(width = width, height = height), out)
-  }
-
-  /** Distributed simulated-resize pass (same mapPartitions batch shape). */
-  def resize(media: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map(resizePayload(_, width, height)))
-  }
-
-  /** SIMULATED frame sampling — a real implementation seeks keyframes in
-    * the container; the fake cuts the payload into `frameCount` equal
-    * chunks and emits every `stride`-th as (media_id, frame_idx, bytes).
-    * The output SHAPE (one row per sampled frame, ordered frame index)
-    * is what a downstream embedding stage consumes. */
-  def sampleFrames(media: Dataset[MediaRecord], frameCount: Int, stride: Int)
-      : Dataset[(Long, Int, Array[Byte])] = {
-    import media.sparkSession.implicits._
-    require(frameCount > 0 && stride > 0, "frameCount and stride must be positive")
-    media.flatMap { r =>
-      if (r.bytes == null || r.bytes.isEmpty) Iterator.empty
-      else {
-        val sz = math.max(1, r.bytes.length / frameCount)
-        (0 until frameCount by stride).iterator.map { f =>
-          val from = f * sz
-          val until = math.min(r.bytes.length, from + sz)
-          (r.media_id, f,
-            java.util.Arrays.copyOfRange(r.bytes, math.min(from, r.bytes.length), until))
-        }
-      }
-    }
-  }
-}
+// HISTORICAL NOTE: a `MediaSim` namespace of explicitly-opt-in byte-shape
+// simulations (payload-chunk "resize", fake frame sampling) lived here
+// until round 11. Every modality now has a REAL JDK decode path gated by
+// its mm_* query — images via decodeImage (ImageIO), audio via decodeWav
+// (javax.sound.sampled), multi-frame video via decodeGifFrames — so the
+// simulations were deleted rather than left as a surface a reader could
+// mistake for live decode. Payloads of genuinely unknown format are
+// served honestly by OpaqueBytesDecoder (byte-block statistics, no
+// format claim).

@@ -78,7 +78,12 @@ object SubstrDedup {
       .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("__spans"))
     val tk = col("__tk")
     docs
-      .withColumn("__tk", filter(Text.tokens(Text.normalize(col(textCol))),
+      // NULL text coalesces to '' (n_tokens=0, clean_text='') — the same
+      // NULL contract every sibling text operator applies before
+      // tokenizing; without it a NULL-text doc rides through as NULL
+      // __tk and reports NULL counts.
+      .withColumn("__tk", filter(
+        Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
         t => length(t) > 0))
       .join(spans, Seq(idCol), "left_outer")
       // keep token at 0-based q unless a span [s, s+n) covers it; the
@@ -107,7 +112,8 @@ object SubstrDedup {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val tk = col("__tk")
     val grams = docs
-      .select(col(idCol), filter(Text.tokens(Text.normalize(col(textCol))),
+      .select(col(idCol), filter(
+        Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
         t => length(t) > 0).as("__tk"))
       .select(col(idCol), posexplode(
         when(size(tk) >= minTokens,

@@ -286,6 +286,46 @@ object DocQueries {
     }
   }
 
+  /** doc_curate_incremental_stored — the SAME frozen-model delta
+    * curation with the artifacts going THROUGH THE SNAPSHOT STORE:
+    * corpus, lang profiles, LM vocab, and dedup signature state are
+    * published as ONE atomic commit (the mutually-consistent root
+    * Pipeline.curateFollow maintains), then the delta is curated
+    * against the artifacts READ BACK from the store — the
+    * train-once/apply-forever split exercised end-to-end through
+    * storage, not just driver memory. Gated against the identical
+    * oracle as doc_curate_incremental: the parquet round-trip of all
+    * three artifacts must be value-preserving, or the gate arithmetic
+    * shifts. */
+  def docCurateIncrementalStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curate, DedupState, LangModel, LangProfile}
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "curincstore", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+    val batch = d.filter(col("doc_id") % 2 === 1)
+    // train once at corpus-build time, publish corpus + all three
+    // frozen artifacts in ONE atomic version
+    Snapshot.commit(spark, root, Map(
+      "documents" -> corpus,
+      "profiles" -> LangProfile.profiles(corpus, "lang", "text", 64),
+      "vocab" -> LangModel.train(corpus, "text", col("lang") === "en"),
+      "sig" -> DedupState.stateOf(corpus, "doc_id", "text")))
+    // apply-forever: the delta curates against the STORED artifacts;
+    // the corpus table is never read again
+    Curate.curateDelta(
+        Snapshot.read(spark, root, "profiles"),
+        Snapshot.read(spark, root, "vocab"),
+        Snapshot.read(spark, root, "sig"),
+        batch, "doc_id", "text",
+        maxAvgNllMicro = CurateV2MaxNllMicro)
+      .select("doc_id", "lang", "lang_pred", "quality_score")
+      .orderBy("doc_id")
+  }
+
   /** doc_quality_classifier — TRAINED quality classifier
     * (graft.operators.QualityClassifier, the GPT-3/PaLM data-filtering
     * recipe): a full-batch integer perceptron learns to separate the
@@ -552,18 +592,28 @@ object DocQueries {
     * (graft.operators.Curate.curateV3): v2's one remaining heuristic —
     * the hand-tuned quality floor — replaced by the trained
     * discriminative classifier (the doc_quality_classifier perceptron,
-    * reference slice = the DSIR target sources, kept by margin > 0 —
-    * the GPT-3 recipe verbatim). The oracle chains the
-    * doc_quality_classifier training-trajectory CTEs into the
-    * doc_curate_v2 oracle, so the composed pipeline (including all
-    * four perceptron rounds) gates bit-for-bit. */
+    * reference slice = the DSIR target sources). The gate runs with
+    * `clsMedianCut = true`: this corpus's slice labels are synthetic
+    * (text-independent), so the perceptron's margins move as a BLOCK —
+    * the production `margin > 0` cut keeps everything or nothing
+    * depending on which side of the oscillation the last round lands
+    * (measured 0 rows at sf0.01, all rows at sf0.1) — and a 0==0
+    * oracle match validates nothing. Calibrating the cut at the exact
+    * corpus-median margin keeps the strictly-above-median half at
+    * EVERY scale, so the full training trajectory gates on non-empty
+    * output. The oracle chains the doc_quality_classifier
+    * training-trajectory CTEs (plus the same quantile_cont median)
+    * into the doc_curate_v2 oracle, so the composed pipeline —
+    * all four perceptron rounds AND the calibration — gates
+    * bit-for-bit. */
   def docCurateV3(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Curate.curateV3(
         Tables.documents(spark, dir).select("doc_id", "lang", "source", "text"),
         "doc_id", "text", "lang",
         dsirTargetPred = col("source").isin(DsirTargetSources: _*),
         dsirK = CurateV2K,
-        maxAvgNllMicro = CurateV2MaxNllMicro)
+        maxAvgNllMicro = CurateV2MaxNllMicro,
+        clsMedianCut = true)
       .orderBy("rank")
 
   /** doc_edit_pairs — edit-distance-verified near-dup pairs: the same
@@ -875,6 +925,12 @@ object DocQueries {
     * collapse spaces, trim. */
   private[queries] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** [[normSql]] over `coalesce(text, '')` — the NULL contract of the
+    * operators that coalesce before tokenizing (SubstrDedup, Curate,
+    * LangModel): a NULL-text doc tokenizes to the empty list. */
+  private[queries] val normCoalesceSql =
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** Token-hit count of `word` in the padded lowercase text `p`
     * (Text.wordHits replace-length arithmetic). */
@@ -1406,9 +1462,11 @@ object DocQueries {
   /** Curation-v3 oracle: the curateV2Oracle chain with the heuristic
     * quality floor swapped for the qualityClassifierOracle's full
     * 4-round perceptron trajectory (CTEs prefixed q*) — the gate is
-    * `margin > 0` against the weights after round 4, trained on the
-    * UNFILTERED corpus (reference = DSIR target sources), and `margin`
-    * replaces `quality_score` in the output. */
+    * `margin > corpus-median margin` against the weights after round 4
+    * (quantile_cont over every doc's margin — the clsMedianCut
+    * calibration the gate runs with, exact over integer margins),
+    * trained on the UNFILTERED corpus (reference = DSIR target
+    * sources), and `margin` replaces `quality_score` in the output. */
   private val curateV3Oracle: String = {
     val nc = normSql.replace("lower(text)", "lower(COALESCE(text, ''))")
     val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
@@ -1476,6 +1534,9 @@ object DocQueries {
        |$qlater,
        |qmf AS (SELECT f.doc_id, CAST(SUM(f.cnt * qw4.w) AS BIGINT) AS m
        |       FROM qfx f JOIN qw4 ON qw4.b = f.b GROUP BY 1),
+       |qall AS (SELECT d.doc_id, COALESCE(qmf.m, 0) AS m
+       |        FROM documents d LEFT JOIN qmf ON qmf.doc_id = d.doc_id),
+       |qmed AS (SELECT quantile_cont(m, 0.5) AS v FROM qall),
        |s0 AS MATERIALIZED (
        |  SELECT c.doc_id, c.lang, d.source, c.text, p.lang_pred,
        |         COALESCE(qmf.m, 0) AS margin, c.fp
@@ -1485,7 +1546,7 @@ object DocQueries {
        |  LEFT JOIN lagg la ON la.doc_id = c.doc_id
        |  LEFT JOIN qmf ON qmf.doc_id = c.doc_id
        |  WHERE p.lang_pred IN ('en', 'es', 'de', 'fr')
-       |    AND COALESCE(qmf.m, 0) > 0
+       |    AND COALESCE(qmf.m, 0) > (SELECT v FROM qmed)
        |    AND (la.nll_micro IS NULL OR la.nll_micro <= $CurateV2MaxNllMicro * la.n_tokens)),
        |canon2 AS (SELECT fp, MIN(doc_id) AS doc_id FROM s0 GROUP BY 1),
        |s1 AS MATERIALIZED (
@@ -1687,7 +1748,7 @@ object DocQueries {
   private val substrCtes: String = {
     val L = 8
     val win = (0 until L).map(o => s"tk[i+$o]").mkString(" || ' ' || ")
-    s"""norm AS (SELECT doc_id, $normSql AS t FROM documents),
+    s"""norm AS (SELECT doc_id, $normCoalesceSql AS t FROM documents),
        |toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
        |idx AS (SELECT doc_id, tk, unnest(range(1, len(tk) - ${L - 2})) AS i
        |        FROM toks WHERE len(tk) >= $L),
@@ -1937,6 +1998,8 @@ object DocQueries {
     "doc_curate_v2" -> curateV2Oracle,
     "doc_curate_v3" -> curateV3Oracle,
     "doc_curate_incremental" -> curateIncrementalOracle,
+    "doc_curate_incremental_stored" -> curateIncrementalOracle, // stored artifacts == in-memory
+
     "doc_substr_spans" -> substrSpansOracle,
     "doc_substr_scrub" -> substrScrubOracle,
     "doc_quality_classifier" -> qualityClassifierOracle,
@@ -2189,7 +2252,7 @@ object DocQueries {
         |        SUM(CASE WHEN j % 2 = 0 THEN v ELSE 256 * v END) AS raw
         |      FROM b GROUP BY 1, 2),
         |agg AS (SELECT doc_id, CAST(k % 2 AS BIGINT) AS channel,
-        |          SUM(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS sum_samples
+        |          CAST(SUM(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS BIGINT) AS sum_samples
         |        FROM s GROUP BY 1, 2)
         |SELECT doc_id, channel, CAST(8000 AS BIGINT) AS sample_rate_hz,
         |       CAST(12 AS BIGINT) AS n_frames, sum_samples,
@@ -2219,6 +2282,7 @@ object DocQueries {
     "doc_curate_v2" -> docCurateV2 _,
     "doc_curate_v3" -> docCurateV3 _,
     "doc_curate_incremental" -> docCurateIncremental _,
+    "doc_curate_incremental_stored" -> docCurateIncrementalStored _,
     "doc_substr_spans" -> docSubstrSpans _,
     "doc_substr_scrub" -> docSubstrScrub _,
     "doc_quality_classifier" -> docQualityClassifier _,

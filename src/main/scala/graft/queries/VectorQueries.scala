@@ -342,6 +342,67 @@ object VectorQueries {
       .orderBy("probe_id", "rank")
   }
 
+  /** emb_knn_ivf_compacted — the IVF FOLD closing the following-index
+    * lifecycle for the trained-codebook index
+    * (graft.operators.AnnIndex.compactIvfFollow): the
+    * emb_knn_ivf_follow scenario (base + build-time-trained codebook
+    * frozen at the build version, wave-1 erase + MERGE, one seeded
+    * sync), then the fold — stored base rows pass through untouched,
+    * only the delta encodes, the codebook copies VERBATIM to the new
+    * base (never retrained: retraining would shift every stored
+    * assignment) — then wave-2 mutations, a fresh delta seeded at the
+    * handoff cursor, and a serve over newBase+freshDelta. Gated
+    * against the ivfOracle selection with the codebook pinned to the
+    * build-time training set and membership at the corpus's FINAL
+    * state after both waves — green means the fold lost nothing,
+    * duplicated nothing, kept the codebook frozen, and handed the
+    * cursor off exactly-once. */
+  def embKnnIvfCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "annicsrc", dir)
+    val delta1 = Tables.scratchDir(spark, "annicd1", dir)
+    val delta2 = Tables.scratchDir(spark, "annicd2", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta1, delta2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "annicbase", dir)
+    val atBuild = Snapshot.read(spark, corpus, "emb")
+    AnnIndex.writeIvfIndex(atBuild, "vec_id", "embedding",
+      Ann.ivfCodebook(atBuild, "label", "embedding"), basePath)
+    // wave 1 — identical to the follow gate
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta1, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined,
+      "ivf compacted gate: wave-1 sync did not publish")
+    // the FOLD: base+delta1 → fresh base, frozen codebook copied through
+    val base2 = Tables.scratchDir(spark, "annicbase2", dir)
+    val cur = AnnIndex.compactIvfFollow(spark, basePath, delta1, "emb_delta",
+      "vec_id", "embedding", base2)
+    // wave 2 — the corpus keeps mutating past the fold (same waves as
+    // the LSH compacted gate: %11==0 erasure, %13==2 MERGE)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 13 === 2), Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta2, "emb_delta",
+      Seq("vec_id"), initialCursor = cur).isDefined,
+      "ivf compacted gate: wave-2 sync did not publish")
+    AnnIndex.knnIvfServeFollow(spark, base2, delta2, "emb_delta",
+        "vec_id", "embedding", col("vec_id") < ProbeMax, K, nProbe = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Metadata-filtered search: neighbors restricted to even labels. */
   def embKnnFiltered(spark: SparkSession, dir: String): DataFrame =
     Ann.knnLshFiltered(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -510,6 +571,55 @@ object VectorQueries {
         "vec_id", "embedding", PqDim, PqM, path)
       AnnIndex.knnPqServe(spark.read.parquet(path),
           spark.read.parquet(path + "_codebook"),
+          emb.filter(col("vec_id") < PqProbeMax), "vec_id", "embedding",
+          PqDim, PqM, K)
+        .orderBy("probe_id", "rank")
+    } finally graft.operators.NearDup.freeCheckpoint(cbs)
+  }
+
+  /** emb_knn_pq_follow — the PQ twin of emb_knn_lsh_follow
+    * (graft.operators.AnnIndex.knnPqServeFollow): the same
+    * mutating-corpus scenario for the one serving index whose stored
+    * form is CODES, not vectors. The per-subspace codebooks train on
+    * the build-time corpus state and freeze; the corpus then erases
+    * (%7==0) and MERGEs (%5==3 inserts, %9==1 re-upserts — whose base
+    * codes must be excluded or they'd double-serve — plus
+    * resurrections); one seeded sync lands the delta, and serving
+    * composes base-codes-minus-touched ∪ the delta's live rows encoded
+    * through the frozen codebooks. Probes arrive with their vectors
+    * (the request shape), candidates stay codes end to end. Gated
+    * against the pqOracle ADC with codebooks pinned to the build-time
+    * training set and code membership at the corpus's final state. */
+  def embKnnPqFollow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "annpqfsrc", dir)
+    val delta = Tables.scratchDir(spark, "annpqfdelta", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "annpqfbase", dir)
+    val atBuild = Snapshot.read(spark, corpus, "emb")
+    val cbs = Ann.pqCodebooks(atBuild, "vec_id", "embedding",
+      PqDim, PqM, PqK, PqIters)
+    try {
+      AnnIndex.writePqIndex(atBuild, "vec_id", "embedding", cbs,
+        PqDim, PqM, basePath)
+      Snapshot.deleteWhere(spark, corpus, "emb",
+        col("vec_id") % 7 === 0, Seq("vec_id"))
+      Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+        emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+        Seq("vec_id"))
+      require(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+        Seq("vec_id"), initialCursor = buildV).isDefined,
+        "pq follow sync did not publish")
+      AnnIndex.knnPqServeFollow(spark, basePath, delta, "emb_delta",
           emb.filter(col("vec_id") < PqProbeMax), "vec_id", "embedding",
           PqDim, PqM, K)
         .orderBy("probe_id", "rank")
@@ -728,6 +838,44 @@ object VectorQueries {
        |SELECT probe_id, neighbor_id, cosine_sim, "rank" FROM r
        |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
 
+  /** Compacted-IVF oracle: the ivfFollowOracle shape — codebook trained
+    * on the BUILD-TIME corpus state (%5≠3), the frozen parameter the
+    * fold must carry through verbatim — with membership at the corpus's
+    * FINAL state after BOTH mutation waves (the lshCompactedOracle
+    * predicate). The oracle never sees the base, the fold, or either
+    * delta. */
+  private val ivfCompactedOracle: String =
+    s"""WITH $qCte,
+       |vd AS (SELECT vec_id, label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |vdim AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim_idx, qv[i] AS qe FROM vd),
+       |cb AS (SELECT label AS cb_label, dim_idx,
+       |         CAST(FLOOR(CAST(SUM(qe) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |       FROM vdim WHERE vec_id % 5 <> 3 GROUP BY 1, 2),
+       |live AS (SELECT * FROM vdim
+       |         WHERE vec_id % 13 = 2
+       |            OR ((vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)
+       |                AND vec_id % 11 <> 0)),
+       |dist AS (SELECT v.vec_id, c.cb_label, SUM((v.qe - c.cq) * (v.qe - c.cq)) AS d2
+       |         FROM live v JOIN cb c ON c.dim_idx = v.dim_idx GROUP BY 1, 2),
+       |rankedc AS (SELECT vec_id, cb_label,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cb_label) AS crn
+       |            FROM dist),
+       |inv AS (SELECT vec_id, cb_label FROM rankedc WHERE crn = 1),
+       |probes AS (SELECT vec_id, cb_label FROM rankedc WHERE vec_id < $ProbeMax AND crn <= 2),
+       |p AS (SELECT pr.vec_id AS probe_id, i.vec_id AS neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM probes pr
+       |      JOIN inv i ON i.cb_label = pr.cb_label AND i.vec_id <> pr.vec_id
+       |      JOIN q a ON a.vec_id = pr.vec_id
+       |      JOIN q b ON b.vec_id = i.vec_id),
+       |s AS (SELECT probe_id, neighbor_id, $cosineSql AS cosine_sim FROM p),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY cosine_sim DESC, neighbor_id) AS "rank" FROM s)
+       |SELECT probe_id, neighbor_id, cosine_sim, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
+
   private val centroidsOracle: String =
     s"""WITH $qCte,
        |e AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
@@ -919,6 +1067,47 @@ object VectorQueries {
        |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
   }
 
+  /** Following-PQ oracle: the pqOracle ADC with the per-subspace
+    * codebooks trained on the BUILD-TIME corpus state (%5≠3 — exactly
+    * the rows the frozen base encoded) and code MEMBERSHIP moved to the
+    * corpus's final state (the lshFollowOracle predicate); probes keep
+    * their vectors regardless of membership (the request shape), and
+    * the distance tables / encodings are identical because the frozen
+    * codebooks make the arithmetic independent of membership. */
+  private val pqFollowOracle: String = {
+    val subDim = PqDim / PqM
+    val subCtes = (0 until PqM).map { s =>
+      s"sub$s AS (SELECT vec_id, list_slice(qv, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qv FROM q WHERE vec_id % 5 <> 3)"
+    }.mkString(",\n")
+    val chains = (0 until PqM).map(s => kmeansCteChain(s"sub$s", s"s$s", PqK, PqIters))
+    val cbUnion = (0 until PqM)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS subspace, cluster, qv FROM ${chains(s)._2}")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $qCte,
+       |$subCtes,
+       |${chains.map(_._1).mkString(",\n")},
+       |cb AS ($cbUnion),
+       |vsub AS (SELECT vec_id, CAST(s.subspace AS BIGINT) AS subspace,
+       |    list_slice(qv, s.subspace * $subDim + 1, (s.subspace + 1) * $subDim) AS sv
+       |  FROM q, (SELECT unnest(range($PqM)) AS subspace) s),
+       |scored AS (SELECT v.vec_id, v.subspace, c.cluster,
+       |    ${dotSql("v.sv", "v.sv")} - 2 * ${dotSql("v.sv", "c.qv")} + ${dotSql("c.qv", "c.qv")} AS d
+       |  FROM vsub v JOIN cb c USING (subspace)),
+       |codes AS (SELECT vec_id, subspace, cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cluster) AS rn
+       |    FROM scored) WHERE rn = 1
+       |    AND (vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)),
+       |dt AS (SELECT vec_id AS probe_id, subspace, cluster, d FROM scored
+       |       WHERE vec_id < $PqProbeMax),
+       |adc AS (SELECT t.probe_id, c.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist2
+       |        FROM codes c JOIN dt t ON t.subspace = c.subspace AND t.cluster = c.cluster
+       |        WHERE c.vec_id <> t.probe_id GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY adc_dist2, neighbor_id) AS "rank" FROM adc)
+       |SELECT probe_id, neighbor_id, adc_dist2, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
+  }
+
   /** Hybrid-search oracle: keyword top-20 by term counts over the same
     * normalized token lists, vector top-20 from the quantized cosine,
     * RRF-fused with the identical 1/(60+rank) operand order. */
@@ -994,7 +1183,9 @@ object VectorQueries {
     "emb_knn_ivf_persisted" -> ivfOracle, // identical selection from the stored lists
     "emb_knn_ivf_incremental" -> ivfOracle, // append-then-serve == full rebuild
     "emb_knn_ivf_follow" -> ivfFollowOracle, // base+delta, frozen build-time codebook
+    "emb_knn_ivf_compacted" -> ivfCompactedOracle, // fold + frozen codebook == final state
     "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
+    "emb_knn_pq_follow" -> pqFollowOracle, // base+delta codes, frozen codebooks
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
     "emb_near_dup_banded_scaled" -> nearDupBandedOracleFor(BandedPlanesScaled),
@@ -1019,11 +1210,13 @@ object VectorQueries {
     "emb_knn_lsh_follow" -> embKnnLshFollow _,
     "emb_knn_lsh_compacted" -> embKnnLshCompacted _,
     "emb_knn_ivf_follow" -> embKnnIvfFollow _,
+    "emb_knn_ivf_compacted" -> embKnnIvfCompacted _,
     "emb_knn_lsh_window" -> embKnnLshWindow _,
     "emb_knn_ivf" -> embKnnIvf _,
     "emb_knn_ivf_persisted" -> embKnnIvfPersisted _,
     "emb_knn_ivf_incremental" -> embKnnIvfIncremental _,
     "emb_knn_pq_incremental" -> embKnnPqIncremental _,
+    "emb_knn_pq_follow" -> embKnnPqFollow _,
     "emb_near_dup" -> embNearDup _,
     "emb_near_dup_banded" -> embNearDupBanded _,
     "emb_near_dup_banded_scaled" -> embNearDupBandedScaled _,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MediaPipeline, MediaSim}
+import graft.operators.MediaPipeline
 import graft.operators.MediaPipeline.{MediaMeta, MediaRecord}
 
 class MediaPipelineSpec extends SparkSpec {
@@ -38,37 +38,17 @@ class MediaPipelineSpec extends SparkSpec {
     assert(one.kind == "text" && one.byte_len > 0 && one.features.length == 8)
   }
 
-  test("simulated resize updates metadata dimensions and stays deterministic") {
-    val ds = Seq(rec(1, "0123456789abcdef")).toDS()
-    val out = MediaSim.resize(ds, 2, 2).collect().head
-    assert(out.meta.width == 2 && out.meta.height == 2)
-    assert(out.media_id == 1L && out.bytes.nonEmpty)
-    val again = MediaSim.resize(ds, 2, 2).collect().head
-    assert(out.bytes.toSeq == again.bytes.toSeq)
-  }
-
-  test("simulated resize survives null and empty payloads from fromDocuments") {
+  test("fromDocuments passes null and empty payloads through as empty bytes") {
     val docs = Seq(
         (0L, "some real text"),
         (1L, null.asInstanceOf[String]), // null text → null bytes
         (2L, ""))                        // empty text → empty bytes
       .toDF("doc_id", "text")
-    val out = MediaSim.resize(MediaPipeline.fromDocuments(docs), 2, 2)
+    val out = MediaPipeline.featurize(MediaPipeline.fromDocuments(docs), dim = 4)
       .collect().sortBy(_.media_id)
     assert(out.map(_.media_id).toSeq == Seq(0L, 1L, 2L))
-    assert(out.forall(r => r.meta.width == 2 && r.meta.height == 2))
-    assert(out(0).bytes.nonEmpty)
-    assert(out(1).bytes.isEmpty && out(2).bytes.isEmpty)
-  }
-
-  test("simulated sampleFrames emits one row per sampled frame with ordered indices") {
-    val ds = Seq(rec(1, "aabbccddeeffgghh"), rec(2, "")).toDS()
-    val frames = MediaSim.sampleFrames(ds, frameCount = 8, stride = 2)
-      .collect().sortBy(f => (f._1, f._2))
-    assert(frames.map(_._1).forall(_ == 1L)) // empty payload emits nothing
-    assert(frames.map(_._2).toSeq == Seq(0, 2, 4, 6))
-    assert(frames.forall(_._3.length == 2)) // 16 bytes / 8 frames
-    assert(new String(frames.head._3, "UTF-8") == "aa")
+    assert(out(0).byte_len > 0)
+    assert(out(1).byte_len == 0L && out(2).byte_len == 0L)
   }
 
   test("BMP encode → JDK ImageIO decode round-trips pixels exactly") {

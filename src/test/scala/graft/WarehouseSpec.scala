@@ -434,4 +434,116 @@ class WarehouseSpec extends SparkSpec {
     assert(after == serveRows(AnnIndex.knnLshServe(
       spark.read.parquet(s"$base/full2"), "vec_id", col("vec_id") < 3L, 2)))
   }
+
+  test("IVF fold persists the served state and carries the frozen codebook verbatim") {
+    import graft.operators.{Ann, AnnIndex}
+    import graft.sources.{Replica, Snapshot}
+    val base = Files.createTempDirectory("graft-ivffold").toString
+    val all = (0L until 64L).map(i =>
+      (i, i % 4, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "label", "embedding")
+    val buildV = Snapshot.commit(spark, s"$base/corpus",
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    val atBuild = Snapshot.read(spark, s"$base/corpus", "emb")
+    // trained ONCE at build time; exact-integer ⇒ deterministic, so the
+    // rebuild below reusing it matches the frozen stored copy
+    val cb = Ann.ivfCodebook(atBuild, "label", "embedding")
+    AnnIndex.writeIvfIndex(atBuild, "vec_id", "embedding", cb, s"$base/idx")
+    // a never-synced delta root cannot fold
+    Snapshot.commit(spark, s"$base/nosync", Map("emb_delta" -> all.limit(1)))
+    intercept[IllegalStateException] {
+      AnnIndex.compactIvfFollow(spark, s"$base/idx", s"$base/nosync",
+        "emb_delta", "vec_id", "embedding", s"$base/never")
+    }
+    // mutate past the frozen base, one seeded sync
+    Snapshot.deleteWhere(spark, s"$base/corpus", "emb",
+      col("vec_id") % 5 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, s"$base/corpus", "emb",
+      all.filter(col("vec_id") >= 48L || col("vec_id") % 9 === 1), Seq("vec_id"))
+    val synced = Replica.sync(spark, s"$base/corpus", "emb", s"$base/d1",
+      "emb_delta", Seq("vec_id"), initialCursor = buildV)
+    assert(synced.isDefined)
+    def serveRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val followNow = serveRows(AnnIndex.knnIvfServeFollow(spark, s"$base/idx",
+      s"$base/d1", "emb_delta", "vec_id", "embedding",
+      col("vec_id") < 3L, 2, nProbe = 2))
+    val cur = AnnIndex.compactIvfFollow(spark, s"$base/idx", s"$base/d1",
+      "emb_delta", "vec_id", "embedding", s"$base/idx2")
+    assert(cur == synced.get,
+      "handoff cursor must be the delta's synced source version")
+    // the codebook is FROZEN: the new base's copy is row-identical to
+    // the build-time codebook (no retraining — retraining would shift
+    // every stored assignment)
+    def cbRows(p: String) = spark.read.parquet(p)
+      .orderBy("cb_label").collect().map(_.toSeq).toSeq
+    assert(cbRows(s"$base/idx2_codebook") == cbRows(s"$base/idx_codebook"))
+    // the folded base is row-identical to a full rebuild over the live
+    // corpus with THAT codebook, and serves exactly what follow served
+    val folded = spark.read.parquet(s"$base/idx2")
+    AnnIndex.writeIvfIndex(Snapshot.read(spark, s"$base/corpus", "emb"),
+      "vec_id", "embedding", cb, s"$base/full")
+    val rebuilt = spark.read.parquet(s"$base/full")
+      .select(folded.columns.map(col).toSeq: _*)
+    assert(folded.orderBy("vec_id").collect().map(_.toSeq).toSeq
+      == rebuilt.orderBy("vec_id").collect().map(_.toSeq).toSeq)
+    assert(serveRows(AnnIndex.knnIvfServe(folded,
+      spark.read.parquet(s"$base/idx2_codebook"), "vec_id",
+      col("vec_id") < 3L, 2, nProbe = 2)) == followNow)
+  }
+
+  test("PQ follow serves frozen-codebook codes; the fold closes the lifecycle") {
+    import graft.operators.{Ann, AnnIndex}
+    import graft.sources.{Replica, Snapshot}
+    val base = Files.createTempDirectory("graft-pqfollow").toString
+    val all = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    val buildV = Snapshot.commit(spark, s"$base/corpus",
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    val atBuild = Snapshot.read(spark, s"$base/corpus", "emb")
+    val cbs = Ann.pqCodebooks(atBuild, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 1)
+    try {
+      AnnIndex.writePqIndex(atBuild, "vec_id", "embedding", cbs,
+        dim = 8, m = 2, s"$base/idx")
+      Snapshot.deleteWhere(spark, s"$base/corpus", "emb",
+        col("vec_id") % 5 === 0, Seq("vec_id"))
+      Snapshot.upsertMergeOnRead(spark, s"$base/corpus", "emb",
+        all.filter(col("vec_id") >= 48L || col("vec_id") % 9 === 1), Seq("vec_id"))
+      val synced = Replica.sync(spark, s"$base/corpus", "emb", s"$base/d1",
+        "emb_delta", Seq("vec_id"), initialCursor = buildV)
+      assert(synced.isDefined)
+      val probes = all.filter(col("vec_id") < 3L)
+      def serveRows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+      val follow = serveRows(AnnIndex.knnPqServeFollow(spark, s"$base/idx",
+        s"$base/d1", "emb_delta", probes, "vec_id", "embedding",
+        dim = 8, m = 2, k = 2))
+      // follow == full rebuild over the live corpus with the SAME
+      // frozen codebooks (vectors unchanged ⇒ identical codes; only
+      // membership moves, which is what base-minus-touched ∪ delta
+      // must get right)
+      AnnIndex.writePqIndex(Snapshot.read(spark, s"$base/corpus", "emb"),
+        "vec_id", "embedding", cbs, dim = 8, m = 2, s"$base/full")
+      assert(follow == serveRows(AnnIndex.knnPqServe(
+        spark.read.parquet(s"$base/full"),
+        spark.read.parquet(s"$base/full_codebook"),
+        probes, "vec_id", "embedding", dim = 8, m = 2, k = 2)))
+      // the FOLD: codes == rebuild codes, codebooks copied verbatim,
+      // cursor == the synced source version
+      val cur = AnnIndex.compactPqFollow(spark, s"$base/idx", s"$base/d1",
+        "emb_delta", "vec_id", "embedding", dim = 8, m = 2, s"$base/idx2")
+      assert(cur == synced.get)
+      def codeRows(p: String) = spark.read.parquet(p)
+        .orderBy("vec_id", "subspace").collect().map(_.toSeq).toSeq
+      assert(codeRows(s"$base/idx2") == codeRows(s"$base/full"))
+      def cbRows(p: String) = spark.read.parquet(p)
+        .orderBy("subspace", "cluster").collect().map(_.toSeq).toSeq
+      assert(cbRows(s"$base/idx2_codebook") == cbRows(s"$base/idx_codebook"))
+      assert(serveRows(AnnIndex.knnPqServe(spark.read.parquet(s"$base/idx2"),
+        spark.read.parquet(s"$base/idx2_codebook"),
+        probes, "vec_id", "embedding", dim = 8, m = 2, k = 2)) == follow)
+    } finally graft.operators.NearDup.freeCheckpoint(cbs)
+  }
 }
