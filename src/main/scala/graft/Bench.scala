@@ -58,9 +58,20 @@ object Bench {
     // don't feed each other's caches back-to-back. Heavy families run in
     // the extra passes alone (pass > runs times only doc_*/emb_*).
     val maxRuns = names.map { case (n, _) => runsFor(n) }.max
+    // Per-sample trace (SPARK_GRAFT_BENCH_TRACE=1): one stderr line per
+    // (query, pass) with wall time and the JVM GC-time delta across the
+    // sample — the direct instrument for attributing a heavy-tail pass
+    // to collection pressure vs plan re-derivation (r10 verdict task 6).
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
     val samples = (1 to maxRuns).flatMap { pass =>
       names.filter { case (name, _) => pass <= runsFor(name) }
         .map { case (name, fn) =>
+          val gc0 = if (trace) gcMillis() else 0L
           val t0 = System.nanoTime()
           val err =
             try {
@@ -73,6 +84,8 @@ object Bench {
             }
             catch { case e: Throwable => Some(e.getClass.getSimpleName) }
           val sample = (name, pass, (System.nanoTime() - t0) / 1e9, err)
+          if (trace) System.err.println(
+            f"[trace] $name pass=$pass wall=${sample._3}%.3f gc_ms=${gcMillis() - gc0}")
           // Sweep EVERY persisted block (not just the Curate-released
           // frame) outside the timer: a leaked localCheckpoint from one
           // query otherwise crowds executor memory and taxes every later
@@ -80,6 +93,15 @@ object Bench {
           // such cross-query noise to innocent pure-map queries.
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
+          // Collect between samples, OUTSIDE the timer: the unpersist
+          // sweep frees block-manager entries but the heap garbage from
+          // a heavy neighbor (checkpoint blocks, broadcast values,
+          // shuffle buffers) otherwise lands as collection pressure
+          // inside the NEXT query's measurement — the r10 driver bench
+          // charged 2.5-4x heavy-tail passes to doc_lang_trained /
+          // doc_simhash64_pairs this way (solo runs are 1.2x-tight with
+          // gc_ms two orders below the wall delta; trace-verified).
+          System.gc()
           sample
         }
     }

@@ -645,23 +645,46 @@ object Ann {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be non-negative, got $iters")
-    import org.apache.spark.sql.expressions.Window
+    // project the quantized array ONCE, then slice it — inlining
+    // quantize into all m slices re-runs the interpreted HOF transform
+    // m times per row (the shingleArrays/minhashSignatures lesson)
+    trainPqOnSubs(
+      sliceSubs(df.select(col(idCol), quantize(col(vecCol)).as("__q")),
+        idCol, dim, m),
+      idCol, k, iters)
+  }
+
+  /** (id, carry…, subspace, __sub slice, __sn self-dot) from an (id,
+    * carry…, __q ARRAY<BIGINT>) frame — the exploded subspace layout
+    * both PQ training and encoding consume. `carry` columns ride along
+    * IN-ROW (a probe's per-list residuals must keep their list id —
+    * re-joining on the id alone would cross a multi-list probe's
+    * slices with the wrong list's residual). */
+  private def sliceSubs(qdf: DataFrame, idCol: String, dim: Int, m: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val subDim = dim / m
+    val keep = col(idCol) +: carry.map(col)
+    qdf.select(keep :+ posexplode(
+        array((0 until m).map(s => slice(col("__q"), s * subDim + 1, subDim)): _*)): _*)
+      .select(keep :+ col("pos").cast("long").as("subspace") :+ col("col").as("__sub"): _*)
+      .withColumn("__sn", dotQ(col("__sub"), col("__sub")))
+  }
+
+  /** The grouped per-subspace k-means over a PRE-SLICED (id, subspace,
+    * __sub, __sn) frame — shared by [[pqCodebooks]] (slices of the raw
+    * quantized vectors) and [[knnIvfPq]] (slices of the coarse-quantizer
+    * RESIDUALS, whose integer arrays come from a subtraction rather than
+    * [[quantize]]). */
+  private[operators] def trainPqOnSubs(subsRaw: DataFrame, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // The m subspace trainings are FUSED into one grouped k-means: every
     // pass below keys on (subspace, cluster), so each iteration is ONE
     // corpus-scan-shaped job instead of m — the per-subspace results are
     // identical to m independent trainings because nothing crosses a
     // subspace boundary. The exploded (id, subspace, slice) frame is
     // checkpointed once and feeds every round.
-    // project the quantized array ONCE, then slice it — inlining
-    // quantize into all m slices re-runs the interpreted HOF transform
-    // m times per row (the shingleArrays/minhashSignatures lesson)
-    val subs = df.select(col(idCol), quantize(col(vecCol)).as("__q"))
-      .select(col(idCol), posexplode(
-        array((0 until m).map(s => slice(col("__q"), s * subDim + 1, subDim)): _*)))
-      .select(col(idCol), col("pos").cast("long").as("subspace"), col("col").as("__sub"))
-      .withColumn("__sn", dotQ(col("__sub"), col("__sub")))
-      .localCheckpoint(true)
+    val subs = subsRaw.localCheckpoint(true)
     try {
       // INIT: the k lowest-id vectors seed every subspace (their slices);
       // the seed id list is k rows, broadcast onto the exploded frame
@@ -759,6 +782,107 @@ object Ann {
         col("col.id").as("neighbor_id"),
         (-col("col.score")).cast("long").as("adc_dist2"),
         (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** IVF-PQ composite top-k (Jégou, Douze & Schmid 2011 §IVFADC — the
+    * architecture FAISS serves billion-scale corpora with, and the
+    * composition of this module's two halves): a COARSE quantizer
+    * (`coarse`, the same (cb_label, dim_idx, cq) codebook [[knnIvf]]
+    * takes) partitions the collection into inverted lists, and each
+    * vector is stored as the PQ code of its RESIDUAL r = q(v) − c —
+    * quantizing residuals instead of raw vectors spends the codebook's
+    * resolution on the within-list spread rather than re-describing the
+    * coarse centroid, and the stored form stays m small codes per
+    * vector (the 100 TB memory shrink) while search touches only
+    * `nProbe` lists per probe (the 100 TB scan shrink). Search is ADC
+    * per visited list: the probe forms its OWN residual against that
+    * list's centroid, builds the exact m·k distance table to the
+    * residual codebooks, and every candidate in the list scores as the
+    * sum of m table lookups.
+    *
+    * Spark shape: assignment is the [[knnIvf]] broadcast-codebook
+    * min(struct) — map-side combined, one candidate per vector per
+    * partition on the shuffle; residuals are one in-row zip_with; PQ
+    * training is the SAME fused grouped k-means as [[pqCodebooks]]
+    * ([[trainPqOnSubs]]) over the residual slices; the distance TABLE
+    * frame is probes × nProbe × m × k rows — bounded, broadcast; ADC is
+    * an equi-join on (list, subspace, code) + a map-side-combined sum;
+    * selection is the bounded top-k aggregate. Quantized elements are
+    * |q| ≤ ~2·10³ so residual sub-norms stay < 2³⁰ and ADC sums < 2³³ —
+    * exact integers everywhere, bit-replayable by the SQL oracle.
+    * Returns (probe_id, neighbor_id, adc_dist2, rank) — rank by
+    * (dist asc, id asc), probe excluded from its own candidates. */
+  def knnIvfPq(df: DataFrame, idCol: String, vecCol: String, coarse: DataFrame,
+      dim: Int, m: Int, k: Int, iters: Int, probePred: Column,
+      topK: Int, nProbe: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val cvecs = pivotCodebook(coarse)
+    val qdf = quantized(df, idCol, vecCol)
+    val scored = qdf.crossJoin(broadcast(cvecs))
+      .withColumn("__dist",
+        col("__n") - lit(2L) * dotQ(col("__q"), col("__cv")) + col("__cc"))
+    // nearest coarse list per vector (ties to the lowest label), then
+    // the residual in one in-row zip_with against the broadcast centroid
+    val assigned = scored.groupBy(col(idCol))
+      .agg(min(struct(col("__dist"), col("cb_label"))).as("__best"),
+        first(col("__q")).as("__q"))
+      .select(col(idCol), col("__q"), col("__best").getField("cb_label").as("__list"))
+    // (id, list, residual) feeds BOTH the codebook training and the
+    // encoding pass — materialized once so the n×nlist assignment
+    // aggregation does not run twice (freed in the finally; the 100 TB
+    // deployment persists this as the index's stored table instead)
+    val resid = assigned.join(broadcast(cvecs), col("__list") === col("cb_label"))
+      .select(col(idCol), col("__list"),
+        zip_with(col("__q"), col("__cv"), (a, b) => a - b).as("__q"))
+      .localCheckpoint(true)
+    // residual PQ codebooks: the SAME fused grouped k-means, trained on
+    // the residual slices (checkpointed once inside trainPqOnSubs)
+    val residSubs = sliceSubs(resid.select(col(idCol), col("__q")), idCol, dim, m)
+    val cbs = trainPqOnSubs(residSubs, idCol, k, iters)
+    try {
+      val dist = col("__sn") - lit(2L) * dotQ(col("__sub"), col("__cv")) + col("__cc")
+      // encode: each vector's m residual slices → nearest residual
+      // centroid per subspace; the list id rides along for the ADC join
+      val codes = sliceSubs(resid, idCol, dim, m, carry = Seq("__list"))
+        .join(broadcast(cbs), "subspace")
+        .withColumn("__dist", dist)
+        .groupBy(col(idCol), col("subspace"))
+        .agg(min(struct(col("__dist"), col("cluster"))).as("__best"),
+          first(col("__list")).as("__list"))
+        .select(col(idCol).as("neighbor_id"), col("__list"), col("subspace"),
+          col("__best").getField("cluster").as("__code"))
+      // probe lists: rank the bounded probes × nlist frame; each visited
+      // list gets the probe's residual AGAINST THAT LIST'S centroid
+      val pw = Window.partitionBy(col(idCol)).orderBy(col("__dist"), col("cb_label"))
+      val presid = scored.filter(probePred)
+        .withColumn("__r", row_number().over(pw))
+        .filter(col("__r") <= nProbe)
+        .select(col(idCol).as("probe_id"), col("cb_label").as("__list"),
+          zip_with(col("__q"), col("__cv"), (a, b) => a - b).as("__q"))
+      val tables = sliceSubs(presid, "probe_id", dim, m, carry = Seq("__list"))
+        .join(broadcast(cbs), "subspace")
+        .select(col("probe_id"), col("__list"), col("subspace"),
+          col("cluster").as("__code"), dist.as("__d"))
+      codes.join(broadcast(tables), Seq("__list", "subspace", "__code"))
+        .filter(col("probe_id") =!= col("neighbor_id"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(sum(col("__d")).as("adc_dist2"))
+        .groupBy(col("probe_id"))
+        .agg(TopKByScore(-col("adc_dist2").cast("double"),
+          col("neighbor_id").cast("long"), topK).as("__top"))
+        .select(col("probe_id"), posexplode(col("__top")))
+        .select(col("probe_id"),
+          col("col.id").as("neighbor_id"),
+          (-col("col.score")).cast("long").as("adc_dist2"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .localCheckpoint(true)
+    } finally {
+      NearDup.freeCheckpoint(cbs)
+      NearDup.freeCheckpoint(resid)
+    }
   }
 
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the

@@ -49,6 +49,7 @@ object MediaPipeline {
       features: Array[Float])
   case class ImageChannelStats(media_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long)
+  case class ImagePHash(media_id: Long, width: Int, height: Int, phash: Long)
   /** Interleaved 16-bit PCM: samples(frame*channels + ch). */
   case class AudioPcm(channels: Int, sampleRateHz: Int, samples: Array[Short])
   case class AudioChannelStats(media_id: Long, channel: Int,
@@ -460,6 +461,56 @@ object MediaPipeline {
         ImageChannelStats(r.media_id, img.getWidth, img.getHeight, sr, sg, sb)
       }
     }
+  }
+
+  /** REAL perceptual AVERAGE-HASH (aHash) over decoded pixels — the
+    * image near-dup fingerprint (the classic pHash-family baseline:
+    * 8×8 downsample, grayscale, threshold at the mean; re-encodes,
+    * recompressions and small edits of one image land within a few
+    * Hamming bits of each other). Pixels decode through the JDK
+    * ImageIO reader, luminance is the exact integer r+g+b sum (no
+    * division until the pool — scaling by 3 cannot move a mean
+    * comparison), the image average-pools onto an 8×8 cell grid
+    * (floor-average per cell), and bit i of the 64-bit hash is set iff
+    * cell i (row-major) strictly exceeds the floor-mean of the 64
+    * cells. Integer arithmetic end to end, so an oracle deriving the
+    * same pixels reproduces the hash bit for bit. Throws on
+    * undecodable payloads (the [[imageChannelStats]] loud contract);
+    * pair generation over the hashes is
+    * [[NearDup.hammingPairsCombo]] — the same banding that serves
+    * 64-bit text simhash. */
+  def imagePHash(media: Dataset[MediaRecord]): Dataset[ImagePHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val img = decodeImage(r.bytes).getOrElse(
+        throw new IllegalArgumentException(
+          s"media_id ${r.media_id}: payload is not a decodable image"))
+      val w = img.getWidth; val h = img.getHeight
+      require(w >= 8 && h >= 8,
+        s"media_id ${r.media_id}: ${w}x$h has no 8x8 cell grid to hash")
+      val sums = new Array[Long](64); val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val cx = x * 8 / w
+          val px = img.getRGB(x, y)
+          val lum = ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+          val c = cy * 8 + cx
+          sums(c) += lum; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cell = new Array[Long](64)
+      var i = 0; var tot = 0L
+      while (i < 64) { cell(i) = sums(i) / counts(i); tot += cell(i); i += 1 }
+      val mean = tot / 64
+      var hash = 0L; i = 0
+      while (i < 64) { if (cell(i) > mean) hash |= (1L << i); i += 1 }
+      ImagePHash(r.media_id, w, h, hash)
+    })
   }
 
   /** REAL distributed image resize: JDK decode → nearest-neighbor

@@ -774,7 +774,21 @@ object NearDup {
     * faster at 150k docs and crossing over vs the 6-band form at
     * roughly the bucket-saturation point (~50k). */
   def simhashPairsCombo(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 64, blocks: Int = 8, maxHamming: Int = 5): DataFrame = {
+      bits: Int = 64, blocks: Int = 8, maxHamming: Int = 5): DataFrame =
+    hammingPairsCombo(simhash(df, idCol, textCol, bits), idCol, "simhash",
+      bits, blocks, maxHamming)
+
+  /** [[simhashPairsCombo]]'s combination-banded candidate machinery over
+    * an ARBITRARY precomputed `bits`-bit fingerprint column — for
+    * fingerprints that do not come from text simhash (image perceptual
+    * hashes — [[MediaPipeline.imagePHash]] — or any other Hamming-space
+    * signature). Contract, scale shape, and output
+    * (doc_a, doc_b, hamming) are identical: banding is candidate
+    * generation only, lossless for Hamming ≤ maxHamming, and the input
+    * frame is materialized once (eager checkpoint, reclaimed by the
+    * ContextCleaner when the caller drops the result). */
+  def hammingPairsCombo(fps: DataFrame, idCol: String, fpCol: String,
+      bits: Int, blocks: Int, maxHamming: Int): DataFrame = {
     require(blocks > 0 && blocks <= bits, s"blocks ($blocks) must be in 1..$bits")
     require(maxHamming >= 0 && maxHamming < blocks,
       s"maxHamming ($maxHamming) must be < blocks ($blocks) for lossless banding")
@@ -788,7 +802,8 @@ object NearDup {
     val offsets = widths.scanLeft(0)(_ + _)
     require(combos.forall(_.map(widths).sum <= 63),
       "a combination key must fit a signed long")
-    val sh = simhash(df, idCol, textCol, bits).localCheckpoint(true)
+    val sh = fps.select(col(idCol), col(fpCol).cast("long").as("simhash"))
+      .localCheckpoint(true)
     val keyExprs = combos.map { idxs =>
       idxs.foldLeft((lit(0L), 0)) { case ((acc, shift), b) =>
         val mask = (1L << widths(b)) - 1

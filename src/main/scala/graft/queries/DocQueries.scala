@@ -784,6 +784,56 @@ object DocQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** mm_phash_pairs — image PERCEPTUAL near-dup pairs
+    * (graft.operators.MediaPipeline.imagePHash +
+    * graft.operators.NearDup.hammingPairsCombo): the multimodal twin of
+    * doc_simhash64_pairs, and the dedup an image-corpus pipeline
+    * (LAION-style) runs — re-encodes and small edits of one image land
+    * within a few Hamming bits of each other's 64-bit average-hash, so
+    * pair generation is the SAME lossless combination banding the text
+    * fingerprints use. Every doc becomes a deterministic 8×8 grayscale
+    * image whose 64 pixels come from 4 md5 digests of the doc's GROUP
+    * (doc_id/4 — group mates share a base image) with ONE doc-specific
+    * pixel replaced (the "slightly edited duplicate" structure), encoded
+    * by THIS module's BMP writer and hashed from INDEPENDENTLY
+    * JDK-decoded pixels; the oracle derives hash, banding and Hamming
+    * from the md5 hex pairs without ever seeing an image. Group mates
+    * surface as low-Hamming pairs; cross-group band collisions are
+    * generated and verified away — both populations gate. */
+  def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{MediaPipeline, NearDup}
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val px = new Array[Byte](64)
+        var k = 0
+        while (k < 4) {
+          val dg = md.digest(s"g${id / 4}~i$k".getBytes("UTF-8"))
+          System.arraycopy(dg, 0, px, k * 16, 16)
+          k += 1
+        }
+        val p = (md.digest(s"$id~px".getBytes("UTF-8"))(0) & 0xff) % 64
+        px(p) = md.digest(s"$id~pv".getBytes("UTF-8"))(0)
+        val rgb = new Array[Byte](192)
+        var i = 0
+        while (i < 64) {
+          rgb(i * 3) = px(i); rgb(i * 3 + 1) = px(i); rgb(i * 3 + 2) = px(i)
+          i += 1
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("image/bmp", 8, 8, 0, 0L),
+          MediaPipeline.encodeBmp(8, 8, rgb))
+      }
+    }
+    val ph = MediaPipeline.imagePHash(media).toDF()
+      .select(col("media_id").as("doc_id"), col("phash"))
+    NearDup.hammingPairsCombo(ph, "doc_id", "phash",
+        bits = 64, blocks = 8, maxHamming = 5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** doc_jsonl — JSONL ingestion round-trip (graft.sources.JsonLines):
     * the documents table is serialized to newline-delimited JSON with
     * every 50th doc's line corrupted (final `}` dropped — truncated-write
@@ -2269,6 +2319,37 @@ object DocQueries {
         |       CAST(SUM(v) AS BIGINT) AS sum_gray,
         |       CAST(SUM(v) AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_gray
         |FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
+    // the oracle derives pixels, luminance, the 8×8 average-hash, the
+    // (lossless ≤5) 8-band candidate front and exact Hamming entirely
+    // from md5 hex pairs — it never sees an image; the Spark side must
+    // reproduce it through a real BMP encode → JDK decode round-trip
+    "mm_phash_pairs" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, j,
+        |    CAST('0x' || substr(md5('g' || CAST(doc_id // 4 AS VARCHAR) || '~i' || CAST(j // 16 AS VARCHAR)),
+        |                        (j % 16) * 2 + 1, 2) AS BIGINT) AS base
+        |  FROM documents d, range(0, 64) r(j)),
+        |pert AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~px'), 1, 2) AS BIGINT) % 64 AS p,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~pv'), 1, 2) AS BIGINT) AS v
+        |  FROM documents),
+        |lum AS (SELECT px.doc_id, j, 3 * (CASE WHEN j = pe.p THEN pe.v ELSE base END) AS l
+        |        FROM px JOIN pert pe ON pe.doc_id = px.doc_id),
+        |m AS (SELECT doc_id, CAST(SUM(l) // 64 AS BIGINT) AS mean FROM lum GROUP BY 1),
+        |ph AS (SELECT l.doc_id,
+        |         CAST(SUM(CASE WHEN l.l <= m.mean THEN 0
+        |                       WHEN l.j = 63 THEN (-9223372036854775807 - 1)
+        |                       ELSE (CAST(1 AS BIGINT) << l.j) END) AS BIGINT) AS phash
+        |       FROM lum l JOIN m ON m.doc_id = l.doc_id GROUP BY 1),
+        |bd AS (SELECT doc_id, phash, band, (phash >> (band * 8)) & 255 AS band_val
+        |       FROM ph, range(0, 8) r(band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa,
+        |                b.doc_id AS doc_b, b.phash AS pb
+        |         FROM bd a JOIN bd b
+        |           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(pa, pb)) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2324,5 +2405,6 @@ object DocQueries {
     "mm_image_stats" -> mmImageStats _,
     "mm_audio_stats" -> mmAudioStats _,
     "mm_video_stats" -> mmVideoStats _,
+    "mm_phash_pairs" -> mmPhashPairs _,
   )
 }

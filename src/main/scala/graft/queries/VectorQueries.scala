@@ -230,6 +230,24 @@ object VectorQueries {
         BandedPlanesScaled, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
+  /** emb_knn_ivfpq — the IVF-PQ COMPOSITE (graft.operators.Ann.knnIvfPq,
+    * Jégou et al. 2011 §IVFADC): the label coarse quantizer partitions
+    * the collection into inverted lists, each vector stores as the PQ
+    * code of its RESIDUAL against its list's centroid, and probes visit
+    * nProbe=2 lists scoring candidates by per-list asymmetric-distance
+    * tables — the billion-scale architecture composing this module's
+    * emb_knn_ivf (scan shrink) and emb_knn_pq (memory shrink) halves.
+    * The oracle replays the whole chain: coarse assignment, residuals,
+    * the per-subspace residual k-means, encoding, per-(probe, list)
+    * tables, ADC — exact integers end to end. */
+  def embKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Ann.knnIvfPq(emb, "vec_id", "embedding",
+        Ann.ivfCodebook(emb, "label", "embedding"),
+        PqDim, PqM, PqK, PqIters, col("vec_id") < PqProbeMax, K, nProbe = 2)
+      .orderBy("probe_id", "rank")
+  }
+
   def embCentroids(spark: SparkSession, dir: String): DataFrame =
     Ann.centroids(Tables.embeddings(spark, dir), "label", "embedding")
       .orderBy("label", "dim_idx")
@@ -1108,6 +1126,76 @@ object VectorQueries {
        |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
   }
 
+  /** IVF-PQ (IVFADC) oracle: the ivfOracle coarse chain (per-label
+    * floor-average codebook, exact-integer assignment, ties to the
+    * lowest label), RESIDUALS as per-dim differences re-listed in dim
+    * order, one kmeansCteChain per subspace over the residual slices,
+    * encode = rank-1 of the scored residual frame, a distance table per
+    * (probe, visited list) — the probe's residual is AGAINST THAT
+    * LIST'S centroid — and ADC = grouped sum of the m lookups joined on
+    * (list, subspace, code). rq/prq are MATERIALIZED (the BPE chain
+    * lesson: DuckDB re-inlines un-hinted chains into every consumer). */
+  private val ivfPqOracle: String = {
+    val subDim = PqDim / PqM
+    val subCtes = (0 until PqM).map { s =>
+      s"rsub$s AS (SELECT vec_id, list_slice(qv, ${s * subDim + 1}, ${(s + 1) * subDim}) AS qv FROM rq)"
+    }.mkString(",\n")
+    val chains = (0 until PqM).map(s => kmeansCteChain(s"rsub$s", s"rs$s", PqK, PqIters))
+    val cbUnion = (0 until PqM)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS subspace, cluster, qv FROM ${chains(s)._2}")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $qCte,
+       |vd AS (SELECT vec_id, label, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |vdim AS (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim_idx, qv[i] AS qe FROM vd),
+       |cb AS (SELECT label AS cb_label, dim_idx,
+       |         CAST(FLOOR(CAST(SUM(qe) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+       |       FROM vdim GROUP BY 1, 2),
+       |cdist AS (SELECT v.vec_id, c.cb_label, SUM((v.qe - c.cq) * (v.qe - c.cq)) AS d2
+       |          FROM vdim v JOIN cb c ON c.dim_idx = v.dim_idx GROUP BY 1, 2),
+       |rankedc AS (SELECT vec_id, cb_label,
+       |              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cb_label) AS crn
+       |            FROM cdist),
+       |inv AS (SELECT vec_id, cb_label FROM rankedc WHERE crn = 1),
+       |rg AS (SELECT v.vec_id, v.dim_idx, v.qe - c.cq AS re
+       |       FROM vdim v JOIN inv i ON i.vec_id = v.vec_id
+       |       JOIN cb c ON c.cb_label = i.cb_label AND c.dim_idx = v.dim_idx),
+       |rq AS MATERIALIZED (SELECT vec_id, list(re ORDER BY dim_idx) AS qv FROM rg GROUP BY 1),
+       |$subCtes,
+       |${chains.map(_._1).mkString(",\n")},
+       |cbpq AS ($cbUnion),
+       |vsub AS (SELECT vec_id, CAST(s.subspace AS BIGINT) AS subspace,
+       |    list_slice(qv, s.subspace * $subDim + 1, (s.subspace + 1) * $subDim) AS sv
+       |  FROM rq, (SELECT unnest(range($PqM)) AS subspace) s),
+       |scoredpq AS (SELECT v.vec_id, v.subspace, c.cluster,
+       |    ${dotSql("v.sv", "v.sv")} - 2 * ${dotSql("v.sv", "c.qv")} + ${dotSql("c.qv", "c.qv")} AS d
+       |  FROM vsub v JOIN cbpq c USING (subspace)),
+       |codes AS (SELECT vec_id, subspace, cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY d, cluster) AS rn
+       |    FROM scoredpq) WHERE rn = 1),
+       |plists AS (SELECT vec_id AS probe_id, cb_label FROM rankedc
+       |           WHERE vec_id < $PqProbeMax AND crn <= 2),
+       |prg AS (SELECT p.probe_id, p.cb_label, v.dim_idx, v.qe - c.cq AS re
+       |        FROM plists p JOIN vdim v ON v.vec_id = p.probe_id
+       |        JOIN cb c ON c.cb_label = p.cb_label AND c.dim_idx = v.dim_idx),
+       |prq AS MATERIALIZED (SELECT probe_id, cb_label, list(re ORDER BY dim_idx) AS qv
+       |                     FROM prg GROUP BY 1, 2),
+       |psub AS (SELECT probe_id, cb_label, CAST(s.subspace AS BIGINT) AS subspace,
+       |    list_slice(qv, s.subspace * $subDim + 1, (s.subspace + 1) * $subDim) AS sv
+       |  FROM prq, (SELECT unnest(range($PqM)) AS subspace) s),
+       |pt AS (SELECT p.probe_id, p.cb_label, p.subspace, c.cluster,
+       |    ${dotSql("p.sv", "p.sv")} - 2 * ${dotSql("p.sv", "c.qv")} + ${dotSql("c.qv", "c.qv")} AS d
+       |  FROM psub p JOIN cbpq c USING (subspace)),
+       |adc AS (SELECT t.probe_id, co.vec_id AS neighbor_id, CAST(SUM(t.d) AS BIGINT) AS adc_dist2
+       |        FROM codes co JOIN inv i ON i.vec_id = co.vec_id
+       |        JOIN pt t ON t.cb_label = i.cb_label AND t.subspace = co.subspace
+       |          AND t.cluster = co.cluster
+       |        WHERE co.vec_id <> t.probe_id GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY adc_dist2, neighbor_id) AS "rank" FROM adc)
+       |SELECT probe_id, neighbor_id, adc_dist2, "rank" FROM r
+       |WHERE "rank" <= $K ORDER BY probe_id, "rank"""".stripMargin
+  }
+
   /** Hybrid-search oracle: keyword top-20 by term counts over the same
     * normalized token lists, vector top-20 from the quantized cosine,
     * RRF-fused with the identical 1/(60+rank) operand order. */
@@ -1186,6 +1274,7 @@ object VectorQueries {
     "emb_knn_ivf_compacted" -> ivfCompactedOracle, // fold + frozen codebook == final state
     "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
     "emb_knn_pq_follow" -> pqFollowOracle, // base+delta codes, frozen codebooks
+    "emb_knn_ivfpq" -> ivfPqOracle,
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
     "emb_near_dup_banded_scaled" -> nearDupBandedOracleFor(BandedPlanesScaled),
@@ -1217,6 +1306,7 @@ object VectorQueries {
     "emb_knn_ivf_incremental" -> embKnnIvfIncremental _,
     "emb_knn_pq_incremental" -> embKnnPqIncremental _,
     "emb_knn_pq_follow" -> embKnnPqFollow _,
+    "emb_knn_ivfpq" -> embKnnIvfPq _,
     "emb_near_dup" -> embNearDup _,
     "emb_near_dup_banded" -> embNearDupBanded _,
     "emb_near_dup_banded_scaled" -> embNearDupBandedScaled _,

@@ -361,6 +361,66 @@ class AnnSpec extends SparkSpec {
     } finally graft.operators.NearDup.freeCheckpoint(pq)
   }
 
+  test("knnIvfPq: candidates come only from the probe's nProbe nearest lists") {
+    // three well-separated labeled clusters; with nProbe=1 a probe must
+    // only ever see its own list's members
+    val labeled = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 0.95f, 0.05f, 0.0f)),
+      (4L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (5L, 2, Array(0.0f, 0.0f, 0.9f, 0.1f))
+    ).toDF("vec_id", "label", "embedding")
+    val coarse = Ann.ivfCodebook(labeled, "label", "embedding")
+    val got = Ann.knnIvfPq(labeled, "vec_id", "embedding", coarse,
+        dim = 4, m = 2, k = 2, iters = 1, col("vec_id") < 1, topK = 5, nProbe = 1)
+      .collect()
+    try {
+      assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L),
+        "nProbe=1 must restrict candidates to the probe's own inverted list")
+      // nProbe = nlist reaches every list
+      val wide = Ann.knnIvfPq(labeled, "vec_id", "embedding", coarse,
+        dim = 4, m = 2, k = 2, iters = 1, col("vec_id") < 1, topK = 5, nProbe = 3)
+      assert(wide.count() == 5)
+    } finally ()
+  }
+
+  test("knnIvfPq: an exact duplicate attains the minimum ADC distance") {
+    // id 6 duplicates id 0: same coarse list, identical residual, so its
+    // codes are 0's residual's own nearest centroids per subspace — the
+    // smallest ADC any same-list candidate can attain
+    val labeled = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 0.95f, 0.05f, 0.0f)),
+      (6L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val coarse = Ann.ivfCodebook(labeled, "label", "embedding")
+    val got = Ann.knnIvfPq(labeled, "vec_id", "embedding", coarse,
+        dim = 4, m = 2, k = 2, iters = 1, col("vec_id") === 0, topK = 5, nProbe = 2)
+      .orderBy("rank").collect()
+    val dists = got.map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("adc_dist2")).toMap
+    assert(dists(6L) == dists.values.min)
+    // ranks follow (dist asc, id asc)
+    val ordered = got.map(r => (r.getAs[Long]("adc_dist2"), r.getAs[Long]("neighbor_id")))
+    assert(ordered.sameElements(ordered.sorted))
+  }
+
+  test("knnIvfPq: validation — m must divide dim, nProbe positive") {
+    val labeled = vecs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    val coarse = Ann.ivfCodebook(labeled, "label", "embedding")
+    intercept[IllegalArgumentException] {
+      Ann.knnIvfPq(labeled, "vec_id", "embedding", coarse,
+        dim = 4, m = 3, k = 2, iters = 1, col("vec_id") < 1, topK = 3, nProbe = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.knnIvfPq(labeled, "vec_id", "embedding", coarse,
+        dim = 4, m = 2, k = 2, iters = 1, col("vec_id") < 1, topK = 3, nProbe = 0)
+    }
+  }
+
   test("pqCodebooks: m·k rows, one codebook per subspace; m must divide dim") {
     val pq = Ann.pqCodebooks(vecs, "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 0)
     try {

@@ -103,6 +103,52 @@ class MediaPipelineSpec extends SparkSpec {
       assert((img.getRGB(x, y) & 0xffffff) == ((40 << 16) | (80 << 8) | 120))
   }
 
+  test("imagePHash: hand-computable bits, scale invariance, loud corrupt failure") {
+    // 8x8 grayscale ramp: pixel (y*8+x) has value y*8+x (lum = 3v);
+    // mean lum = 3*31 (floor of 3*63/2 summed exactly: Σ3v/64 = 94),
+    // so exactly the cells with 3v > 94 (v >= 32) set their bit —
+    // the high 32 cells, i.e. bits 32..63
+    val ramp = Array.tabulate(64)(i => i.toByte)
+    def gray(px: Array[Byte], w: Int, h: Int) = {
+      val rgb = new Array[Byte](w * h * 3)
+      px.indices.foreach { i =>
+        rgb(i * 3) = px(i); rgb(i * 3 + 1) = px(i); rgb(i * 3 + 2) = px(i)
+      }
+      MediaPipeline.encodeBmp(w, h, rgb)
+    }
+    val media = Seq(MediaRecord(1L, MediaMeta("image/bmp", 8, 8, 0, 0L),
+      gray(ramp, 8, 8))).toDS()
+    val got = MediaPipeline.imagePHash(media).collect().head
+    assert(got.media_id == 1L && got.width == 8 && got.height == 8)
+    val wantMean = ramp.map(v => 3L * (v & 0xff)).sum / 64
+    val want = ramp.indices.filter(i => 3L * (ramp(i) & 0xff) > wantMean)
+      .foldLeft(0L)((a, i) => a | (1L << i))
+    assert(got.phash == want)
+    // a 16x16 nearest-neighbor upscale pools back to the SAME hash —
+    // the resize invariance that makes the hash perceptual
+    val up = MediaPipeline.resizeImage(media, 16, 16)
+    val upHash = MediaPipeline.imagePHash(up).collect().head
+    assert(upHash.phash == got.phash, "2x upscale must not move the hash")
+    // solid image: no cell strictly exceeds the mean → hash 0
+    val solid = Seq(MediaRecord(2L, MediaMeta("image/bmp", 8, 8, 0, 0L),
+      gray(Array.fill(64)(77.toByte), 8, 8))).toDS()
+    assert(MediaPipeline.imagePHash(solid).collect().head.phash == 0L)
+    // corrupt payload fails loudly (the imageChannelStats contract)
+    val bad = Seq(MediaRecord(3L, MediaMeta("image/bmp", 8, 8, 0, 0L),
+      "junk".getBytes("UTF-8"))).toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaPipeline.imagePHash(bad).collect() }
+    assert(e.getMessage.contains("not a decodable image")
+      || Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+    // an image too small for the 8x8 grid is a loud error, not a hash
+    val tiny = Seq(MediaRecord(4L, MediaMeta("image/bmp", 4, 4, 0, 0L),
+      gray(Array.fill(16)(9.toByte), 4, 4))).toDS()
+    val e2 = intercept[org.apache.spark.SparkException] {
+      MediaPipeline.imagePHash(tiny).collect() }
+    assert(e2.getMessage.contains("8x8")
+      || Option(e2.getCause).exists(_.getMessage.contains("8x8")))
+  }
+
   test("WAV encode → JDK javax.sound decode round-trips samples exactly") {
     // stereo, includes negative samples, extremes, and asymmetric
     // channels — any header-bit error and the JDK parser rejects it or

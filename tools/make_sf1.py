@@ -12,16 +12,31 @@ Derivation (replica k = 0..9; k=0 is the original rows):
   - all entity keys (custkey, suppkey, partkey, orderkey, event_id,
     user_id, doc_id, vec_id) offset by k * 10_000_000 — FK pairs offset
     together, so per-replica join structure is preserved exactly;
-  - documents: replica texts are token-MUTATED (every 3rd token, at a
-    k-dependent phase, gets a k-suffix) so replicas are NOT near-dups of
-    their original — every 3-token shingle of a mutated replica contains
-    a mutated token, so shingle-set Jaccard vs the original is 0 and the
-    dedup/pair queries keep their per-corpus character instead of
-    reporting one giant 10-clique per doc; n_chars recomputed;
+  - documents: replica texts are token-PERMUTED (a k-dependent coprime
+    stride reorders each doc's tokens) so replicas are NOT near-dups of
+    their original — contiguous 3-token shingles of a stride-s permuted
+    doc are stride-s arithmetic progressions of the original, so
+    shingle-set overlap vs the original (and vs other replicas, which
+    use different strides) is ~0 and the dedup/pair queries keep their
+    per-corpus character instead of reporting one giant replica-clique
+    per doc. Unlike the earlier k-suffix scheme, permutation preserves
+    each doc's TOKEN MULTISET exactly: the derived corpus introduces
+    zero new token types, so unigram-LM vocabularies, quality-heuristic
+    ratios, and fixed NLL yardsticks are STATIONARY across scales —
+    the r10 ADVICE traced doc_curate_{v2,incremental} going 0-row at
+    sf1 to the suffix scheme inflating the LM vocab (1/3 of all corpus
+    tokens became fresh singleton types, shifting every doc's avg NLL
+    over the frozen threshold). Docs under 8 tokens fall back to
+    k-suffixing every token (a permutation cannot break the shingles of
+    a doc shorter than one shingle, and an unmutated tiny replica would
+    be an EXACT dup of its original); n_chars recomputed;
   - embeddings: replica vectors are dimension-ROTATED by k*7 mod dim —
     norm-preserving and decorrelated (rotated vectors are ~orthogonal to
     their original), so ANN/near-dup structure scales instead of pairing
-    every vector with its own replicas;
+    every vector with its own replicas; past the rotation period
+    (k >= dim) the replica is also NEGATED — rotation alone repeats
+    every dim replicas, which made replica k an exact vector copy of
+    replica k-64 at sf10 under the old scheme;
   - events ts keeps its TIMESTAMP(NANOS) physical type (pyarrow ns
     passthrough) — graft.model.Tables.events depends on it.
 
@@ -55,10 +70,25 @@ KEY_COLS = {
 }
 
 
-def mutate_text(text: str, k: int, phase: int) -> str:
+def mutate_text(text: str, k: int) -> str:
+    from math import gcd
+    if not text:
+        # empty docs stay empty: they are exact-dup siblings of every
+        # other empty doc already, and that population should scale too
+        return text
     toks = text.split(" ")
-    return " ".join(
-        t + f"r{k}" if i % 3 == phase else t for i, t in enumerate(toks))
+    n = len(toks)
+    # usable strides: coprime residues in 2..n-1 (bijective, not the
+    # identity), each a DISTINCT permutation — replica k takes the k-th,
+    # so no two replicas (or a replica and its original) ever share a
+    # token order. Docs too short to have k distinct strides (or any
+    # shingle to break) fall back to suffixing every token, which keeps
+    # the replica from being an exact/near dup of anything.
+    residues = [r for r in range(2, n) if gcd(r, n) == 1] if n >= 8 else []
+    if k <= len(residues):
+        s = residues[k - 1]
+        return " ".join(toks[(i * s) % n] for i in range(n))
+    return " ".join(t + f"r{k}" for t in toks)
 
 
 def replica(table: pa.Table, name: str, k: int) -> pa.Table:
@@ -67,7 +97,7 @@ def replica(table: pa.Table, name: str, k: int) -> pa.Table:
         i = t.schema.get_field_index(c)
         t = t.set_column(i, c, pc.add(t.column(c), k * OFF))
     if name == "documents" and k > 0:
-        texts = [mutate_text(x, k, (k - 1) % 3) for x in t.column("text").to_pylist()]
+        texts = [mutate_text(x, k) for x in t.column("text").to_pylist()]
         ti = t.schema.get_field_index("text")
         t = t.set_column(ti, "text", pa.array(texts, pa.string()))
         ni = t.schema.get_field_index("n_chars")
@@ -77,6 +107,8 @@ def replica(table: pa.Table, name: str, k: int) -> pa.Table:
         vecs = t.column("embedding").to_pylist()
         rot = [(v[(k * 7) % len(v):] + v[:(k * 7) % len(v)]) if v else v
                for v in vecs]
+        if vecs and k >= len(vecs[0] or [1]):
+            rot = [[-x for x in v] for v in rot]
         ei = t.schema.get_field_index("embedding")
         t = t.set_column(ei, "embedding",
                          pa.array(rot, t.schema.field("embedding").type))

@@ -32,6 +32,7 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
+    weak = 0
     for name in sorted(oracle):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
@@ -59,9 +60,18 @@ def main(sf_dir, out_dir):
                 bad = (c, f"row {i}: spark={gv.iloc[i]!r} duck={ev.iloc[i]!r}"); break
         if bad:
             print(f"{name:40s} FAIL col {bad[0]}: {bad[1]}"); fails += 1
+        elif len(g) == 0:
+            # 0 == 0 proves nothing about the operator's arithmetic — the
+            # r10 ADVICE caught doc_curate_v3 "passing" on an empty output
+            # at every scale. Weak passes are counted and surfaced so a
+            # gate that goes vacuous at some scale is visible in the
+            # artifact instead of blending into the PASS column.
+            print(f"{name:40s} PASS (0 rows — WEAK: vacuous match)")
+            weak += 1
         else:
             print(f"{name:40s} PASS ({len(g)} rows)")
-    print(f"\n{'ALL PASS' if fails == 0 else f'{fails} FAILURES'}")
+    tail = f" ({weak} weak 0-row)" if weak else ""
+    print(f"\n{'ALL PASS' + tail if fails == 0 else f'{fails} FAILURES{tail}'}")
     return 1 if fails else 0
 
 if __name__ == "__main__":
