@@ -885,6 +885,88 @@ object Ann {
     }
   }
 
+  /** Per-dimension [vmin, vmax] training rows for the SQ8 scalar
+    * quantizer — the third quantization family next to PQ (subspace
+    * codebooks) and the 1000× float→int quantize ([[quantize]]):
+    * FAISS's `ScalarQuantizer(QT_8bit)`. One posexplode + hash
+    * aggregate over (dim, value) pairs; the result is dim rows — a
+    * constant-size frame at any corpus size. */
+  def sq8Train(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode_outer(quantize(col(vecCol))))
+      .filter(col("col").isNotNull)
+      .groupBy(col("pos").cast("long").as("dim_idx"))
+      .agg(min(col("col")).as("vmin"), max(col("col")).as("vmax"))
+
+  /** dim-row train frame → ONE broadcastable row of (vmin[], vmax[])
+    * arrays in dim order — the [[pivotCodebook]] shape for the scalar
+    * quantizer's parameters. */
+  private def pivotSq8(train: DataFrame): DataFrame =
+    train
+      .agg(array_sort(collect_list(struct(col("dim_idx"), col("vmin"),
+        col("vmax")))).as("__s"))
+      .select(transform(col("__s"), s => s.getField("vmin")).as("__vmin"),
+        transform(col("__s"), s => s.getField("vmax")).as("__vmax"))
+
+  /** SQ8 (8-bit scalar-quantized) top-k — the COMPRESSED-SCAN ANN form
+    * (FAISS `SQ8`, Jégou et al.'s scalar baseline): every candidate
+    * stores one byte per dimension (code = floor((v − vmin_d)·255 /
+    * (vmax_d − vmin_d)), trained per-dim min/max), an 8× shrink of the
+    * quantized-long collection that at 100 TB is the difference between
+    * a scan that fits the page cache and one that doesn't. Search is
+    * ASYMMETRIC (Jégou's ADC): probes stay full-precision; candidates
+    * score by the exact integer surrogate probe · R, where R_d =
+    * 255·vmin_d + code_d·(vmax_d − vmin_d) is the 255-SCALED
+    * reconstruction — all-BIGINT, no rounding, so ranking is
+    * bit-reproducible (255 > 0 makes the scale irrelevant to order).
+    * The top `refine·k` by surrogate then REFINE: exact cosine over the
+    * original vectors re-ranks the ≤ refine·k survivors per probe (the
+    * classic compressed-scan + rerank serving shape), so the full-width
+    * vectors are touched for O(probes·refine·k) rows only.
+    *
+    * Shapes: the train frame is dim rows; parameters broadcast as one
+    * row; stage 1 is the [[knnBrute]] broadcast scan with the bounded
+    * [[graft.expressions.TopKByScore]] selection (map-side partials ⇒
+    * ≤ refine·k rows per probe per partition reach the shuffle); stage 2
+    * joins the tiny survivor list back broadcast-shaped. Ties at both
+    * stages: score desc, neighbor_id asc — the oracle's ROW_NUMBER
+    * order. */
+  def knnSq8(df: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, refine: Int = 2): DataFrame = {
+    import graft.expressions.TopKByScore
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val qdf = quantized(df, idCol, vecCol)
+    val mm = pivotSq8(sq8Train(df, vecCol))
+    // candidates carry code + 255-scaled reconstruction; (v - vmin) >= 0
+    // by construction, so floor(double-div) = integer floor division —
+    // exact while numerators stay « 2^53 (they are ≤ 255·2·Scale·|x|max)
+    val enc = qdf.crossJoin(broadcast(mm))
+      .withColumn("__span", zip_with(col("__vmax"), col("__vmin"), (h, l) => h - l))
+      .withColumn("__code", zip_with(
+        zip_with(col("__q"), col("__vmin"), (v, l) => (v - l) * lit(255L)),
+        col("__span"), (num, s) =>
+          when(s === 0, lit(0L))
+            .otherwise(floor(num.cast("double") / s.cast("double")).cast("long"))))
+      .withColumn("__r", zip_with(
+        zip_with(col("__code"), col("__span"), (c, s) => c * s),
+        col("__vmin"), (cs, l) => cs + l * lit(255L)))
+    val probes = qdf.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
+    val stage1 = enc
+      .select(col(idCol).as("neighbor_id"), col("__r"))
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("__pq"))))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(TopKByScore(dotQ(col("__pq"), col("__r")).cast("double"),
+        col("neighbor_id").cast("long"), refine * k).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("neighbor_id"))
+    val paired = broadcast(stage1)
+      .join(qdf.select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+    topKAgg(paired, k)
+  }
+
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the
     * quantized vector, hash-aggregate exact integer sums per (label,
     * dimension), divide once at the end. The shuffle carries dim partial

@@ -34,6 +34,19 @@ object VectorQueries {
         Planes, col("vec_id") < ProbeMax, K)
       .orderBy("probe_id", "rank")
 
+  /** SQ8 refine factor: stage 1 keeps refine·K candidates per probe by
+    * the quantized surrogate score before the exact re-rank. */
+  private val Sq8Refine = 2
+
+  /** emb_knn_sq8 — 8-bit scalar-quantized compressed scan + exact
+    * refine (Ann.knnSq8): per-dim trained min/max, integer asymmetric
+    * scoring against the 255-scaled reconstruction, top-(refine·k)
+    * survivors re-ranked by exact cosine. */
+  def embKnnSq8(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnSq8(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K, Sq8Refine)
+      .orderBy("probe_id", "rank")
+
   /** emb_knn_lsh_persisted — the SAME search served from a PERSISTED
     * LSH index (graft.operators.AnnIndex): the collection is indexed
     * once (quantized vectors + self-dots + bucket ids, written
@@ -741,6 +754,33 @@ object VectorQueries {
        |      FROM b a JOIN b c ON a.bucket = c.bucket
        |      WHERE a.vec_id < $ProbeMax AND c.vec_id <> a.vec_id AND c.label % 2 = 0)""".stripMargin)
 
+  /** SQ8 oracle: replays training (per-dim min/max), encoding (floor
+    * integer division — `//` on non-negative BIGINTs matches Spark's
+    * floor(double-div) exactly in this range), the 255-scaled
+    * reconstruction, the stage-1 surrogate ranking, and the exact-cosine
+    * refine over the survivors. */
+  private val sq8Oracle: String = knnOracle(
+    s"""vd AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |mm AS (SELECT i, MIN(qv[i]) AS vmin, MAX(qv[i]) AS vmax FROM vd GROUP BY i),
+       |rv AS (SELECT vd.vec_id, vd.i,
+       |         255 * mm.vmin + (CASE WHEN mm.vmax = mm.vmin THEN 0
+       |           ELSE ((vd.qv[vd.i] - mm.vmin) * 255) // (mm.vmax - mm.vmin) END)
+       |           * (mm.vmax - mm.vmin) AS r
+       |       FROM vd JOIN mm USING (i)),
+       |s1 AS (SELECT pr.vec_id AS probe_id, rv.vec_id AS neighbor_id,
+       |         SUM(pr.qv[rv.i] * rv.r) AS s
+       |       FROM q pr JOIN rv ON rv.vec_id <> pr.vec_id
+       |       WHERE pr.vec_id < $ProbeMax GROUP BY 1, 2),
+       |c1 AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (
+       |         PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rr FROM s1),
+       |p AS (SELECT c1.probe_id, c1.neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM c1 JOIN q a ON a.vec_id = c1.probe_id
+       |              JOIN q b ON b.vec_id = c1.neighbor_id
+       |      WHERE c1.rr <= ${Sq8Refine * K})""".stripMargin)
+
   private val nearDupOracle: String =
     s"""WITH $qCte,
        |b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
@@ -1275,6 +1315,7 @@ object VectorQueries {
     "emb_knn_pq_incremental" -> pqOracle, // append-then-serve == full rebuild
     "emb_knn_pq_follow" -> pqFollowOracle, // base+delta codes, frozen codebooks
     "emb_knn_ivfpq" -> ivfPqOracle,
+    "emb_knn_sq8" -> sq8Oracle,
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
     "emb_near_dup_banded_scaled" -> nearDupBandedOracleFor(BandedPlanesScaled),
@@ -1307,6 +1348,7 @@ object VectorQueries {
     "emb_knn_pq_incremental" -> embKnnPqIncremental _,
     "emb_knn_pq_follow" -> embKnnPqFollow _,
     "emb_knn_ivfpq" -> embKnnIvfPq _,
+    "emb_knn_sq8" -> embKnnSq8 _,
     "emb_near_dup" -> embNearDup _,
     "emb_near_dup_banded" -> embNearDupBanded _,
     "emb_near_dup_banded_scaled" -> embNearDupBandedScaled _,

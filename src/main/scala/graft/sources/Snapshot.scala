@@ -112,10 +112,15 @@ object Snapshot {
     else None
   }
 
-  /** Newest COMPLETE committed version and its table map. */
+  /** Newest COMPLETE committed version and its table map — MAIN chain
+    * only: manifests tagged with a [[BranchKey]] meta-entry belong to a
+    * named branch and are invisible to every main-chain reader/writer
+    * (manifests written before branching existed carry no tag and are
+    * main by construction). */
   private def current(fs: FileSystem, root: String): Option[(Long, Map[String, String])] =
     versions(fs, root).view
       .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
+      .filterNot { case (_, m) => m.contains(BranchKey) }
       .headOption
 
   /** Newest committed version, if any. */
@@ -203,9 +208,27 @@ object Snapshot {
 
   private def isDelKey(entry: String): Boolean = entry.endsWith("~del")
 
+  /** Manifest meta-entry naming the branch a manifest belongs to; absent
+    * on main-chain manifests (including every pre-branching manifest). */
+  private val BranchKey = "~branch"
+
+  /** Meta-entry recording the MAIN version a branch forked from — the
+    * fast-forward precondition [[mergeBranch]] checks. */
+  private val BranchBaseKey = "~branchbase"
+
+  /** Meta-entry marking a branch head as deleted ([[dropBranch]]). */
+  private val BranchDroppedKey = "~branchdropped"
+
+  /** Entries that are snapshot metadata, not user tables: tombstone
+    * shadows and the branch bookkeeping keys. */
+  private def isMetaKey(entry: String): Boolean =
+    isDelKey(entry) || entry == BranchKey || entry == BranchBaseKey ||
+      entry == BranchDroppedKey
+
   private def requireCommittableName(table: String): Unit =
-    require(!isDelKey(table),
-      s"snapshot: table name '$table' is reserved for tombstone shadows")
+    require(!table.contains('~'),
+      s"snapshot: table name '$table' is invalid — '~' is reserved for " +
+        "tombstone shadows and branch metadata")
 
   /** Hidden tombstone COVERAGE column: a tombstone row (keys…, cov = c)
     * suppresses key-matching rows of data segments with ordinal < c.
@@ -293,7 +316,7 @@ object Snapshot {
     * shadows are internal state, not tables — hidden here. */
   def tables(spark: SparkSession, root: String): Map[String, String] =
     current(fsOf(spark, root), root).map(_._2).getOrElse(Map.empty)
-      .filter { case (t, _) => !isDelKey(t) }
+      .filter { case (t, _) => !isMetaKey(t) }
       .map { case (t, rel) =>
         t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
       }
@@ -306,7 +329,7 @@ object Snapshot {
     if (!byName.contains(table))
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root (have: ${
-          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})")
+          byName.keys.toSeq.filterNot(isMetaKey).sorted.mkString(", ")})")
     readResolved(spark, root, byName, table)
   }
 
@@ -320,7 +343,7 @@ object Snapshot {
     * Throws if the version never committed completely or was vacuumed. */
   def tablesAt(spark: SparkSession, root: String, version: Long): Map[String, String] =
     relsAt(spark, root, version)
-      .filter { case (t, _) => !isDelKey(t) }
+      .filter { case (t, _) => !isMetaKey(t) }
       .map { case (t, rel) =>
         t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
       }
@@ -346,7 +369,7 @@ object Snapshot {
     if (!byName.contains(table))
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root version $version (have: ${
-          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})")
+          byName.keys.toSeq.filterNot(isMetaKey).sorted.mkString(", ")})")
     // the version's OWN tombstone state: a version committed before a
     // delete still reads the deleted rows (time travel)
     readResolved(spark, root, byName, table)
@@ -773,7 +796,21 @@ object Snapshot {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = fsOf(spark, root)
     val all = versions(fs, root)
-    val complete = all.filter { case (_, p) => parseManifest(fs, p).isDefined }
+    val parsed = all.flatMap { case (v, p) =>
+      parseManifest(fs, p).map(m => (v, p, m))
+    }
+    // retention is per-CHAIN: the newest keepLast MAIN manifests (branch
+    // manifests interleave in the version sequence but are not main
+    // history), plus every LIVE branch's head — a branch's data must
+    // survive any number of main commits and vacuums until it is merged
+    // or dropped. Non-head branch manifests are sweepable (branches
+    // promise a head, not time travel).
+    val mains = parsed.filterNot(_._3.contains(BranchKey))
+    val liveBranchHeads = parsed
+      .flatMap(t => t._3.get(BranchKey).map(_ -> t))
+      .groupBy(_._1).values.toSeq
+      .map(_.head) // parsed is newest-first: head = the branch's head
+      .collect { case (_, t) if !t._3.contains(BranchDroppedKey) => t }
     val cursorFloor: Option[Long] =
       if (respectCursors && current(fs, root).exists(_._2.contains("_curate")))
         read(spark, root, "_curate")
@@ -783,13 +820,14 @@ object Snapshot {
             case r => Some(r.getLong(0))
           }
       else None
-    val retained = complete.filter { case (v, _) =>
+    val retained = mains.filter { case (v, _, _) =>
       cursorFloor.exists(v >= _)
-    } ++ complete.take(keepLast)
+    } ++ mains.take(keepLast) ++ liveBranchHeads
     val kept = retained.map(_._2).toSet
     val referenced = retained
-      .flatMap { case (_, p) => parseManifest(fs, p) }
-      .flatMap(_.values).flatMap(relDirs).toSet
+      .flatMap { case (_, _, m) => m.valuesIterator }
+      .filterNot(_.isEmpty) // branch meta entries carry non-path values
+      .flatMap(relDirs).toSet
     all.collect { case (_, p) if !kept.contains(p) => fs.delete(p, false) }
     val dataRoot = new Path(root, DataDir)
     if (fs.exists(dataRoot))
@@ -799,6 +837,155 @@ object Snapshot {
         rel = s"$DataDir/${tableDir.getPath.getName}/${child.getPath.getName}"
         if !referenced.contains(rel)
       } fs.delete(child.getPath, true)
+  }
+
+  // ---- BRANCHES (write-audit-publish) --------------------------------
+
+  /** Newest complete manifest of a LIVE branch (None once dropped). */
+  private def branchHead(fs: FileSystem, root: String,
+      branch: String): Option[(Long, Map[String, String])] =
+    chainHead(fs, root, Some(branch))
+      .filterNot(_._2.contains(BranchDroppedKey))
+
+  private def requireBranchName(branch: String): Unit =
+    require(branch.nonEmpty && branch != "main" &&
+      !branch.exists(c => c == '~' || c == '\t' || c == '\n' || c == ','),
+      s"snapshot: invalid branch name '$branch'")
+
+  /** Live branch names, newest-forked first. */
+  def branches(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fsOf(spark, root)
+    versions(fs, root)
+      .flatMap { case (_, p) => parseManifest(fs, p) }
+      .flatMap(m => m.get(BranchKey).map(_ -> m))
+      .groupBy(_._1).toSeq
+      .collect { case (b, heads) if !heads.head._2.contains(BranchDroppedKey) => b }
+      .sorted
+  }
+
+  /** Fork a named BRANCH from the current main head — the
+    * write-audit-publish (WAP) primitive: a pipeline writes its output
+    * to a branch, validation queries read the branch, and only
+    * [[mergeBranch]] makes it visible to main readers; a failed audit
+    * just [[dropBranch]]es. The fork is O(1) — one manifest copying the
+    * head's entries (data dirs are immutable and shared; nothing is
+    * copied); the branch records its fork point for the fast-forward
+    * check. Main and branch commits interleave freely in the global
+    * version sequence without seeing each other. */
+  def createBranch(spark: SparkSession, root: String, branch: String): Long = {
+    requireBranchName(branch)
+    val fs = fsOf(spark, root)
+    require(branchHead(fs, root, branch).isEmpty,
+      s"snapshot: branch '$branch' already exists at $root")
+    val base = current(fs, root)
+    val baseV = base.map(_._1).getOrElse(0L)
+    // the branch chain's base is its own newest manifest — after a drop
+    // that manifest carries the dropped marker and stale fork-state; a
+    // re-created branch must fork CLEANLY from main's head, so the new
+    // manifest replaces every entry and clears the marker
+    val priorKeys = chainHead(fs, root, Some(branch))
+      .map(_._2.keySet).getOrElse(Set.empty)
+    val fork = base.map(_._2).getOrElse(Map.empty) ++
+      Map(BranchKey -> branch, BranchBaseKey -> baseV.toString)
+    commitManifestOn(fs, root, Some(branch), fork,
+      expectBase = None, removals = priorKeys -- fork.keySet)
+  }
+
+  /** Table → absolute data path(s) at `branch`'s head (the [[tables]]
+    * shape). Throws if the branch does not exist or was dropped. */
+  def branchTables(spark: SparkSession, root: String, branch: String): Map[String, String] =
+    branchRels(spark, root, branch)
+      .filter { case (t, _) => !isMetaKey(t) }
+      .map { case (t, rel) =>
+        t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
+      }
+
+  private def branchRels(spark: SparkSession, root: String,
+      branch: String): Map[String, String] = {
+    requireBranchName(branch)
+    branchHead(fsOf(spark, root), root, branch).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot: no branch '$branch' at $root (have: ${
+          branches(spark, root).mkString(", ")})"))
+  }
+
+  /** Read one table at `branch`'s head (tombstones resolved — the
+    * [[read]] semantics on the branch chain). */
+  def readBranch(spark: SparkSession, root: String, branch: String,
+      table: String): DataFrame = {
+    requireCommittableName(table)
+    val byName = branchRels(spark, root, branch)
+    if (!byName.contains(table))
+      throw new IllegalArgumentException(
+        s"snapshot: no table '$table' on branch '$branch' at $root (have: ${
+          byName.keys.toSeq.filterNot(isMetaKey).sorted.mkString(", ")})")
+    readResolved(spark, root, byName, table)
+  }
+
+  /** Atomically publish new contents for `newTables` ON the branch
+    * (the [[commit]] semantics — replace, tombstones cleared); main and
+    * other branches are untouched. Data dirs are written first and the
+    * branch manifest claims the next global slot. */
+  def commitBranch(spark: SparkSession, root: String, branch: String,
+      newTables: Map[String, DataFrame],
+      statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+    require(newTables.nonEmpty, "snapshot commitBranch: no tables given")
+    newTables.keys.foreach(requireCommittableName)
+    requireBranchName(branch)
+    val fs = fsOf(spark, root)
+    val head = branchHead(fs, root, branch).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no branch '$branch' at $root — createBranch first"))
+    val written = newTables.map { case (t, df) =>
+      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty))
+    }
+    commitManifestOn(fs, root, Some(branch), written,
+      expectBase = Some(head._1),
+      removals = newTables.keySet.map(delKey))
+  }
+
+  /** FAST-FORWARD publish: make `branch`'s head the new MAIN head — the
+    * "publish" step of write-audit-publish. Sound only while main still
+    * sits at the branch's fork point (nothing to reconcile); if main
+    * advanced since the fork this fails LOUDLY (a 3-way merge is a
+    * policy decision, not something a storage layer should improvise) —
+    * re-fork and re-apply. The branch stays live (pointing at the same
+    * state now shared with main); drop it when done. Returns the new
+    * main version. */
+  def mergeBranch(spark: SparkSession, root: String, branch: String): Long = {
+    requireBranchName(branch)
+    val fs = fsOf(spark, root)
+    val (headV, headM) = branchHead(fs, root, branch).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no branch '$branch' at $root"))
+    val forkBase = headM.get(BranchBaseKey).map(_.toLong).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot: branch '$branch' head v$headV lacks a fork-base record"))
+    val mainNow = current(fs, root)
+    val mainV = mainNow.map(_._1).getOrElse(0L)
+    if (mainV != forkBase) throw new IllegalStateException(
+      s"snapshot mergeBranch conflict at $root: branch '$branch' forked from " +
+        s"main v$forkBase but main is now v$mainV — re-fork and re-apply")
+    val mainMap = mainNow.map(_._2).getOrElse(Map.empty)
+    val branchMap = headM - BranchKey - BranchBaseKey - BranchDroppedKey
+    // entries main holds that the branch dropped (e.g. tombstone shadows
+    // cleared by a branch replace) must not resurrect through the merge
+    commitManifestOn(fs, root, None, branchMap,
+      expectBase = Some(forkBase),
+      removals = mainMap.keySet -- branchMap.keySet)
+  }
+
+  /** Delete a branch: its head stops resolving, its manifests and any
+    * data dirs only it referenced become [[vacuum]]-sweepable. The
+    * abandoned-audit half of write-audit-publish. */
+  def dropBranch(spark: SparkSession, root: String, branch: String): Long = {
+    requireBranchName(branch)
+    val fs = fsOf(spark, root)
+    val head = branchHead(fs, root, branch).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot: no branch '$branch' at $root"))
+    commitManifestOn(fs, root, Some(branch),
+      Map(BranchDroppedKey -> ""), expectBase = Some(head._1))
   }
 
   /** Write `df` to a fresh immutable data dir; returns the relative path
@@ -989,7 +1176,7 @@ object Snapshot {
     val rel = byName.getOrElse(table,
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root (have: ${
-          byName.keys.toSeq.filterNot(isDelKey).sorted.mkString(", ")})"))
+          byName.keys.toSeq.filterNot(isMetaKey).sorted.mkString(", ")})"))
     val fs = fsOf(spark, root)
     val filesPerSeg = relDirs(rel).map { seg =>
       val segPath = new Path(root, seg).toString
@@ -1135,8 +1322,20 @@ object Snapshot {
     require(fromVersion >= 0L && fromVersion <= toVersion,
       s"snapshot changesBetween: bad version range [$fromVersion, $toVersion]")
     import org.apache.spark.sql.functions.{col, lit}
+    // branch manifests share the version sequence but are not main
+    // history: they contribute no main-chain change and are skipped;
+    // consecutive MAIN versions pair up across them. Endpoints must be
+    // main versions (cursors recorded by main-chain consumers are).
+    def relsOfMain(v: Long): Option[Map[String, String]] =
+      if (v == 0L) Some(Map.empty)
+      else {
+        val m = relsAt(spark, root, v)
+        if (m.contains(BranchKey)) None else Some(m)
+      }
     def relsOf(v: Long): Map[String, String] =
-      if (v == 0L) Map.empty else relsAt(spark, root, v)
+      relsOfMain(v).getOrElse(throw new IllegalArgumentException(
+        s"snapshot changesBetween: version $v at $root is a branch " +
+          "commit, not main history"))
     val toRels = relsOf(toVersion)
     val toRel = toRels.getOrElse(table,
       throw new IllegalArgumentException(
@@ -1162,8 +1361,12 @@ object Snapshot {
         .withColumn(ChangeTypeCol, lit(changeType))
         .withColumn(CommitVersionCol, lit(v))
     }
-    val parts = ((fromVersion + 1L) to toVersion).flatMap { v =>
-      val prev = relsOf(v - 1L)
+    relsOf(fromVersion) // endpoint validation (throws on a branch version)
+    val mainVs = fromVersion +: ((fromVersion + 1L) to toVersion)
+      .filter(v => relsOfMain(v).isDefined)
+    val parts = mainVs.sliding(2).toSeq.collect { case Seq(p, v) => (p, v) }
+      .flatMap { case (prevV, v) =>
+      val prev = relsOf(prevV)
       val cur = relsOf(v)
       val oldSegs = prev.get(table).map(relDirs).getOrElse(Nil)
       val newSegs = cur.get(table).map(relDirs).getOrElse(Nil)
@@ -1210,38 +1413,73 @@ object Snapshot {
     * slot to complete before giving up (overridable for tests). */
   private[graft] var claimWaitMs: Long = 30000L
 
-  /** Claim version baseV+1 with `updates` layered over the newest
-    * complete manifest — NEVER a higher slot. Skipping past an occupied
-    * slot is the lost-update race: a slow writer holding slot N (file
-    * created, body still flushing — it parses as torn) would let us
-    * claim N+1 layered over base N-1, permanently shadowing N's tables
-    * the moment it completes, even though both commits "succeeded".
-    * Claiming ONLY baseV+1 serializes commits on the version number
-    * itself: while a claim is in flight we wait for it to complete (our
-    * base then advances — `expectBase` callers abort as stale, blind
-    * callers retry on the new base). A claim that never completes (its
-    * writer crashed) blocks committers until `claimWaitMs`, then this
-    * throws — loud, not silent; [[vacuum]] sweeps the dead claim file
-    * and unblocks the slot. */
+  /** Claim the next version slot with `updates` layered over the target
+    * chain's newest complete manifest — NEVER skipping an in-flight
+    * claim. Skipping past a TORN slot is the lost-update race: a slow
+    * writer holding slot N (file created, body still flushing — it
+    * parses as torn) would let us claim N+1 layered over a base that
+    * excludes N, permanently shadowing N's tables the moment it
+    * completes, even though both commits "succeeded". So while the
+    * NEWEST slot is torn we wait for its claimant to complete (our base
+    * then advances — `expectBase` callers abort as stale, blind callers
+    * retry on the new base). A claim that never completes (its writer
+    * crashed) blocks committers until `claimWaitMs`, then this throws —
+    * loud, not silent; [[vacuum]] sweeps the dead claim file and
+    * unblocks the slot.
+    *
+    * Version slots are GLOBAL across main and every branch (one
+    * monotone sequence — what makes any committed version addressable
+    * by [[readAt]]); each chain's base/expectBase arithmetic sees only
+    * its own manifests, so a complete other-chain manifest above our
+    * head is simply claimed past, while a torn one is waited on like
+    * any in-flight claim. On a branchless root every slot is main and
+    * this degenerates to exactly the old claim-baseV+1 protocol. */
   private def commitManifest(fs: FileSystem, root: String,
       updates: Map[String, String], expectBase: Option[Long],
+      removals: Set[String] = Set.empty): Long =
+    commitManifestOn(fs, root, None, updates, expectBase, removals)
+
+  /** Newest COMPLETE manifest of `branch`'s chain (None = main). Unlike
+    * [[branchHead]] this sees dropped heads — the raw chain lookup. */
+  private def chainHead(fs: FileSystem, root: String,
+      branch: Option[String]): Option[(Long, Map[String, String])] =
+    branch match {
+      case None => current(fs, root)
+      case Some(b) =>
+        versions(fs, root).view
+          .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
+          .find(_._2.get(BranchKey).contains(b))
+    }
+
+  private def commitManifestOn(fs: FileSystem, root: String,
+      branch: Option[String], updates: Map[String, String],
+      expectBase: Option[Long],
       removals: Set[String] = Set.empty): Long = {
     val deadline = System.currentTimeMillis() + claimWaitMs
     while (true) {
-      val base = current(fs, root)
+      val base = chainHead(fs, root, branch)
       val baseV = base.map(_._1).getOrElse(0L)
       expectBase.foreach { e =>
         if (baseV != e) throw new IllegalStateException(
           s"snapshot commit conflict at $root: expected base version $e, found $baseV")
       }
       val merged = (base.map(_._2).getOrElse(Map.empty) ++ updates) -- removals
-      val next = baseV + 1L
+      // claim ONE PAST the newest complete manifest of ANY chain — on a
+      // branchless root this is exactly the old claim-baseV+1 protocol
+      // (main head IS the newest complete manifest), and torn junk parked
+      // at a far-away slot stays ignored, while a torn claim on the
+      // target slot itself is waited on (the adjacency that prevents the
+      // lost-update shadowing described above)
+      val maxComplete = versions(fs, root)
+        .collectFirst { case (v, p) if parseManifest(fs, p).isDefined => v }
+        .getOrElse(0L)
+      val next = maxComplete + 1L
       val target = manifestPath(root, next)
       fs.mkdirs(target.getParent)
       if (fs.exists(target)) {
         // The slot is claimed but not complete (complete would have
-        // advanced baseV). Wait for the claimant rather than jumping
-        // over it with a stale base.
+        // advanced maxComplete). Wait for the claimant rather than
+        // jumping over it with a base that excludes it.
         if (System.currentTimeMillis() >= deadline) throw new IllegalStateException(
           s"snapshot commit: version slot $next at $root held by an incomplete claim " +
             s"for over ${claimWaitMs}ms — claimant crashed? run vacuum to clear it")

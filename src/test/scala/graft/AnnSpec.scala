@@ -433,4 +433,49 @@ class AnnSpec extends SparkSpec {
       Ann.pqCodebooks(vecs, "vec_id", "embedding", dim = 4, m = 3, k = 2, iters = 0)
     }
   }
+
+  test("sq8Train: per-dim min/max over the quantized collection") {
+    val mm = Ann.sq8Train(vecs, "embedding").orderBy("dim_idx").collect()
+    assert(mm.length == 4)
+    // dim 0 spans quantize(-1.0)= -1000 .. quantize(1.0)= 1000
+    assert(mm(0).getAs[Long]("vmin") == -1000L && mm(0).getAs[Long]("vmax") == 1000L)
+    // dim 3 is constantly 0 — degenerate span
+    assert(mm(3).getAs[Long]("vmin") == 0L && mm(3).getAs[Long]("vmax") == 0L)
+  }
+
+  test("knnSq8: exhaustive refine equals knnBrute exactly (codes only gate stage 1)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"),
+          r.getAs[Double]("cosine_sim"), r.getAs[Long]("rank"))).toSeq
+    // refine·k >= collection size ⇒ stage 1 keeps every candidate and the
+    // exact re-rank IS the brute-force answer, bit for bit
+    val sq = rows(Ann.knnSq8(vecs, "vec_id", "embedding", col("vec_id") < 2, k = 3, refine = 2))
+    val brute = rows(Ann.knnBrute(vecs, "vec_id", "embedding", col("vec_id") < 2, k = 3))
+    assert(sq == brute)
+  }
+
+  test("knnSq8: k rows per probe, rank follows exact cosine desc, no self-match") {
+    val got = Ann.knnSq8(vecs, "vec_id", "embedding", col("vec_id") < 2, k = 2, refine = 1)
+      .orderBy("probe_id", "rank").collect()
+    assert(got.length == 4)
+    got.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L))
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != p))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine_sim"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
+  test("knnSq8: partition-independent (repartitioned input is bit-identical)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val a = rows(Ann.knnSq8(vecs, "vec_id", "embedding", col("vec_id") < 2, k = 3, refine = 2))
+    val b = rows(Ann.knnSq8(vecs.repartition(7), "vec_id", "embedding",
+      col("vec_id") < 2, k = 3, refine = 2))
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Ann.knnSq8(vecs, "vec_id", "embedding", col("vec_id") < 1, k = 2, refine = 0)
+    }
+  }
 }
