@@ -84,6 +84,63 @@ object Pipeline {
     version
   }
 
+  /** WRITE-AUDIT-PUBLISH curation: [[curateCorpus]] with the publish
+    * gated on validation — the production discipline for a corpus that
+    * trainers read continuously. The curated output and its drop audit
+    * commit to a BRANCH (invisible to main readers), the `audit`
+    * function examines the staged corpus AS STORED (read back through
+    * the branch head — what main readers would see after publish), and
+    * only a passing audit fast-forwards main ([[Snapshot.mergeBranch]]);
+    * a failing audit drops the branch and main is byte-untouched.
+    * Returns Right(new main version) or Left(audit failure reason).
+    *
+    * The default audit rejects an empty corpus, NULL/empty surviving
+    * text, and duplicate ids — the invariants downstream training jobs
+    * assume; real deployments pass their own. */
+  def curateCorpusWap(spark: SparkSession, docsPath: String,
+      snapshotRoot: String, branch: String = "wap_curate",
+      idCol: String = "doc_id", textCol: String = "text",
+      audit: DataFrame => Option[String] = null): Either[String, Long] = {
+    import org.apache.spark.sql.functions.{col, countDistinct, length, trim}
+    val check: DataFrame => Option[String] =
+      if (audit != null) audit
+      else { staged =>
+        val agg = staged.agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.when(
+              col(textCol).isNull || length(trim(col(textCol))) === 0, 1)),
+          countDistinct(col(idCol))).head()
+        val (n, badText, distinctIds) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+        if (n == 0L) Some("audit: curated corpus is empty")
+        else if (badText > 0L) Some(s"audit: $badText surviving rows have NULL/empty text")
+        else if (distinctIds != n) Some(s"audit: ${n - distinctIds} duplicate ids survived")
+        else None
+      }
+    val docs = spark.read.parquet(docsPath)
+    val curated = graft.operators.Curate.curate(docs, idCol, textCol)
+    try {
+      val dropped = docs.join(curated.select(idCol), Seq(idCol), "left_anti")
+        .select(idCol)
+      Snapshot.createBranch(spark, snapshotRoot, branch)
+      Snapshot.commitBranch(spark, snapshotRoot, branch,
+        Map("corpus_curated" -> curated, "corpus_dropped" -> dropped),
+        statsCols = Map("corpus_curated" -> Seq(idCol), "corpus_dropped" -> Seq(idCol)))
+      val staged = Snapshot.readBranch(spark, snapshotRoot, branch, "corpus_curated")
+      check(staged) match {
+        case Some(reason) =>
+          Snapshot.dropBranch(spark, snapshotRoot, branch)
+          Left(reason)
+        case None =>
+          val v = Snapshot.mergeBranch(spark, snapshotRoot, branch)
+          // post-publish the branch shares every data dir with main —
+          // dropping it is pure bookkeeping, no data becomes sweepable
+          Snapshot.dropBranch(spark, snapshotRoot, branch)
+          Right(v)
+      }
+    } finally graft.operators.Curate.release(curated)
+  }
+
   /** EXACTLY-ONCE incremental curation over a snapshot store's change
     * feed — the consumer that keeps a CURATED corpus current against a
     * mutating raw corpus at O(changes + state), never re-reading the

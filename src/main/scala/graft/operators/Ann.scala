@@ -900,7 +900,7 @@ object Ann {
   /** dim-row train frame → ONE broadcastable row of (vmin[], vmax[])
     * arrays in dim order — the [[pivotCodebook]] shape for the scalar
     * quantizer's parameters. */
-  private def pivotSq8(train: DataFrame): DataFrame =
+  private[operators] def pivotSq8(train: DataFrame): DataFrame =
     train
       .agg(array_sort(collect_list(struct(col("dim_idx"), col("vmin"),
         col("vmax")))).as("__s"))
@@ -932,27 +932,47 @@ object Ann {
     * order. */
   def knnSq8(df: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, refine: Int = 2): DataFrame = {
-    import graft.expressions.TopKByScore
-    require(refine >= 1, s"refine must be >= 1, got $refine")
     val qdf = quantized(df, idCol, vecCol)
     val mm = pivotSq8(sq8Train(df, vecCol))
     // candidates carry code + 255-scaled reconstruction; (v - vmin) >= 0
     // by construction, so floor(double-div) = integer floor division —
     // exact while numerators stay « 2^53 (they are ≤ 255·2·Scale·|x|max)
     val enc = qdf.crossJoin(broadcast(mm))
-      .withColumn("__span", zip_with(col("__vmax"), col("__vmin"), (h, l) => h - l))
-      .withColumn("__code", zip_with(
-        zip_with(col("__q"), col("__vmin"), (v, l) => (v - l) * lit(255L)),
-        col("__span"), (num, s) =>
-          when(s === 0, lit(0L))
-            .otherwise(floor(num.cast("double") / s.cast("double")).cast("long"))))
-      .withColumn("__r", zip_with(
-        zip_with(col("__code"), col("__span"), (c, s) => c * s),
-        col("__vmin"), (cs, l) => cs + l * lit(255L)))
+      .withColumn("__code", sq8Encode(col("__q"), col("__vmin"), col("__vmax")))
+      .withColumn("__r", sq8Reconstruct(col("__code"), col("__vmin"), col("__vmax")))
+      .select(col(idCol).as("neighbor_id"), col("__r"))
+    sq8Search(enc, qdf, idCol, probePred, k, refine)
+  }
+
+  /** Element-wise SQ8 code array: floor((v − vmin)·255 / span), 0 on a
+    * degenerate (constant) dimension. All values land in [0, 255]. */
+  private[operators] def sq8Encode(qv: Column, vmin: Column, vmax: Column): Column =
+    zip_with(
+      zip_with(qv, vmin, (v, l) => (v - l) * lit(255L)),
+      zip_with(vmax, vmin, (h, l) => h - l), (num, s) =>
+        when(s === 0, lit(0L))
+          .otherwise(floor(num.cast("double") / s.cast("double")).cast("long")))
+
+  /** 255-SCALED reconstruction R_d = 255·vmin_d + code_d·(vmax_d −
+    * vmin_d) — exact BIGINTs; ranking by probe·R equals ranking by the
+    * true reconstruction dot since 255 > 0. */
+  private[operators] def sq8Reconstruct(code: Column, vmin: Column, vmax: Column): Column =
+    zip_with(
+      zip_with(code, zip_with(vmax, vmin, (h, l) => h - l), (c, s) => c * s),
+      vmin, (cs, l) => cs + l * lit(255L))
+
+  /** The SQ8 two-stage search over prepared candidates: `enc` =
+    * (neighbor_id, __r) — the compressed scan side; `qdf` = the
+    * full-precision collection ([[quantized]] shape) providing probes
+    * and the exact-refine vectors. Shared by the in-query [[knnSq8]]
+    * and the persisted-index serve ([[AnnIndex.knnSq8Serve]]). */
+  private[operators] def sq8Search(enc: DataFrame, qdf: DataFrame, idCol: String,
+      probePred: Column, k: Int, refine: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    require(refine >= 1, s"refine must be >= 1, got $refine")
     val probes = qdf.filter(probePred)
       .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
     val stage1 = enc
-      .select(col(idCol).as("neighbor_id"), col("__r"))
       .crossJoin(broadcast(probes.select(col("probe_id"), col("__pq"))))
       .filter(col("neighbor_id") =!= col("probe_id"))
       .groupBy(col("probe_id"))

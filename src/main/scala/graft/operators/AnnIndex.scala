@@ -570,4 +570,74 @@ object AnnIndex {
       cands.join(broadcast(probes), col(CentCol) === col("__probe_cent"))
         .drop(CentCol, "__probe_cent"), k)
   }
+
+  // ---- SQ8 scalar-quantized index -------------------------------------
+
+  /** SQ8 serving rows: (id, code) with the code stored as ARRAY<TINYINT>
+    * — genuinely ONE BYTE per dimension on disk (codes are 0..255;
+    * tinyint is signed, so they store shifted by −128 and unshift on
+    * read), the 8× collection shrink that is the whole point of scalar
+    * quantization at 100 TB. Encoding uses the FROZEN per-dim [vmin,
+    * vmax] params — train once at build, pass through appends verbatim
+    * (re-training would shift every stored code). */
+  def sq8IndexRows(df: DataFrame, idCol: String, vecCol: String,
+      params: DataFrame): DataFrame = {
+    require(!df.columns.contains(CodeCol),
+      s"input already has a column named the reserved index column '$CodeCol'")
+    val mm = Ann.pivotSq8(params)
+    df.select(col(idCol), Ann.quantize(col(vecCol)).as("__q"))
+      .crossJoin(broadcast(mm))
+      .select(col(idCol), transform(
+        Ann.sq8Encode(col("__q"), col("__vmin"), col("__vmax")),
+        c => (c - lit(128L)).cast("byte")).as(CodeCol))
+  }
+
+  /** Build and persist the SQ8 index: trained per-dim (dim_idx, vmin,
+    * vmax) params at `path + "_params"` (dim rows — constant size), the
+    * byte-code rows at `path` (flat — a compressed scan consumes every
+    * row, there is nothing to prune by; the index IS the 8× cheaper
+    * scan). Params train on `df` unless a pre-trained frame is given
+    * (e.g. quantizer trained on a reference corpus slice). Incremental
+    * growth = [[appendSq8Index]]. */
+  def writeSq8Index(df: DataFrame, idCol: String, vecCol: String,
+      path: String, params: DataFrame = null): Unit = {
+    val p = Option(params).getOrElse(Ann.sq8Train(df, vecCol))
+    p.write.mode("overwrite").parquet(path + "_params")
+    sq8IndexRows(df, idCol, vecCol,
+      df.sparkSession.read.parquet(path + "_params"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** INCREMENTAL SQ8 maintenance: encode a NEW batch through the STORED
+    * frozen params and append its code rows — O(batch); stored codes are
+    * never read or rewritten. Same contract as [[appendPqIndex]]. */
+  def appendSq8Index(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val stored = batch.sparkSession.read.parquet(path + "_params")
+    sq8IndexRows(batch, idCol, vecCol, stored)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Top-k SQ8 search served from the PERSISTED byte codes: candidates
+    * reconstruct in-row from code + stored params (255-scaled exact
+    * integers), rank by the asymmetric surrogate, and the top refine·k
+    * survivors per probe re-rank by exact cosine against `coll` — the
+    * full-precision collection, touched for O(probes·refine·k) rows
+    * through a broadcast id join (the refine source every
+    * compressed-scan deployment keeps beside its codes). Selection is
+    * hash-identical to the in-query [[Ann.knnSq8]] (the
+    * emb_knn_sq8_persisted gate shares emb_knn_sq8's oracle). */
+  def knnSq8Serve(codes: DataFrame, params: DataFrame, coll: DataFrame,
+      idCol: String, vecCol: String, probePred: Column, k: Int,
+      refine: Int): DataFrame = {
+    val mm = Ann.pivotSq8(params)
+    val enc = codes
+      .crossJoin(broadcast(mm))
+      .withColumn("__code", transform(col(CodeCol), c => c.cast("long") + lit(128L)))
+      .select(col(idCol).as("neighbor_id"),
+        Ann.sq8Reconstruct(col("__code"), col("__vmin"), col("__vmax")).as("__r"))
+    val qdf = coll.select(col(idCol), Ann.quantize(col(vecCol)).as("__q"))
+      .withColumn("__n", Ann.dotQ(col("__q"), col("__q")))
+    Ann.sq8Search(enc, qdf, idCol, probePred, k, refine)
+  }
 }

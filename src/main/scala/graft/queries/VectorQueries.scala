@@ -38,6 +38,27 @@ object VectorQueries {
     * the quantized surrogate score before the exact re-rank. */
   private val Sq8Refine = 2
 
+  /** emb_knn_sq8_incremental — INCREMENTAL SQ8 maintenance gate: the
+    * quantizer params are trained once over the corpus, the collection
+    * arrives in two ingests (vec_id % 5 != 3, then the rest), the
+    * second APPENDS its byte codes through the frozen stored params —
+    * O(batch), stored files untouched (WarehouseSpec asserts) — and
+    * serving the appended index is hash-identical to the one-shot
+    * build (same oracle as emb_knn_sq8). */
+  def embKnnSq8Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annsq8inc", dir)
+    AnnIndex.writeSq8Index(emb.filter(col("vec_id") % 5 =!= 3),
+      "vec_id", "embedding", path, Ann.sq8Train(emb, "embedding"))
+    AnnIndex.appendSq8Index(emb.filter(col("vec_id") % 5 === 3),
+      "vec_id", "embedding", path)
+    AnnIndex.knnSq8Serve(spark.read.parquet(path),
+        spark.read.parquet(path + "_params"), emb,
+        "vec_id", "embedding", col("vec_id") < ProbeMax, K, Sq8Refine)
+      .orderBy("probe_id", "rank")
+  }
+
   /** emb_knn_sq8 — 8-bit scalar-quantized compressed scan + exact
     * refine (Ann.knnSq8): per-dim trained min/max, integer asymmetric
     * scoring against the 255-scaled reconstruction, top-(refine·k)
@@ -46,6 +67,22 @@ object VectorQueries {
     Ann.knnSq8(Tables.embeddings(spark, dir), "vec_id", "embedding",
         col("vec_id") < ProbeMax, K, Sq8Refine)
       .orderBy("probe_id", "rank")
+
+  /** emb_knn_sq8_persisted — the SAME SQ8 search served from PERSISTED
+    * byte codes + frozen params (graft.operators.AnnIndex): training
+    * and encoding happen once at build; serving reconstructs in-row
+    * from the stored bytes and refines against the collection. Gated
+    * against the same oracle as emb_knn_sq8. */
+  def embKnnSq8Persisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annsq8", dir)
+    AnnIndex.writeSq8Index(emb, "vec_id", "embedding", path)
+    AnnIndex.knnSq8Serve(spark.read.parquet(path),
+        spark.read.parquet(path + "_params"), emb,
+        "vec_id", "embedding", col("vec_id") < ProbeMax, K, Sq8Refine)
+      .orderBy("probe_id", "rank")
+  }
 
   /** emb_knn_lsh_persisted — the SAME search served from a PERSISTED
     * LSH index (graft.operators.AnnIndex): the collection is indexed
@@ -1316,6 +1353,8 @@ object VectorQueries {
     "emb_knn_pq_follow" -> pqFollowOracle, // base+delta codes, frozen codebooks
     "emb_knn_ivfpq" -> ivfPqOracle,
     "emb_knn_sq8" -> sq8Oracle,
+    "emb_knn_sq8_persisted" -> sq8Oracle, // identical selection from stored bytes
+    "emb_knn_sq8_incremental" -> sq8Oracle, // append-then-serve == one-shot build
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
     "emb_near_dup_banded_scaled" -> nearDupBandedOracleFor(BandedPlanesScaled),
@@ -1349,6 +1388,8 @@ object VectorQueries {
     "emb_knn_pq_follow" -> embKnnPqFollow _,
     "emb_knn_ivfpq" -> embKnnIvfPq _,
     "emb_knn_sq8" -> embKnnSq8 _,
+    "emb_knn_sq8_persisted" -> embKnnSq8Persisted _,
+    "emb_knn_sq8_incremental" -> embKnnSq8Incremental _,
     "emb_near_dup" -> embNearDup _,
     "emb_near_dup_banded" -> embNearDupBanded _,
     "emb_near_dup_banded_scaled" -> embNearDupBandedScaled _,

@@ -101,6 +101,41 @@ class SnapshotBranchSpec extends SparkSpec {
     assert(Snapshot.branches(spark, root).isEmpty)
   }
 
+  test("curateCorpusWap publishes a passing corpus via fast-forward") {
+    val root = freshRoot()
+    val docsPath = Files.createTempDirectory("wap-docs").toString + "/docs"
+    // a corpus with survivors: english-looking text passes lang+quality
+    (1L to 20L).map(i => (i,
+      s"the quick brown fox number $i jumps over the lazy dog and runs far away today"))
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    // seed main so the WAP round has a fork point to respect
+    Snapshot.commit(spark, root, Map("seed" -> Seq((0L, "s")).toDF("id", "v")))
+    val out = Pipeline.curateCorpusWap(spark, docsPath, root)
+    assert(out.isRight, s"expected publish, got $out")
+    val published = Snapshot.read(spark, root, "corpus_curated")
+    assert(published.count() > 0)
+    assert(published.columns.contains("quality_score"))
+    // the working branch is dropped after publish
+    assert(Snapshot.branches(spark, root).isEmpty)
+  }
+
+  test("curateCorpusWap drops the branch and leaves main untouched on audit failure") {
+    val root = freshRoot()
+    val docsPath = Files.createTempDirectory("wap-docs-fail").toString + "/docs"
+    (1L to 5L).map(i => (i,
+      s"the quick brown fox number $i jumps over the lazy dog and runs far away today"))
+      .toDF("doc_id", "text").write.parquet(docsPath)
+    Snapshot.commit(spark, root, Map("seed" -> Seq((0L, "s")).toDF("id", "v")))
+    val vBefore = Snapshot.currentVersion(spark, root)
+    val out = Pipeline.curateCorpusWap(spark, docsPath, root,
+      audit = _ => Some("forced rejection"))
+    assert(out == Left("forced rejection"))
+    // main never saw the table; no branch lingers
+    assert(Snapshot.currentVersion(spark, root) == vBefore)
+    intercept[IllegalArgumentException](Snapshot.read(spark, root, "corpus_curated"))
+    assert(Snapshot.branches(spark, root).isEmpty)
+  }
+
   test("change feed and cursors skip branch commits in the version walk") {
     val root = freshRoot()
     val v1 = Snapshot.commitAppend(spark, root,

@@ -362,6 +362,57 @@ class WarehouseSpec extends SparkSpec {
     } finally graft.operators.NearDup.freeCheckpoint(cbs)
   }
 
+  test("persisted SQ8 index stores byte codes; serve == in-query; append is O(batch)") {
+    import graft.operators.{Ann, AnnIndex}
+    val base = Files.createTempDirectory("graft-sq8idx").toString
+    val all = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.writeSq8Index(all, "vec_id", "embedding", s"$base/idx")
+    // the stored code column is genuinely ONE byte per dimension
+    val stored = spark.read.parquet(s"$base/idx")
+    assert(stored.schema("code").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false) ||
+      stored.schema("code").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    // serve-from-store == the in-query derivation, bit for bit (the
+    // round-trip through signed bytes is lossless)
+    val served = AnnIndex.knnSq8Serve(stored,
+      spark.read.parquet(s"$base/idx_params"), all,
+      "vec_id", "embedding", col("vec_id") < 3L, k = 2, refine = 2)
+    val inQuery = Ann.knnSq8(all, "vec_id", "embedding", col("vec_id") < 3L,
+      k = 2, refine = 2)
+    assert(rows(served) == rows(inQuery))
+    // incremental append: frozen params, O(batch), stored files untouched
+    val first = all.filter(col("vec_id") < 48L)
+    val batch = all.filter(col("vec_id") >= 48L)
+    AnnIndex.writeSq8Index(first, "vec_id", "embedding", s"$base/inc")
+    val params = spark.read.parquet(s"$base/inc_params")
+    val before = partFiles(s"$base/inc")
+    val derived = AnnIndex.sq8IndexRows(batch, "vec_id", "embedding", params)
+    val planStr = derived.queryExecution.executedPlan.toString
+    assert(planStr.contains("inc_params"),
+      "append derivation reads the stored frozen params")
+    assert(!planStr.replace(s"$base/inc_params", "").contains(s"$base/inc"),
+      "append derivation must not read the stored index data")
+    AnnIndex.appendSq8Index(batch, "vec_id", "embedding", s"$base/inc")
+    val after = partFiles(s"$base/inc")
+    assert(after.size > before.size, "append added no files")
+    assert(before.toSet.subsetOf(after.toSet),
+      "append rewrote pre-existing index files")
+    // serve-after-append == a rebuild over the union with the SAME
+    // frozen (first-ingest-trained) params
+    AnnIndex.sq8IndexRows(all, "vec_id", "embedding", params)
+      .write.mode("overwrite").parquet(s"$base/full")
+    params.write.mode("overwrite").parquet(s"$base/full_params")
+    def serve(p: String) = rows(AnnIndex.knnSq8Serve(spark.read.parquet(p),
+      spark.read.parquet(p + "_params"), all,
+      "vec_id", "embedding", col("vec_id") < 3L, k = 2, refine = 2))
+    assert(serve(s"$base/inc") == serve(s"$base/full"))
+  }
+
   test("following-index fold persists the served state and hands the cursor off exactly-once") {
     import graft.operators.{Ann, AnnIndex}
     import graft.sources.{Replica, Snapshot}
