@@ -418,7 +418,101 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** etl_rollback — O(1) RESTORE-TO-VERSION gate
+    * (graft.sources.Snapshot.rollbackTo): a table lives through a good
+    * load, a bad load (appended rows with corrupted prices), a bad
+    * delete, and a table created by mistake — then ONE manifest-only
+    * commit rolls the store back to the good version: the bad rows and
+    * the mistaken table vanish, the bad tombstones vanish, zero data
+    * files are touched (SnapshotSpec asserts byte-identical part files
+    * and the preserved history), and life continues — a post-rollback
+    * append lands on the restored state. The gate aggregates the final
+    * table against an oracle that only ever saw good-load ∪
+    * post-rollback-append; any bad row or lost tombstone-clear shifts
+    * n_orders/cents_total. */
+  def rollbackRestore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snaprb", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val good = Snapshot.commit(spark, root, Map("orders_rb" ->
+      o.filter(col("o_orderkey") % 3 === 1)))
+    // the bad epoch: corrupted append, erroneous erase, mistaken table
+    Snapshot.commitAppend(spark, root, appends = Map("orders_rb" ->
+      o.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(-1.0))))
+    Snapshot.deleteWhere(spark, root, "orders_rb",
+      col("o_orderkey") % 5 === 1, Seq("o_orderkey"))
+    Snapshot.commit(spark, root, Map("orders_rb_oops" -> o.limit(10)))
+    val restored = Snapshot.rollbackTo(spark, root, good)
+    require(restored > good, s"rollback must be a NEW version, got $restored")
+    require(Snapshot.tables(spark, root).keySet == Set("orders_rb"),
+      "rollback must drop tables created after the restore point")
+    // life continues on the restored state
+    Snapshot.commitAppend(spark, root, appends = Map("orders_rb" ->
+      o.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0))))
+    Snapshot.read(spark, root, "orders_rb")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** etl_stats_agg — METADATA-ONLY aggregate gate
+    * (graft.sources.Snapshot.statsAgg): the orders table is committed in
+    * two stats-bearing segments and `COUNT(*) / MIN / MAX` are answered
+    * WITHOUT opening a single data file — O(segments) sidecar reads
+    * folded on the driver, the lakehouse fast path that turns a 100 TB
+    * freshness probe (`max(ingest_date)`, row count) into milliseconds
+    * (SnapshotSpec proves the zero-data-read claim by deleting the part
+    * files and asking again, and pins the loud paths: tombstoned tables,
+    * untracked columns, count-less legacy sidecars all throw). The
+    * oracle computes the same aggregates from the raw rows. */
+  def statsAggGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapstats", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("o_date"))
+    val statsCols = Map("orders_st" -> Seq("o_orderkey", "o_date", "o_orderstatus"))
+    Snapshot.commit(spark, root,
+      Map("orders_st" -> o.filter(col("o_orderkey") % 4 =!= 0)),
+      statsCols = statsCols)
+    Snapshot.commitAppend(spark, root,
+      appends = Map("orders_st" -> o.filter(col("o_orderkey") % 4 === 0)),
+      statsCols = statsCols)
+    Snapshot.statsAgg(spark, root, "orders_st",
+      Seq("o_orderkey", "o_date", "o_orderstatus"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_rollback" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 2000.0
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_stats_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS table_rows,
+        |       MIN(o_orderkey) AS min_o_orderkey,
+        |       MIN(CAST(o_orderdate AS DATE)) AS min_o_date,
+        |       MIN(o_orderstatus) AS min_o_orderstatus,
+        |       MAX(o_orderkey) AS max_o_orderkey,
+        |       MAX(CAST(o_orderdate AS DATE)) AS max_o_date,
+        |       MAX(o_orderstatus) AS max_o_orderstatus
+        |FROM orders""".stripMargin,
     "etl_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -613,5 +707,7 @@ object EtlQueries {
     "etl_upsert_mor" -> upsertMor _,
     "etl_change_feed" -> changeFeed _,
     "etl_sync_replica" -> syncReplica _,
+    "etl_rollback" -> rollbackRestore _,
+    "etl_stats_agg" -> statsAggGate _,
   )
 }

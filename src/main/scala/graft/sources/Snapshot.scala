@@ -733,6 +733,37 @@ object Snapshot {
       removals = Set(delKey(table)))
   }
 
+  /** ROLLBACK: publish a NEW version whose contents are exactly those of
+    * an earlier main-chain `version` — the bad-load undo every snapshot
+    * store needs (Iceberg `rollback_to_snapshot`, Delta RESTORE). O(1):
+    * one manifest read + one manifest write, zero data files touched or
+    * rewritten — the new head re-references the target version's segment
+    * dirs verbatim (including its tombstone-shadow state), and tables
+    * created after the target disappear from the head. History is
+    * PRESERVED, not erased: the rolled-back versions stay addressable
+    * via [[readAt]] until [[vacuum]] sweeps them, and the rollback
+    * itself is an ordinary optimistic-concurrency commit (fails loudly
+    * if a writer lands after the head it read).
+    *
+    * Followers beware: a rollback SHRINKS segment lists, so
+    * [[changesBetween]] across the boundary throws its
+    * replaced-or-compacted error (by design — the feed covers
+    * append/delete/upsert history only); change-feed consumers re-seed
+    * from the rollback version, exactly as after a [[compactTable]]. */
+  def rollbackTo(spark: SparkSession, root: String, version: Long): Long = {
+    val fs = fsOf(spark, root)
+    val target = relsAt(spark, root, version)
+    require(!target.contains(BranchKey),
+      s"snapshot rollback: version $version at $root is a branch commit — " +
+        "roll back to main-chain versions only (mergeBranch publishes a branch)")
+    val head = current(fs, root).getOrElse(throw new IllegalStateException(
+      s"snapshot rollback: no committed main version at $root"))
+    require(version <= head._1,
+      s"snapshot rollback: version $version is ahead of the head ${head._1} at $root")
+    commitManifest(fs, root, target, expectBase = Some(head._1),
+      removals = head._2.keySet -- target.keySet)
+  }
+
   /** MERGE-style upsert of several staged tables in ONE atomic commit —
     * the reference's single-transaction four-table load. Each stage
     * merges against its table in the CURRENT snapshot (same semantics
@@ -1028,20 +1059,36 @@ object Snapshot {
   private def statsPath(root: String, rel: String): Path =
     new Path(new Path(root, rel), StatsName)
 
-  /** Derive per-file min/max for `cols` from the (just-written, still
-    * invisible) data dir and persist them next to the data. One
-    * aggregate over `_metadata.file_name` — map-side combined, collects
-    * O(files × cols) rows. */
+  /** Pseudo-column name of the per-file / per-segment ROW-COUNT stat
+    * lines ('~' can't be a real committed column's first char for any
+    * column a caller can ask stats for — the write APIs guard '~' in
+    * table names and [[statsAgg]] rejects it in column names). */
+  private val CountStat = "~count"
+
+  /** Pseudo-file key of segment-level stat lines: the segment's total
+    * row count ('~total', '~count') and the tracked-column manifest
+    * ('~total', '~cols') — the latter is what lets [[statsAgg]] tell a
+    * tracked-but-all-NULL column (sound: min/max are NULL) from an
+    * untracked one (unsound: must throw). */
+  private val TotalKey = "~total"
+  private val ColsStat = "~cols"
+
+  /** Derive per-file min/max for `cols` (plus per-file and segment-total
+    * row counts, and the tracked-column manifest) from the
+    * (just-written, still invisible) data dir and persist them next to
+    * the data. One aggregate over `_metadata.file_name` — map-side
+    * combined, collects O(files × cols) rows. */
   private def writeStats(spark: SparkSession, root: String, rel: String,
       cols: Seq[String]): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val d = spark.read.parquet(new Path(root, rel).toString)
     cols.foreach { c =>
       val t = d.schema(c).dataType.simpleString
       require(StatsTypes.contains(t),
         s"snapshot stats: column '$c' has unsupported type $t (supported: ${StatsTypes.mkString(", ")})")
     }
-    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val aggs = count(lit(1)).as("__cnt") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
     val rows = d.groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1050,7 +1097,8 @@ object Snapshot {
       java.net.URLEncoder.encode(String.valueOf(v), UTF_8.name())
     val lines = rows.flatMap { r =>
       val f = r.getAs[String]("__f")
-      cols.flatMap { c =>
+      val cnt = r.getAs[Long]("__cnt")
+      s"${enc(f)}\t${enc(CountStat)}\tbigint\t$cnt\t$cnt" +: cols.flatMap { c =>
         val lo = r.getAs[Any](s"__min_$c")
         val hi = r.getAs[Any](s"__max_$c")
         // an all-NULL file has no usable bounds: no line → never pruned
@@ -1058,9 +1106,16 @@ object Snapshot {
         else Some(s"${enc(f)}\t${enc(c)}\t${types(c)}\t${enc(lo)}\t${enc(hi)}")
       }
     }
+    // segment totals: row count (files with rows sum to it — empty part
+    // files hold 0 rows by definition) and the tracked-column manifest
+    val total = rows.map(_.getAs[Long]("__cnt")).sum
+    val meta = Seq(
+      s"${enc(TotalKey)}\t${enc(CountStat)}\tbigint\t$total\t$total",
+      s"${enc(TotalKey)}\t${enc(ColsStat)}\tstring\t${enc(cols.mkString(","))}\t-")
+    val all = meta ++ lines
     val fs = fsOf(spark, root)
     val out = fs.create(statsPath(root, rel), false)
-    try out.write((Header +: lines.toSeq :+ s"END ${lines.length}").mkString("\n").getBytes(UTF_8))
+    try out.write((Header +: all :+ s"END ${all.length}").mkString("\n").getBytes(UTF_8))
     finally out.close()
   }
 
@@ -1260,6 +1315,128 @@ object Snapshot {
     }
     // merge-on-read deletes apply to every read path, pruned or not
     readResolved(spark, root, byName, table, Some(filesPerSeg))
+  }
+
+  /** ALL parsed stat lines of a segment's sidecar as (file, col, type,
+    * lo, hi) — the raw form [[statsAgg]] folds; None when the segment
+    * has no (or a torn) sidecar. */
+  private def statsAllLines(fs: FileSystem, root: String,
+      rel: String): Option[Seq[(String, String, String, String, String)]] = {
+    val p = statsPath(root, rel)
+    if (!fs.exists(p)) return None
+    val text =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, UTF_8.name()).mkString
+        finally in.close()
+      } catch { case _: IOException => return None }
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != Header) return None
+    if (!lines.last.startsWith("END ")) return None
+    def dec(s: String): String = java.net.URLDecoder.decode(s, UTF_8.name())
+    Some(lines.tail.init.map(_.split("\t", -1)).collect {
+      case Array(f, c, t, lo, hi) => (dec(f), dec(c), t, dec(lo), dec(hi))
+    })
+  }
+
+  /** METADATA-ONLY aggregate: `COUNT(*)` plus `MIN`/`MAX` of `cols` for
+    * `table` (at `version`, or the head) answered entirely from the
+    * manifest and the per-segment stats sidecars — ZERO data files
+    * opened, O(segments) sidecar reads, driver-side folding of
+    * O(files × cols) recorded bounds. The lakehouse fast path (Iceberg
+    * and Delta answer these from snapshot metadata) that turns a 100 TB
+    * `SELECT count(*), max(ts)` freshness probe into milliseconds.
+    *
+    * Result: one row — `table_rows` BIGINT, then `min_<c>`, `max_<c>`
+    * typed as recorded at write. MIN/MAX ignore NULLs (SQL semantics:
+    * all-NULL files write no bounds line; a tracked column with no
+    * bounds anywhere yields NULL min/max, matching `MIN(col)` over an
+    * all-NULL column).
+    *
+    * Loud, never wrong: throws if the table carries merge-on-read
+    * tombstones (suppressed rows would make every stat a lie — fold
+    * with [[compactTable]] first), if any segment was committed without
+    * a count-bearing stats sidecar, or if a requested column was not in
+    * that commit's `statsCols` (untracked ≠ all-NULL — only the
+    * tracked-column manifest can tell them apart). */
+  def statsAgg(spark: SparkSession, root: String, table: String,
+      cols: Seq[String] = Seq.empty, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    requireCommittableName(table)
+    cols.foreach(c => require(!c.startsWith("~"),
+      s"snapshot statsAgg: bad column name '$c'"))
+    val byName = version.map(v => relsAt(spark, root, v))
+      .getOrElse(currentRels(spark, root))
+    val rel = byName.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"snapshot statsAgg: no table '$table' at $root (have: ${
+          byName.keys.toSeq.filterNot(isMetaKey).sorted.mkString(", ")})"))
+    require(!byName.contains(delKey(table)),
+      s"snapshot statsAgg: table '$table' carries merge-on-read tombstones — " +
+        "metadata stats would count suppressed rows; compactTable first")
+    val fs = fsOf(spark, root)
+    def cmp(t: String, a: String, b: String): Int = t match {
+      case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
+      case "float" | "double" => a.toDouble.compareTo(b.toDouble)
+      case _ => a.compareTo(b) // string, date (ISO): lexicographic
+    }
+    var totalRows = 0L
+    // col -> (type, lo, hi); None bounds = tracked but all-NULL so far
+    val folded = scala.collection.mutable.LinkedHashMap[String, (String, Option[(String, String)])]()
+    relDirs(rel).foreach { seg =>
+      val lines = statsAllLines(fs, root, seg).getOrElse(throw new IllegalStateException(
+        s"snapshot statsAgg: segment '$seg' of '$table' has no stats sidecar — " +
+          "commit with statsCols (or compactTable with them) to enable metadata aggregates"))
+      val segTotal = lines.collectFirst {
+        case (TotalKey, CountStat, _, lo, _) => lo.toLong
+      }.getOrElse(throw new IllegalStateException(
+        s"snapshot statsAgg: segment '$seg' of '$table' predates count-bearing " +
+          "sidecars — compactTable (or re-commit) to refresh its stats"))
+      totalRows += segTotal
+      val tracked = lines.collectFirst {
+        case (TotalKey, ColsStat, _, lo, _) => lo.split(',').filter(_.nonEmpty).toSet
+      }.getOrElse(Set.empty[String])
+      cols.foreach { c =>
+        require(tracked.contains(c),
+          s"snapshot statsAgg: column '$c' was not in segment '$seg''s statsCols — " +
+            "untracked columns have no recorded bounds")
+        lines.foreach {
+          case (f, `c`, t, lo, hi) if f != TotalKey =>
+            folded.get(c) match {
+              case None => folded(c) = (t, Some((lo, hi)))
+              case Some((t0, None)) =>
+                require(t0 == t, s"snapshot statsAgg: column '$c' type drifts ($t0 vs $t)")
+                folded(c) = (t, Some((lo, hi)))
+              case Some((t0, Some((lo0, hi0)))) =>
+                require(t0 == t, s"snapshot statsAgg: column '$c' type drifts ($t0 vs $t)")
+                folded(c) = (t,
+                  Some((if (cmp(t, lo, lo0) < 0) lo else lo0,
+                        if (cmp(t, hi, hi0) > 0) hi else hi0)))
+            }
+          case (_, `c`, t, _, _) => // segment-meta line for c: pin the type
+            if (!folded.contains(c)) folded(c) = (t, None)
+          case _ => ()
+        }
+        if (!folded.contains(c)) {
+          // tracked but no bounds line in any file yet: all-NULL column.
+          // Type comes from the segment schema (cheap sidecar read).
+          val t = segmentSchema(spark, root, seg).apply(c).dataType.simpleString
+          folded(c) = (t, None)
+        }
+      }
+    }
+    val outCols = lit(totalRows).as("table_rows") +: cols.map { c =>
+      folded(c) match {
+        case (t, Some((lo, _))) => lit(lo).cast(t).as(s"min_$c")
+        case (t, None) => lit(null).cast(t).as(s"min_$c")
+      }
+    } ++: cols.map { c =>
+      folded(c) match {
+        case (t, Some((_, hi))) => lit(hi).cast(t).as(s"max_$c")
+        case (t, None) => lit(null).cast(t).as(s"max_$c")
+      }
+    }
+    spark.range(1).select(outCols: _*)
   }
 
   /** The key tuples currently tombstone-SHADOWED for `table`: every key

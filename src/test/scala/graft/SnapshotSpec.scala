@@ -745,4 +745,126 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Snapshot.changesBetween(spark, root, "t", v1, v7).count())
   }
+
+  test("rollbackTo: O(1) restore — zero data IO, history preserved, life continues") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    val good = Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")))
+    // the bad epoch: corrupt append, erroneous delete, mistaken table
+    val vBad = Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((9L, "junk")).toDF("id", "v")))
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 1L, Seq("id"))
+    Snapshot.commit(spark, root, Map("oops" -> Seq((0L, "x")).toDF("id", "v")))
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[(String, Long, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq((f.getPath, f.length, f.lastModified))
+        else Nil
+      walk(new java.io.File(s"$root/data")).sortBy(_._1)
+    }
+    val before = dataFiles()
+    val restored = Snapshot.rollbackTo(spark, root, good)
+    // manifest-only: not one data file touched, added, or removed
+    assert(dataFiles() == before, "rollback touched data files")
+    // the head is exactly the good version's state
+    assert(restored > good)
+    assert(Snapshot.tables(spark, root).keySet == Set("t"))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 2L, 3L))
+    // history preserved: the bad epoch stays addressable until vacuum
+    assert(ids(Snapshot.readAt(spark, root, "t", vBad)) == Seq(1L, 2L, 3L, 9L))
+    // life continues on the restored state; re-deleting works (the bad
+    // tombstone state was dropped with the rollback, not merged)
+    Snapshot.commitAppend(spark, root, Map("t" -> Seq((4L, "d")).toDF("id", "v")))
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 2L, Seq("id"))
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 3L, 4L))
+    // the change feed across a rollback refuses loudly (segment list
+    // shrank — consumers re-seed, the compaction contract)
+    intercept[IllegalArgumentException](
+      Snapshot.changesBetween(spark, root, "t", good, restored + 1L).count())
+    // a branch version is not a restore point
+    val b = Snapshot.createBranch(spark, root, "audit")
+    intercept[IllegalArgumentException](Snapshot.rollbackTo(spark, root, b))
+    // neither is a version ahead of the head, or a missing one
+    intercept[IllegalArgumentException](Snapshot.rollbackTo(spark, root, 999L))
+    // vacuum after rollback keeps the head's (old!) segments alive
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    assert(ids(Snapshot.read(spark, root, "t")) == Seq(1L, 3L, 4L))
+  }
+
+  test("statsAgg: metadata-only count/min/max — answers with the data files gone") {
+    val root = freshRoot()
+    import org.apache.spark.sql.functions.col
+    val stats = Seq("id", "v")
+    Snapshot.commit(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      statsCols = Map("t" -> stats))
+    Snapshot.commitAppend(spark, root,
+      Map("t" -> Seq((7L, "z"), (5L, "m")).toDF("id", "v")),
+      statsCols = Map("t" -> stats))
+    val r = Snapshot.statsAgg(spark, root, "t", Seq("id", "v")).collect().head
+    assert(r.getLong(r.fieldIndex("table_rows")) == 4L)
+    assert(r.getLong(r.fieldIndex("min_id")) == 1L)
+    assert(r.getLong(r.fieldIndex("max_id")) == 7L)
+    assert(r.getString(r.fieldIndex("min_v")) == "a")
+    assert(r.getString(r.fieldIndex("max_v")) == "z")
+    // THE claim: zero data files opened. Destroy every parquet part
+    // file; the metadata answer is unchanged.
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$root/data"))
+      .filter(_.getName.startsWith("part-")).foreach(f => assert(f.delete()))
+    val r2 = Snapshot.statsAgg(spark, root, "t", Seq("id", "v")).collect().head
+    assert(r2.getLong(r2.fieldIndex("table_rows")) == 4L)
+    assert(r2.getLong(r2.fieldIndex("max_id")) == 7L)
+    // loud paths, never wrong answers:
+    // (1) untracked column
+    val ex1 = intercept[IllegalArgumentException](
+      Snapshot.statsAgg(spark, root, "t", Seq("nope")).collect())
+    assert(ex1.getMessage.contains("statsCols"))
+    // (2) a segment committed without stats
+    val root2 = freshRoot()
+    Snapshot.commit(spark, root2, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val ex2 = intercept[IllegalStateException](
+      Snapshot.statsAgg(spark, root2, "t").collect())
+    assert(ex2.getMessage.contains("no stats sidecar"))
+    // (3) merge-on-read tombstones make metadata stats a lie — refuse
+    val root3 = freshRoot()
+    Snapshot.commit(spark, root3,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v")),
+      statsCols = Map("t" -> stats))
+    Snapshot.deleteWhere(spark, root3, "t", col("id") === 2L, Seq("id"))
+    val ex3 = intercept[IllegalArgumentException](
+      Snapshot.statsAgg(spark, root3, "t").collect())
+    assert(ex3.getMessage.contains("tombstones"))
+    // ... and compaction (with statsCols) folds them physical: answers again
+    Snapshot.compactTable(spark, root3, "t", statsCols = stats)
+    val r3 = Snapshot.statsAgg(spark, root3, "t", Seq("id")).collect().head
+    assert(r3.getLong(r3.fieldIndex("table_rows")) == 1L)
+    assert(r3.getLong(r3.fieldIndex("max_id")) == 1L)
+    // (4) a count-less legacy sidecar (pre-upgrade format) throws
+    val root4 = freshRoot()
+    Snapshot.commit(spark, root4, Map("t" -> Seq((1L, "a")).toDF("id", "v")),
+      statsCols = Map("t" -> Seq("id")))
+    val segDir = new java.io.File(s"$root4/data/t").listFiles().filter(_.isDirectory).head
+    val sidecar = new java.io.File(segDir, "_graft_stats")
+    val legacy = Files.readAllLines(sidecar.toPath).toArray.map(_.toString)
+      .filterNot(_.contains("count")).filterNot(_.contains("cols"))
+    val kept = legacy.init :+ s"END ${legacy.length - 2}"
+    Files.write(sidecar.toPath, kept.mkString("\n").getBytes(UTF_8))
+    // drop the Hadoop LocalFileSystem checksum or the rewrite reads torn
+    new java.io.File(segDir, "._graft_stats.crc").delete()
+    val ex4 = intercept[IllegalStateException](
+      Snapshot.statsAgg(spark, root4, "t").collect())
+    assert(ex4.getMessage.contains("predates"))
+    // (5) a tracked but all-NULL column: NULL min/max, count still exact
+    val root5 = freshRoot()
+    Snapshot.commit(spark, root5,
+      Map("t" -> Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+        .toDF("id", "v")),
+      statsCols = Map("t" -> stats))
+    val r5 = Snapshot.statsAgg(spark, root5, "t", Seq("v")).collect().head
+    assert(r5.getLong(r5.fieldIndex("table_rows")) == 2L)
+    assert(r5.isNullAt(r5.fieldIndex("min_v")) && r5.isNullAt(r5.fieldIndex("max_v")))
+  }
 }
