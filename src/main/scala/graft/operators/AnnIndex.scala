@@ -194,7 +194,7 @@ object AnnIndex {
   /** The delta's handoff cursor, or a loud throw for a never-synced
     * delta root (no cursor to hand off — a guessed one would break the
     * exactly-once chain). Shared by every fold. */
-  private def foldCursor(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def foldCursor(spark: org.apache.spark.sql.SparkSession,
       deltaRoot: String, who: String): Long =
     graft.sources.Replica.cursor(spark, deltaRoot).getOrElse(
       throw new IllegalStateException(
@@ -205,7 +205,7 @@ object AnnIndex {
     * while the fold ran advanced the cursor, so the new base may hold
     * changes past the handoff version — fail loudly (the old pair is
     * still serving; re-run the fold). */
-  private def requireCursorStable(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def requireCursorStable(spark: org.apache.spark.sql.SparkSession,
       deltaRoot: String, expected: Long, who: String): Unit = {
     val now = graft.sources.Replica.cursor(spark, deltaRoot)
     if (!now.contains(expected))

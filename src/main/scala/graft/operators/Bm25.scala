@@ -34,13 +34,7 @@ object Bm25 {
     * frequency; `b` scales the length normalization. */
   def topK(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    // terms are matched against NORMALIZED tokens — an uppercase or
-    // punctuated term would silently never match
-    require(terms.forall(_.matches("[a-z0-9]+")),
-      s"terms must be normalized single tokens [a-z0-9]+: $terms")
-    require(k > 0, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
+    requireQuery(terms, k)
     val toks = df.select(col(idCol), Text.tokens(Text.normalize(col(textCol))).as("__t"))
       .withColumn("__dl", size(col("__t")).cast("long"))
     val withTf = terms.zipWithIndex.foldLeft(toks) { case (d, (t, i)) =>
@@ -51,7 +45,30 @@ object Bm25 {
       sum(col("__dl")).as("__sumdl") +:
         terms.indices.map(i =>
           sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i")): _*)
-    val joined = withTf.crossJoin(broadcast(stats))
+    rank(withTf, stats, idCol, terms.size, k, k1, b)
+  }
+
+  private[operators] def requireQuery(terms: Seq[String], k: Int): Unit = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    // terms are matched against NORMALIZED tokens — an uppercase or
+    // punctuated term would silently never match
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"terms must be normalized single tokens [a-z0-9]+: $terms")
+    require(k > 0, s"k must be positive, got $k")
+  }
+
+  /** The SCORING code path, shared verbatim by the in-query [[topK]]
+    * and the persisted-index serve ([[TextIndex.bm25ServeFrames]]) — one
+    * pinned operand order is what makes index serving hash-identical to
+    * the corpus-scan derivation. `hits`: one row per candidate doc with
+    * `__dl` and `__tf0..__tf(n-1)`; `stats`: ONE row with `__N`,
+    * `__sumdl`, `__df0..__df(n-1)` — broadcast over the candidates.
+    * Docs with no query-term hit are filtered (their tf sum is 0 — or
+    * NULL for NULL-text docs, which the predicate also drops). */
+  private[operators] def rank(hits: DataFrame, stats: DataFrame,
+      idCol: String, nTerms: Int, k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = hits.crossJoin(broadcast(stats))
     val avgdl = col("__sumdl").cast("double") / col("__N").cast("double")
     def idfQ(i: Int): Column =
       round(lit(1e6) * log(lit(1.0) +
@@ -61,10 +78,10 @@ object Bm25 {
       (col(s"__tf$i").cast("double") * lit(k1 + 1.0)) /
         (col(s"__tf$i").cast("double") +
           lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("__dl").cast("double") / avgdl)))
-    val score = terms.indices
+    val score = (0 until nTerms)
       .map(i => idfQ(i).cast("double") * tfPart(i))
       .reduce(_ + _) / lit(1e6)
-    val anyHit = terms.indices.map(i => col(s"__tf$i")).reduce(_ + _) > 0
+    val anyHit = (0 until nTerms).map(i => col(s"__tf$i")).reduce(_ + _) > 0
     joined.filter(anyHit)
       .select(col(idCol), score.as("bm25"))
       .orderBy(col("bm25").desc, col(idCol))

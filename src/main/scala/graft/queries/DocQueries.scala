@@ -969,6 +969,144 @@ object DocQueries {
         "doc_id", "text", Bm25Terms, Bm25K)
       .orderBy("rank")
 
+  /** txt_bm25_persisted — the SAME BM25 retrieval served from a
+    * PERSISTED inverted index (graft.operators.TextIndex): tokenization
+    * and posting derivation happen once at build; the query statically
+    * prunes the postings scan to its terms' bucket directories, corpus
+    * stats (N, Σdl, per-term df) collapse into one broadcast row from
+    * the stored tables, and scoring runs through the IDENTICAL
+    * Bm25.rank code path — gated against the same oracle as doc_bm25:
+    * build-once-query-many must be hash-identical to the corpus-scan
+    * derivation. */
+  def txtBm25Persisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val path = Tables.scratchDir(spark, "txtidx", dir)
+    TextIndex.writeTextIndex(Tables.documents(spark, dir), "doc_id", "text", path)
+    TextIndex.bm25Serve(spark, path, "doc_id", Bm25Terms, Bm25K)
+      .orderBy("rank")
+  }
+
+  /** txt_bm25_incremental — INCREMENTAL text-index maintenance: the
+    * corpus arrives in two ingests (doc_id % 5 != 3, then the rest);
+    * the second APPENDS its postings and doc rows (O(batch) — the
+    * stored files are never read or rewritten, WarehouseSpec asserts
+    * it). Corpus stats derive live from the stored tables, so
+    * append-then-serve is gated against the SAME full-corpus oracle as
+    * doc_bm25 — hash-identical to a full rebuild. */
+  def txtBm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val docs = Tables.documents(spark, dir)
+    val path = Tables.scratchDir(spark, "txtidxinc", dir)
+    TextIndex.writeTextIndex(docs.filter(col("doc_id") % 5 =!= 3),
+      "doc_id", "text", path)
+    TextIndex.appendTextIndex(docs.filter(col("doc_id") % 5 === 3),
+      "doc_id", "text", path)
+    TextIndex.bm25Serve(spark, path, "doc_id", Bm25Terms, Bm25K)
+      .orderBy("rank")
+  }
+
+  /** txt_bm25_follow — FOLLOWING text index over a MUTATING corpus
+    * (graft.operators.TextIndex.bm25ServeFollow + sources.Replica), the
+    * emb_knn_lsh_follow scenario for text: a snapshot corpus is
+    * committed, the base inverted index is built from that version,
+    * then the corpus lives on — a key-set is erased (%7==0 tombstones)
+    * and a batch row-level MERGEs in with CHANGED text (%5==3 inserts ∪
+    * %9==1 re-upserts, both carrying two extra 'vector' tokens —
+    * re-served stale base postings or missed re-tokenization shifts
+    * their tf AND every doc's length normalization). One exactly-once
+    * sync lands the delta; serve composes base-minus-touched ∪
+    * re-tokenized delta with corpus stats derived from the COMPOSED
+    * frames — gated against an oracle running BM25 over the corpus's
+    * final state directly. */
+  def txtBm25Follow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "txtfsrc", dir)
+    val delta = Tables.scratchDir(spark, "txtfdelta", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val buildV = Snapshot.commit(spark, corpus, Map("docs" ->
+      docs.filter(col("doc_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "txtfbase", dir)
+    TextIndex.writeTextIndex(Snapshot.read(spark, corpus, "docs"),
+      "doc_id", "text", basePath)
+    Snapshot.deleteWhere(spark, corpus, "docs",
+      col("doc_id") % 7 === 0, Seq("doc_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "docs",
+      docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 9 === 1)
+        .withColumn("text", concat(coalesce(col("text"), lit("")), lit(" vector vector"))),
+      Seq("doc_id"))
+    require(Replica.sync(spark, corpus, "docs", delta, "docs_delta",
+      Seq("doc_id"), initialCursor = buildV).isDefined,
+      "txt follow sync did not publish")
+    TextIndex.bm25ServeFollow(spark, basePath, delta, "docs_delta",
+        "doc_id", "text", Bm25Terms, Bm25K)
+      .orderBy("rank")
+  }
+
+  /** txt_bm25_compacted — the FOLD closing the text following-index
+    * lifecycle (graft.operators.TextIndex.compactTextFollow): runs the
+    * txt_bm25_follow scenario, FOLDS base+delta into a fresh frozen
+    * base (stored postings pass through untokenized, the corpus is
+    * never re-read), then the corpus keeps mutating — a second erasure
+    * (%11==0) and a second MERGE (%13==2, two extra 'join' tokens) land,
+    * a FRESH delta syncs seeded at the fold's handoff cursor, and the
+    * serve composes newBase+freshDelta — gated against an oracle running
+    * BM25 over the corpus's FINAL state. Green means the fold lost
+    * nothing, duplicated nothing, and handed the cursor off
+    * exactly-once. */
+  def txtBm25Compacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "txtcsrc", dir)
+    val delta1 = Tables.scratchDir(spark, "txtcd1", dir)
+    val delta2 = Tables.scratchDir(spark, "txtcd2", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta1, delta2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val buildV = Snapshot.commit(spark, corpus, Map("docs" ->
+      docs.filter(col("doc_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "txtcbase", dir)
+    TextIndex.writeTextIndex(Snapshot.read(spark, corpus, "docs"),
+      "doc_id", "text", basePath)
+    // wave 1 — identical to the follow gate
+    Snapshot.deleteWhere(spark, corpus, "docs",
+      col("doc_id") % 7 === 0, Seq("doc_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "docs",
+      docs.filter(col("doc_id") % 5 === 3 || col("doc_id") % 9 === 1)
+        .withColumn("text", concat(coalesce(col("text"), lit("")), lit(" vector vector"))),
+      Seq("doc_id"))
+    require(Replica.sync(spark, corpus, "docs", delta1, "docs_delta",
+      Seq("doc_id"), initialCursor = buildV).isDefined,
+      "txt compacted gate: wave-1 sync did not publish")
+    // the FOLD: base+delta1 → a fresh frozen base; cursor hands off
+    val base2 = Tables.scratchDir(spark, "txtcbase2", dir)
+    val cur = TextIndex.compactTextFollow(spark, basePath, delta1,
+      "docs_delta", "doc_id", "text", base2)
+    // wave 2 — the corpus keeps mutating past the fold
+    Snapshot.deleteWhere(spark, corpus, "docs",
+      col("doc_id") % 11 === 0, Seq("doc_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "docs",
+      docs.filter(col("doc_id") % 13 === 2)
+        .withColumn("text", concat(coalesce(col("text"), lit("")), lit(" join join"))),
+      Seq("doc_id"))
+    require(Replica.sync(spark, corpus, "docs", delta2, "docs_delta",
+      Seq("doc_id"), initialCursor = cur).isDefined,
+      "txt compacted gate: wave-2 sync did not publish")
+    TextIndex.bm25ServeFollow(spark, base2, delta2, "docs_delta",
+        "doc_id", "text", Bm25Terms, Bm25K)
+      .orderBy("rank")
+  }
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
@@ -1874,7 +2012,11 @@ object DocQueries {
     * one-row corpus stats, and the score expression written in the exact
     * operand order the Spark plan evaluates (idf quantized to 1e6 after
     * the ln, left-assoc term sum, single final divide). */
-  private val bm25Oracle: String = {
+  /** BM25 oracle over an arbitrary (doc_id, text) relation — the
+    * corpus-scan replay shared by doc_bm25 (`documents`) and the
+    * persisted/following text-index gates (the corpus's final state
+    * after the gate's mutations). */
+  private def bm25OracleOver(corpus: String): String = {
     val idx = Bm25Terms.indices
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
@@ -1891,7 +2033,7 @@ object DocQueries {
     // (idfq · tf·2.2)/denom — association changes the last ulp
     val score = idx.map(i => s"CAST(${idfQ(i)} AS DOUBLE) * (${tfPart(i)})").mkString(" + ")
     val anyHit = idx.map(i => s"tf$i").mkString(" + ")
-    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+    s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM $corpus),
        |tok AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
        |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
        |         $tfCols
@@ -1905,6 +2047,34 @@ object DocQueries {
        |        ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS "rank" FROM sc)
        |SELECT doc_id, bm25, "rank" FROM r WHERE "rank" <= $Bm25K ORDER BY "rank"""".stripMargin
   }
+
+  private val bm25Oracle: String = bm25OracleOver("documents")
+
+  /** Final corpus state of txt_bm25_follow: wave-1 survivors keep their
+    * text, the MERGE batch (%5==3 inserts ∪ %9==1 re-upserts, incl.
+    * resurrections of %7==0 erasures) carries two extra 'vector'
+    * tokens. */
+  private val bm25FollowOracle: String = bm25OracleOver(
+    """(SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 0 AND doc_id % 9 <> 1
+      |  UNION ALL
+      |  SELECT doc_id, coalesce(text, '') || ' vector vector' AS text
+      |  FROM documents WHERE doc_id % 5 = 3 OR doc_id % 9 = 1) c""".stripMargin)
+
+  /** Final corpus state of txt_bm25_compacted: wave-1 state minus the
+    * wave-2 erasure (%11==0) and the wave-2 batch's keys, union the
+    * wave-2 batch (%13==2, two extra 'join' tokens). */
+  private val bm25CompactedOracle: String = bm25OracleOver(
+    """(SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 0 AND doc_id % 9 <> 1
+      |    AND doc_id % 11 <> 0 AND doc_id % 13 <> 2
+      |  UNION ALL
+      |  SELECT doc_id, coalesce(text, '') || ' vector vector' AS text
+      |  FROM documents WHERE (doc_id % 5 = 3 OR doc_id % 9 = 1)
+      |    AND doc_id % 11 <> 0 AND doc_id % 13 <> 2
+      |  UNION ALL
+      |  SELECT doc_id, coalesce(text, '') || ' join join' AS text
+      |  FROM documents WHERE doc_id % 13 = 2) c""".stripMargin)
 
   /** LM-scoring oracle: same normalized token stream, same reference
     * vocab + one-row totals, NLL quantized to micro-nats on the vocab
@@ -2044,6 +2214,10 @@ object DocQueries {
     "doc_lm_score" -> lmScoreOracle,
     "doc_dsir" -> dsirOracle,
     "doc_bm25" -> bm25Oracle,
+    "txt_bm25_persisted" -> bm25Oracle, // identical ranking from the stored index
+    "txt_bm25_incremental" -> bm25Oracle, // append-then-serve == full rebuild
+    "txt_bm25_follow" -> bm25FollowOracle, // base+delta == rebuild on final state
+    "txt_bm25_compacted" -> bm25CompactedOracle, // fold + cursor handoff == final state
     "doc_curate" -> curateOracle,
     "doc_curate_v2" -> curateV2Oracle,
     "doc_curate_v3" -> curateV3Oracle,
@@ -2359,6 +2533,10 @@ object DocQueries {
     "doc_lm_score" -> docLmScore _,
     "doc_dsir" -> docDsir _,
     "doc_bm25" -> docBm25 _,
+    "txt_bm25_persisted" -> txtBm25Persisted _,
+    "txt_bm25_incremental" -> txtBm25Incremental _,
+    "txt_bm25_follow" -> txtBm25Follow _,
+    "txt_bm25_compacted" -> txtBm25Compacted _,
     "doc_curate" -> docCurate _,
     "doc_curate_v2" -> docCurateV2 _,
     "doc_curate_v3" -> docCurateV3 _,
