@@ -1107,6 +1107,40 @@ object DocQueries {
       .orderBy("rank")
   }
 
+  private val PrIters = 6
+  private val PrLinks = 3
+
+  /** doc_pagerank — link-graph centrality quality signal
+    * (graft.operators.Graph.pageRank): the PageRank prior web-scale
+    * curation attaches to documents (Common Crawl publishes host-graph
+    * centrality ranks; centrality is a standard pretraining quality
+    * signal). The link graph is derived deterministically — each doc
+    * links to 3 md5-addressed targets (self-loops dropped) — and 6
+    * exact-integer rounds run in micro-units: inflow = Σ rank div
+    * outdeg, next = 150000 + 850·inflow div 1000. No floats anywhere;
+    * the oracle unrolls the same 6 rounds as CTEs and must match
+    * bit-for-bit. Top-100 by rank (ties to the lowest doc_id) —
+    * a bounded TakeOrderedAndProject, never a full sort. */
+  def docPagerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curate, Graph}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val nDf = docs.agg(count(lit(1)).as("__n"))
+    val links = docs.crossJoin(broadcast(nDf))
+      .select(col("doc_id").as("src"),
+        explode(array((0 until PrLinks).map { j =>
+          (conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(s"~l$j")).cast("binary")), 1, 8), 16, 10).cast("long")
+            % col("__n")).as(s"__d$j")
+        }: _*)).as("dst"))
+      .filter(col("dst") =!= col("src"))
+    val pr = Graph.pageRank(links, docs, "doc_id", "src", "dst", PrIters)
+    val out = pr.orderBy(col("rank_micro").desc, col("doc_id")).limit(100)
+      .select(col("doc_id"), col("rank_micro"))
+    val materialized = out.localCheckpoint(true)
+    Curate.release(pr)
+    materialized
+  }
+
   // ---- oracle SQL ---------------------------------------------------
 
   /** Normalized text (Text.normalize): lowercase, keep [a-z0-9 ],
@@ -2050,6 +2084,32 @@ object DocQueries {
 
   private val bm25Oracle: String = bm25OracleOver("documents")
 
+  /** PageRank oracle: the same derived link graph and the same 6
+    * exact-integer rounds, unrolled as CTEs — floor `//` on positive
+    * BIGINTs is Spark's `div`, and the final CAST collapses DuckDB's
+    * HUGEINT sum promotion back to the engine's BIGINT. */
+  private val pagerankOracle: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT d.doc_id AS id,
+         |  CAST(150000 + (850 * COALESCE(SUM(r${i - 1}.r // ed.deg), 0)) // 1000 AS BIGINT) AS r
+         |  FROM documents d
+         |  LEFT JOIN ed ON ed.dst = d.doc_id
+         |  LEFT JOIN r${i - 1} ON r${i - 1}.id = ed.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |e0 AS (SELECT doc_id AS src,
+       |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~l' || CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % nn.n AS dst
+       |       FROM documents, range(0, $PrLinks) r(j), nn),
+       |e AS (SELECT src, dst FROM e0 WHERE dst <> src),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+       |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
+       |$rounds
+       |SELECT id AS doc_id, r AS rank_micro FROM r$PrIters
+       |ORDER BY rank_micro DESC, doc_id LIMIT 100""".stripMargin
+  }
+
   /** Final corpus state of txt_bm25_follow: wave-1 survivors keep their
     * text, the MERGE batch (%5==3 inserts ∪ %9==1 re-upserts, incl.
     * resurrections of %7==0 erasures) carries two extra 'vector'
@@ -2218,6 +2278,7 @@ object DocQueries {
     "txt_bm25_incremental" -> bm25Oracle, // append-then-serve == full rebuild
     "txt_bm25_follow" -> bm25FollowOracle, // base+delta == rebuild on final state
     "txt_bm25_compacted" -> bm25CompactedOracle, // fold + cursor handoff == final state
+    "doc_pagerank" -> pagerankOracle,
     "doc_curate" -> curateOracle,
     "doc_curate_v2" -> curateV2Oracle,
     "doc_curate_v3" -> curateV3Oracle,
@@ -2537,6 +2598,7 @@ object DocQueries {
     "txt_bm25_incremental" -> txtBm25Incremental _,
     "txt_bm25_follow" -> txtBm25Follow _,
     "txt_bm25_compacted" -> txtBm25Compacted _,
+    "doc_pagerank" -> docPagerank _,
     "doc_curate" -> docCurate _,
     "doc_curate_v2" -> docCurateV2 _,
     "doc_curate_v3" -> docCurateV3 _,
