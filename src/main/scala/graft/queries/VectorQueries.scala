@@ -513,6 +513,33 @@ object VectorQueries {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
+  /** hybrid_persisted — the hybrid-search SERVING story: the same RRF
+    * fusion with BOTH retrieval legs answered from persisted indexes
+    * and nothing else — no corpus scan, no tokenization, no
+    * quantization at query time. The keyword leg is BM25 top-20 from
+    * the inverted text index (graft.operators.TextIndex — the postings
+    * scan statically prunes to the query terms' buckets); the vector
+    * leg is LSH top-20 around probe vec_id=0 from the stored ANN index
+    * (graft.operators.AnnIndex — dynamically-pruned bucket scan).
+    * Fused by the identical 1/(60+rank) arithmetic as hybrid_search.
+    * This is what a deployed retrieval endpoint runs per request at
+    * 100 TB: two index probes and a 40-row fuse. */
+  def hybridPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{AnnIndex, TextIndex}
+    val tpath = Tables.scratchDir(spark, "hybtxt", dir)
+    TextIndex.writeTextIndex(Tables.documents(spark, dir), "doc_id", "text", tpath)
+    val kwTop = TextIndex.bm25Serve(spark, tpath, "doc_id", HybridTerms, 20)
+      .select("doc_id", "rank")
+    val vpath = Tables.scratchDir(spark, "hybann", dir)
+    AnnIndex.writeLshIndex(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      Planes, vpath)
+    val vecTop = AnnIndex.knnLshServe(spark.read.parquet(vpath), "vec_id",
+        col("vec_id") === 0, k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Ann.rrfFuse(kwTop, vecTop, "doc_id", k = 10)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
   private val KmeansK = 4
   private val KmeansIters = 2
 
@@ -1304,6 +1331,56 @@ object VectorQueries {
        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Persisted-hybrid oracle: BM25 top-20 (the doc_bm25 scoring formula
+    * with the hybrid terms) fused with the LSH-bucketed vector top-20
+    * around probe 0 — both legs replayed from the raw tables, matching
+    * the index-served composition bit-for-bit. */
+  private val hybridPersistedOracle: String = {
+    val terms = HybridTerms
+    val idx = terms.indices
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfCols = idx.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    def idfQ(i: Int) =
+      s"CAST(round(1000000.0 * ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))) AS BIGINT)"
+    def tfPart(i: Int) =
+      s"(CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / $avgdl)))"
+    val score = idx.map(i => s"CAST(${idfQ(i)} AS DOUBLE) * (${tfPart(i)})").mkString(" + ")
+    val anyHit = idx.map(i => s"tf$i").mkString(" + ")
+    s"""WITH $qCte,
+       |norm AS (SELECT doc_id, ${DocQueries.normSql} AS t FROM documents),
+       |tokl AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+       |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, $tfCols FROM tokl),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+       |         $dfCols FROM tf),
+       |sc AS (SELECT doc_id, ($score) / 1000000.0 AS bm25
+       |       FROM tf CROSS JOIN st WHERE $anyHit > 0),
+       |kwr AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+       |  FROM sc) WHERE r <= 20),
+       |b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |p AS (SELECT c.vec_id AS doc_id,
+       |        ${dotSql("a.qv", "c.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("c.qv", "c.qv")} AS nn
+       |      FROM b a JOIN b c ON a.bucket = c.bucket
+       |      WHERE a.vec_id = 0 AND c.vec_id <> 0),
+       |s AS (SELECT doc_id, $cosineSql AS cosine_sim FROM p),
+       |vr AS (SELECT doc_id, r FROM (
+       |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS r
+       |  FROM s) WHERE r <= 20),
+       |f AS (SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + k.r), CAST(0.0 AS DOUBLE)) +
+       |        COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r), CAST(0.0 AS DOUBLE)) AS rrf_score
+       |      FROM kwr k FULL OUTER JOIN vr v ON v.doc_id = k.doc_id)
+       |SELECT doc_id, rrf_score FROM f
+       |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Embedding cluster oracle: the emb_near_dup pair source closed with
     * a recursive reachability CTE, min reachable id per vector — the
     * same fixpoint the pointer-jump label propagation reaches. */
@@ -1335,6 +1412,7 @@ object VectorQueries {
     "emb_cluster_sample" -> clusterSampleOracle,
     "emb_mmr" -> mmrOracle,
     "hybrid_search" -> hybridOracle,
+    "hybrid_persisted" -> hybridPersistedOracle, // both legs from stored indexes
     "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
     "emb_knn_lsh" -> lshOracle,
@@ -1370,6 +1448,7 @@ object VectorQueries {
     "emb_cluster_sample" -> embClusterSample _,
     "emb_mmr" -> embMmr _,
     "hybrid_search" -> hybridSearch _,
+    "hybrid_persisted" -> hybridPersisted _,
     "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,
     "emb_knn_lsh" -> embKnnLsh _,
