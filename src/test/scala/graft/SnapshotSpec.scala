@@ -808,6 +808,11 @@ class SnapshotSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("max_id")) == 7L)
     assert(r.getString(r.fieldIndex("min_v")) == "a")
     assert(r.getString(r.fieldIndex("max_v")) == "z")
+    // time travel: version-pinned stats see that version's segments only
+    val v1 = 1L
+    val rAt = Snapshot.statsAgg(spark, root, "t", Seq("id"), Some(v1)).collect().head
+    assert(rAt.getLong(rAt.fieldIndex("table_rows")) == 2L)
+    assert(rAt.getLong(rAt.fieldIndex("max_id")) == 2L)
     // THE claim: zero data files opened. Destroy every parquet part
     // file; the metadata answer is unchanged.
     def walk(f: java.io.File): Seq[java.io.File] =
