@@ -70,28 +70,49 @@ object TextIndex {
     df.select(col(idCol), Text.tokens(Text.normalize(col(textCol))).as("__t"))
       .withColumn(DlCol, size(col("__t")).cast("long"))
 
-  /** Build and persist the index: postings at `path` partitioned by term
-    * bucket, the per-doc length table at `path + "_docs"`. Overwrite =
-    * rebuild; incremental growth is [[appendTextIndex]]. */
-  def writeTextIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    postingsRows(df, idCol, textCol)
-      .write.mode("overwrite").partitionBy(TbCol).parquet(path)
-    docRows(df, idCol, textCol).write.mode("overwrite").parquet(path + "_docs")
+  /** Postings + doc rows off ONE tokenized, checkpointed pass — the
+    * write paths would otherwise tokenize the corpus twice (once per
+    * stored table), doubling the dominant ingest cost at corpus scale.
+    * Runs `use` over the two frames, then frees the checkpoint. */
+  private def withIndexFrames[A](df: DataFrame, idCol: String, textCol: String)
+      (use: (DataFrame, DataFrame) => A): A = {
+    Seq(TermCol, TfCol, DlCol, TbCol).foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a column named the reserved index column '$c'") }
+    val tok = tokenized(df, idCol, textCol).localCheckpoint(true)
+    try {
+      val posts = tok
+        .select(col(idCol), col(DlCol), explode(col("__t")).as(TermCol))
+        .groupBy(col(idCol), col(DlCol), col(TermCol))
+        .agg(count(lit(1)).as(TfCol))
+        .withColumn(TbCol, pmod(xxhash64(col(TermCol)), lit(Buckets.toLong)))
+      use(posts, tok.select(col(idCol), col(DlCol)))
+    } finally NearDup.freeCheckpoint(tok)
   }
 
+  /** Build and persist the index: postings at `path` partitioned by term
+    * bucket, the per-doc length table at `path + "_docs"` — both derived
+    * from ONE tokenized pass over the corpus. Overwrite = rebuild;
+    * incremental growth is [[appendTextIndex]]. */
+  def writeTextIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    withIndexFrames(df, idCol, textCol) { (posts, docs) =>
+      posts.write.mode("overwrite").partitionBy(TbCol).parquet(path)
+      docs.write.mode("overwrite").parquet(path + "_docs")
+    }
+
   /** INCREMENTAL index maintenance: append a NEW batch's postings and
-    * doc rows. O(batch) — the job tokenizes the batch alone; the stored
-    * index is never read and its files never rewritten (asserted in
-    * WarehouseSpec). Serving derives corpus stats live, so
+    * doc rows (one tokenized pass over the batch). O(batch) — the
+    * stored index is never read and its files never rewritten (asserted
+    * in TextIndexSpec). Serving derives corpus stats live, so
     * serve-after-append is hash-identical to a full rebuild over the
     * union (the txt_bm25_incremental gate). */
   def appendTextIndex(batch: DataFrame, idCol: String, textCol: String,
-      path: String): Unit = {
-    postingsRows(batch, idCol, textCol)
-      .write.mode("append").partitionBy(TbCol).parquet(path)
-    docRows(batch, idCol, textCol).write.mode("append").parquet(path + "_docs")
-  }
+      path: String): Unit =
+    withIndexFrames(batch, idCol, textCol) { (posts, docs) =>
+      posts.write.mode("append").partitionBy(TbCol).parquet(path)
+      docs.write.mode("append").parquet(path + "_docs")
+    }
 
   /** Top-k BM25 served from the PERSISTED index: zero tokenization — the
     * query terms' bucket set prunes the postings scan to ≤ |terms|
@@ -180,12 +201,11 @@ object TextIndex {
       case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
       case None => liveKeys.distinct()
     }
-    val deltaPosts = postingsRows(live, idCol, textCol)
-      .select(basePosts.columns.map(col).toSeq: _*)
-      .localCheckpoint(true)
-    val deltaDocs = docRows(live, idCol, textCol)
-      .select(baseDocs.columns.map(col).toSeq: _*)
-      .localCheckpoint(true)
+    val (deltaPosts, deltaDocs) = withIndexFrames(live, idCol, textCol) {
+      (posts, docs) =>
+        (posts.select(basePosts.columns.map(col).toSeq: _*).localCheckpoint(true),
+          docs.select(baseDocs.columns.map(col).toSeq: _*).localCheckpoint(true))
+    }
     (basePosts.join(touched, Seq(idCol), "left_anti").unionByName(deltaPosts),
       baseDocs.join(touched, Seq(idCol), "left_anti").unionByName(deltaDocs),
       deltaPosts, deltaDocs)
