@@ -944,14 +944,21 @@ object Ann {
     sq8Search(enc, qdf, idCol, probePred, k, refine)
   }
 
-  /** Element-wise SQ8 code array: floor((v − vmin)·255 / span), 0 on a
-    * degenerate (constant) dimension. All values land in [0, 255]. */
+  /** Element-wise SQ8 code array: floor((v − vmin)·255 / span) CLAMPED
+    * to [0, 255], 0 on a degenerate (constant) dimension. The clamp is
+    * load-bearing for the FROZEN-param paths ([[AnnIndex.appendSq8Index]]
+    * and the follow mode): a later batch's component may fall outside
+    * the build-time [vmin, vmax], and an unclamped code would silently
+    * WRAP in the signed-byte storage (c − 128 overflows for c ∉
+    * [0, 255]) — the FAISS saturation semantics, a no-op whenever the
+    * quantizer trained on the encoded rows themselves. */
   private[operators] def sq8Encode(qv: Column, vmin: Column, vmax: Column): Column =
     zip_with(
       zip_with(qv, vmin, (v, l) => (v - l) * lit(255L)),
       zip_with(vmax, vmin, (h, l) => h - l), (num, s) =>
         when(s === 0, lit(0L))
-          .otherwise(floor(num.cast("double") / s.cast("double")).cast("long")))
+          .otherwise(greatest(lit(0L),
+            least(lit(255L), floor(num.cast("double") / s.cast("double")).cast("long")))))
 
   /** 255-SCALED reconstruction R_d = 255·vmin_d + code_d·(vmax_d −
     * vmin_d) — exact BIGINTs; ranking by probe·R equals ranking by the

@@ -618,6 +618,75 @@ object AnnIndex {
       .write.mode("append").parquet(path)
   }
 
+  /** SQ8 twin of [[knnLshServeFollow]] — base+delta serving for the
+    * compressed-scan index: the frozen parameters are the trained
+    * per-dim [vmin, vmax] (`basePath + "_params"`). The delta's live
+    * rows encode to byte codes through the SAME stored-param derivation
+    * as [[appendSq8Index]] (bit-identical codes), base code rows whose
+    * id the delta touched anti-join out, and the standard
+    * [[knnSq8Serve]] two-stage search runs over the union — the
+    * compressed side never re-encodes the corpus; `coll` (the corpus's
+    * CURRENT full-precision state, e.g. `Snapshot.read` of the source
+    * table) supplies probes and the exact-cosine refine rows, touched
+    * for O(probes·refine·k) rows only. Hash-identical to a full rebuild
+    * over the corpus's current state with the same params (the
+    * emb_knn_sq8_follow gate). */
+  def knnSq8ServeFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      coll: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, refine: Int): DataFrame = {
+    val (codes, params, _) = sq8FollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol)
+    knnSq8Serve(codes, params, coll, idCol, vecCol, probePred, k, refine)
+  }
+
+  /** The resolved code table of a following SQ8 index — base codes
+    * minus delta-touched ids, union the delta's live rows encoded
+    * through the frozen stored params. Shared by serve and fold (the
+    * [[lshFollowResolved]] discipline). Returns (codes, params,
+    * delta-checkpoint handle). */
+  private def sq8FollowResolved(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.Snapshot
+    val base = spark.read.parquet(basePath)
+    val params = spark.read.parquet(basePath + "_params")
+    val live = Snapshot.read(spark, deltaRoot, deltaTable)
+    val liveKeys = live.select(col(idCol))
+    val touched = Snapshot.shadowedKeys(spark, deltaRoot, deltaTable) match {
+      case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
+      case None => liveKeys.distinct()
+    }
+    val deltaCodes = sq8IndexRows(live, idCol, vecCol, params)
+      .select(base.columns.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    (base.join(touched, Seq(idCol), "left_anti").unionByName(deltaCodes),
+      params, deltaCodes)
+  }
+
+  /** FOLD a following SQ8 index's delta into a fresh frozen base at
+    * `newBasePath` — completes the base+delta lifecycle for the fourth
+    * vector index: writes the EXACT resolved code table the follow mode
+    * serves (stored byte codes pass through untouched, only the delta's
+    * live rows encode) plus the frozen params copied verbatim to
+    * `newBasePath + "_params"` (retraining would shift every stored
+    * code). Flat layout like any [[writeSq8Index]] base (the compressed
+    * scan consumes every row). O(base + delta). Same handoff-cursor
+    * contract and concurrency check as [[compactLshFollow]]. */
+  def compactSq8Follow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, newBasePath: String): Long = {
+    val cur = foldCursor(spark, deltaRoot, "compactSq8Follow")
+    val (codes, params, deltaCodes) = sq8FollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol)
+    try {
+      codes.write.mode("overwrite").parquet(newBasePath)
+      params.write.mode("overwrite").parquet(newBasePath + "_params")
+    } finally NearDup.freeCheckpoint(deltaCodes)
+    requireCursorStable(spark, deltaRoot, cur, "compactSq8Follow")
+    cur
+  }
+
   /** Top-k SQ8 search served from the PERSISTED byte codes: candidates
     * reconstruct in-row from code + stored params (255-scaled exact
     * integers), rank by the asymmetric surrogate, and the top refine·k

@@ -513,6 +513,95 @@ object VectorQueries {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
+  /** emb_knn_sq8_follow — FOLLOWING SQ8 index over a MUTATING corpus
+    * (graft.operators.AnnIndex.knnSq8ServeFollow), completing the
+    * base+delta story for the compressed-scan index: per-dim [vmin,
+    * vmax] freeze at build, the erase + MERGE wave lands, one
+    * exactly-once sync carries the delta, and the serve composes
+    * base-codes-minus-touched ∪ delta rows encoded through the FROZEN
+    * params — the corpus's current state supplies only probes and the
+    * O(probes·refine·k) exact-refine rows. Oracle: the SQ8 replay with
+    * params trained on the build slice and membership at the corpus's
+    * final state. */
+  def embKnnSq8Follow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "sq8fsrc", dir)
+    val delta = Tables.scratchDir(spark, "sq8fdelta", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "sq8fbase", dir)
+    AnnIndex.writeSq8Index(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", basePath)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined,
+      "sq8 follow sync did not publish")
+    AnnIndex.knnSq8ServeFollow(spark, basePath, delta, "emb_delta",
+        Snapshot.read(spark, corpus, "emb"), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K, Sq8Refine)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** emb_knn_sq8_compacted — the FOLD closing the SQ8 following-index
+    * lifecycle (graft.operators.AnnIndex.compactSq8Follow): wave-1
+    * erase/MERGE + sync, fold base+delta into a fresh frozen base
+    * (stored byte codes pass through, frozen params copied verbatim),
+    * wave-2 erase/MERGE, a FRESH delta seeded at the handoff cursor,
+    * serve newBase+freshDelta against the corpus's FINAL state. */
+  def embKnnSq8Compacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "sq8csrc", dir)
+    val delta1 = Tables.scratchDir(spark, "sq8cd1", dir)
+    val delta2 = Tables.scratchDir(spark, "sq8cd2", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta1, delta2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "sq8cbase", dir)
+    AnnIndex.writeSq8Index(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", basePath)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta1, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined,
+      "sq8 compacted gate: wave-1 sync did not publish")
+    val base2 = Tables.scratchDir(spark, "sq8cbase2", dir)
+    val cur = AnnIndex.compactSq8Follow(spark, basePath, delta1, "emb_delta",
+      "vec_id", "embedding", base2)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 13 === 2), Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta2, "emb_delta",
+      Seq("vec_id"), initialCursor = cur).isDefined,
+      "sq8 compacted gate: wave-2 sync did not publish")
+    AnnIndex.knnSq8ServeFollow(spark, base2, delta2, "emb_delta",
+        Snapshot.read(spark, corpus, "emb"), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K, Sq8Refine)
+      .orderBy("probe_id", "rank")
+  }
+
   /** hybrid_persisted — the hybrid-search SERVING story: the same RRF
     * fusion with BOTH retrieval legs answered from persisted indexes
     * and nothing else — no corpus scan, no tokenization, no
@@ -823,17 +912,27 @@ object VectorQueries {
     * floor(double-div) exactly in this range), the 255-scaled
     * reconstruction, the stage-1 surrogate ranking, and the exact-cosine
     * refine over the survivors. */
-  private val sq8Oracle: String = knnOracle(
-    s"""vd AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
-       |mm AS (SELECT i, MIN(qv[i]) AS vmin, MAX(qv[i]) AS vmax FROM vd GROUP BY i),
+  /** SQ8 oracle body, parameterized for the follow/fold lifecycle:
+    * `trainSrc` is the relation the per-dim [vmin, vmax] trained on
+    * (the whole collection for the in-query/persisted forms; the frozen
+    * BUILD slice for follow/compacted), `liveSrc` the collection being
+    * served (current membership). The code expression carries the
+    * engine's clamp (LEAST/GREATEST): a live component outside the
+    * trained range saturates instead of wrapping. */
+  private def sq8OracleFor(trainSrc: String, liveSrc: String): String = knnOracle(
+    s"""lv AS (SELECT vec_id, qv FROM $liveSrc),
+       |td AS (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM $trainSrc),
+       |mm AS (SELECT i, MIN(qv[i]) AS vmin, MAX(qv[i]) AS vmax FROM td GROUP BY i),
+       |vd AS (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM lv),
        |rv AS (SELECT vd.vec_id, vd.i,
        |         255 * mm.vmin + (CASE WHEN mm.vmax = mm.vmin THEN 0
-       |           ELSE ((vd.qv[vd.i] - mm.vmin) * 255) // (mm.vmax - mm.vmin) END)
+       |           ELSE LEAST(255, GREATEST(0,
+       |             ((vd.qv[vd.i] - mm.vmin) * 255) // (mm.vmax - mm.vmin))) END)
        |           * (mm.vmax - mm.vmin) AS r
        |       FROM vd JOIN mm USING (i)),
        |s1 AS (SELECT pr.vec_id AS probe_id, rv.vec_id AS neighbor_id,
        |         SUM(pr.qv[rv.i] * rv.r) AS s
-       |       FROM q pr JOIN rv ON rv.vec_id <> pr.vec_id
+       |       FROM lv pr JOIN rv ON rv.vec_id <> pr.vec_id
        |       WHERE pr.vec_id < $ProbeMax GROUP BY 1, 2),
        |c1 AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (
        |         PARTITION BY probe_id ORDER BY s DESC, neighbor_id) AS rr FROM s1),
@@ -841,9 +940,25 @@ object VectorQueries {
        |        ${dotSql("a.qv", "b.qv")} AS d,
        |        ${dotSql("a.qv", "a.qv")} AS pn,
        |        ${dotSql("b.qv", "b.qv")} AS nn
-       |      FROM c1 JOIN q a ON a.vec_id = c1.probe_id
-       |              JOIN q b ON b.vec_id = c1.neighbor_id
+       |      FROM c1 JOIN lv a ON a.vec_id = c1.probe_id
+       |              JOIN lv b ON b.vec_id = c1.neighbor_id
        |      WHERE c1.rr <= ${Sq8Refine * K})""".stripMargin)
+
+  private val sq8Oracle: String = sq8OracleFor("q", "q")
+
+  /** Follow: params frozen on the build slice (%5≠3), membership at the
+    * corpus's wave-1 final state. */
+  private val sq8FollowOracle: String = sq8OracleFor(
+    "(SELECT qv FROM q WHERE vec_id % 5 <> 3)",
+    "(SELECT vec_id, qv FROM q WHERE vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)")
+
+  /** Compacted: same frozen params, membership after BOTH waves. */
+  private val sq8CompactedOracle: String = sq8OracleFor(
+    "(SELECT qv FROM q WHERE vec_id % 5 <> 3)",
+    """(SELECT vec_id, qv FROM q
+      |   WHERE vec_id % 13 = 2
+      |      OR ((vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)
+      |          AND vec_id % 11 <> 0))""".stripMargin)
 
   private val nearDupOracle: String =
     s"""WITH $qCte,
@@ -1433,6 +1548,8 @@ object VectorQueries {
     "emb_knn_sq8" -> sq8Oracle,
     "emb_knn_sq8_persisted" -> sq8Oracle, // identical selection from stored bytes
     "emb_knn_sq8_incremental" -> sq8Oracle, // append-then-serve == one-shot build
+    "emb_knn_sq8_follow" -> sq8FollowOracle, // base+delta == rebuild on final state, frozen params
+    "emb_knn_sq8_compacted" -> sq8CompactedOracle, // fold + cursor handoff == final state
     "emb_near_dup" -> nearDupOracle,
     "emb_near_dup_banded" -> nearDupBandedOracle,
     "emb_near_dup_banded_scaled" -> nearDupBandedOracleFor(BandedPlanesScaled),
@@ -1469,6 +1586,8 @@ object VectorQueries {
     "emb_knn_sq8" -> embKnnSq8 _,
     "emb_knn_sq8_persisted" -> embKnnSq8Persisted _,
     "emb_knn_sq8_incremental" -> embKnnSq8Incremental _,
+    "emb_knn_sq8_follow" -> embKnnSq8Follow _,
+    "emb_knn_sq8_compacted" -> embKnnSq8Compacted _,
     "emb_near_dup" -> embNearDup _,
     "emb_near_dup_banded" -> embNearDupBanded _,
     "emb_near_dup_banded_scaled" -> embNearDupBandedScaled _,

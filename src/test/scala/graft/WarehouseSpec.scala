@@ -597,4 +597,58 @@ class WarehouseSpec extends SparkSpec {
         probes, "vec_id", "embedding", dim = 8, m = 2, k = 2)) == follow)
     } finally graft.operators.NearDup.freeCheckpoint(cbs)
   }
+
+  test("SQ8 follow serves frozen-param codes; the fold closes the lifecycle") {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val base = Files.createTempDirectory("graft-sq8follow").toString
+    val all = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 11 + j * 5) % 19).toFloat / 19f)))
+      .toDF("vec_id", "embedding")
+    val buildV = Snapshot.commit(spark, s"$base/corpus",
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    val atBuild = Snapshot.read(spark, s"$base/corpus", "emb")
+    AnnIndex.writeSq8Index(atBuild, "vec_id", "embedding", s"$base/idx")
+    Snapshot.deleteWhere(spark, s"$base/corpus", "emb",
+      col("vec_id") % 5 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, s"$base/corpus", "emb",
+      all.filter(col("vec_id") >= 48L || col("vec_id") % 9 === 1), Seq("vec_id"))
+    val synced = Replica.sync(spark, s"$base/corpus", "emb", s"$base/d1",
+      "emb_delta", Seq("vec_id"), initialCursor = buildV)
+    assert(synced.isDefined)
+    val live = Snapshot.read(spark, s"$base/corpus", "emb")
+    def serveRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val follow = serveRows(AnnIndex.knnSq8ServeFollow(spark, s"$base/idx",
+      s"$base/d1", "emb_delta", live, "vec_id", "embedding",
+      col("vec_id") < 3L, k = 2, refine = 2))
+    // follow == full rebuild over the live corpus with the SAME frozen
+    // params (writeSq8Index accepts a pre-trained frame)
+    val params = spark.read.parquet(s"$base/idx_params")
+    AnnIndex.writeSq8Index(live, "vec_id", "embedding", s"$base/full", params)
+    assert(follow == serveRows(AnnIndex.knnSq8Serve(
+      spark.read.parquet(s"$base/full"),
+      spark.read.parquet(s"$base/full_params"), live,
+      "vec_id", "embedding", col("vec_id") < 3L, k = 2, refine = 2)))
+    // the FOLD: codes == rebuild codes, params copied verbatim, cursor
+    // == the synced source version; serving the new base == follow
+    val cur = AnnIndex.compactSq8Follow(spark, s"$base/idx", s"$base/d1",
+      "emb_delta", "vec_id", "embedding", s"$base/idx2")
+    assert(cur == synced.get)
+    def codeRows(p: String) = spark.read.parquet(p)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(codeRows(s"$base/idx2") == codeRows(s"$base/full"))
+    def pRows(p: String) = spark.read.parquet(p)
+      .orderBy("dim_idx").collect().map(_.toSeq).toSeq
+    assert(pRows(s"$base/idx2_params") == pRows(s"$base/idx_params"))
+    assert(serveRows(AnnIndex.knnSq8Serve(spark.read.parquet(s"$base/idx2"),
+      spark.read.parquet(s"$base/idx2_params"), live,
+      "vec_id", "embedding", col("vec_id") < 3L, k = 2, refine = 2)) == follow)
+    // a never-synced delta has no cursor to hand off — loud throw
+    Snapshot.commit(spark, s"$base/nosync", Map("emb_delta" -> all.limit(1)))
+    val ex = intercept[IllegalStateException](
+      AnnIndex.compactSq8Follow(spark, s"$base/idx", s"$base/nosync",
+        "emb_delta", "vec_id", "embedding", s"$base/idx3"))
+    assert(ex.getMessage.contains("never synced"))
+  }
 }
