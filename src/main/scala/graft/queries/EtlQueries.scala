@@ -492,7 +492,56 @@ object EtlQueries {
       Seq("o_orderkey", "o_date", "o_orderstatus"))
   }
 
+  /** etl_zorder_box — Z-ORDER clustering + MULTI-DIM skipping gate
+    * (graft.sources.Cluster.clusteredCommit +
+    * graft.sources.Snapshot.readPrunedMulti): orders are committed
+    * Morton-clustered on (o_custkey, o_orderkey) into 16 files with
+    * per-file min/max sidecars, then a 2-D box (the bottom ~1/8 of each
+    * key domain) is read through the multi-predicate pruner — the layout
+    * where BOTH box sides prune files, vs a linear sort where only the
+    * leading column does (ClusterSpec measures the two layouts'
+    * survivor counts side by side). This gate pins the VALUE contract:
+    * skip-then-exact-filter returns precisely the box's rows. Bounds
+    * derive from the table's own min/max (one bounded 1-row aggregate),
+    * deterministic at any scale factor. */
+  def zorderBox(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{Cluster, Snapshot}
+    val root = Tables.scratchDir(spark, "snapzorder", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val b = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val (cLo, cHi) = (b.getLong(0), b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8L)
+    val (kLo, kHi) = (b.getLong(2), b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 8L)
+    Cluster.clusteredCommit(spark, root, "orders_z", o,
+      zCols = Seq("o_custkey", "o_orderkey"), files = 16)
+    Snapshot.readPrunedMulti(spark, root, "orders_z",
+      Seq(("o_custkey", cLo, cHi), ("o_orderkey", kLo, kHi)))
+      .filter(col("o_custkey").between(cLo, cHi) &&
+        col("o_orderkey").between(kLo, kHi))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_zorder_box" ->
+      """WITH b AS (
+        |  SELECT MIN(o_custkey) AS clo,
+        |         MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 8 AS chi,
+        |         MIN(o_orderkey) AS klo,
+        |         MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS khi
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders, b
+        |WHERE o_custkey BETWEEN clo AND chi AND o_orderkey BETWEEN klo AND khi
+        |ORDER BY 1""".stripMargin,
     "etl_rollback" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice
@@ -709,5 +758,6 @@ object EtlQueries {
     "etl_sync_replica" -> syncReplica _,
     "etl_rollback" -> rollbackRestore _,
     "etl_stats_agg" -> statsAggGate _,
+    "etl_zorder_box" -> zorderBox _,
   )
 }

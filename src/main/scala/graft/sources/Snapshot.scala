@@ -1286,7 +1286,21 @@ object Snapshot {
     * recorded no stats for `column` — pruning is an optimization, never
     * a correctness gate. */
   def readPruned(spark: SparkSession, root: String, table: String,
-      column: String, lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+      column: String, lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
+    readPrunedMulti(spark, root, table, Seq((column, lo, hi)), version)
+
+  /** Multi-predicate form of [[readPruned]]: keep only the files whose
+    * recorded [min, max] intersects EVERY `(column, lo, hi)` box side —
+    * per-file survivor sets intersect across predicates, so on a
+    * Z-clustered layout ([[Cluster.clusteredCommit]]) a 2-D box read
+    * touches O(box/file volume) files where a linearly-sorted layout
+    * prunes on the leading column only. Same soundness contract as
+    * [[readPruned]]: kept files may hold non-matching rows (apply the
+    * exact predicate on top), all-NULL files are skipped (no IS NULL
+    * probes), and a column with no recorded stats prunes nothing. */
+  def readPrunedMulti(spark: SparkSession, root: String, table: String,
+      preds: Seq[(String, Any, Any)], version: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "readPrunedMulti: need at least one predicate")
     requireCommittableName(table)
     val byName = version.map(v => relsAt(spark, root, v))
       .getOrElse(currentRels(spark, root))
@@ -1299,18 +1313,29 @@ object Snapshot {
       case "float" | "double" => a.toDouble.compareTo(b.toDouble)
       case _ => a.compareTo(b) // string, date (ISO): lexicographic
     }
-    val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
     // per SEGMENT: a stats sidecar prunes that segment's files; a
-    // segment without stats reads whole (soundness over savings)
+    // segment without stats reads whole (soundness over savings).
+    // None = "whole segment survives" (distinct from Some(all files):
+    // a later predicate can still prune a Some set file-by-file, but a
+    // statless segment must stay whole regardless of other predicates).
     val filesPerSeg = relDirs(rel).map { seg =>
       val segPath = new Path(root, seg).toString
-      fileStats(fs, root, seg, column) match {
+      val survivors = preds.foldLeft(Option.empty[Set[String]]) {
+        case (acc, (column, lo, hi)) =>
+          val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
+          fileStats(fs, root, seg, column) match {
+            case None => acc // no stats for this column → cannot prune here
+            case Some(stats) =>
+              val keep = stats.collect {
+                case (f, (t, mn, mx))
+                    if cmp(t, mx, loS) >= 0 && cmp(t, mn, hiS) <= 0 => f
+              }.toSet
+              Some(acc.fold(keep)(_ intersect keep))
+          }
+      }
+      survivors match {
         case None => Seq(segPath)
-        case Some(stats) =>
-          stats.collect {
-            case (f, (t, mn, mx)) if cmp(t, mx, loS) >= 0 && cmp(t, mn, hiS) <= 0 =>
-              s"$segPath/$f"
-          }.toSeq.sorted
+        case Some(keep) => keep.map(f => s"$segPath/$f").toSeq.sorted
       }
     }
     // merge-on-read deletes apply to every read path, pruned or not
