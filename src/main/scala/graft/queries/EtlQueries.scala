@@ -528,7 +528,124 @@ object EtlQueries {
       .orderBy("o_orderkey")
   }
 
+  /** etl_ivm_agg — RETRACTABLE incremental view maintenance gate
+    * (graft.operators.ViewMaintenance): a per-status (count, cent-sum)
+    * rollup is materialized once from the table's creation version and
+    * then kept current through an UPSERT (price changes + new rows) and
+    * a DELETE — each refresh folds only the version-step's SIGNED
+    * changes (feed inserts as +1, preimage rows of feed deletes as -1)
+    * into the state, O(changes) instead of the O(table) re-aggregation
+    * the insert-only etl_incremental_agg cannot avoid under updates.
+    * The oracle recomputes the final rollup from the mutation
+    * definitions; any missed retraction or double-fold shifts a sum. */
+  def ivmAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ViewMaintenance
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapivm", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val gk = Seq("o_orderstatus"); val ms = Seq("o_totalprice")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v1 = Snapshot.commit(spark, root,
+      Map("orders_iv" -> o.filter(col("o_orderkey") % 3 =!= 0)))
+    val state1 = IncrementalAgg.state(
+      Snapshot.readAt(spark, root, "orders_iv", v1), gk, ms)
+    // upsert: +500.00 on every %5 key already present, plus the %3 rows
+    val batch = o.filter(col("o_orderkey") % 3 =!= 0 && col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(500.0))
+      .unionByName(o.filter(col("o_orderkey") % 3 === 0))
+    val v2 = Snapshot.applyChanges(spark, root, "orders_iv", Seq("o_orderkey"),
+      upserts = Some(batch), deleteKeys = None)
+    val state2 = ViewMaintenance.applySigned(state1,
+      ViewMaintenance.signedState(
+        ViewMaintenance.signedStep(spark, root, "orders_iv", v1, v2,
+          Seq("o_orderkey")), gk, ms), gk, ms)
+    val v3 = Snapshot.deleteWhere(spark, root, "orders_iv",
+      col("o_orderkey") % 7 === 3, Seq("o_orderkey"))
+    ViewMaintenance.applySigned(state2,
+      ViewMaintenance.signedState(
+        ViewMaintenance.signedStep(spark, root, "orders_iv", v2, v3,
+          Seq("o_orderkey")), gk, ms), gk, ms)
+      .orderBy("o_orderstatus")
+  }
+
+  /** etl_ivm_join — incremental maintenance of a JOIN view
+    * (graft.operators.ViewMaintenance.signedJoinDelta): a per-status
+    * rollup over orders ⋈ lineitem is bootstrapped on partial data,
+    * then BOTH sides change at once — orders via a snapshot upsert
+    * (status rewrites + new keys, signed through the change feed's
+    * preimage join) and lineitem via an append batch — and the view
+    * refreshes with the bilinear delta rule Δ(A⋈B) = ΔA⋈B_new ∪
+    * A_old⋈ΔB: two delta-sized joins, never a re-join of the bodies.
+    * At 100 TB this is the difference between touching the changed
+    * orders' lines and re-shuffling two fact tables per refresh. The
+    * oracle recomputes the final join rollup from scratch. */
+  def ivmJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ViewMaintenance
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapivmj", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val gk = Seq("o_orderstatus"); val ms = Seq("l_extendedprice")
+    val a = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+    val bAll = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val a0 = a.filter(col("o_orderkey") % 4 =!= 1)
+    val b0 = bAll.filter(col("l_linenumber") <= 3)
+    val dB = bAll.filter(col("l_linenumber") > 3)
+    val v1 = Snapshot.commit(spark, root, Map("orders_ivj" -> a0))
+    val state0 = IncrementalAgg.state(a0.join(b0, Seq("o_orderkey")), gk, ms)
+    // ΔA: new %4==1 keys + a status rewrite of every %4==2 key
+    val batch = a.filter(col("o_orderkey") % 4 === 1)
+      .unionByName(a.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_orderstatus", lit("X")))
+    val v2 = Snapshot.applyChanges(spark, root, "orders_ivj", Seq("o_orderkey"),
+      upserts = Some(batch), deleteKeys = None)
+    val dA = ViewMaintenance.signedStep(spark, root, "orders_ivj", v1, v2,
+      Seq("o_orderkey"))
+    val dBs = dB.withColumn(ViewMaintenance.SignCol, lit(1))
+    val dJoin = ViewMaintenance.signedJoinDelta(
+      dA, bNew = b0.unionByName(dB), aOld = a0, dB = dBs,
+      joinKeys = Seq("o_orderkey"))
+    ViewMaintenance.applySigned(state0,
+      ViewMaintenance.signedState(dJoin, gk, ms), gk, ms)
+      .orderBy("o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_ivm_agg" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS o_totalprice_cents
+        |FROM final WHERE o_orderkey % 7 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_ivm_join" ->
+      """WITH a1 AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 4 = 2 THEN 'X' ELSE o_orderstatus END
+        |           AS o_orderstatus
+        |  FROM orders
+        |), b1 AS (
+        |  SELECT l_orderkey AS o_orderkey, l_extendedprice FROM lineitem
+        |)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS l_extendedprice_cents
+        |FROM a1 JOIN b1 USING (o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_zorder_box" ->
       """WITH b AS (
         |  SELECT MIN(o_custkey) AS clo,
@@ -759,5 +876,7 @@ object EtlQueries {
     "etl_rollback" -> rollbackRestore _,
     "etl_stats_agg" -> statsAggGate _,
     "etl_zorder_box" -> zorderBox _,
+    "etl_ivm_agg" -> ivmAgg _,
+    "etl_ivm_join" -> ivmJoin _,
   )
 }
