@@ -68,6 +68,39 @@ object VectorQueries {
         col("vec_id") < ProbeMax, K, Sq8Refine)
       .orderBy("probe_id", "rank")
 
+  /** emb_recall — ANN QUALITY EVALUATION gate: recall@K of each
+    * approximate index family (LSH buckets, IVF inverted lists, SQ8
+    * scalar quantization) measured against the exact brute-force top-K
+    * on the same probes — per method: probes answered, rows returned
+    * (an LSH bucket may underfill below K), and returned pairs that hit
+    * the exact top-K. This is the evaluation loop that has to run
+    * BEFORE any recall knob (planes/nProbe/refine) changes ships at
+    * 100 TB, expressed as one distributed query: the ground truth and
+    * the three candidates are the engine's own gated queries, the
+    * intersection is a semi-join on (probe, neighbor) — no collect, no
+    * python sidecar. The oracle recomputes all four rankings and the
+    * same tallies in SQL, so the MEASUREMENT itself is hash-gated, not
+    * just the rankings it consumes. */
+  def embRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = embKnnBrute(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val methods = Seq(
+      "ivf" -> embKnnIvf(spark, dir),
+      "lsh" -> embKnnLsh(spark, dir),
+      "sq8" -> embKnnSq8(spark, dir))
+    val m = methods.map { case (n, df) =>
+      df.select(lit(n).as("method"), col("probe_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val hits = m.join(brute, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy("method").agg(count(lit(1)).as("n_hits"))
+    m.groupBy("method")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        count(lit(1)).as("n_returned"))
+      .join(hits, Seq("method"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("k", lit(K.toLong))
+      .orderBy("method")
+  }
+
   /** emb_knn_sq8_persisted — the SAME SQ8 search served from PERSISTED
     * byte codes + frozen params (graft.operators.AnnIndex): training
     * and encoding happen once at build; serving reconstructs in-row
@@ -946,6 +979,34 @@ object VectorQueries {
 
   private val sq8Oracle: String = sq8OracleFor("q", "q")
 
+  /** emb_recall oracle: the brute/lsh/ivf/sq8 oracles verbatim as
+    * nested subqueries (DuckDB scopes each one's WITH locally), then
+    * the same tallies the Spark plan computes — so a drift in ANY of
+    * the four rankings or in the measurement arithmetic goes red. */
+  private lazy val recallOracle: String = {
+    def sub(name: String, sql: String) =
+      s"$name AS (SELECT probe_id, neighbor_id FROM (\n$sql\n))"
+    s"""WITH ${sub("brute", bruteOracle)},
+       |${sub("lshq", lshOracle)},
+       |${sub("ivfq", ivfOracle)},
+       |${sub("sq8q", sq8Oracle)},
+       |m AS (SELECT 'ivf' AS method, probe_id, neighbor_id FROM ivfq
+       |      UNION ALL SELECT 'lsh', probe_id, neighbor_id FROM lshq
+       |      UNION ALL SELECT 'sq8', probe_id, neighbor_id FROM sq8q),
+       |h AS (SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |      FROM m JOIN brute b
+       |        ON b.probe_id = m.probe_id AND b.neighbor_id = m.neighbor_id
+       |      GROUP BY 1),
+       |t AS (SELECT method, CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes,
+       |             CAST(COUNT(*) AS BIGINT) AS n_returned
+       |      FROM m GROUP BY 1)
+       |SELECT t.method, t.n_probes, t.n_returned,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST($K AS BIGINT) AS k
+       |FROM t LEFT JOIN h ON h.method = t.method
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Follow: params frozen on the build slice (%5≠3), membership at the
     * corpus's wave-1 final state. */
   private val sq8FollowOracle: String = sq8OracleFor(
@@ -1530,6 +1591,7 @@ object VectorQueries {
     "hybrid_persisted" -> hybridPersistedOracle, // both legs from stored indexes
     "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
+    "emb_recall" -> recallOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
     "emb_knn_lsh_persisted" -> lshOracle, // identical selection from the stored index
@@ -1568,6 +1630,7 @@ object VectorQueries {
     "hybrid_persisted" -> hybridPersisted _,
     "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,
+    "emb_recall" -> embRecall _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,
     "emb_knn_lsh_persisted" -> embKnnLshPersisted _,
