@@ -228,7 +228,98 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** events_paths — top user-journey prefixes: each user's first 5
+    * events (by ts, event_id — a total order, so the path string is
+    * deterministic) joined into an `a>b>c` path, counted across users,
+    * top 20. The per-user prefix is bounded BEFORE the fold (row_number
+    * ≤ 5 over the user window, then collect_list of ≤5 structs), so a
+    * hot user costs 5 rows in the aggregate, never an unbounded
+    * in-memory array — and the window's hash partitioning on user_id is
+    * reused by the groupBy (one shuffle end to end). The path family
+    * (markov funnels, drop-off analysis) is the event-analytics staple
+    * the funnel/retention/attribution gates don't cover: it preserves
+    * ORDER within the journey. */
+  def eventsPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("steps"))
+      .select(array_join(expr("transform(steps, x -> x.event_type)"), ">")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path")).limit(20)
+  }
+
+  /** events_gapfill — DENSIFIED per-type hourly series: the hourly
+    * rollup left-joined onto the full (hour × type) grid so silent
+    * hours surface as explicit zeros — what every downstream
+    * forecaster/alerter needs (a missing row and a zero row are
+    * different facts). The grid derives from ONE bounded 1-row
+    * min/max aggregate exploded into a sequence — O(hours) rows
+    * (wall-clock-bounded: a decade is ~88k rows) crossed with the
+    * distinct types (broadcast), never a row-driven blowup; the fact
+    * side stays one partial+final hash aggregate. */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"), col("value"))
+    val agg = e.groupBy("hour_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    val hours = e.agg(min(col("hour_start")).as("t0"), max(col("hour_start")).as("t1"))
+      .select(explode(expr("sequence(t0, t1, interval 1 hour)")).as("hour_start"))
+    val types = e.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(agg, Seq("hour_start", "event_type"), "left")
+      .select(col("hour_start"), col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("value_cents"), lit(0L)).as("value_cents"))
+      .orderBy("hour_start", "event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS rn
+        |  FROM e
+        |), p AS (
+        |  SELECT user_id,
+        |         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1
+        |)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "events_gapfill" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '1 hour',
+        |           make_timestamp(epoch_ns(ts) // 1000)) AS hour_start,
+        |         event_type, value
+        |  FROM events
+        |), a AS (
+        |  SELECT hour_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM e GROUP BY 1, 2
+        |), h AS (
+        |  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM (SELECT MIN(hour_start) AS t0, MAX(hour_start) AS t1 FROM e)
+        |), ty AS (SELECT DISTINCT event_type FROM e)
+        |SELECT h.hour_start, ty.event_type,
+        |       COALESCE(a.n_events, 0) AS n_events,
+        |       COALESCE(a.value_cents, 0) AS value_cents
+        |FROM h CROSS JOIN ty
+        |LEFT JOIN a ON a.hour_start = h.hour_start AND a.event_type = ty.event_type
+        |ORDER BY 1, 2""".stripMargin,
     "events_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_type, event_id, value,
@@ -426,5 +517,7 @@ object EventQueries {
     "events_asof_purchase" -> eventsAsofPurchase _,
     "events_purchase_window" -> eventsPurchaseWindow _,
     "events_attribution" -> eventsAttribution _,
+    "events_paths" -> eventsPaths _,
+    "events_gapfill" -> eventsGapfill _,
   )
 }
