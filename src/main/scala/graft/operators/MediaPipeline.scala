@@ -547,6 +547,82 @@ object MediaPipeline {
     })
   }
 
+  /** Header-parsed container facts: what a catalog/statistics pass can
+    * know about a blob WITHOUT decoding its payload. NULL-valued fields
+    * don't apply to the container (a WAV has no width). */
+  case class ContainerMeta(media_id: Long, container: String,
+      width: Option[Long], height: Option[Long], n_frames: Option[Long],
+      channels: Option[Long], sample_rate_hz: Option[Long])
+
+  /** HEADER-ONLY metadata peek: dispatch on the container's magic bytes
+    * and read dimensions/frame count/format facts from the declared
+    * structure — BMP's fixed 54-byte header, WAV's RIFF chunk walk,
+    * GIF's block walk (skipping payload sub-blocks BY THEIR LENGTH
+    * FIELDS, never decompressing a pixel). This is the other half of
+    * the decode story at 100 TB: profiling/validating a petabyte media
+    * column costs O(headers) when the decode stays untouched — the
+    * parquet reader already prunes the blob column to the bytes this
+    * touches, and nothing here allocates a frame buffer. Corrupt or
+    * unknown payloads fail LOUDLY (same contract as the decoders:
+    * silently-wrong metadata poisons every downstream filter). */
+  def containerMeta(media: Dataset[MediaRecord]): Dataset[ContainerMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseContainerMeta(r.media_id, r.bytes)))
+  }
+
+  private[graft] def parseContainerMeta(id: Long, bytes: Array[Byte]): ContainerMeta = {
+    require(bytes != null && bytes.length >= 14, s"media $id: blob too short for any header")
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Long = (u8(i) | (u8(i + 1) << 8)).toLong
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24))
+    def ascii(i: Int, n: Int) = new String(bytes, i, n, "US-ASCII")
+    if (bytes(0) == 'B' && bytes(1) == 'M') {
+      // BITMAPINFOHEADER: width @18, height @22 (negative = top-down)
+      ContainerMeta(id, "bmp", Some(le32(18)), Some(math.abs(le32(22).toInt).toLong),
+        Some(1L), None, None)
+    } else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
+      var off = 12; var ch = -1L; var sr = -1L; var dataSize = -1L
+      while (off + 8 <= bytes.length && (ch < 0 || dataSize < 0)) {
+        val tag = ascii(off, 4); val sz = le32(off + 4)
+        if (tag == "fmt ") { ch = le16(off + 10); sr = le32(off + 12) }
+        else if (tag == "data") dataSize = sz
+        off += 8 + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks
+      }
+      require(ch > 0 && sr > 0 && dataSize >= 0, s"media $id: malformed WAV header")
+      ContainerMeta(id, "wav", None, None, Some(dataSize / (2L * ch)), Some(ch), Some(sr))
+    } else if (ascii(0, 4) == "GIF8") {
+      val (w, h) = (le16(6), le16(8))
+      val packed = u8(10)
+      var off = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+      var frames = 0L
+      var done = false
+      def skipSubBlocks(): Unit = {
+        while (u8(off) != 0) off += 1 + u8(off)
+        off += 1
+      }
+      while (!done) {
+        require(off < bytes.length, s"media $id: truncated GIF stream")
+        u8(off) match {
+          case 0x3B => done = true
+          case 0x21 => off += 2; skipSubBlocks() // extension: intro+label
+          case 0x2C =>
+            frames += 1
+            val lp = u8(off + 9)
+            off += 10 + (if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0)
+            off += 1 // LZW minimum code size
+            skipSubBlocks()
+          case b => throw new IllegalArgumentException(
+            s"media $id: unknown GIF block 0x${b.toHexString}")
+        }
+      }
+      ContainerMeta(id, "gif", Some(w), Some(h), Some(frames), None, None)
+    } else throw new IllegalArgumentException(
+      s"media $id: unknown container magic " +
+        bytes.take(4).map(b => f"${b & 0xff}%02x").mkString)
+  }
+
   /** Demo wiring on harness data: documents' text bytes as the opaque
     * payload (kind "text"), so the pipeline runs end-to-end without any
     * codec. */

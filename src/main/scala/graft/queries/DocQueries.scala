@@ -800,6 +800,73 @@ object DocQueries {
     * from the md5 hex pairs without ever seeing an image. Group mates
     * surface as low-Hamming pairs; cross-group band collisions are
     * generated and verified away — both populations gate. */
+  /** mm_media_meta — HEADER-ONLY metadata peek gate
+    * (graft.operators.MediaPipeline.containerMeta): every doc becomes
+    * one of the three real containers this module writes — BMP, WAV,
+    * GIF, dimensions/format varying per doc id — and the engine must
+    * recover width/height/frame-count/channels/sample-rate from the
+    * container HEADERS alone (RIFF chunk walk, GIF block walk skipping
+    * payload sub-blocks by length — no pixel or sample is ever
+    * decoded). The oracle states the same facts from the generation
+    * parameters, never seeing a byte: any mis-parsed offset, endian
+    * slip, or unskipped palette shifts a value. This is the catalog
+    * pass that lets a 100 TB media column be profiled at O(headers)
+    * cost while the blob bytes stay cold. */
+  def mmMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def fill(n: Int, seed: String): Array[Byte] = {
+        val out = new Array[Byte](n)
+        var off = 0; var k = 0
+        while (off < n) {
+          val dg = md.digest(s"$seed~$k".getBytes("UTF-8"))
+          val take = math.min(16, n - off)
+          System.arraycopy(dg, 0, out, off, take)
+          off += take; k += 1
+        }
+        out
+      }
+      it.map { id =>
+        (id % 3).toInt match {
+          case 0 =>
+            val w = 2 + (id % 7).toInt; val h = 2 + (id % 5).toInt
+            MediaPipeline.MediaRecord(id,
+              MediaPipeline.MediaMeta("image/bmp", w, h, 0, 0L),
+              MediaPipeline.encodeBmp(w, h, fill(w * h * 3, s"$id~m")))
+          case 1 =>
+            val ch = 1 + (id % 2).toInt
+            val sr = 8000 + (id % 4).toInt * 4000
+            val nf = 12 + (id % 6).toInt
+            val raw = fill(nf * ch * 2, s"$id~w")
+            val samples = new Array[Short](nf * ch)
+            var i = 0
+            while (i < samples.length) {
+              samples(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+              i += 1
+            }
+            MediaPipeline.MediaRecord(id,
+              MediaPipeline.MediaMeta("audio/wav", 0, 0, sr, nf.toLong),
+              MediaPipeline.encodeWav(sr, ch, samples))
+          case _ =>
+            val w = 2 + (id % 6).toInt; val h = 2 + (id % 4).toInt
+            val nf = 1 + (id % 5).toInt
+            val frames = (0 until nf).map(k => fill(w * h, s"$id~g$k"))
+            MediaPipeline.MediaRecord(id,
+              MediaPipeline.MediaMeta("video/gif", w, h, 0, 100L * nf),
+              MediaPipeline.encodeGif(w, h, frames))
+        }
+      }
+    }
+    MediaPipeline.containerMeta(media).toDF()
+      .select(col("media_id").as("doc_id"), col("container"),
+        col("width"), col("height"), col("n_frames"),
+        col("channels"), col("sample_rate_hz"))
+      .orderBy("doc_id")
+  }
+
   def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{MediaPipeline, NearDup}
@@ -2543,6 +2610,21 @@ object DocQueries {
         |       CAST(12 AS BIGINT) AS n_frames, sum_samples,
         |       CAST(sum_samples AS DOUBLE) / CAST(12 AS DOUBLE) AS mean_sample
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+    "mm_media_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'gif' END
+        |    AS container,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(2 + doc_id % 7 AS BIGINT)
+        |       WHEN doc_id % 3 = 2 THEN CAST(2 + doc_id % 6 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(2 + doc_id % 5 AS BIGINT)
+        |       WHEN doc_id % 3 = 2 THEN CAST(2 + doc_id % 4 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT)
+        |       WHEN doc_id % 3 = 1 THEN CAST(12 + doc_id % 6 AS BIGINT)
+        |       ELSE CAST(1 + doc_id % 5 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) END
+        |    AS sample_rate_hz
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_video_stats" ->
       """WITH b AS (
         |  SELECT doc_id, k, j,
@@ -2645,6 +2727,7 @@ object DocQueries {
     "mm_image_stats" -> mmImageStats _,
     "mm_audio_stats" -> mmAudioStats _,
     "mm_video_stats" -> mmVideoStats _,
+    "mm_media_meta" -> mmMediaMeta _,
     "mm_phash_pairs" -> mmPhashPairs _,
   )
 }

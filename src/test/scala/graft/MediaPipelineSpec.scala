@@ -247,6 +247,36 @@ class MediaPipelineSpec extends SparkSpec {
       MediaPipeline.videoFrameStats(bad).collect() }
   }
 
+  test("parseContainerMeta reads headers of all three containers without decoding") {
+    // BMP 3x2
+    val bmp = MediaPipeline.parseContainerMeta(1L,
+      MediaPipeline.encodeBmp(3, 2, new Array[Byte](18)))
+    assert(bmp == MediaPipeline.ContainerMeta(1L, "bmp",
+      Some(3L), Some(2L), Some(1L), None, None))
+    // WAV: 2 channels, 11025 Hz, 7 frames (14 interleaved samples)
+    val wav = MediaPipeline.parseContainerMeta(2L,
+      MediaPipeline.encodeWav(11025, 2, new Array[Short](14)))
+    assert(wav == MediaPipeline.ContainerMeta(2L, "wav",
+      None, None, Some(7L), Some(2L), Some(11025L)))
+    // GIF: 4x3, 3 frames — the writer emits a global palette and LZW
+    // sub-blocks the walker must skip by length, never decompress
+    val gif = MediaPipeline.parseContainerMeta(3L,
+      MediaPipeline.encodeGif(4, 3, Seq.fill(3)(new Array[Byte](12))))
+    assert(gif == MediaPipeline.ContainerMeta(3L, "gif",
+      Some(4L), Some(3L), Some(3L), None, None))
+  }
+
+  test("parseContainerMeta fails loudly on unknown or truncated payloads") {
+    intercept[IllegalArgumentException] {
+      MediaPipeline.parseContainerMeta(9L, "not a container at all".getBytes("UTF-8")) }
+    intercept[IllegalArgumentException] {
+      MediaPipeline.parseContainerMeta(9L, Array[Byte](1, 2, 3)) }
+    // a GIF cut mid-stream must throw, not return a frame count
+    val whole = MediaPipeline.encodeGif(4, 4, Seq.fill(2)(new Array[Byte](16)))
+    intercept[IllegalArgumentException] {
+      MediaPipeline.parseContainerMeta(9L, whole.dropRight(whole.length / 3)) }
+  }
+
   test("media parquet round-trip keeps the blob and struct columns") {
     val out = java.nio.file.Files.createTempDirectory("graft-media").toString + "/m"
     Seq(rec(1, "hello"), rec(2, "world")).toDS().write.parquet(out)
