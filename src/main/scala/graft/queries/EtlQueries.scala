@@ -616,7 +616,47 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_optimize — INCREMENTAL small-file OPTIMIZE gate
+    * (graft.sources.Snapshot.optimizeTable): micro-batch ingestion
+    * leaves one undersized segment per append; the optimize pass
+    * bin-packs ONLY those into a right-sized segment while segments
+    * already at target stay in the manifest byte-untouched
+    * (SnapshotSpec asserts the byte identity and the no-op repeat) —
+    * O(small bytes) maintenance where compactTable would pay O(table).
+    * This gate pins the VALUE contract across the rewrite: the
+    * optimized table aggregates exactly like the raw rows. */
+  def optimizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapopt", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Snapshot.commit(spark, root,
+      Map("orders_opt" -> o.filter(col("o_orderkey") % 4 =!= 0).repartition(4)))
+    (0L until 5L).foreach { k =>
+      Snapshot.commitAppend(spark, root, appends = Map("orders_opt" ->
+        o.filter(col("o_orderkey") % 4 === 0 && col("o_orderkey") % 5 === k)
+          .repartition(1)))
+    }
+    val before = Snapshot.read(spark, root, "orders_opt").inputFiles.length
+    Snapshot.optimizeTable(spark, root, "orders_opt", targetBytes = 1L << 20)
+    val after = Snapshot.read(spark, root, "orders_opt")
+    require(after.inputFiles.length < before,
+      s"optimize must shrink the file count ($before -> ${after.inputFiles.length})")
+    after.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_optimize" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_ivm_agg" ->
       """WITH final AS (
         |  SELECT o_orderkey, o_orderstatus,
@@ -878,5 +918,6 @@ object EtlQueries {
     "etl_zorder_box" -> zorderBox _,
     "etl_ivm_agg" -> ivmAgg _,
     "etl_ivm_join" -> ivmJoin _,
+    "etl_optimize" -> optimizeGate _,
   )
 }

@@ -733,6 +733,55 @@ object Snapshot {
       removals = Set(delKey(table)))
   }
 
+  /** INCREMENTAL small-file OPTIMIZE: bin-pack only the segments whose
+    * data is under `targetBytes` into one right-sized segment; segments
+    * already at target stay in the manifest BYTE-UNTOUCHED. A
+    * frequently-appended 100 TB table accumulates one small segment per
+    * micro-batch — [[compactTable]] would rewrite the whole body
+    * (O(table)) to fix what is an O(small files) problem; this is the
+    * scheduled maintenance pass that keeps scan parallelism sane at
+    * O(accumulated small bytes) cost. Returns the new version, or the
+    * current one untouched when fewer than two segments are undersized
+    * (nothing to pack). Refuses tables with live tombstone shadows —
+    * merge-on-read coverage is ordinal-scoped, and re-ordering segments
+    * under it would silently change which rows a shadow masks; fold
+    * deletes first ([[compactTable]]). Like every physical rewrite,
+    * this breaks [[changesBetween]] windows that span it — consume
+    * feeds before scheduling optimizes. */
+  def optimizeTable(spark: SparkSession, root: String, table: String,
+      targetBytes: Long, statsCols: Seq[String] = Seq.empty): Long = {
+    require(targetBytes > 0, "snapshot optimize: targetBytes must be positive")
+    val fs = fsOf(spark, root)
+    val base = current(fs, root)
+    val baseRels = base.map(_._2).getOrElse(Map.empty)
+    val rel = baseRels.getOrElse(table,
+      throw new IllegalArgumentException(s"snapshot optimize: no table '$table' at $root"))
+    require(!baseRels.contains(delKey(table)),
+      s"snapshot optimize: table '$table' has live tombstone shadows — " +
+        "fold deletes with compactTable before bin-packing segments")
+    def dataBytes(seg: String): Long =
+      fs.listStatus(new Path(root, seg)).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    val segs = relDirs(rel)
+    val (small, big) = segs.partition(dataBytes(_) < targetBytes)
+    if (small.size < 2) return base.map(_._1).getOrElse(0L)
+    // union the small segments at their sidecar schemas (NULL-backfill
+    // across evolution steps, same contract as the read path), then
+    // bin-pack into ceil(bytes/target) files
+    val smallBytes = small.map(dataBytes).sum
+    val files = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val parts = small.map { seg =>
+      spark.read.schema(mergedSchema(spark, root, seg))
+        .parquet(new Path(root, seg).toString)
+    }
+    val union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val packed = writeData(spark, root, table, union.repartition(files), statsCols)
+    commitManifest(fs, root, Map(table -> (big :+ packed).mkString(",")),
+      expectBase = Some(base.map(_._1).getOrElse(0L)))
+  }
+
   /** ROLLBACK: publish a NEW version whose contents are exactly those of
     * an earlier main-chain `version` — the bad-load undo every snapshot
     * store needs (Iceberg `rollback_to_snapshot`, Delta RESTORE). O(1):

@@ -872,4 +872,62 @@ class SnapshotSpec extends SparkSpec {
     assert(r5.getLong(r5.fieldIndex("table_rows")) == 2L)
     assert(r5.isNullAt(r5.fieldIndex("min_v")) && r5.isNullAt(r5.fieldIndex("max_v")))
   }
+
+  test("optimizeTable bin-packs small segments, keeps big ones byte-identical") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // one big segment (4 files x 250 rows) + 4 tiny appends (1 row each)
+    val vBig = Snapshot.commit(spark, root, Map("t" ->
+      spark.range(0, 1000).toDF("id").repartition(4)))
+    (1000L until 1004L).foreach { i =>
+      Snapshot.commitAppend(spark, root,
+        appends = Map("t" -> Seq(i).toDF("id").repartition(1)))
+    }
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[(String, Long, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.startsWith("part-")) Seq((f.getPath, f.length, f.lastModified))
+        else Nil
+      walk(new java.io.File(s"$root/data/t")).sortBy(_._1)
+    }
+    val before = dataFiles()
+    val filesBefore = Snapshot.read(spark, root, "t").inputFiles.length
+    // the big segment's files are well over 1 KiB; each tiny one is under
+    val vOpt = Snapshot.optimizeTable(spark, root, "t", targetBytes = 1024L)
+    assert(vOpt > vBig + 3, "optimize must commit a new version")
+    val after = Snapshot.read(spark, root, "t")
+    assert(after.count() == 1004L)
+    assert(after.inputFiles.length < filesBefore,
+      s"expected fewer than $filesBefore files, got ${after.inputFiles.length}")
+    // the big segment's files are still there, byte-for-byte
+    val kept = dataFiles().toSet
+    val bigFiles = before.filter(_._2 > 1024L)
+    assert(bigFiles.nonEmpty && bigFiles.forall(kept.contains),
+      "optimize rewrote a segment that was already at target size")
+    // time travel still reads the pre-optimize layout
+    assert(Snapshot.readAt(spark, root, "t", vBig).count() == 1000L)
+    // a second optimize is a no-op: one packed segment + the big one
+    assert(Snapshot.optimizeTable(spark, root, "t", 1024L) == vOpt)
+  }
+
+  test("optimizeTable refuses tombstoned tables and unions evolved schemas") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    Snapshot.commitAppend(spark, root, appends = Map("t" ->
+      Seq((2L, "b", 9L)).toDF("id", "v", "extra"))) // schema evolution
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 99L, Seq("id"))
+    val ex = intercept[IllegalArgumentException](
+      Snapshot.optimizeTable(spark, root, "t", 1L << 20))
+    assert(ex.getMessage.contains("tombstone"))
+    Snapshot.compactTable(spark, root, "t")
+    // now two segments again with distinct schemas -> packed under union
+    Snapshot.commitAppend(spark, root, appends = Map("t" ->
+      Seq((3L, "c")).toDF("id", "v")))
+    Snapshot.optimizeTable(spark, root, "t", 1L << 20)
+    val rows = Snapshot.read(spark, root, "t").orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(r => Option(r.get(r.fieldIndex("extra")))).toSeq ==
+      Seq(None, Some(9L), None))
+  }
 }
