@@ -305,7 +305,120 @@ object OlapQueries {
        |       CAST(MAX($c) AS VARCHAR) AS max_value
        |FROM t""".stripMargin
 
+  /** q29 — market-basket pair affinity: the 20 part pairs most often
+    * bought together, with the marginals (per-part order counts, total
+    * orders) that turn the counts into support/confidence/lift
+    * downstream. The self-join is bounded by construction — pairs
+    * explode per ORDER (≤ lines²/2 with single-digit lines per order),
+    * never across the corpus — and the marginals join AFTER the top-20
+    * cut, so they touch 20 rows. The canonical a<b orientation halves
+    * the pair space and makes the key deterministic. */
+  def q29BasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = l.as("a")
+      .join(l.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(desc("n_pair"), col("part_a"), col("part_b"))
+      .limit(20)
+    val freq = l.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_part"))
+    val tot = l.select(countDistinct(col("l_orderkey")).as("n_orders"))
+    pairs
+      .join(freq.select(col("l_partkey").as("part_a"), col("n_part").as("n_a")),
+        Seq("part_a"))
+      .join(freq.select(col("l_partkey").as("part_b"), col("n_part").as("n_b")),
+        Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        col("n_a"), col("n_b"), col("n_orders"))
+      .orderBy(desc("n_pair"), col("part_a"), col("part_b"))
+  }
+
+  /** q30 — RFM segmentation on a FIXED scoring grid: per customer,
+    * recency (days since last order vs the corpus max date), frequency
+    * and monetary cents, each bucketed by a business-constant CASE
+    * ladder. Deliberately NOT data-derived quantile scores: a global
+    * ntile is a one-partition window (the scale anti-pattern
+    * q18_value_quartiles documents on its bounded input), while a fixed
+    * grid is one partial+final aggregate per customer plus a broadcast
+    * 1-row max-date — embarrassingly parallel at any corpus size, and
+    * scores stay comparable across runs, which is what a marketing
+    * pipeline actually wants. */
+  def q30Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("o_date"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val maxd = o.select(max(col("o_date")).as("max_date"))
+    def ladder(c: Column, cuts: Seq[Long]): Column =
+      cuts.zipWithIndex.foldLeft(lit(1L)) { case (acc, (cut, i)) =>
+        when(c >= cut, lit((i + 2).toLong)).otherwise(acc)
+      }
+    o.groupBy(col("o_custkey"))
+      .agg(max(col("o_date")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency_days", datediff(col("max_date"), col("last_order")).cast("long"))
+      .withColumn("r_score",
+        when(col("recency_days") <= 30, lit(4L))
+          .when(col("recency_days") <= 90, lit(3L))
+          .when(col("recency_days") <= 365, lit(2L)).otherwise(lit(1L)))
+      .withColumn("f_score", ladder(col("frequency"), Seq(5L, 10L, 20L)))
+      .withColumn("m_score", ladder(col("monetary_cents"), Seq(10000000L, 30000000L, 100000000L)))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"))
+      .orderBy("o_custkey")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q29_basket_pairs" ->
+      """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM l a JOIN l b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |),
+        |top AS (SELECT * FROM p ORDER BY n_pair DESC, part_a, part_b LIMIT 20),
+        |f AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM l GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM l)
+        |SELECT top.part_a, top.part_b, top.n_pair,
+        |       fa.n_part AS n_a, fb.n_part AS n_b, t.n_orders
+        |FROM top
+        |JOIN f fa ON fa.l_partkey = top.part_a
+        |JOIN f fb ON fb.l_partkey = top.part_b
+        |CROSS JOIN t
+        |ORDER BY n_pair DESC, part_a, part_b""".stripMargin,
+    "q30_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), agg AS (
+        |  SELECT o_custkey, MAX(o_date) AS last_order,
+        |         CAST(COUNT(*) AS BIGINT) AS frequency,
+        |         CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY 1
+        |), m AS (SELECT MAX(o_date) AS max_date FROM o)
+        |SELECT o_custkey,
+        |       CAST(max_date - last_order AS BIGINT) AS recency_days,
+        |       frequency, monetary_cents,
+        |       CAST(CASE WHEN max_date - last_order <= 30 THEN 4
+        |            WHEN max_date - last_order <= 90 THEN 3
+        |            WHEN max_date - last_order <= 365 THEN 2
+        |            ELSE 1 END AS BIGINT) AS r_score,
+        |       CAST(CASE WHEN frequency >= 20 THEN 4 WHEN frequency >= 10 THEN 3
+        |            WHEN frequency >= 5 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+        |       CAST(CASE WHEN monetary_cents >= 100000000 THEN 4
+        |            WHEN monetary_cents >= 30000000 THEN 3
+        |            WHEN monetary_cents >= 10000000 THEN 2
+        |            ELSE 1 END AS BIGINT) AS m_score
+        |FROM agg CROSS JOIN m
+        |ORDER BY o_custkey""".stripMargin,
     "q28_hist_quantiles_by" -> {
       val width = "(CAST(mx - mn + 1 AS DOUBLE) / 32.0)"
       s"""WITH v AS (SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
@@ -540,6 +653,8 @@ object OlapQueries {
     "q26_hist_quantiles" -> q26HistQuantiles _,
     "q27_cms_freq" -> q27CmsFreq _,
     "q28_hist_quantiles_by" -> q28HistQuantilesBy _,
+    "q29_basket_pairs" -> q29BasketPairs _,
+    "q30_rfm" -> q30Rfm _,
     "q19_kmv_distinct" -> q19KmvDistinct _,
     "q20_profile_orders" -> q20ProfileOrders _,
     "q24_profile_sketched" -> q24ProfileSketched _,
