@@ -86,6 +86,55 @@ object ViewMaintenance {
     IncrementalAgg.merge(groupKeys, measures)(state, delta)
       .filter(col("n_rows") =!= 0L)
 
+  /** PERSISTED, cursor-driven refresh: keep `viewTable` — the grouped
+    * retractable state of `table` — current inside the same snapshot
+    * root. First call bootstraps the view from the table body (the one
+    * O(table) pass) and records the version it reflects; later calls
+    * walk only the main-history steps past the cursor, union their
+    * signed rows, fold ONCE into the stored view, and commit the new
+    * view + cursor atomically (one manifest). Replays are idempotent:
+    * a call that finds no table changes past its cursor commits
+    * nothing. This is the refresh loop [[graft.streaming.StreamOps
+    * .streamingIvm]] drives per micro-batch; O(changes + view groups)
+    * per call, the table body is never re-read after bootstrap. */
+  def advanceView(spark: SparkSession, root: String, table: String,
+      keys: Seq[String], groupKeys: Seq[String], measures: Seq[String],
+      viewTable: String = ""): Long = {
+    import spark.implicits._
+    val vt = if (viewTable.nonEmpty) viewTable else table + "_view"
+    val ct = vt + "_cursor"
+    val tables = Snapshot.tables(spark, root).keySet
+    val head = Snapshot.currentVersion(spark, root).getOrElse(0L)
+    if (!tables.contains(table)) return head // nothing to view yet
+    if (!tables.contains(vt))
+      return Snapshot.commit(spark, root, Map(
+        vt -> IncrementalAgg.state(
+          Snapshot.readAt(spark, root, table, head), groupKeys, measures),
+        ct -> Seq(head).toDF("version")))
+    val cur = Snapshot.read(spark, root, ct).head().getLong(0)
+    if (cur >= head) return head
+    val steps = Snapshot.mainVersionsBetween(spark, root, cur, head)
+    val signed = steps.foldLeft((cur, Option.empty[DataFrame])) {
+      case ((prev, acc), v) =>
+        val s = signedStep(spark, root, table, prev, v, keys)
+        (v, Some(acc.fold(s)(_ unionByName s)))
+    }._2
+    signed match {
+      case None => head // only branch commits in range
+      case Some(sd0) =>
+        // materialize once: the emptiness probe and the commit write must
+        // not re-derive the multi-step feed
+        val sd = sd0.localCheckpoint(true)
+        try {
+          if (sd.isEmpty) head // other tables moved; cursor stays, view valid
+          else Snapshot.commit(spark, root, Map(
+            vt -> applySigned(Snapshot.read(spark, root, vt),
+              signedState(sd, groupKeys, measures), groupKeys, measures),
+            ct -> Seq(head).toDF("version")))
+        } finally Curate.release(sd)
+    }
+  }
+
   /** Signed delta of A ⋈ B (equi-join on `joinKeys`) given signed ΔA,
     * the POST-step B, the PRE-step A, and signed ΔB:
     * Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB. Pair sign = the delta side's sign

@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   * Reference scope: the reference's physical hints are single-column
   * secondary indexes (`schema_sales_analytics.sql:72-73,93`); this is
   * the lakehouse-native generalization a plain-parquet store needs.
+  *
+  * Relation to [[Warehouse.writeZOrdered]]: that is the FREESTANDING
+  * parquet-dir form (approx-quantile codes for skew robustness, relying
+  * on parquet footer min/max at scan time). This module is the
+  * SNAPSHOT-TABLE form: exact shift-scaled codes (deterministic at any
+  * data distribution — no sketch in the write path), per-file min/max
+  * SIDECARS recorded at commit, and manifest-level multi-predicate
+  * pruning via [[Snapshot.readPrunedMulti]] — so the skipping survives
+  * appends, time travel, and merge-on-read deletes, which a bare
+  * parquet dir cannot offer. Heavily skewed domains cluster better
+  * under quantile codes; id-like and date-like columns (the common
+  * clustering keys) are near-uniform and shift codes keep the write
+  * sketch-free.
   */
 object Cluster {
 

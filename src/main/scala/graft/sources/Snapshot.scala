@@ -363,6 +363,19 @@ object Snapshot {
   /** Read one table as of `version` — how a pipeline pins its input
     * (reproducible ablations, audits, incremental-delta baselines)
     * while writers keep committing. */
+  /** The MAIN-history versions in (fromVersion, toVersion] — the step
+    * endpoints a change-feed consumer iterates one at a time when it
+    * needs per-step preimages (branch commits share the version
+    * sequence but are not main history and contribute no steps). Cost:
+    * O(versions in range) manifest reads, never data. */
+  def mainVersionsBetween(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): Seq[Long] = {
+    require(fromVersion >= 0L && fromVersion <= toVersion,
+      s"snapshot mainVersionsBetween: bad range [$fromVersion, $toVersion]")
+    ((fromVersion + 1L) to toVersion)
+      .filter(v => !relsAt(spark, root, v).contains(BranchKey))
+  }
+
   def readAt(spark: SparkSession, root: String, table: String, version: Long): DataFrame = {
     requireCommittableName(table)
     val byName = relsAt(spark, root, version)
@@ -737,9 +750,10 @@ object Snapshot {
     * data is under `targetBytes` into one right-sized segment; segments
     * already at target stay in the manifest BYTE-UNTOUCHED. A
     * frequently-appended 100 TB table accumulates one small segment per
-    * micro-batch — [[compactTable]] would rewrite the whole body
-    * (O(table)) to fix what is an O(small files) problem; this is the
-    * scheduled maintenance pass that keeps scan parallelism sane at
+    * micro-batch — [[compactTable]] (and the freestanding-dir
+    * [[Warehouse.compact]]) would rewrite the whole body (O(table)) to
+    * fix what is an O(small files) problem; this is the scheduled
+    * maintenance pass that keeps scan parallelism sane at
     * O(accumulated small bytes) cost. Returns the new version, or the
     * current one untouched when fewer than two segments are undersized
     * (nothing to pack). Refuses tables with live tombstone shadows —

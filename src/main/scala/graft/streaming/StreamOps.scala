@@ -140,6 +140,41 @@ object StreamOps {
     true
   }
 
+  /** STREAMING incremental view maintenance: each micro-batch lands in
+    * the base table exactly-once ([[upsertBatchMorExactlyOnce]] — a
+    * replayed batch skips), then the persisted aggregate view advances
+    * over the table's change feed from its own cursor
+    * ([[graft.operators.ViewMaintenance.advanceView]] — itself
+    * idempotent: no changes past the cursor, no commit). Two idempotent
+    * commits per micro-batch, so at-least-once foreachBatch delivery
+    * cannot double-count a batch into the view — the streaming shape of
+    * the etl_ivm_agg gate, keeping a dashboard rollup current under a
+    * CDC stream for O(batch + view groups) per micro-batch. */
+  def streamingIvm(events: DataFrame, root: String, table: String,
+      keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      groupKeys: Seq[String], measures: Seq[String],
+      appId: String = "default")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      ivmBatchExactlyOnce(batch, batchId, root, table, keys, ord,
+        groupKeys, measures, appId)
+      ()
+    }
+
+  /** One micro-batch of [[streamingIvm]] — public so replay semantics
+    * are directly testable. Returns true if the batch published (false
+    * = replay skip; the view advance still runs and no-ops on its own
+    * cursor). */
+  def ivmBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
+      table: String, keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      groupKeys: Seq[String], measures: Seq[String],
+      appId: String = "default"): Boolean = {
+    val landed = upsertBatchMorExactlyOnce(batch, batchId, root, table, keys, ord, appId)
+    graft.operators.ViewMaintenance.advanceView(batch.sparkSession, root,
+      table, keys, groupKeys, measures)
+    landed
+  }
+
   /** STREAMING end-to-end curation: each micro-batch lands in the raw
     * corpus table exactly-once ([[upsertBatchMorExactlyOnce]] — a
     * replayed batch skips), then the frozen-model incremental curator
