@@ -651,7 +651,61 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_scd2 — TYPE-2 slowly-changing-dimension gate
+    * (graft.operators.Scd): a per-customer status dimension is built
+    * from the pre-1995 order events, then the 1995+ events apply as an
+    * incremental batch — delta-scoped version-chain rebuilds (only
+    * batch keys re-window; untouched history passes through) with
+    * consecutive no-change suppression. The oracle builds the SAME
+    * history from scratch in one pass, so the gate pins the composition
+    * law: incremental apply == from-scratch build, bit for bit —
+    * including validity ranges that SPAN the batch boundary. */
+  def scd2Gate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Scd
+    val perDay = Window.partitionBy("cust_key", "valid_from")
+      .orderBy(desc("o_orderkey"))
+    val e = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust_key"),
+        col("o_orderdate").cast("date").as("valid_from"),
+        col("o_orderstatus").as("status"), col("o_orderkey"))
+      .withColumn("__rn", row_number().over(perDay))
+      .filter(col("__rn") === 1)
+      .select("cust_key", "valid_from", "status")
+    val split = lit("1995-01-01").cast("date")
+    val hist = Scd.scd2Build(e.filter(col("valid_from") < split),
+      Seq("cust_key"), Seq("status"), "valid_from")
+    Scd.scd2Apply(hist, e.filter(col("valid_from") >= split),
+        Seq("cust_key"), Seq("status"), "valid_from")
+      .select(col("cust_key"), col("valid_from"), col("status"),
+        col("valid_to"), col("is_current"))
+      .orderBy("cust_key", "valid_from")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_scd2" ->
+      """WITH e0 AS (
+        |  SELECT o_custkey AS cust_key, CAST(o_orderdate AS DATE) AS valid_from,
+        |         o_orderstatus AS status,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+        |           ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders
+        |), e AS (SELECT cust_key, valid_from, status FROM e0 WHERE rn = 1),
+        |c AS (
+        |  SELECT *, LAG(status) OVER (PARTITION BY cust_key ORDER BY valid_from) AS prev,
+        |         LAG(valid_from) OVER (PARTITION BY cust_key ORDER BY valid_from) AS prev_from
+        |  FROM e
+        |), ch AS (
+        |  SELECT cust_key, valid_from, status FROM c
+        |  WHERE prev_from IS NULL OR status IS DISTINCT FROM prev
+        |), f AS (
+        |  SELECT cust_key, valid_from, status,
+        |         LEAD(valid_from) OVER (PARTITION BY cust_key ORDER BY valid_from) AS valid_to
+        |  FROM ch
+        |)
+        |SELECT cust_key, valid_from, status, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM f ORDER BY cust_key, valid_from""".stripMargin,
     "etl_optimize" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -919,5 +973,6 @@ object EtlQueries {
     "etl_ivm_agg" -> ivmAgg _,
     "etl_ivm_join" -> ivmJoin _,
     "etl_optimize" -> optimizeGate _,
+    "etl_scd2" -> scd2Gate _,
   )
 }
