@@ -682,7 +682,61 @@ object EtlQueries {
       .orderBy("cust_key", "valid_from")
   }
 
+  /** etl_clone — O(1) SHALLOW CLONE gate
+    * (graft.sources.Snapshot.cloneTable): orders are committed once,
+    * cloned with one manifest write (zero data IO — SnapshotSpec
+    * asserts both names resolve the same part files), then the clone
+    * alone is mutated: a delete wave and an append of +9999.00 price
+    * replicas. The gate reads BOTH sides into one frame; the oracle
+    * recomputes each side's expected rollup from the mutation
+    * definitions — any write leaking across the clone boundary (shared
+    * segments torn, shadow cross-talk) shifts a side's sums. */
+  def cloneGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapclone", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Snapshot.commit(spark, root, Map("orders_cl" -> o))
+    Snapshot.cloneTable(spark, root, "orders_cl", "orders_cl2")
+    // mutate ONLY the clone: erase %6==1, append a +9999.00 replica wave
+    Snapshot.deleteWhere(spark, root, "orders_cl2",
+      col("o_orderkey") % 6 === 1, Seq("o_orderkey"))
+    Snapshot.commitAppend(spark, root, appends = Map("orders_cl2" ->
+      o.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(9999.0))))
+    def side(t: String, label: String) =
+      Snapshot.read(spark, root, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+        .withColumn("side", lit(label))
+    side("orders_cl", "src").unionByName(side("orders_cl2", "clone"))
+      .select(col("side"), col("o_orderstatus"), col("n_orders"), col("cents_total"))
+      .orderBy("side", "o_orderstatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_clone" ->
+      """WITH src AS (
+        |  SELECT 'src' AS side, o_orderstatus, o_totalprice FROM orders
+        |), clone AS (
+        |  SELECT 'clone' AS side, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 6 <> 1
+        |  UNION ALL
+        |  -- deleteWhere tombstones suppress a key EVERYWHERE, including
+        |  -- later appends (re-insertion needs an upsert or a compaction
+        |  -- fold) — so the appended %6==1 replicas stay invisible
+        |  SELECT 'clone', o_orderstatus, o_totalprice + 9999.0
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 6 <> 1
+        |)
+        |SELECT side, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS cents_total
+        |FROM (SELECT * FROM src UNION ALL SELECT * FROM clone)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_scd2" ->
       """WITH e0 AS (
         |  SELECT o_custkey AS cust_key, CAST(o_orderdate AS DATE) AS valid_from,
@@ -974,5 +1028,6 @@ object EtlQueries {
     "etl_ivm_join" -> ivmJoin _,
     "etl_optimize" -> optimizeGate _,
     "etl_scd2" -> scd2Gate _,
+    "etl_clone" -> cloneGate _,
   )
 }

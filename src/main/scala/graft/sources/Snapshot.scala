@@ -746,6 +746,37 @@ object Snapshot {
       removals = Set(delKey(table)))
   }
 
+  /** O(1) SHALLOW CLONE: `dstTable` becomes a new table whose manifest
+    * entry references `srcTable`'s IMMUTABLE segments — one manifest
+    * write, zero data IO, however large the source (the Delta/Iceberg
+    * shallow-clone shape: dev copies of a 100 TB production table,
+    * what-if mutations, migration staging). The tombstone shadow is
+    * cloned too, so a merge-on-read state clones faithfully. The clone
+    * and the source then evolve INDEPENDENTLY — each append/upsert/
+    * delete touches its own manifest entry; segments stay shared until
+    * one side rewrites them, and [[vacuum]] keeps a shared segment
+    * alive while ANY retained manifest references it (the reference
+    * walk is entry-agnostic), so diverging clones never tear each
+    * other's data. Refuses an existing `dstTable` — clone is a create,
+    * not a merge. */
+  def cloneTable(spark: SparkSession, root: String, srcTable: String,
+      dstTable: String): Long = {
+    requireCommittableName(srcTable)
+    requireCommittableName(dstTable)
+    val fs = fsOf(spark, root)
+    val base = current(fs, root)
+    val rels = base.map(_._2).getOrElse(Map.empty)
+    val rel = rels.getOrElse(srcTable,
+      throw new IllegalArgumentException(
+        s"snapshot clone: no table '$srcTable' at $root"))
+    require(!rels.contains(dstTable),
+      s"snapshot clone: table '$dstTable' already exists at $root")
+    val updates = Map(dstTable -> rel) ++
+      rels.get(delKey(srcTable)).map(delKey(dstTable) -> _)
+    commitManifest(fs, root, updates,
+      expectBase = Some(base.map(_._1).getOrElse(0L)))
+  }
+
   /** INCREMENTAL small-file OPTIMIZE: bin-pack only the segments whose
     * data is under `targetBytes` into one right-sized segment; segments
     * already at target stay in the manifest BYTE-UNTOUCHED. A

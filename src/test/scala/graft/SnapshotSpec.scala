@@ -873,6 +873,40 @@ class SnapshotSpec extends SparkSpec {
     assert(r5.isNullAt(r5.fieldIndex("min_v")) && r5.isNullAt(r5.fieldIndex("max_v")))
   }
 
+  test("cloneTable is O(1) zero-copy and the sides evolve independently") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" ->
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")))
+    // a merge-on-read delete BEFORE the clone: the shadow must clone too
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 6L, Seq("id"))
+    def files(t: String) = Snapshot.read(spark, root, t).inputFiles.sorted.toSeq
+    val vClone = Snapshot.cloneTable(spark, root, "t", "t2")
+    assert(vClone > 0)
+    // zero-copy: both names resolve the same part files, same rows
+    assert(files("t2") == files("t"))
+    assert(Snapshot.read(spark, root, "t2").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // divergence: append + delete on the clone leave the source alone
+    Snapshot.commitAppend(spark, root, appends = Map("t2" ->
+      Seq((7L, "v7")).toDF("id", "v")))
+    Snapshot.deleteWhere(spark, root, "t2", col("id") === 1L, Seq("id"))
+    assert(Snapshot.read(spark, root, "t2").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L, 5L, 7L))
+    assert(Snapshot.read(spark, root, "t").orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // ...and mutating the source leaves the clone alone
+    Snapshot.deleteWhere(spark, root, "t", col("id") === 2L, Seq("id"))
+    assert(Snapshot.read(spark, root, "t2").filter(col("id") === 2L).count() == 1L)
+    // vacuum with history folded away keeps the SHARED segments alive
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    assert(Snapshot.read(spark, root, "t").count() == 4L)
+    assert(Snapshot.read(spark, root, "t2").count() == 5L)
+    // guards: missing source, existing destination
+    intercept[IllegalArgumentException](Snapshot.cloneTable(spark, root, "nope", "x"))
+    intercept[IllegalArgumentException](Snapshot.cloneTable(spark, root, "t", "t2"))
+  }
+
   test("optimizeTable bin-packs small segments, keeps big ones byte-identical") {
     import org.apache.spark.sql.functions.col
     val root = freshRoot()
