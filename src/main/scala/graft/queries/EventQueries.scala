@@ -283,7 +283,75 @@ object EventQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** events_attribution_weighted — MULTI-TOUCH credit assignment over
+    * the attribution join: every click in a purchase's 30-minute
+    * horizon gets LINEAR credit (equal split) and POSITION-BASED
+    * (U-shape) credit — 40%/40% to first/last touch, the middle 20%
+    * split across interior touches; solo touch takes all, a pair splits
+    * evenly. All credit arithmetic is EXACT integers (weights in parts-
+    * per-million, linear shares in value-micros via integer division)
+    * so the gate is bit-stable at any scale; the ranking window
+    * partitions by purchase — bounded by the horizon's touches, never a
+    * global sort. Last-touch/first-touch models fall out as
+    * touch_rank = n/1 filters downstream. */
+  def eventsAttributionWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val byPurchase = Window.partitionBy("purchase_id")
+    val ranked = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    graft.streaming.StreamOps.attributePurchases(clicks, purchases)
+      .withColumn("touch_rank", row_number().over(ranked).cast("long"))
+      .withColumn("n_touches", count(lit(1)).over(byPurchase))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("u_ppm",
+        when(col("n_touches") === 1, lit(1000000L))
+          .when(col("n_touches") === 2, lit(500000L))
+          .when(col("touch_rank") === 1 || col("touch_rank") === col("n_touches"),
+            lit(400000L))
+          .otherwise(expr("200000L div (n_touches - 2)")))
+      .withColumn("linear_micros", expr("(cents * 1000000L) div n_touches"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("n_touches"), col("touch_rank"), col("cents"),
+        col("u_ppm"), col("linear_micros"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_attribution_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |         make_timestamp(epoch_ns(ts) // 1000) AS ts
+        |  FROM events WHERE user_id IS NOT NULL
+        |), c AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id FROM e
+        |  WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value FROM e
+        |  WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT p.user_id, p.purchase_id, c.click_id, c.click_ts, p.value
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.click_ts <= p.purchase_ts
+        |    AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+        |), r AS (
+        |  SELECT *,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY purchase_id
+        |      ORDER BY click_ts, click_id) AS BIGINT) AS touch_rank,
+        |    CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM j
+        |)
+        |SELECT user_id, purchase_id, click_id, n_touches, touch_rank, cents,
+        |  CAST(CASE WHEN n_touches = 1 THEN 1000000
+        |            WHEN n_touches = 2 THEN 500000
+        |            WHEN touch_rank = 1 OR touch_rank = n_touches THEN 400000
+        |            ELSE 200000 // (n_touches - 2) END AS BIGINT) AS u_ppm,
+        |  (cents * 1000000) // n_touches AS linear_micros
+        |FROM r ORDER BY user_id, purchase_id, click_id""".stripMargin,
     "events_paths" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
@@ -519,5 +587,6 @@ object EventQueries {
     "events_attribution" -> eventsAttribution _,
     "events_paths" -> eventsPaths _,
     "events_gapfill" -> eventsGapfill _,
+    "events_attribution_weighted" -> eventsAttributionWeighted _,
   )
 }
