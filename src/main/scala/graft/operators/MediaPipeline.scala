@@ -586,6 +586,9 @@ object MediaPipeline {
       var off = 12; var ch = -1L; var sr = -1L; var dataSize = -1L
       while (off + 8 <= bytes.length && (ch < 0 || dataSize < 0)) {
         val tag = ascii(off, 4); val sz = le32(off + 4)
+        // a declared chunk size past the payload is corruption — stop
+        // LOUDLY rather than walking off (or wrapping Int) into a loop
+        require(sz <= bytes.length.toLong, s"media $id: RIFF chunk '$tag' declares $sz bytes")
         if (tag == "fmt ") { ch = le16(off + 10); sr = le32(off + 12) }
         else if (tag == "data") dataSize = sz
         off += 8 + sz.toInt + (sz.toInt & 1) // RIFF pads odd chunks

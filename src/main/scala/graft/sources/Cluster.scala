@@ -78,6 +78,15 @@ object Cluster {
       bitsPerDim: Int = 16, append: Boolean = false): Long = {
     require(zCols.nonEmpty, "clusteredCommit: need at least one zCol")
     require(files > 0, "clusteredCommit: need files > 0")
+    // integral domains only: a non-integral zCol would cast to NULL and
+    // silently cluster everything onto one curve point (pruning would
+    // stay SOUND — it reads the real column stats — but useless)
+    zCols.foreach { c =>
+      val t = df.schema(c).dataType.simpleString
+      require(Set("tinyint", "smallint", "int", "bigint").contains(t),
+        s"clusteredCommit: zCol '$c' has non-integral type $t — derive an " +
+          "integer surrogate first (days since epoch, cents, dictionary code)")
+    }
     // ONE bounded 1-row aggregate for the domain bounds (O(scan) work,
     // O(zCols) driver bytes — never a collect of data rows)
     val aggs = zCols.flatMap(c =>
