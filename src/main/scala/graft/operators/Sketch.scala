@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * register layout make results engine-private, KMV over md5 is
   * engine-PORTABLE: the same rows give bit-identical sketches and
   * estimates in Spark and the DuckDB oracle — the property every other
-  * operator in this engine gates on.
+  * operator in this engine gates on. ([[hllDistinct]] below rebuilds
+  * HLL itself on the same md5 hash so IT is portable too — the two
+  * sketches trade k·64-bit buffers for m·6-bit registers.)
   *
   * Scale shape: the k-min DISTINCT set is an associative, bounded merge
   * (union → keep k smallest), run as a [[graft.expressions.KmvSketch]]
@@ -68,6 +70,128 @@ object Sketch {
       when(col("__n") < k, col("__n").cast("long"))
         .otherwise(expr(s"${(k - 1).toLong * HashSpace}L div __kth"))
         .as("est_distinct")): _*)
+  }
+
+  /** HYPERLOGLOG distinct-count estimate (Flajolet et al., AofA'07) —
+    * the CONSTANT-memory complement to [[kmvDistinct]]: where KMV holds
+    * k 64-bit hashes per group (k=256 → 2 KiB), HLL holds m = 2^p
+    * max-registers per group (p=10 → 1024 small ints) whose accuracy
+    * ~1.04/sqrt(m) (~3.3% at p=10) does NOT degrade as cardinality
+    * grows past the buffer — the sketch of choice when millions of
+    * groups each need a distinct count in one pass.
+    *
+    * Engine-portable by construction, unlike every stock HLL: the hash
+    * is the same 48-bit md5 prefix as KMV, the register index is the
+    * top p bits, the rank is leading-zeros-plus-one of the remaining
+    * (48−p) bits via `bin()` string length (identical in Spark and
+    * DuckDB, no float log), and the estimator is pure BIGINT:
+    *
+    *   S        = Σ_j 2^(40 − M[j])        (M[j] = 0 for never-set)
+    *   est_raw  = (m² · 2^40) div S        (harmonic mean, scaled)
+    *   est      = (est_raw · α_ppm) div 10^6
+    *
+    * with α_ppm the standard bias constant 0.7213/(1+1.079/m) in parts
+    * per million — two positive truncating divisions both engines
+    * perform identically. No low-range linear-counting switch (that
+    * needs ln): below ~m distincts prefer kmvDistinct, which is EXACT
+    * there; `n_zero_regs` is emitted so a caller can see the regime.
+    * est_raw·α_ppm stays in Long for any input a 48-bit hash can
+    * produce (all-registers-saturated needs ~2^40 distincts, beyond
+    * the hash space's birthday bound).
+    *
+    * Scale shape: one scan → partial-aggregated max per (group,
+    * register) — at most m rows per group reach the shuffle, constant
+    * like KMV's k — then a per-group fold of ≤m rows. Register maxes
+    * are idempotent/commutative, so the sketch is MERGEABLE: the
+    * register-wise max of two sketches IS the sketch of the union
+    * (spec-asserted), the property that lets per-day sketches roll up
+    * to months without re-scanning. NULL keys ignored as in
+    * COUNT(DISTINCT). Output: groupCols ++ (n_regs_set, n_zero_regs,
+    * est_distinct). */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String] = Seq.empty,
+      p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 14, s"p must be in 4..14, got $p")
+    val m = 1L << p
+    val remBits = HashBits - p
+    val remSpace = 1L << remBits
+    // α_ppm = round(1e6 · 0.7213/(1 + 1.079/m)); integer-rounded ONCE
+    // here so Spark and the oracle share the literal, not a float path.
+    val alphaPpm = math.round(1e6 * 0.7213 / (1.0 + 1.079 / m))
+    val grp = groupCols.map(col)
+    val h = hash48(col(keyCol))
+    // bucket/remainder by bit ops (exact; a double `/` would be a
+    // rounding hazard), rank via bin()-length — no float anywhere.
+    val regs = df.filter(col(keyCol).isNotNull)
+      .select(grp ++ Seq(
+        shiftright(h, remBits).as("__bucket"),
+        h.bitwiseAND(lit(remSpace - 1)).as("__rem")): _*)
+      .select(grp ++ Seq(col("__bucket"),
+        when(col("__rem") === 0L, lit(remBits + 1))
+          .otherwise(lit(remBits + 1) - length(bin(col("__rem"))))
+          .cast("int").as("__rho")): _*)
+      .groupBy(grp :+ col("__bucket"): _*)
+      .agg(max(col("__rho")).as("__m"))
+    val q = remBits + 2 // scale exponent: 2^(q−rho) ≥ 2 for any set register
+    regs.groupBy(grp: _*)
+      .agg(count(lit(1)).as("__set"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $q - __m)")).as("__sset"))
+      .withColumn("__s",
+        (lit(m) - col("__set")) * lit(1L << q) + col("__sset"))
+      .select(grp ++ Seq(
+        col("__set").as("n_regs_set"),
+        (lit(m) - col("__set")).as("n_zero_regs"),
+        expr(s"(${m * m}L * ${1L << q}L div __s) * ${alphaPpm}L div 1000000L")
+          .as("est_distinct")): _*)
+  }
+
+  /** KMV SET-OPERATION estimates — union, intersection, and Jaccard of
+    * two key sets from their k-min sketches (Beyer et al., SIGMOD'07):
+    * the "how much do these two cohorts overlap?" question answered
+    * without ever shuffling either distinct set. The union's k-min
+    * sketch is exactly the k smallest of the two sketches' union (KMV's
+    * mergeability), so est_union is the plain KMV estimate over it; the
+    * Jaccard estimator is the fraction of the union's k-mins that lie
+    * in BOTH sides' sketches, and est_intersect = J · est_union — all
+    * in BIGINT (jaccard_ppm carries J in parts per million; positive
+    * truncating division, identical in both engines).
+    *
+    * Scale shape: each side folds to ONE ≤k-hash row via the bounded
+    * [[graft.expressions.KmvSketch]] partial aggregate (nothing
+    * value-set-sized reaches an exchange); the set algebra then runs on
+    * two k-length arrays with higher-order functions on a 1×1 cross
+    * join — constant work regardless of input size. Sides smaller than
+    * k are handled by the same formula (their sketch IS the distinct
+    * hash set, estimates exact). Output one row: (n_a, n_b, n_union_kept,
+    * kth_min_union, est_union, jaccard_ppm, est_intersect). */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2 && k <= 32768, s"k must be in 2..32768, got $k")
+    def mins(df: DataFrame, as: String): DataFrame =
+      df.filter(col(keyCol).isNotNull)
+        .select(hash48(col(keyCol)).as("__h"))
+        .agg(graft.expressions.KmvSketch(col("__h"), k).as(as))
+    val joined = mins(a, "__ma").crossJoin(mins(b, "__mb"))
+      .withColumn("__u",
+        slice(array_sort(array_distinct(concat(col("__ma"), col("__mb")))), 1, k))
+    val nU = size(col("__u")).cast("long")
+    val kth = get(col("__u"), lit(k - 1))
+    val estU = when(nU < k, nU)
+      .otherwise(expr(s"${(k - 1).toLong * HashSpace}L div element_at(__u, $k)"))
+    val inter = size(filter(col("__u"),
+      x => array_contains(col("__ma"), x) && array_contains(col("__mb"), x))).cast("long")
+    // integer `div` throughout (Spark's `/` on longs is a double divide)
+    joined
+      .withColumn("__est_u", estU)
+      .withColumn("__inter", inter)
+      .select(
+        size(col("__ma")).cast("long").as("n_a"),
+        size(col("__mb")).cast("long").as("n_b"),
+        nU.as("n_union_kept"),
+        kth.as("kth_min_union"),
+        col("__est_u").as("est_union"),
+        when(nU === 0L, 0L)
+          .otherwise(expr("__inter * 1000000L div size(__u)")).as("jaccard_ppm"),
+        when(nU === 0L, 0L)
+          .otherwise(expr("__inter * __est_u div size(__u)")).as("est_intersect"))
   }
 
   /** COUNT-MIN SKETCH frequency estimation (Cormode & Muthukrishnan

@@ -105,6 +105,45 @@ object DocQueries {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(200)
 
+  /** doc_collocations — corpus COLLOCATION mining (word2phrase /
+    * PMI-style): the top-50 adjacent-token bigrams by LIFT
+    * n_pair·N / (n_w1·n_w2) — PMI's argument, same ranking (log is
+    * monotone) without a float log in either engine. Bigrams come from
+    * an array zip INSIDE each doc (no self-join, no window shuffle:
+    * slice-and-zip_with over the token array, then one wordcount-shaped
+    * aggregate); the minimum-support filter (n_pair ≥ 5) cuts the pair
+    * frame BEFORE the vocabulary-sized marginal joins. Lift is the one
+    * documented double: four exact BIGINTs converted once and combined
+    * in a pinned mul-mul-div order — bit-identical cross-engine, and
+    * immune to the Long overflow a scaled-integer lift would hit at
+    * n_pair·N > 2^63/10^6. The NULL-text contract matches Curate:
+    * coalesce to '' → zero bigrams. */
+  def docCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir)
+      .select(filter(Text.tokens(Text.normalize(coalesce(col("text"), lit("")))),
+        t => length(t) > 0).as("tk"))
+    val big = tk.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
+          " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigCnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val tot = bigCnt.agg(sum(col("n_pair")).as("n_total"))
+    bigCnt.filter(col("n_pair") >= 5)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("n_pair").cast("double") * col("n_total").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double")))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        col("n_total"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** doc_simhash — 16-bit SimHash fingerprint per document. */
   def docSimhash(spark: SparkSession, dir: String): DataFrame =
     NearDup.simhash(Tables.documents(spark, dir), "doc_id", "text", bits = 16)
@@ -2543,6 +2582,26 @@ object DocQueries {
         |)
         |SELECT doc_id, md5(red) AS redacted_fp, red <> text AS changed
         |FROM r ORDER BY doc_id""".stripMargin,
+    "doc_collocations" ->
+      s"""WITH norm AS (SELECT $normCoalesceSql AS t FROM documents),
+         |tok AS (SELECT list_filter(string_split(t, ' '), x -> length(x) > 0) AS tk FROM norm),
+         |big AS (
+         |  SELECT tk[CAST(i AS BIGINT)] AS w1, tk[CAST(i + 1 AS BIGINT)] AS w2
+         |  FROM (SELECT tk, unnest(range(1, length(tk))) AS i
+         |        FROM tok WHERE length(tk) >= 2)
+         |), bc AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY 1, 2
+         |), uc AS (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+         |  FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1
+         |), tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_total FROM bc)
+         |SELECT bc.w1, bc.w2, bc.n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2, n_total,
+         |       (CAST(bc.n_pair AS DOUBLE) * CAST(n_total AS DOUBLE))
+         |         / (CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)) AS lift
+         |FROM bc JOIN uc u1 ON u1.w = bc.w1 JOIN uc u2 ON u2.w = bc.w2
+         |CROSS JOIN tot
+         |WHERE bc.n_pair >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
     "doc_vocab" ->
       s"""WITH norm AS (SELECT $normSql AS t FROM documents),
          |tok AS (SELECT unnest(list_filter(string_split(t, ' '), x -> length(x) > 0)) AS token
@@ -2670,6 +2729,7 @@ object DocQueries {
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_collocations" -> docCollocations _,
     "doc_bpe_segments" -> docBpeSegments _,
     "doc_bpe_merges" -> docBpeMerges _,
     "doc_novelty" -> docNovelty _,

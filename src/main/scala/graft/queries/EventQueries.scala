@@ -283,6 +283,36 @@ object EventQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** events_anomaly — rolling z-score ANOMALY detection on the
+    * densified hourly series: each hour's event count is tested against
+    * the trailing 24 FULL hours' mean/variance (the densified frame
+    * makes "24 rows" = "24 hours"; silent hours count as real zeros —
+    * exactly why [[eventsGapfill]] exists). The z-test is EXACT
+    * integer algebra — z² > k² cross-multiplied to
+    * (n·x − S)² > k²·(n·SS − S²) with S/SS the window sum/sum-of-
+    * squares — so no engine's sqrt, mean, or variance kernel touches
+    * the verdict; a constant window (variance 0) flags ANY deviation.
+    * Warm-up rows (frame < 24 hours) report their partial sums but
+    * never flag. Scale shape: the window partitions by event_type over
+    * a wall-clock-bounded series (~88k rows/decade/type), after the
+    * O(data) work already collapsed into the hourly aggregate. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("hour_start")
+      .rowsBetween(-24, -1)
+    val dev = col("win_n") * col("n_events") - col("win_sum")
+    eventsGapfill(spark, dir)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        count(lit(1)).over(w).as("win_n"),
+        sum(col("n_events")).over(w).as("win_sum"),
+        sum(col("n_events") * col("n_events")).over(w).as("win_sumsq"))
+      .withColumn("is_anomaly",
+        when(col("win_n") === 24 && dev * dev >
+            lit(9L) * (col("win_n") * col("win_sumsq") - col("win_sum") * col("win_sum")),
+          1L).otherwise(0L))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** events_attribution_weighted — MULTI-TOUCH credit assignment over
     * the attribution join: every click in a purchase's 30-minute
     * horizon gets LINEAR credit (equal split) and POSITION-BASED
@@ -388,6 +418,39 @@ object EventQueries {
         |FROM h CROSS JOIN ty
         |LEFT JOIN a ON a.hour_start = h.hour_start AND a.event_type = ty.event_type
         |ORDER BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '1 hour',
+        |           make_timestamp(epoch_ns(ts) // 1000)) AS hour_start,
+        |         event_type, value
+        |  FROM events
+        |), a AS (
+        |  SELECT hour_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1, 2
+        |), h AS (
+        |  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+        |  FROM (SELECT MIN(hour_start) AS t0, MAX(hour_start) AS t1 FROM e)
+        |), ty AS (SELECT DISTINCT event_type FROM e),
+        |g AS (
+        |  SELECT h.hour_start, ty.event_type,
+        |         COALESCE(a.n_events, 0) AS n_events
+        |  FROM h CROSS JOIN ty
+        |  LEFT JOIN a ON a.hour_start = h.hour_start AND a.event_type = ty.event_type
+        |), w AS (
+        |  SELECT hour_start, event_type, n_events,
+        |         CAST(COUNT(*) OVER win AS BIGINT) AS win_n,
+        |         CAST(SUM(n_events) OVER win AS BIGINT) AS win_sum,
+        |         CAST(SUM(n_events * n_events) OVER win AS BIGINT) AS win_sumsq
+        |  FROM g
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour_start
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT hour_start, event_type, n_events, win_n, win_sum, win_sumsq,
+        |       CAST(CASE WHEN win_n = 24
+        |                  AND (win_n * n_events - win_sum) * (win_n * n_events - win_sum)
+        |                      > 9 * (win_n * win_sumsq - win_sum * win_sum)
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM w ORDER BY 1, 2""".stripMargin,
     "events_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_type, event_id, value,
@@ -587,6 +650,7 @@ object EventQueries {
     "events_attribution" -> eventsAttribution _,
     "events_paths" -> eventsPaths _,
     "events_gapfill" -> eventsGapfill _,
+    "events_anomaly" -> eventsAnomaly _,
     "events_attribution_weighted" -> eventsAttributionWeighted _,
   )
 }

@@ -373,7 +373,134 @@ object OlapQueries {
       .orderBy("o_custkey")
   }
 
+  /** q31 — HLL distinct orders per return flag: q19's question answered
+    * by the CONSTANT-register sketch ([[Sketch.hllDistinct]], p=10 →
+    * 1024 registers, ~3.3%) instead of KMV's k-hash buffer — the shape
+    * that scales to millions of groups. The oracle rebuilds registers
+    * and the integer estimator from first principles on the same md5
+    * hash, so the match is bit-exact, not approximate-vs-approximate. */
+  def q31HllDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketch.hllDistinct(Tables.lineitem(spark, dir), "l_orderkey",
+      groupCols = Seq("l_returnflag"), p = 10)
+      .orderBy("l_returnflag")
+
+  /** q32 — KMV set operations: how many customers placed open ('O')
+    * vs finished ('F') orders, and how big is the overlap — union /
+    * intersection / Jaccard estimated from two 256-hash sketches
+    * ([[Sketch.kmvSetOps]]) without shuffling either distinct set. */
+  def q32KmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    Sketch.kmvSetOps(
+      o.filter(col("o_orderstatus") === "O"),
+      o.filter(col("o_orderstatus") === "F"),
+      "o_custkey", k = 256)
+  }
+
+  /** q33 — per-month sales TREND: exact least-squares slope/intercept
+    * of daily revenue within each month, from the five classic sums
+    * (n, Σx, Σy, Σx², Σxy) kept in BIGINT — one partial+final aggregate
+    * over the daily frame, no window, no per-month scan. x is the day
+    * of month, y daily cents, so slope reads "cents/day of in-month
+    * drift". The ONLY doubles are the final num/den divisions — both
+    * engines convert the same exact integers and perform the same two
+    * IEEE ops, so even >2^53 numerators stay bit-identical. */
+  def q33SalesTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("x"),
+        cents(col("o_totalprice")).as("c"))
+      .groupBy("month", "x").agg(sum(col("c")).as("y"))
+    daily.groupBy("month")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      // den = n·Σx² − (Σx)² > 0 whenever ≥2 distinct days exist; a
+      // single-day month has no trend — report NULL, don't divide.
+      .select(col("month"), col("n_days"),
+        when(col("den") > 0,
+          (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den").cast("double")).as("slope_cents_per_day"),
+        when(col("den") > 0,
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+            col("den").cast("double")).as("intercept_cents"))
+      .orderBy("month")
+  }
+
+  /** α_ppm for p=10 (m=1024) — computed ONCE here and interpolated into
+    * both engines' arithmetic (the operator recomputes the identical
+    * value from the same formula). */
+  private val HllAlphaPpm1024: Long = math.round(1e6 * 0.7213 / (1.0 + 1.079 / 1024))
+
   val oracle: Map[String, String] = Map(
+    "q31_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT l_returnflag,
+         |         CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+         |  FROM lineitem WHERE l_orderkey IS NOT NULL
+         |), r AS (
+         |  SELECT l_returnflag, h // 274877906944 AS bucket,
+         |         MAX(CASE WHEN h % 274877906944 = 0 THEN 39
+         |                  ELSE 39 - length(bin(h % 274877906944)) END) AS m
+         |  FROM h GROUP BY 1, 2
+         |), s AS (
+         |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_regs_set,
+         |         CAST(1024 - COUNT(*) AS BIGINT) AS n_zero_regs,
+         |         (1024 - COUNT(*)) * 1099511627776
+         |           + SUM(CAST(1 AS BIGINT) << (40 - m)) AS s
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT l_returnflag, n_regs_set, n_zero_regs,
+         |       CAST((1152921504606846976 // s) * $HllAlphaPpm1024 // 1000000 AS BIGINT)
+         |         AS est_distinct
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q32_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
+        |), hb AS (
+        |  SELECT DISTINCT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+        |), ma AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+        |mb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+        |u AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb) ORDER BY h LIMIT 256),
+        |st AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM ma) AS BIGINT) AS n_a,
+        |         CAST((SELECT COUNT(*) FROM mb) AS BIGINT) AS n_b,
+        |         CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_union_kept,
+        |         (SELECT h FROM u ORDER BY h LIMIT 1 OFFSET 255) AS kth_min_union,
+        |         CAST((SELECT COUNT(*) FROM u
+        |                 JOIN ma USING (h) JOIN mb USING (h)) AS BIGINT) AS inter
+        |)
+        |SELECT n_a, n_b, n_union_kept, kth_min_union,
+        |       CAST(CASE WHEN n_union_kept < 256 THEN n_union_kept
+        |            ELSE 71776119061217280 // kth_min_union END AS BIGINT) AS est_union,
+        |       CAST(inter * 1000000 // n_union_kept AS BIGINT) AS jaccard_ppm,
+        |       CAST(inter * (CASE WHEN n_union_kept < 256 THEN n_union_kept
+        |              ELSE 71776119061217280 // kth_min_union END)
+        |            // n_union_kept AS BIGINT) AS est_intersect
+        |FROM st""".stripMargin,
+    "q33_sales_trend" ->
+      """WITH daily AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2
+        |), s AS (
+        |  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT month, n_days,
+        |       CASE WHEN n_days * sxx - sx * sx > 0
+        |            THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |              / CAST(n_days * sxx - sx * sx AS DOUBLE) END AS slope_cents_per_day,
+        |       CASE WHEN n_days * sxx - sx * sx > 0
+        |            THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |              / CAST(n_days * sxx - sx * sx AS DOUBLE) END AS intercept_cents
+        |FROM s ORDER BY month""".stripMargin,
     "q29_basket_pairs" ->
       """WITH l AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (
@@ -660,5 +787,8 @@ object OlapQueries {
     "q24_profile_sketched" -> q24ProfileSketched _,
     "q21_top_per_group" -> q21TopPerGroup _,
     "q22_freq_priorities" -> q22FreqPriorities _,
+    "q31_hll_distinct" -> q31HllDistinct _,
+    "q32_kmv_setops" -> q32KmvSetops _,
+    "q33_sales_trend" -> q33SalesTrend _,
   )
 }

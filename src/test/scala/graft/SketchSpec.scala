@@ -171,4 +171,62 @@ class SketchSpec extends SparkSpec {
       Seq("n_a", "n_b", "d_scaled", "drift_bin", "ks")
         .forall(f => both.head.isNullAt(both.head.fieldIndex(f))))
   }
+
+  test("hllDistinct: estimate within ~3σ, duplicates/NULLs ignored") {
+    val n = 50000
+    val dupes = (1 to n).map(_.toLong) ++ (1 to n / 2).map(_.toLong)
+    val df = (dupes.map(Option(_)) ++ Seq(None, None)).toDF("v")
+    val r = Sketch.hllDistinct(df, "v", p = 10).collect().head
+    val est = r.getAs[Long]("est_distinct").toDouble
+    // 1.04/sqrt(1024) ≈ 3.25% standard error; 3σ ≈ 10%
+    assert(math.abs(est - n) / n < 0.10, s"estimate $est too far from $n")
+    // duplicates cannot move a max-register: clean run matches exactly
+    val clean = Sketch.hllDistinct((1 to n).map(_.toLong).toDF("v"), "v", p = 10)
+      .collect().head
+    assert(r.toSeq == clean.toSeq)
+  }
+
+  test("hllDistinct: partition-invariant and MERGEABLE (union = max of registers)") {
+    val df = (1 to 30000).map(i => (i % 3).toString -> i.toLong).toDF("g", "v")
+    def run(parts: Int) =
+      Sketch.hllDistinct(df.repartition(parts), "v", Seq("g"), p = 8)
+        .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(32))
+    // mergeability: the union's sketch equals the sketch of the union —
+    // split the corpus in half, union the halves as frames, and the
+    // estimate matches the whole-corpus run bit-for-bit (register maxes
+    // are idempotent/commutative, so HLL(A ∪ B) = HLL rows of A ++ B)
+    val whole = (1 to 40000).map(_.toLong).toDF("v")
+    val a = whole.filter(col("v") % 2 === 0)
+    val b = whole.filter(col("v") % 2 === 1)
+    val merged = Sketch.hllDistinct(a.unionByName(b), "v", p = 10).collect().head
+    val direct = Sketch.hllDistinct(whole, "v", p = 10).collect().head
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("kmvSetOps: exact below k; estimates track true overlap above k") {
+    // sides smaller than k: the sketches ARE the distinct hash sets —
+    // union/intersection estimates are exact
+    val a = (1L to 60L).map(Tuple1(_)).toDF("v")
+    val b = (41L to 100L).map(Tuple1(_)).toDF("v")
+    val r = Sketch.kmvSetOps(a, b, "v", k = 256).collect().head
+    assert(r.getAs[Long]("n_a") == 60L && r.getAs[Long]("n_b") == 60L)
+    assert(r.getAs[Long]("est_union") == 100L)
+    assert(r.getAs[Long]("est_intersect") == 20L)
+    assert(r.getAs[Long]("jaccard_ppm") == 20L * 1000000L / 100L)
+    // above k: within a loose 3σ band of the true values
+    val bigA = (1L to 20000L).map(Tuple1(_)).toDF("v")
+    val bigB = (10001L to 30000L).map(Tuple1(_)).toDF("v")
+    val br = Sketch.kmvSetOps(bigA, bigB, "v", k = 256).collect().head
+    val estU = br.getAs[Long]("est_union").toDouble
+    val estI = br.getAs[Long]("est_intersect").toDouble
+    assert(math.abs(estU - 30000) / 30000 < 0.19, s"union $estU")
+    assert(math.abs(estI - 10000) / 10000 < 0.45, s"intersect $estI")
+    // partition-invariance
+    val one = Sketch.kmvSetOps(bigA.repartition(1), bigB.repartition(1), "v", 256)
+      .collect().head.toSeq
+    val many = Sketch.kmvSetOps(bigA.repartition(17), bigB.repartition(5), "v", 256)
+      .collect().head.toSeq
+    assert(one == many)
+  }
 }
