@@ -718,7 +718,154 @@ object EtlQueries {
       .orderBy("side", "o_orderstatus")
   }
 
+  /** etl_expectations — the declarative DATA-QUALITY AUDIT
+    * ([[graft.operators.Expectations]]) over the reference's four-table
+    * contract surface: NOT-NULL keys, CHECK-style non-negativity,
+    * key uniqueness, and FK coverage — as a queryable report instead of
+    * the reference's silent drops. Scale shape: all of a table's row
+    * checks share ONE aggregate scan; uniqueness is count−distinct
+    * (no self-join); FK checks are counted anti joins. The oracle
+    * recomputes every count from first principles. */
+  def expectationsReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    Expectations.report(Seq(
+      Expectations.rowChecks(o, "orders", Seq(
+        "o_orderkey_not_null" -> col("o_orderkey").isNull,
+        "o_custkey_not_null" -> col("o_custkey").isNull,
+        "o_totalprice_non_negative" -> (col("o_totalprice") < 0),
+        "o_orderdate_not_null" -> col("o_orderdate").isNull)),
+      Expectations.uniqueCheck(o, "orders", Seq("o_orderkey"), "o_orderkey_unique"),
+      Expectations.fkCheck(o, "orders", "o_custkey", c, "c_custkey",
+        "o_custkey_fk_customer"),
+      Expectations.rowChecks(l, "lineitem", Seq(
+        "l_quantity_non_negative" -> (col("l_quantity") < 0),
+        "l_extendedprice_non_negative" -> (col("l_extendedprice") < 0),
+        "l_linenumber_positive" -> (col("l_linenumber") <= 0))),
+      Expectations.uniqueCheck(l, "lineitem",
+        Seq("l_orderkey", "l_linenumber"), "l_order_line_unique"),
+      Expectations.fkCheck(l, "lineitem", "l_orderkey", o, "o_orderkey",
+        "l_orderkey_fk_orders")))
+  }
+
+  /** etl_forget — RIGHT-TO-BE-FORGOTTEN across the store
+    * ([[graft.sources.Snapshot.forgetKeys]]): one data subject (the
+    * lowest custkey holding orders — deterministic) is erased from
+    * customer, orders, AND lineitem in ONE atomic commit — key
+    * tombstones only, zero data rewritten, the victim key set flowing
+    * as semi-join frames (never a driver collect). The gate reads all
+    * three tables back post-erasure and emits their surviving
+    * counts/sums; the oracle recomputes them as plain exclusion
+    * queries — a resurrected row in any table shifts its sums. */
+  def forgetSubject(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapforget", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    Snapshot.commit(spark, root,
+      Map("customer_f" -> c, "orders_f" -> o, "lineitem_f" -> l))
+    val tgt = o.agg(min(col("o_custkey")).as("k"))
+    val custKeys = c.join(broadcast(tgt), col("c_custkey") === col("k"), "left_semi")
+      .select("c_custkey")
+    val ordKeys = o.join(broadcast(tgt), col("o_custkey") === col("k"), "left_semi")
+      .select("o_orderkey")
+    val liKeys = l.join(ordKeys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+    Snapshot.forgetKeys(spark, root, Map(
+      "customer_f" -> (Seq("c_custkey"), custKeys),
+      "orders_f" -> (Seq("o_orderkey"), ordKeys),
+      "lineitem_f" -> (Seq("l_orderkey", "l_linenumber"), liKeys)))
+    def after(t: String, cents: Option[org.apache.spark.sql.Column]) =
+      Snapshot.read(spark, root, t).agg(
+        count(lit(1)).as("rows_after"),
+        cents.map(e => sum(round(e * 100).cast("long")))
+          .getOrElse(lit(null).cast("long")).as("cents_after"))
+        .select(lit(t).as("table_name"), col("rows_after"), col("cents_after"))
+    after("customer_f", None)
+      .unionByName(after("orders_f", Some(col("o_totalprice"))))
+      .unionByName(after("lineitem_f", Some(col("l_extendedprice"))))
+      .orderBy("table_name")
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_expectations" ->
+      """WITH rc AS (
+        |  SELECT 'orders' AS table_name, 'o_orderkey_not_null' AS check_name,
+        |         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |         CAST(COUNT(*) AS BIGINT) AS total FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey_not_null',
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_totalprice_non_negative',
+        |         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderdate_not_null',
+        |         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_orderkey_unique',
+        |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey_fk_customer',
+        |         CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_quantity_non_negative',
+        |         CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_extendedprice_non_negative',
+        |         CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_linenumber_positive',
+        |         CAST(SUM(CASE WHEN l_linenumber <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_order_line_unique',
+        |         CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'l_orderkey_fk_orders',
+        |         CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM lineitem
+        |)
+        |SELECT table_name, check_name, violations, total,
+        |       CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM rc ORDER BY table_name, check_name""".stripMargin,
+    "etl_forget" ->
+      """WITH t AS (SELECT MIN(o_custkey) AS k FROM orders),
+        |vo AS (SELECT o_orderkey FROM orders CROSS JOIN t WHERE o_custkey = k)
+        |SELECT 'customer_f' AS table_name,
+        |       CAST((SELECT COUNT(*) FROM customer CROSS JOIN t WHERE c_custkey <> k) AS BIGINT) AS rows_after,
+        |       CAST(NULL AS BIGINT) AS cents_after
+        |UNION ALL
+        |SELECT 'lineitem_f',
+        |       CAST((SELECT COUNT(*) FROM lineitem
+        |             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM vo)) AS BIGINT),
+        |       CAST((SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) FROM lineitem
+        |             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM vo)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'orders_f',
+        |       CAST((SELECT COUNT(*) FROM orders CROSS JOIN t WHERE o_custkey <> k) AS BIGINT),
+        |       CAST((SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |             FROM orders CROSS JOIN t WHERE o_custkey <> k) AS BIGINT)
+        |ORDER BY table_name""".stripMargin,
     "etl_clone" ->
       """WITH src AS (
         |  SELECT 'src' AS side, o_orderstatus, o_totalprice FROM orders
@@ -1029,5 +1176,7 @@ object EtlQueries {
     "etl_optimize" -> optimizeGate _,
     "etl_scd2" -> scd2Gate _,
     "etl_clone" -> cloneGate _,
+    "etl_expectations" -> expectationsReport _,
+    "etl_forget" -> forgetSubject _,
   )
 }

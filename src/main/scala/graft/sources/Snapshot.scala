@@ -726,6 +726,63 @@ object Snapshot {
     } finally batchP.foreach(_.unpersist())
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN: key-level erasure across SEVERAL tables in
+    * ONE atomic commit — the GDPR/CCPA "delete this subject everywhere"
+    * primitive. Per-table [[deleteWhere]]/[[applyChanges]] calls erase
+    * correctly but publish table-by-table: a crash between commits
+    * leaves the subject half-erased, and an auditor snapshotting
+    * between versions sees orders without their customer. Here every
+    * table's tombstone shadow (cov = MaxValue — erasure outlives future
+    * appends, the deleteWhere contract, prior shadows folded the same
+    * way) is staged first and a single manifest CAS publishes them all:
+    * readers see the subject fully present or fully gone, never partial.
+    *
+    * `deletes` maps table → (keyCols, key frame). Key frames are
+    * DataFrames, not driver-side lists — the victim key set flows
+    * through joins (O(victim rows) tombstones, zero data rewritten),
+    * so a subject with millions of fact rows erases without a collect.
+    * Erasure is logical until [[compactTable]]/[[vacuum]] make it
+    * physical — schedule compaction to meet hard-deletion SLAs.
+    * Returns the published version. */
+  def forgetKeys(spark: SparkSession, root: String,
+      deletes: Map[String, (Seq[String], DataFrame)],
+      expectBase: Option[Long] = None): Long = {
+    require(deletes.nonEmpty, "snapshot forgetKeys: no tables given")
+    deletes.keys.foreach(requireCommittableName)
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fsOf(spark, root)
+    val base = current(fs, root)
+    expectBase.foreach { e =>
+      val baseV = base.map(_._1).getOrElse(0L)
+      if (baseV != e) throw new IllegalStateException(
+        s"snapshot commit conflict at $root: expected base version $e, found $baseV")
+    }
+    val pinnedBase = expectBase.getOrElse(base.map(_._1).getOrElse(0L))
+    val baseRels = base.map(_._2).getOrElse(Map.empty)
+    val updates = deletes.map { case (table, (keyCols, keys)) =>
+      require(keyCols.nonEmpty, s"snapshot forgetKeys: no key columns for '$table'")
+      require(baseRels.contains(table),
+        s"snapshot forgetKeys: no table '$table' at $root")
+      require(keys.columns.toSeq == keyCols,
+        s"snapshot forgetKeys: key frame columns ${keys.columns.mkString(",")} " +
+          s"must be exactly the key columns ${keyCols.mkString(",")} for '$table'")
+      val newTomb = keys.distinct().withColumn(CovCol, lit(Long.MaxValue))
+      val folded = tombstoneKeys(spark, root, baseRels, table) match {
+        case None => newTomb
+        case Some(prior) =>
+          val priorKeys = prior.columns.filterNot(_ == CovCol).toSeq
+          require(priorKeys.sorted == keyCols.sorted,
+            s"snapshot forgetKeys: key columns ${keyCols.mkString(",")} differ " +
+              s"from table '$table''s prior tombstones (${priorKeys.mkString(",")}) — " +
+              "compact the table before changing keys")
+          prior.join(newTomb.select(keyCols.map(col): _*), keyCols, "left_anti")
+            .unionByName(newTomb)
+      }
+      delKey(table) -> writeData(spark, root, delKey(table), folded)
+    }
+    commitManifest(fs, root, updates, Some(pinnedBase))
+  }
+
   /** Fold an append-table's segments back into one dir (a new version;
     * the old segmented versions stay readable until [[vacuum]]). The
     * costs-O(table) rewrite every log-structured store schedules

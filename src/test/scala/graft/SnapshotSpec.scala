@@ -964,4 +964,50 @@ class SnapshotSpec extends SparkSpec {
     assert(rows.map(r => Option(r.get(r.fieldIndex("extra")))).toSeq ==
       Seq(None, Some(9L), None))
   }
+
+  test("forgetKeys: multi-table erasure publishes as ONE version") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val cust = Seq((1L, "de"), (2L, "fr")).toDF("cid", "country")
+    val ords = Seq((10L, 1L, 5.0), (11L, 1L, 7.0), (12L, 2L, 9.0))
+      .toDF("oid", "cid", "amt")
+    val v1 = Snapshot.commit(spark, root, Map("cust" -> cust, "ords" -> ords))
+    // erase subject cid=1 from both tables; key frames via semi-joins
+    val v2 = Snapshot.forgetKeys(spark, root, Map(
+      "cust" -> (Seq("cid"), cust.filter(col("cid") === 1L).select("cid")),
+      "ords" -> (Seq("oid"), ords.filter(col("cid") === 1L).select("oid"))))
+    // exactly one new version: both erasures or neither
+    assert(v2 == v1 + 1)
+    assert(Snapshot.read(spark, root, "cust").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    assert(Snapshot.read(spark, root, "ords").collect()
+      .map(_.getLong(0)).toSeq == Seq(12L))
+    // time travel still sees the subject at the pre-erasure version
+    assert(Snapshot.readAt(spark, root, "cust", v1).count() == 2L)
+    // erasure outlives appends: a re-ingested victim row stays gone
+    Snapshot.commitAppend(spark, root, appends = Map("ords" ->
+      Seq((10L, 1L, 5.0)).toDF("oid", "cid", "amt")))
+    assert(Snapshot.read(spark, root, "ords").collect()
+      .map(_.getLong(0)).toSeq == Seq(12L))
+    // compaction folds the tombstones physically; data stays erased
+    Snapshot.compactTable(spark, root, "ords")
+    assert(Snapshot.read(spark, root, "ords").collect()
+      .map(_.getLong(0)).toSeq == Seq(12L))
+  }
+
+  test("forgetKeys: loud on unknown table, wrong key frame, stale base") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    intercept[IllegalArgumentException](
+      Snapshot.forgetKeys(spark, root, Map(
+        "nope" -> (Seq("id"), Seq(1L).toDF("id")))))
+    intercept[IllegalArgumentException](
+      Snapshot.forgetKeys(spark, root, Map(
+        "t" -> (Seq("id"), Seq((1L, "a")).toDF("id", "v")))))
+    intercept[IllegalStateException](
+      Snapshot.forgetKeys(spark, root, Map(
+        "t" -> (Seq("id"), Seq(1L).toDF("id"))), expectBase = Some(99L)))
+    // nothing above may have published: the table is intact
+    assert(Snapshot.read(spark, root, "t").count() == 1L)
+  }
 }
