@@ -119,29 +119,47 @@ object DocQueries {
     * n_pair·N > 2^63/10^6. The NULL-text contract matches Curate:
     * coalesce to '' → zero bigrams. */
   def docCollocations(spark: SparkSession, dir: String): DataFrame = {
+    // ONE corpus scan: sentinel-pad the token array ('^'/'$' cannot
+    // collide — normalize keeps only [a-z0-9 ]) so every token instance
+    // appears exactly once as a pair's LEFT and once as a pair's RIGHT;
+    // the unigram marginals are then ROW SUMS of the (vocab²-bounded)
+    // pair-count frame — the normalize/tokenize chain, the expensive
+    // part at corpus scale, runs once instead of once per marginal.
     val tk = Tables.documents(spark, dir)
-      .select(filter(Text.tokens(Text.normalize(coalesce(col("text"), lit("")))),
-        t => length(t) > 0).as("tk"))
-    val big = tk.filter(size(col("tk")) >= 2)
+      .select(concat(array(lit("^")),
+        filter(Text.tokens(Text.normalize(coalesce(col("text"), lit("")))),
+          t => length(t) > 0),
+        array(lit("$"))).as("tk"))
+    // checkpoint the pair counts: four consumers (bigrams, two
+    // marginals, the total) would each push a DIFFERENT filter below
+    // the aggregate, defeating exchange reuse and re-tokenizing the
+    // corpus per consumer (the doc_tfidf tf-frame lesson)
+    val pc = tk
       .select(explode(expr(
         "zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1)," +
           " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val bigCnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
-    val uni = tk.select(explode(col("tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n_w"))
-    val tot = bigCnt.agg(sum(col("n_pair")).as("n_total"))
-    bigCnt.filter(col("n_pair") >= 5)
-      .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
-      .crossJoin(broadcast(tot))
-      .withColumn("lift",
-        (col("n_pair").cast("double") * col("n_total").cast("double")) /
-          (col("n_w1").cast("double") * col("n_w2").cast("double")))
-      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
-        col("n_total"), col("lift"))
-      .orderBy(col("lift").desc, col("w1"), col("w2"))
-      .limit(50)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
+    try {
+      // marginals and the bigram total from the SMALL pair frame
+      val uni = pc.filter(col("w1") =!= "^")
+        .groupBy(col("w1").as("w")).agg(sum(col("n_pair")).as("n_w"))
+      val real = pc.filter(col("w1") =!= "^" && col("w2") =!= "$")
+      val tot = real.agg(sum(col("n_pair")).as("n_total"))
+      real.filter(col("n_pair") >= 5)
+        .join(uni.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift",
+          (col("n_pair").cast("double") * col("n_total").cast("double")) /
+            (col("n_w1").cast("double") * col("n_w2").cast("double")))
+        .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+          col("n_total"), col("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(50)
+        .localCheckpoint(true)
+    } finally graft.operators.NearDup.freeCheckpoint(pc)
   }
 
   /** doc_simhash — 16-bit SimHash fingerprint per document. */

@@ -245,4 +245,24 @@ class PlanSpec extends SparkSpec {
     // other than the final orderBy's range partitioning
     assert(!plan.contains("hashpartitioning"), plan)
   }
+
+  test("doc_collocations tokenizes the corpus ONCE (pair counts checkpointed)") {
+    val plan = planOf(DocQueries.docCollocations(spark, dir))
+    // the pair-count frame is checkpointed, so its four consumers
+    // (bigrams, two marginals, the total) read the materialized rows —
+    // the corpus scan + tokenize chain never re-runs: zero parquet
+    // scans survive in the final plan
+    assert(!plan.contains("Scan parquet"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("etl_expectations row checks share one scan per table (conditional sums)") {
+    val plan = planOf(EtlQueries.expectationsReport(spark, dir))
+    // 3 tables × (rowChecks + unique + fk probes): orders scans appear a
+    // bounded number of times, and NO join in the audit goes cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the row-check aggregate is a single partial+final pair per table:
+    // violations for all four orders checks ride one HashAggregate
+    assert(plan.contains("stack("), plan)
+  }
 }
