@@ -278,6 +278,19 @@ object DocQueries {
         minContainment = 0.0)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_jaccard_join — the EXACT similarity self-join
+    * ([[NearDup.jaccardJoinExact]], PPJoin prefix filtering): every
+    * pair with distinct-shingle Jaccard ≥ 0.5, COMPLETE by the
+    * pigeonhole argument where the LSH gates are probabilistic. The
+    * oracle replicates the whole pipeline (global rare-first order,
+    * rational prefix bound, size filter, exact verify) in SQL;
+    * completeness against a brute-force all-pairs join is
+    * spec-asserted (NearDupSpec). */
+  def docJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardJoinExact(Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, tauNum = 1L, tauDen = 2L)
+      .orderBy("doc_a", "doc_b")
+
   /** doc_dedupe_incremental — batch-vs-corpus dedup via the PERSISTED
     * state path (graft.operators.DedupState): corpus = even doc_ids,
     * batch = odd; the corpus side is reduced ONCE to its signature state
@@ -1405,6 +1418,37 @@ object DocQueries {
        |SELECT doc_a, doc_b, jaccard FROM jpairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** PPJoin oracle: the exact-join pipeline from first principles —
+    * global rare-first shingle order, rational prefix bound
+    * ⌈τn⌉ = (num·n + den − 1) // den with τ = 1/2, size filter,
+    * in-list intersection verify. Mirrors NearDup.jaccardJoinExact. */
+  private val jaccardJoinOracle: String =
+    s"""WITH ${shingleCtes()},
+       |shb AS (SELECT DISTINCT doc_id,
+       |          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) & 2147483647 AS hb
+       |        FROM sh),
+       |f AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS df FROM shb GROUP BY 1),
+       |arr AS (SELECT doc_id, list(shb.hb ORDER BY df, shb.hb) AS sh_arr,
+       |          CAST(COUNT(*) AS BIGINT) AS n
+       |        FROM shb JOIN f USING (hb) GROUP BY 1),
+       |pref AS (SELECT doc_id, n,
+       |           unnest(sh_arr[1 : CAST(n - ((1 * n + 2 - 1) // 2) + 1 AS BIGINT)]) AS hb
+       |         FROM arr),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM pref a JOIN pref b
+       |           ON a.hb = b.hb AND a.doc_id < b.doc_id
+       |         WHERE LEAST(a.n, b.n) * 2 >= GREATEST(a.n, b.n) * 1),
+       |v AS (SELECT c.doc_a, c.doc_b,
+       |        CAST(len(list_intersect(aa.sh_arr, ab.sh_arr)) AS BIGINT) AS n_common,
+       |        aa.n + ab.n - len(list_intersect(aa.sh_arr, ab.sh_arr)) AS n_union
+       |      FROM cand c
+       |      JOIN arr aa ON aa.doc_id = c.doc_a
+       |      JOIN arr ab ON ab.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, n_common, CAST(n_union AS BIGINT) AS n_union,
+       |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |FROM v WHERE n_common * 2 >= n_union * 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Containment oracle: the same candidate/overlap CTEs, with the
     * per-side ratios next to jaccard. */
   private val containmentOracle: String =
@@ -2423,6 +2467,7 @@ object DocQueries {
          |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
     "doc_minhash_pairs" -> minhashOracle,
     "doc_containment_pairs" -> containmentOracle,
+    "doc_jaccard_join" -> jaccardJoinOracle,
     "doc_dedupe_incremental" -> dedupeIncrementalOracle,
     "doc_dup_clusters" -> dupClustersOracle,
     "doc_dedupe_keep_best" -> dedupeKeepBestOracle,
@@ -2775,6 +2820,7 @@ object DocQueries {
     "doc_dedupe_exact" -> docDedupeExact _,
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_containment_pairs" -> docContainmentPairs _,
+    "doc_jaccard_join" -> docJaccardJoin _,
     "doc_dedupe_incremental" -> docDedupeIncremental _,
     "doc_dup_clusters" -> docDupClusters _,
     "doc_dedupe_keep_best" -> docDedupeKeepBest _,

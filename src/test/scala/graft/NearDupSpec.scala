@@ -287,4 +287,54 @@ class NearDupSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
     assert(re == got.view.mapValues(_._3).toMap)
   }
+
+  test("jaccardJoinExact is COMPLETE and exact vs a brute-force all-pairs join") {
+    // a corpus engineered with graded similarity: mutated replicas at
+    // several distances plus unrelated noise — enough diversity that a
+    // buggy prefix bound or size filter would actually drop a pair
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val rng = new scala.util.Random(42)
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(12)(words(rng.nextInt(words.length))).mkString(" "))
+    }
+    val mutated = (0 until 30).map { i =>
+      val toks = base(i)._2.split(" ")
+      val k = rng.nextInt(6) // 0..5 token substitutions
+      val mut = toks.zipWithIndex.map { case (t, j) =>
+        if (j < k) words(rng.nextInt(words.length)) else t
+      }
+      (100L + i, mut.mkString(" "))
+    }
+    val corpus = (base ++ mutated).toDF("doc_id", "text")
+    val got = NearDup.jaccardJoinExact(corpus, "doc_id", "text",
+        shingleN = 3, tauNum = 1L, tauDen = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // brute force: distinct 3-shingle sets, all pairs, exact threshold
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .replaceAll(" +", " ").trim.split(" ").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = (base ++ mutated).map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 2 >= uni // jaccard >= 1/2 exactly
+    } yield (ia, ib) -> (inter, uni)).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    assert(want.nonEmpty, "test corpus produced no qualifying pairs — not a real check")
+    // partition-invariance
+    val re = NearDup.jaccardJoinExact(corpus.repartition(13), "doc_id", "text",
+        shingleN = 3, tauNum = 1L, tauDen = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(re == want)
+  }
 }
