@@ -796,7 +796,44 @@ object EtlQueries {
       .orderBy("table_name")
   }
 
+  /** etl_history — DESCRIBE HISTORY over a scripted commit sequence
+    * ([[graft.sources.Snapshot.history]]): create → append → MoR delete
+    * → compact → clone, then read the version log back from manifests
+    * alone (zero data IO). Every cell is deterministic by the commit
+    * protocol — version numbers, table inventories, segment and shadow
+    * counts — so the oracle is the expected log SPELLED OUT as a VALUES
+    * literal: any drift in commit semantics (an extra version, a shadow
+    * that failed to clear on compact, a clone rewriting data) breaks
+    * the gate. */
+  def historyGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snaphist", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    Snapshot.commit(spark, root, Map("orders_h" -> o, "customer_h" -> c)) // v1
+    Snapshot.commitAppend(spark, root, appends = Map("orders_h" ->      // v2
+      o.filter(col("o_orderkey") % 11 === 0)))
+    Snapshot.deleteWhere(spark, root, "orders_h",                       // v3
+      col("o_orderkey") % 7 === 3, Seq("o_orderkey"))
+    Snapshot.compactTable(spark, root, "orders_h")                      // v4
+    Snapshot.cloneTable(spark, root, "orders_h", "orders_h2")           // v5
+    Snapshot.history(spark, root)
+  }
+
   val oracle: Map[String, String] = Map(
+    "etl_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'customer_h,orders_h', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'customer_h,orders_h', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'customer_h,orders_h', CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(0 AS BIGINT), CAST(2 AS BIGINT), 'customer_h,orders_h', CAST(0 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(5 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT), 'customer_h,orders_h,orders_h2', CAST(0 AS BIGINT), CAST(3 AS BIGINT))
+        |) AS t(version, is_branch, n_tables, tables, n_shadow_tables, n_segments)
+        |ORDER BY version""".stripMargin,
     "etl_expectations" ->
       """WITH rc AS (
         |  SELECT 'orders' AS table_name, 'o_orderkey_not_null' AS check_name,
@@ -1178,5 +1215,6 @@ object EtlQueries {
     "etl_clone" -> cloneGate _,
     "etl_expectations" -> expectationsReport _,
     "etl_forget" -> forgetSubject _,
+    "etl_history" -> historyGate _,
   )
 }

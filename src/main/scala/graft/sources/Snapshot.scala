@@ -321,6 +321,34 @@ object Snapshot {
         t -> relDirs(rel).map(new Path(root, _).toString).mkString(",")
       }
 
+  /** DESCRIBE HISTORY for a snapshot root — one row per committed
+    * version (main chain AND branch commits, flagged apart), from the
+    * manifest log alone: table inventory, live data-segment count, and
+    * tombstone-shadow count per version. The audit/debug surface every
+    * versioned store grows ("when did this table appear?", "which
+    * commit exploded the segment count?", "is a shadow accumulating?"),
+    * answered with ZERO data IO — manifests are O(tables) text files.
+    * Torn manifests (a crashed writer's partial commit) are skipped
+    * exactly as readers skip them. Output sorted by version:
+    * (version, is_branch, n_tables, tables, n_shadow_tables,
+    * n_segments). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    versions(fs, root)
+      .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
+      .map { case (v, m) =>
+        val user = m.keySet.filter(!isMetaKey(_))
+        val shadows = m.keySet.filter(isDelKey)
+        (v, if (m.contains(BranchKey)) 1L else 0L, user.size.toLong,
+          user.toSeq.sorted.mkString(","), shadows.size.toLong,
+          (user ++ shadows).toSeq.map(k => relDirs(m(k)).length.toLong).sum)
+      }
+      .sortBy(_._1)
+      .toDF("version", "is_branch", "n_tables", "tables",
+        "n_shadow_tables", "n_segments")
+  }
+
   /** Read one table of the newest committed snapshot (tombstoned rows
     * resolved away — see [[deleteWhere]]). */
   def read(spark: SparkSession, root: String, table: String): DataFrame = {
