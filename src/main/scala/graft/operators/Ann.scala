@@ -994,6 +994,89 @@ object Ann {
     topKAgg(paired, k)
   }
 
+  /** Bits per BQ code word. 32, not 64: bit 31 is the highest that stays
+    * positive in a BIGINT shift in every engine — packing 64 would put a
+    * sign bit in play and make xor/bit_count parity an engine-internals
+    * bet instead of arithmetic. */
+  val BqWordBits = 32
+
+  /** Per-dimension BINARY-quantization thresholds: the floor-average of
+    * each dimension's quantized values (exact integer train — same
+    * trick as the centroid builder), pivoted to one broadcastable
+    * array row. */
+  private[operators] def bqTrain(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode_outer(quantize(col(vecCol))))
+      .filter(col("col").isNotNull)
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("__s"), count(lit(1)).as("__c"))
+      .select(col("pos"), expr("__s div __c").as("__t"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("__t")))).as("__a"))
+      .select(transform(col("__a"), s => s.getField("__t")).as("__thr"))
+
+  /** Pack a 0/1 bits array into [[BqWordBits]]-bit words (array<long>,
+    * ⌈dim/32⌉ entries; zip_with's NULL padding on the ragged tail
+    * coalesces to 0). */
+  private[operators] def bqPackSql(bitsCol: String): String =
+    s"""transform(sequence(0, (size($bitsCol) + ${BqWordBits - 1}) div $BqWordBits - 1),
+       |  w -> aggregate(
+       |         zip_with(slice($bitsCol, w * $BqWordBits + 1, $BqWordBits),
+       |                  sequence(0, ${BqWordBits - 1}),
+       |                  (b, i) -> shiftleft(coalesce(b, 0L), CAST(i AS INT))),
+       |         0L, (acc, x) -> acc + x))""".stripMargin
+
+  /** Summed per-word Hamming distance of two code arrays. */
+  private[operators] def bqHammingSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+
+  /** BQ (1-BIT binary-quantized) top-k — the most compressed member of
+    * the index family (FAISS `binary IVF`/RaBitQ-style sign codes):
+    * each vector stores ONE BIT per dimension (v_d > trained per-dim
+    * floor-average threshold), packed into ⌈dim/32⌉ BIGINT words — an
+    * 8× shrink over SQ8's bytes, 64× over the quantized longs; at
+    * 100 TB of embeddings this is the scan that fits in MEMORY. Search
+    * is SYMMETRIC Hamming: probes encode with the same thresholds and
+    * candidates rank by ascending popcount(xor) — integer-exact, so
+    * ranking is bit-reproducible in any engine — then the top refine·k
+    * survivors re-rank by exact cosine over the original vectors (the
+    * compressed-scan + rerank shape shared with [[knnSq8]]; BQ's
+    * coarser 1-bit surrogate wants a deeper refine — default 4·k where
+    * SQ8 uses 2·k). Ties: hamming asc, neighbor_id asc — the oracle's
+    * ROW_NUMBER order. Shapes: thresholds are ONE broadcast row;
+    * stage 1 is a broadcast scan with the bounded
+    * [[graft.expressions.TopKByScore]] selection; stage 2 touches
+    * full-width vectors for O(probes·refine·k) rows only. */
+  def knnBq(df: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, refine: Int = 4): DataFrame = {
+    import graft.expressions.TopKByScore
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val qdf = quantized(df, idCol, vecCol)
+    val enc = qdf.crossJoin(broadcast(bqTrain(df, vecCol)))
+      .withColumn("__bits",
+        zip_with(col("__q"), col("__thr"),
+          (v, t) => when(v > t, lit(1L)).otherwise(lit(0L))))
+      .withColumn("__code", expr(bqPackSql("__bits")))
+      .select(col(idCol), col("__code"))
+    val pcs = enc.join(broadcast(qdf.filter(probePred).select(col(idCol))),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("probe_id"), col("__code").as("__pc"))
+    val stage1 = enc.select(col(idCol).as("neighbor_id"), col("__code"))
+      .crossJoin(broadcast(pcs))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(TopKByScore(
+        -expr(bqHammingSql("__code", "__pc")).cast("double"),
+        col("neighbor_id").cast("long"), refine * k).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("neighbor_id"))
+    val probes = qdf.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
+    val paired = broadcast(stage1)
+      .join(qdf.select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+    topKAgg(paired, k)
+  }
+
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the
     * quantized vector, hash-aggregate exact integer sums per (label,
     * dimension), divide once at the end. The shuffle carries dim partial

@@ -68,6 +68,18 @@ object VectorQueries {
         col("vec_id") < ProbeMax, K, Sq8Refine)
       .orderBy("probe_id", "rank")
 
+  private val BqRefine = 4
+
+  /** emb_knn_bq — 1-BIT binary-quantized top-k (Ann.knnBq): sign codes
+    * against trained per-dim thresholds packed into 32-bit words,
+    * symmetric Hamming scan (integer popcount — bit-reproducible),
+    * exact-cosine refine of the top 4·k. The smallest index-family
+    * member: 1 bit/dim where SQ8 pays 8 and the quantized longs 64. */
+  def embKnnBq(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnBq(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K, BqRefine)
+      .orderBy("probe_id", "rank")
+
   /** emb_recall — ANN QUALITY EVALUATION gate: recall@K of each
     * approximate index family (LSH buckets, IVF inverted lists, SQ8
     * scalar quantization) measured against the exact brute-force top-K
@@ -84,6 +96,7 @@ object VectorQueries {
   def embRecall(spark: SparkSession, dir: String): DataFrame = {
     val brute = embKnnBrute(spark, dir).select(col("probe_id"), col("neighbor_id"))
     val methods = Seq(
+      "bq" -> embKnnBq(spark, dir),
       "ivf" -> embKnnIvf(spark, dir),
       "lsh" -> embKnnLsh(spark, dir),
       "sq8" -> embKnnSq8(spark, dir))
@@ -979,6 +992,36 @@ object VectorQueries {
 
   private val sq8Oracle: String = sq8OracleFor("q", "q")
 
+  /** BQ oracle: thresholds (per-dim floor-average), sign bits, 32-bit
+    * word packing, symmetric Hamming via bit_count(xor), refine-then-
+    * exact — the Ann.knnBq pipeline from first principles. The bit is
+    * cast BIGINT before the shift so bit 31 can't overflow an INT32. */
+  private val bqOracle: String = knnOracle(
+    s"""lv AS (SELECT vec_id, qv FROM q),
+       |td AS (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+       |thr AS (SELECT i, SUM(qv[i]) // COUNT(*) AS t FROM td GROUP BY i),
+       |bits AS (SELECT vd.vec_id, vd.i,
+       |           CASE WHEN vd.qv[vd.i] > thr.t THEN CAST(1 AS BIGINT)
+       |                ELSE CAST(0 AS BIGINT) END AS b
+       |         FROM (SELECT vec_id, qv, unnest(range(1, len(qv) + 1)) AS i FROM lv) vd
+       |         JOIN thr USING (i)),
+       |words AS (SELECT vec_id, (i - 1) // 32 AS w,
+       |            CAST(SUM(b << CAST((i - 1) % 32 AS INT)) AS BIGINT) AS word
+       |          FROM bits GROUP BY 1, 2),
+       |hd AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+       |         CAST(SUM(bit_count(xor(a.word, b.word))) AS BIGINT) AS ham
+       |       FROM words a JOIN words b ON b.w = a.w AND b.vec_id <> a.vec_id
+       |       WHERE a.vec_id < $ProbeMax GROUP BY 1, 2),
+       |c1 AS (SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (
+       |         PARTITION BY probe_id ORDER BY ham, neighbor_id) AS rr FROM hd),
+       |p AS (SELECT c1.probe_id, c1.neighbor_id,
+       |        ${dotSql("a.qv", "b.qv")} AS d,
+       |        ${dotSql("a.qv", "a.qv")} AS pn,
+       |        ${dotSql("b.qv", "b.qv")} AS nn
+       |      FROM c1 JOIN lv a ON a.vec_id = c1.probe_id
+       |              JOIN lv b ON b.vec_id = c1.neighbor_id
+       |      WHERE c1.rr <= ${BqRefine * K})""".stripMargin)
+
   /** emb_recall oracle: the brute/lsh/ivf/sq8 oracles verbatim as
     * nested subqueries (DuckDB scopes each one's WITH locally), then
     * the same tallies the Spark plan computes — so a drift in ANY of
@@ -990,7 +1033,9 @@ object VectorQueries {
        |${sub("lshq", lshOracle)},
        |${sub("ivfq", ivfOracle)},
        |${sub("sq8q", sq8Oracle)},
-       |m AS (SELECT 'ivf' AS method, probe_id, neighbor_id FROM ivfq
+       |${sub("bqq", bqOracle)},
+       |m AS (SELECT 'bq' AS method, probe_id, neighbor_id FROM bqq
+       |      UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivfq
        |      UNION ALL SELECT 'lsh', probe_id, neighbor_id FROM lshq
        |      UNION ALL SELECT 'sq8', probe_id, neighbor_id FROM sq8q),
        |h AS (SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_hits
@@ -1608,6 +1653,7 @@ object VectorQueries {
     "emb_knn_pq_follow" -> pqFollowOracle, // base+delta codes, frozen codebooks
     "emb_knn_ivfpq" -> ivfPqOracle,
     "emb_knn_sq8" -> sq8Oracle,
+    "emb_knn_bq" -> bqOracle,
     "emb_knn_sq8_persisted" -> sq8Oracle, // identical selection from stored bytes
     "emb_knn_sq8_incremental" -> sq8Oracle, // append-then-serve == one-shot build
     "emb_knn_sq8_follow" -> sq8FollowOracle, // base+delta == rebuild on final state, frozen params
@@ -1647,6 +1693,7 @@ object VectorQueries {
     "emb_knn_pq_follow" -> embKnnPqFollow _,
     "emb_knn_ivfpq" -> embKnnIvfPq _,
     "emb_knn_sq8" -> embKnnSq8 _,
+    "emb_knn_bq" -> embKnnBq _,
     "emb_knn_sq8_persisted" -> embKnnSq8Persisted _,
     "emb_knn_sq8_incremental" -> embKnnSq8Incremental _,
     "emb_knn_sq8_follow" -> embKnnSq8Follow _,

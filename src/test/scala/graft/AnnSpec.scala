@@ -478,4 +478,26 @@ class AnnSpec extends SparkSpec {
       Ann.knnSq8(vecs, "vec_id", "embedding", col("vec_id") < 1, k = 2, refine = 0)
     }
   }
+
+  test("knnBq: deep refine recovers brute force; dims pack beyond one word") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    // refine spanning the whole collection ⇒ the exact re-rank IS brute
+    val bq = rows(Ann.knnBq(vecs, "vec_id", "embedding", col("vec_id") < 2, k = 3, refine = 2))
+    val brute = rows(Ann.knnBrute(vecs, "vec_id", "embedding", col("vec_id") < 2, k = 3))
+    assert(bq == brute)
+    // partition-invariance
+    val re = rows(Ann.knnBq(vecs.repartition(5), "vec_id", "embedding",
+      col("vec_id") < 2, k = 3, refine = 2))
+    assert(re == bq)
+    // >32 dims: the ragged second word packs via the coalesced zip tail;
+    // a 40-dim one-hot corpus still ranks its known neighbor first
+    val wide = Seq.tabulate(6) { i =>
+      (i.toLong, Array.tabulate(40)(d =>
+        if (d == (i % 3) * 13) 1.0f else if (d == 39 && i >= 3) 0.2f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val got = Ann.knnBq(wide, "vec_id", "embedding", col("vec_id") === 0L, k = 1, refine = 6)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("neighbor_id") == 3L)
+  }
 }
