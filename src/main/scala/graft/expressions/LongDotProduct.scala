@@ -103,6 +103,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_dotq"),
         new ExpressionInfo(classOf[LongDotProduct].getName, "graft_dotq"),
         (exprs: Seq[Expression]) => LongDotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((LongHamming.ident, LongHamming.info, LongHamming.builder))
     ext.injectFunction((TopKByScore.ident, TopKByScore.info, TopKByScore.builder))
     ext.injectFunction((FreqItems.ident, FreqItems.info, FreqItems.builder))
     ext.injectFunction((KmvSketch.ident, KmvSketch.info, KmvSketch.builder))

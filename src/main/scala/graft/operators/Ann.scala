@@ -1024,9 +1024,12 @@ object Ann {
        |                  (b, i) -> shiftleft(coalesce(b, 0L), CAST(i AS INT))),
        |         0L, (acc, x) -> acc + x))""".stripMargin
 
-  /** Summed per-word Hamming distance of two code arrays. */
-  private[operators] def bqHammingSql(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), 0L, (acc, v) -> acc + v)"
+  /** Summed per-word Hamming distance of two code arrays — the native
+    * codegen'd [[graft.expressions.LongHamming]] (primitive popcount
+    * loop), not the HOF interpreter: this runs once per (probe,
+    * candidate) pair, the compressed scan's innermost loop. */
+  def hammingQ(a: Column, b: Column): Column =
+    graft.expressions.LongHamming(a, b)
 
   /** BQ (1-BIT binary-quantized) top-k — the most compressed member of
     * the index family (FAISS `binary IVF`/RaBitQ-style sign codes):
@@ -1064,7 +1067,7 @@ object Ann {
       .filter(col("neighbor_id") =!= col("probe_id"))
       .groupBy(col("probe_id"))
       .agg(TopKByScore(
-        -expr(bqHammingSql("__code", "__pc")).cast("double"),
+        -hammingQ(col("__code"), col("__pc")).cast("double"),
         col("neighbor_id").cast("long"), refine * k).as("__top"))
       .select(col("probe_id"), explode(col("__top")).as("__e"))
       .select(col("probe_id"), col("__e.id").as("neighbor_id"))
