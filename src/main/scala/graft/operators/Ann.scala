@@ -1000,18 +1000,72 @@ object Ann {
     * bet instead of arithmetic. */
   val BqWordBits = 32
 
-  /** Per-dimension BINARY-quantization thresholds: the floor-average of
-    * each dimension's quantized values (exact integer train — same
-    * trick as the centroid builder), pivoted to one broadcastable
-    * array row. */
-  private[operators] def bqTrain(df: DataFrame, vecCol: String): DataFrame =
+  /** Per-dimension BINARY-quantization thresholds as storable dim rows
+    * (dim_idx, t): the floor-average of each dimension's quantized
+    * values (exact integer train — same trick as the centroid
+    * builder). The [[graft.operators.AnnIndex]] BQ index persists this
+    * frame as its frozen parameters. */
+  def bqTrain(df: DataFrame, vecCol: String): DataFrame =
     df.select(posexplode_outer(quantize(col(vecCol))))
       .filter(col("col").isNotNull)
-      .groupBy(col("pos"))
+      .groupBy(col("pos").cast("long").as("dim_idx"))
       .agg(sum(col("col")).as("__s"), count(lit(1)).as("__c"))
-      .select(col("pos"), expr("__s div __c").as("__t"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("__t")))).as("__a"))
-      .select(transform(col("__a"), s => s.getField("__t")).as("__thr"))
+      .select(col("dim_idx"), expr("__s div __c").as("t"))
+
+  /** dim-row threshold frame → ONE broadcastable (thr[]) row in dim
+    * order — the [[pivotSq8]] shape for the binary quantizer. */
+  private[operators] def pivotBq(train: DataFrame): DataFrame =
+    train
+      .agg(array_sort(collect_list(struct(col("dim_idx"), col("t")))).as("__a"))
+      .select(transform(col("__a"), s => s.getField("t")).as("__thr"))
+
+  /** (id, packed code words) for every row of `df`, encoded through the
+    * PIVOTED thresholds (frozen-param contract: appends and follow mode
+    * pass the stored frame through verbatim, re-training would flip
+    * stored bits). */
+  private[operators] def bqCodeRows(df: DataFrame, idCol: String, vecCol: String,
+      thr: DataFrame): DataFrame =
+    bqEncodeQ(df.select(col(idCol), quantize(col(vecCol)).as("__q")), thr)
+      .select(col(idCol), col("__code"))
+
+  /** Adds `__code` to a frame already carrying the quantized `__q`. */
+  private def bqEncodeQ(df: DataFrame, thr: DataFrame): DataFrame =
+    df.crossJoin(broadcast(thr))
+      .withColumn("__bits",
+        zip_with(col("__q"), col("__thr"),
+          (v, t) => when(v > t, lit(1L)).otherwise(lit(0L))))
+      .withColumn("__code", expr(bqPackSql("__bits")))
+
+  /** The BQ two-stage search over prepared candidates: `codes` =
+    * (neighbor_id, __code) — the compressed scan side; `thr` = the
+    * pivoted thresholds (probes encode through them at query time);
+    * `qdf` = the full-precision collection ([[quantized]] shape)
+    * providing probes and the exact-refine vectors. Shared by the
+    * in-query [[knnBq]] and the persisted-index serve
+    * ([[AnnIndex.knnBqServe]]). */
+  private[operators] def bqSearch(codes: DataFrame, thr: DataFrame, qdf: DataFrame,
+      idCol: String, probePred: Column, k: Int, refine: Int): DataFrame = {
+    import graft.expressions.TopKByScore
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val pcs = bqEncodeQ(qdf.filter(probePred).select(col(idCol), col("__q")), thr)
+      .select(col(idCol).as("probe_id"), col("__code").as("__pc"))
+    val stage1 = codes
+      .crossJoin(broadcast(pcs))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(TopKByScore(
+        -hammingQ(col("__code"), col("__pc")).cast("double"),
+        col("neighbor_id").cast("long"), refine * k).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__e"))
+      .select(col("probe_id"), col("__e.id").as("neighbor_id"))
+    val probes = qdf.filter(probePred)
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
+    val paired = broadcast(stage1)
+      .join(qdf.select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
+        col("__n").as("__nn")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+    topKAgg(paired, k)
+  }
 
   /** Pack a 0/1 bits array into [[BqWordBits]]-bit words (array<long>,
     * ⌈dim/32⌉ entries; zip_with's NULL padding on the ragged tail
@@ -1050,34 +1104,11 @@ object Ann {
     * full-width vectors for O(probes·refine·k) rows only. */
   def knnBq(df: DataFrame, idCol: String, vecCol: String,
       probePred: Column, k: Int, refine: Int = 4): DataFrame = {
-    import graft.expressions.TopKByScore
-    require(refine >= 1, s"refine must be >= 1, got $refine")
     val qdf = quantized(df, idCol, vecCol)
-    val enc = qdf.crossJoin(broadcast(bqTrain(df, vecCol)))
-      .withColumn("__bits",
-        zip_with(col("__q"), col("__thr"),
-          (v, t) => when(v > t, lit(1L)).otherwise(lit(0L))))
-      .withColumn("__code", expr(bqPackSql("__bits")))
-      .select(col(idCol), col("__code"))
-    val pcs = enc.join(broadcast(qdf.filter(probePred).select(col(idCol))),
-        Seq(idCol), "left_semi")
-      .select(col(idCol).as("probe_id"), col("__code").as("__pc"))
-    val stage1 = enc.select(col(idCol).as("neighbor_id"), col("__code"))
-      .crossJoin(broadcast(pcs))
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .groupBy(col("probe_id"))
-      .agg(TopKByScore(
-        -hammingQ(col("__code"), col("__pc")).cast("double"),
-        col("neighbor_id").cast("long"), refine * k).as("__top"))
-      .select(col("probe_id"), explode(col("__top")).as("__e"))
-      .select(col("probe_id"), col("__e.id").as("neighbor_id"))
-    val probes = qdf.filter(probePred)
-      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
-    val paired = broadcast(stage1)
-      .join(qdf.select(col(idCol).as("neighbor_id"), col("__q").as("__nq"),
-        col("__n").as("__nn")), Seq("neighbor_id"))
-      .join(broadcast(probes), Seq("probe_id"))
-    topKAgg(paired, k)
+    val thr = pivotBq(bqTrain(df, vecCol))
+    val codes = bqCodeRows(df, idCol, vecCol, thr)
+      .select(col(idCol).as("neighbor_id"), col("__code"))
+    bqSearch(codes, thr, qdf, idCol, probePred, k, refine)
   }
 
   /** Per-label centroids as (label, dim_idx, centroid): posexplode the

@@ -687,6 +687,116 @@ object AnnIndex {
     cur
   }
 
+  // ---- BQ 1-bit binary-quantized index ---------------------------------
+
+  /** Reserved BQ code column: packed 32-bit sign words. */
+  val BqCodeCol = "code_words"
+
+  /** BQ serving rows: (id, code_words) — ⌈dim/32⌉ BIGINTs per vector,
+    * 1 bit per dimension of signal (the 8× shrink UNDER SQ8's bytes).
+    * Encoding uses the FROZEN per-dim thresholds — train once at build,
+    * pass through appends verbatim (re-training would flip stored
+    * bits; the [[sq8IndexRows]] contract). */
+  def bqIndexRows(df: DataFrame, idCol: String, vecCol: String,
+      params: DataFrame): DataFrame = {
+    require(!df.columns.contains(BqCodeCol),
+      s"input already has a column named the reserved index column '$BqCodeCol'")
+    Ann.bqCodeRows(df, idCol, vecCol, Ann.pivotBq(params))
+      .withColumnRenamed("__code", BqCodeCol)
+  }
+
+  /** Build and persist the BQ index: trained per-dim (dim_idx, t)
+    * thresholds at `path + "_params"` (dim rows — constant size), the
+    * packed code rows at `path` (flat — the compressed scan consumes
+    * every row). Params train on `df` unless a pre-trained frame is
+    * given. Incremental growth = [[appendBqIndex]]. */
+  def writeBqIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, params: DataFrame = null): Unit = {
+    val p = Option(params).getOrElse(Ann.bqTrain(df, vecCol))
+    p.write.mode("overwrite").parquet(path + "_params")
+    bqIndexRows(df, idCol, vecCol,
+      df.sparkSession.read.parquet(path + "_params"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** INCREMENTAL BQ maintenance: encode a NEW batch through the STORED
+    * frozen thresholds and append its code rows — O(batch); stored
+    * codes are never read or rewritten. */
+  def appendBqIndex(batch: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val stored = batch.sparkSession.read.parquet(path + "_params")
+    bqIndexRows(batch, idCol, vecCol, stored)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Top-k BQ search served from the PERSISTED code words: symmetric
+    * Hamming scan (probes encode through the stored thresholds at query
+    * time — one broadcast row of params, no corpus math), exact-cosine
+    * refine against `coll` for O(probes·refine·k) rows. Selection is
+    * hash-identical to the in-query [[Ann.knnBq]]. */
+  def knnBqServe(codes: DataFrame, params: DataFrame, coll: DataFrame,
+      idCol: String, vecCol: String, probePred: Column, k: Int,
+      refine: Int): DataFrame = {
+    val thr = Ann.pivotBq(params)
+    val enc = codes.select(col(idCol).as("neighbor_id"),
+      col(BqCodeCol).as("__code"))
+    val qdf = coll.select(col(idCol), Ann.quantize(col(vecCol)).as("__q"))
+      .withColumn("__n", Ann.dotQ(col("__q"), col("__q")))
+    Ann.bqSearch(enc, thr, qdf, idCol, probePred, k, refine)
+  }
+
+  /** BQ twin of [[knnSq8ServeFollow]]: base codes minus delta-touched
+    * ids, union the delta's live rows encoded through the frozen stored
+    * thresholds — hash-identical to a full rebuild over the corpus's
+    * current state with the same params. */
+  def knnBqServeFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      coll: DataFrame, idCol: String, vecCol: String,
+      probePred: Column, k: Int, refine: Int): DataFrame = {
+    val (codes, params, _) = bqFollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol)
+    knnBqServe(codes, params, coll, idCol, vecCol, probePred, k, refine)
+  }
+
+  /** The resolved code table of a following BQ index (the
+    * [[sq8FollowResolved]] discipline). */
+  private def bqFollowResolved(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.sources.Snapshot
+    val base = spark.read.parquet(basePath)
+    val params = spark.read.parquet(basePath + "_params")
+    val live = Snapshot.read(spark, deltaRoot, deltaTable)
+    val liveKeys = live.select(col(idCol))
+    val touched = Snapshot.shadowedKeys(spark, deltaRoot, deltaTable) match {
+      case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
+      case None => liveKeys.distinct()
+    }
+    val deltaCodes = bqIndexRows(live, idCol, vecCol, params)
+      .select(base.columns.map(col).toSeq: _*)
+      .localCheckpoint(true)
+    (base.join(touched, Seq(idCol), "left_anti").unionByName(deltaCodes),
+      params, deltaCodes)
+  }
+
+  /** FOLD a following BQ index's delta into a fresh frozen base at
+    * `newBasePath` — stored code words pass through untouched, frozen
+    * thresholds copied verbatim. Same handoff-cursor contract and
+    * concurrency check as [[compactSq8Follow]]. */
+  def compactBqFollow(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, newBasePath: String): Long = {
+    val cur = foldCursor(spark, deltaRoot, "compactBqFollow")
+    val (codes, params, deltaCodes) = bqFollowResolved(spark, basePath,
+      deltaRoot, deltaTable, idCol, vecCol)
+    try {
+      codes.write.mode("overwrite").parquet(newBasePath)
+      params.write.mode("overwrite").parquet(newBasePath + "_params")
+    } finally NearDup.freeCheckpoint(deltaCodes)
+    requireCursorStable(spark, deltaRoot, cur, "compactBqFollow")
+    cur
+  }
+
   /** Top-k SQ8 search served from the PERSISTED byte codes: candidates
     * reconstruct in-row from code + stored params (255-scaled exact
     * integers), rank by the asymmetric surrogate, and the top refine·k

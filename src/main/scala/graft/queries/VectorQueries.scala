@@ -80,6 +80,122 @@ object VectorQueries {
         col("vec_id") < ProbeMax, K, BqRefine)
       .orderBy("probe_id", "rank")
 
+  /** emb_knn_bq_persisted — the same BQ search served from PERSISTED
+    * code words + thresholds (AnnIndex.writeBqIndex/knnBqServe): no
+    * corpus encode at query time, probes encode through one broadcast
+    * param row. Shares emb_knn_bq's oracle — identical selection. */
+  def embKnnBqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annbq", dir)
+    AnnIndex.writeBqIndex(emb, "vec_id", "embedding", path)
+    AnnIndex.knnBqServe(spark.read.parquet(path),
+        spark.read.parquet(path + "_params"), emb,
+        "vec_id", "embedding", col("vec_id") < ProbeMax, K, BqRefine)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** emb_knn_bq_incremental — O(batch) BQ maintenance: build on a
+    * slice with full-corpus-trained thresholds, append the rest through
+    * the STORED params (AnnIndex.appendBqIndex), serve — bit-identical
+    * to the one-shot build (same oracle). */
+  def embKnnBqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(spark, dir)
+    val path = Tables.scratchDir(spark, "annbqinc", dir)
+    AnnIndex.writeBqIndex(emb.filter(col("vec_id") % 5 =!= 3),
+      "vec_id", "embedding", path, Ann.bqTrain(emb, "embedding"))
+    AnnIndex.appendBqIndex(emb.filter(col("vec_id") % 5 === 3),
+      "vec_id", "embedding", path)
+    AnnIndex.knnBqServe(spark.read.parquet(path),
+        spark.read.parquet(path + "_params"), emb,
+        "vec_id", "embedding", col("vec_id") < ProbeMax, K, BqRefine)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** emb_knn_bq_follow — the FOLLOWING BQ index
+    * (AnnIndex.knnBqServeFollow): frozen base + change-feed delta over
+    * a mutating corpus (erase + MoR upsert waves), serve composing
+    * base-minus-touched with the re-encoded delta — hash-identical to
+    * a rebuild on the corpus's current state with the frozen params. */
+  def embKnnBqFollow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "bqfsrc", dir)
+    val delta = Tables.scratchDir(spark, "bqfdelta", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "bqfbase", dir)
+    AnnIndex.writeBqIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", basePath)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined,
+      "bq follow sync did not publish")
+    AnnIndex.knnBqServeFollow(spark, basePath, delta, "emb_delta",
+        Snapshot.read(spark, corpus, "emb"), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K, BqRefine)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** emb_knn_bq_compacted — the FOLD closing the BQ following-index
+    * lifecycle (AnnIndex.compactBqFollow): wave-1 erase/MERGE + sync,
+    * fold base+delta into a fresh frozen base, wave-2 erase/MERGE, a
+    * FRESH delta seeded at the handoff cursor, serve newBase+freshDelta
+    * against the corpus's FINAL state. */
+  def embKnnBqCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    import graft.sources.{Replica, Snapshot}
+    val corpus = Tables.scratchDir(spark, "bqcsrc", dir)
+    val delta1 = Tables.scratchDir(spark, "bqcd1", dir)
+    val delta2 = Tables.scratchDir(spark, "bqcd2", dir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(corpus, delta1, delta2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val emb = Tables.embeddings(spark, dir)
+    val buildV = Snapshot.commit(spark, corpus, Map("emb" ->
+      emb.filter(col("vec_id") % 5 =!= 3)))
+    val basePath = Tables.scratchDir(spark, "bqcbase", dir)
+    AnnIndex.writeBqIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", basePath)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 7 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 5 === 3 || col("vec_id") % 9 === 1),
+      Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta1, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined,
+      "bq compacted gate: wave-1 sync did not publish")
+    val base2 = Tables.scratchDir(spark, "bqcbase2", dir)
+    val cur = AnnIndex.compactBqFollow(spark, basePath, delta1, "emb_delta",
+      "vec_id", "embedding", base2)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      emb.filter(col("vec_id") % 13 === 2), Seq("vec_id"))
+    require(Replica.sync(spark, corpus, "emb", delta2, "emb_delta",
+      Seq("vec_id"), initialCursor = cur).isDefined,
+      "bq compacted gate: wave-2 sync did not publish")
+    AnnIndex.knnBqServeFollow(spark, base2, delta2, "emb_delta",
+        Snapshot.read(spark, corpus, "emb"), "vec_id", "embedding",
+        col("vec_id") < ProbeMax, K, BqRefine)
+      .orderBy("probe_id", "rank")
+  }
+
   /** emb_recall — ANN QUALITY EVALUATION gate: recall@K of each
     * approximate index family (LSH buckets, IVF inverted lists, SQ8
     * scalar quantization) measured against the exact brute-force top-K
@@ -992,13 +1108,14 @@ object VectorQueries {
 
   private val sq8Oracle: String = sq8OracleFor("q", "q")
 
-  /** BQ oracle: thresholds (per-dim floor-average), sign bits, 32-bit
-    * word packing, symmetric Hamming via bit_count(xor), refine-then-
-    * exact — the Ann.knnBq pipeline from first principles. The bit is
-    * cast BIGINT before the shift so bit 31 can't overflow an INT32. */
-  private val bqOracle: String = knnOracle(
-    s"""lv AS (SELECT vec_id, qv FROM q),
-       |td AS (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM q),
+  /** BQ oracle: thresholds (per-dim floor-average over `trainSrc`),
+    * sign bits, 32-bit word packing, symmetric Hamming via
+    * bit_count(xor), refine-then-exact — the Ann.knnBq pipeline from
+    * first principles over the `liveSrc` membership. The bit is cast
+    * BIGINT before the shift so bit 31 can't overflow an INT32. */
+  private def bqOracleFor(trainSrc: String, liveSrc: String): String = knnOracle(
+    s"""lv AS (SELECT vec_id, qv FROM $liveSrc),
+       |td AS (SELECT qv, unnest(range(1, len(qv) + 1)) AS i FROM $trainSrc),
        |thr AS (SELECT i, SUM(qv[i]) // COUNT(*) AS t FROM td GROUP BY i),
        |bits AS (SELECT vd.vec_id, vd.i,
        |           CASE WHEN vd.qv[vd.i] > thr.t THEN CAST(1 AS BIGINT)
@@ -1021,6 +1138,22 @@ object VectorQueries {
        |      FROM c1 JOIN lv a ON a.vec_id = c1.probe_id
        |              JOIN lv b ON b.vec_id = c1.neighbor_id
        |      WHERE c1.rr <= ${BqRefine * K})""".stripMargin)
+
+  private val bqOracle: String = bqOracleFor("q", "q")
+
+  /** Follow: thresholds frozen on the build slice (%5≠3), membership at
+    * the corpus's wave-1 final state (the sq8FollowOracle shape). */
+  private val bqFollowOracle: String = bqOracleFor(
+    "(SELECT qv FROM q WHERE vec_id % 5 <> 3)",
+    "(SELECT vec_id, qv FROM q WHERE vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)")
+
+  /** Compacted: same frozen thresholds, membership after BOTH waves. */
+  private val bqCompactedOracle: String = bqOracleFor(
+    "(SELECT qv FROM q WHERE vec_id % 5 <> 3)",
+    """(SELECT vec_id, qv FROM q
+      |   WHERE vec_id % 13 = 2
+      |      OR ((vec_id % 5 = 3 OR vec_id % 9 = 1 OR vec_id % 7 <> 0)
+      |          AND vec_id % 11 <> 0))""".stripMargin)
 
   /** emb_recall oracle: the brute/lsh/ivf/sq8 oracles verbatim as
     * nested subqueries (DuckDB scopes each one's WITH locally), then
@@ -1654,6 +1787,10 @@ object VectorQueries {
     "emb_knn_ivfpq" -> ivfPqOracle,
     "emb_knn_sq8" -> sq8Oracle,
     "emb_knn_bq" -> bqOracle,
+    "emb_knn_bq_persisted" -> bqOracle, // identical selection from stored words
+    "emb_knn_bq_incremental" -> bqOracle, // append-then-serve == one-shot build
+    "emb_knn_bq_follow" -> bqFollowOracle, // base+delta == rebuild on final state, frozen params
+    "emb_knn_bq_compacted" -> bqCompactedOracle, // fold + cursor handoff == final state
     "emb_knn_sq8_persisted" -> sq8Oracle, // identical selection from stored bytes
     "emb_knn_sq8_incremental" -> sq8Oracle, // append-then-serve == one-shot build
     "emb_knn_sq8_follow" -> sq8FollowOracle, // base+delta == rebuild on final state, frozen params
@@ -1694,6 +1831,10 @@ object VectorQueries {
     "emb_knn_ivfpq" -> embKnnIvfPq _,
     "emb_knn_sq8" -> embKnnSq8 _,
     "emb_knn_bq" -> embKnnBq _,
+    "emb_knn_bq_persisted" -> embKnnBqPersisted _,
+    "emb_knn_bq_incremental" -> embKnnBqIncremental _,
+    "emb_knn_bq_follow" -> embKnnBqFollow _,
+    "emb_knn_bq_compacted" -> embKnnBqCompacted _,
     "emb_knn_sq8_persisted" -> embKnnSq8Persisted _,
     "emb_knn_sq8_incremental" -> embKnnSq8Incremental _,
     "emb_knn_sq8_follow" -> embKnnSq8Follow _,
