@@ -140,6 +140,82 @@ object StreamOps {
     true
   }
 
+  /** STREAMING QUALITY GATE — expectations enforced on the stream (the
+    * Delta-Live-Tables shape on this engine's snapshot store): every
+    * micro-batch splits on the declared violation predicates
+    * ([[graft.operators.Expectations]] semantics — NULL predicate = not
+    * a violation); PASSING rows MERGE into `table`, VIOLATING rows
+    * MERGE into `table + "_quarantine"` (tagged with their batch id —
+    * nothing is silently dropped, the reject-capture contract of the
+    * reference's FK splits), and the batch's audit report (one row per
+    * check: violations/total/pass) accumulates in `table + "_audit"`.
+    *
+    * Exactly-once: the audit + marker publish atomically WITH the
+    * main-table MERGE (one applyChanges commit), and the quarantine
+    * MERGE before it is idempotent by key — so at-least-once
+    * foreachBatch delivery yields exactly-once tables, quarantine, and
+    * audit (a replayed batch short-circuits on the marker; a crash
+    * between the two commits replays the idempotent quarantine MERGE).
+    * Audit accumulation is a replace of a checks×batches-sized frame —
+    * bounded, never data-sized. Key columns must be NON-NULL (both
+    * MERGEs key on them — route NULL-key rows out upstream; a NOT-NULL
+    * key check here would try to quarantine an unkeyable row and fail
+    * loudly rather than corrupt). */
+  def streamingAudited(rows: DataFrame, root: String, table: String,
+      keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      appId: String = "audited-ingest")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      auditedBatchExactlyOnce(batch, batchId, root, table, keys, ord, checks, appId)
+      ()
+    }
+
+  /** One micro-batch of [[streamingAudited]] — public so replay and
+    * split semantics are directly testable. Returns true if the batch
+    * published (false = replay skip). */
+  def auditedBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
+      table: String, keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      appId: String = "audited-ingest"): Boolean = {
+    import graft.sources.Snapshot
+    require(checks.nonEmpty, "auditedBatch: no expectation checks given")
+    val spark = batch.sparkSession
+    val quarTable = table + "_quarantine"
+    val auditTable = table + "_audit"
+    val tablesNow = Snapshot.tables(spark, root).keySet
+    if (appliedBatch(spark, root, tablesNow, appId) >= batchId) return false
+    val staged = graft.operators.Transform.dedupeKeepLast(batch, keys, ord)
+      .localCheckpoint(true)
+    try {
+      val viol = coalesce(checks.map(_._2).reduce(_ || _), lit(false))
+      val quar = staged.filter(viol).withColumn("batch_id", lit(batchId))
+      // commit 1 (idempotent by key — replay-safe): quarantined rows
+      if (!quar.isEmpty)
+        Snapshot.applyChanges(spark, root, quarTable, keys,
+          upserts = Some(quar), deleteKeys = None)
+      // commit 2 (atomic: rows + audit + marker): passing rows MERGE,
+      // the audit report appends via bounded replace
+      val report = graft.operators.Expectations
+        .rowChecks(staged, table, checks)
+        .withColumn("batch_id", lit(batchId))
+      val tablesMid = Snapshot.tables(spark, root).keySet
+      val auditAll =
+        if (tablesMid.contains(auditTable))
+          Snapshot.read(spark, root, auditTable)
+            .filter(col("batch_id") =!= batchId).unionByName(report)
+        else report
+      val baseVersion = Snapshot.currentVersion(spark, root)
+      Snapshot.applyChanges(spark, root, table, keys,
+        upserts = Some(staged.filter(!viol)), deleteKeys = None,
+        replaces = Map(
+          auditTable -> auditAll,
+          MarkerTable -> mergedMarker(spark, root, tablesMid, appId, batchId)),
+        expectBase = Some(baseVersion.getOrElse(0L)))
+      true
+    } finally graft.operators.NearDup.freeCheckpoint(staged)
+  }
+
   /** STREAMING incremental view maintenance: each micro-batch lands in
     * the base table exactly-once ([[upsertBatchMorExactlyOnce]] — a
     * replayed batch skips), then the persisted aggregate view advances

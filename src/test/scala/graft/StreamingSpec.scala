@@ -422,4 +422,52 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 1L), (1L, 2L)))
     intercept[IllegalArgumentException](StreamOps.tierCrossings(events, 0))
   }
+
+  test("streamingAudited: pass rows land, violations quarantine, audit accumulates, replays skip") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-saudit").toString
+    val checks = Seq(
+      "value_non_negative" -> (col("value") < 0),
+      "type_known" -> !col("event_type").isin("click", "view", "purchase"))
+    val ms = MemoryStream[Event]
+    val q = StreamOps.streamingAudited(ms.toDF(), root, "events",
+        keys = Seq("event_id"), ord = Seq(col("ts")), checks = checks)
+      .outputMode("update").start()
+    try {
+      ms.addData(
+        Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:02"), 2, "view", -5.0), // violates
+        Event(3, ts("2024-01-01 00:00:03"), 3, "weird", 2.0)) // violates
+      q.processAllAvailable()
+      ms.addData(
+        Event(4, ts("2024-01-01 00:01:00"), 1, "purchase", 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // main table: only the passing rows
+    assert(Snapshot.read(spark, root, "events").collect()
+      .map(_.getAs[Long]("event_id")).toSet == Set(1L, 4L))
+    // quarantine: the violators, tagged with their batch
+    val quar = Snapshot.read(spark, root, "events_quarantine").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("batch_id")).toMap
+    assert(quar == Map(2L -> 0L, 3L -> 0L))
+    // audit: one row per check per batch, honest counts
+    val audit = Snapshot.read(spark, root, "events_audit").collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("check_name")) ->
+        (r.getAs[Long]("violations"), r.getAs[Long]("total"), r.getAs[Long]("pass")))
+      .toMap
+    assert(audit((0L, "value_non_negative")) == ((1L, 3L, 0L)))
+    assert(audit((0L, "type_known")) == ((1L, 3L, 0L)))
+    assert(audit((1L, "value_non_negative")) == ((0L, 1L, 1L)))
+    assert(audit.size == 4)
+    // replaying batch 0 by hand is a marker-gated no-op everywhere
+    val replayed = StreamOps.auditedBatchExactlyOnce(
+      Seq(Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:02"), 2, "view", -5.0)).toDF(),
+      batchId = 0L, root, "events", Seq("event_id"), Seq(col("ts")), checks)
+    assert(!replayed, "replayed batch must not publish")
+    assert(Snapshot.read(spark, root, "events_audit").count() == 4L)
+    assert(Snapshot.read(spark, root, "events_quarantine").count() == 2L)
+  }
 }
