@@ -94,6 +94,80 @@ object LangModel {
       toks.filter(col("__ref")).groupBy(col("__tok")).agg(count(lit(1)).as("__cnt")),
       toks, idCol)
 
+  /** Bigram NLL — the next model order up from [[unigramNll]] (CCNet's
+    * KenLM is a 5-gram; each added order sharpens the fluency signal at
+    * the cost of a bigger model table). Add-one smoothing PER CONTEXT:
+    * p(b|a) = (cnt(a,b)+1) / (ctx(a)+V), where ctx(a) = Σ_b cnt(a,b)
+    * over the reference slice and V = the reference's unigram vocabulary
+    * size; a pair with an unseen context scores p = 1/V. Same
+    * determinism contract as the unigram: every per-pair probability is
+    * quantized to integer micro-nats on the MODEL side (pair-table and
+    * context-fallback rows), so per-doc sums are exact integers in any
+    * partition order.
+    *
+    * Scale shape: the model is one hash-aggregate over reference PAIRS
+    * (distinct-bigram-sized — broadcast here; at a 100 TB corpus the
+    * pair table outgrows the driver and the join hint drops, AQE plans
+    * a shuffle join on (prev,tok)), the context table folds from it
+    * (≤vocab rows), and pairs are built IN THE ROW (transform over the
+    * token array — the doc_repetition idiom) so the exploded frame is a
+    * pure map of the corpus scan, never a self-join. Docs with fewer
+    * than 2 tokens have no bigrams and are excluded — the caller keeps
+    * them via its own left join if "no signal" must stay a row.
+    *
+    * Output: (idCol, n_bigrams, nll_micro, avg_nll). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      refPred: Column): DataFrame = {
+    val tk = col("__tk")
+    val pairs = df
+      .select(col(idCol), refPred.as("__ref"),
+        filter(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
+          t => length(t) > 0).as("__tk"))
+      .filter(size(tk) >= 2)
+      // pair structs built per row: lambda indexes the projected array,
+      // so no token leaves its row before the single explode below
+      .select(col(idCol), col("__ref"), explode(
+        transform(sequence(lit(0), size(tk) - 2),
+          i => struct(element_at(tk, i + 1).as("__prev"),
+                      element_at(tk, i + 2).as("__tok")))).as("__p"))
+      .select(col(idCol), col("__ref"),
+        col("__p.__prev").as("__prev"), col("__p.__tok").as("__tok"))
+    val refPairs = pairs.filter(col("__ref"))
+    val pcnt = refPairs.groupBy(col("__prev"), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    // V = unigram vocabulary of the reference slice: every token of a
+    // scoring-eligible ref doc appears as __prev (all but the last) or
+    // __tok (all but the first), so the union of both columns IS the
+    // slice's token-type set over >=2-token docs
+    val vstat = refPairs.select(col("__prev").as("__t"))
+      .union(refPairs.select(col("__tok").as("__t")))
+      .agg(count_distinct(col("__t")).as("__v"))
+    val ctx = pcnt.groupBy(col("__prev")).agg(sum(col("__cnt")).as("__ctx"))
+    // empty reference slice → __v is 0 (count over no rows) → ln(1/0)
+    // guard: NULLs propagate like the unigram's empty-slice contract
+    val vNull = when(col("__v") > 0, col("__v")).otherwise(lit(null))
+    val pairNll = pcnt.join(broadcast(ctx), Seq("__prev"))
+      .crossJoin(broadcast(vstat))
+      .select(col("__prev"), col("__tok"),
+        round(lit(1e6) * -log((col("__cnt") + lit(1L)).cast("double") /
+          (col("__ctx") + vNull).cast("double"))).cast("long").as("__nllq"))
+    val ctxOov = ctx.crossJoin(broadcast(vstat))
+      .select(col("__prev"),
+        round(lit(1e6) * -log(lit(1.0) /
+          (col("__ctx") + vNull).cast("double"))).cast("long").as("__oovq"))
+    val globalOov = round(lit(1e6) * -log(lit(1.0) / vNull.cast("double")))
+      .cast("long")
+    pairs.join(broadcast(pairNll), Seq("__prev", "__tok"), "left_outer")
+      .join(broadcast(ctxOov), Seq("__prev"), "left_outer")
+      .crossJoin(broadcast(vstat))
+      .select(col(idCol),
+        coalesce(col("__nllq"), col("__oovq"), globalOov).as("__q"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__q")).as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_bigrams").cast("double") / lit(1e6))
+  }
+
   private def nllFromVocab(vcnt: DataFrame, toks: DataFrame, idCol: String): DataFrame = {
     val stats = vcnt.agg(sum(col("__cnt")).as("__total"), count(lit(1)).as("__v"))
     val denom = (col("__total") + col("__v")).cast("double")

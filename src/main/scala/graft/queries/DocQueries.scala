@@ -697,6 +697,52 @@ object DocQueries {
         maxDist = 40, shingleN = 3, numHashes = 12, bands = 6)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_lm_bigram — bigram-LM perplexity scoring + CCNet bucketing
+    * (graft.operators.LangModel.bigramNll): the next model order up
+    * from doc_lm_score's unigram, trained on the same English reference
+    * slice with per-context add-one smoothing, every pair probability
+    * quantized to integer micro-nats on the model side. The gate then
+    * assigns each doc its CCNet corpus bucket (Wenzek et al. 2020 §4.3:
+    * head/middle/tail by perplexity third — here the q25_value_buckets
+    * discipline at dyadic quartiles: ONE exact-percentile aggregate over
+    * the integer avg score, 3 doubles broadcast back, codegen'd
+    * comparisons; never the single-partition sort NTILE plans to). Ties
+    * land in the lower bucket by value, so equal scores never split. */
+  def docLmBigram(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.LangModel.bigramNll(
+      Tables.documents(spark, dir).select("doc_id", "lang", "text"),
+      "doc_id", "text", refPred = col("lang") === "en")
+      // integer micro-nat average: exact, order-proof bucket key
+      .withColumn("avg_q", expr("(nll_micro * 1000000) div n_bigrams"))
+    val cuts = scored
+      .agg(expr("percentile(avg_q, array(0.25D, 0.5D, 0.75D))").as("__q"))
+      .select(
+        element_at(col("__q"), 1).as("__p25"),
+        element_at(col("__q"), 2).as("__p50"),
+        element_at(col("__q"), 3).as("__p75"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        col("avg_nll"),
+        (lit(1) + when(col("avg_q") > col("__p25"), 1).otherwise(0)
+                + when(col("avg_q") > col("__p50"), 1).otherwise(0)
+                + when(col("avg_q") > col("__p75"), 1).otherwise(0))
+          .cast("long").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** doc_gopher_rules — the published Gopher quality-rule battery
+    * (graft.operators.QualityRules.gopher; Rae et al. 2021 Table A1):
+    * per-rule keep/reject booleans over exact in-row integer features
+    * (word count bounds, mean word length, distinct-stopword presence,
+    * alpha-word ratio, top-2-gram repetition share) and their
+    * conjunction as the verdict. A PURE MAP over the corpus scan — the
+    * auditable rule battery next to doc_quality's blended scalar. */
+  def docGopherRules(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.gopher(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** doc_sql_text — the text-analysis surface through SQL TEXT: gates
     * the graft.functions.TextSql registration path itself (a SQL-first
     * user's `SELECT graft_quality(text) ...`), the way events_sql_topk
@@ -768,6 +814,48 @@ object DocQueries {
         (col("sum_r").cast("double") / lit(16.0)).as("mean_r"),
         (col("sum_g").cast("double") / lit(16.0)).as("mean_g"),
         (col("sum_b").cast("double") / lit(16.0)).as("mean_b"))
+      .orderBy("doc_id")
+  }
+
+  /** mm_image_resize — REAL image TRANSFORM gate (graft.operators
+    * .MediaPipeline.resizeImage): the mm_image_stats 4×4 BMPs go
+    * through the full decode → nearest-neighbor rescale to 2×2 →
+    * lossless BMP re-encode pipeline, and the RESIZED bytes are decoded
+    * AGAIN by the JDK reader for their channel sums — two independent
+    * decode round-trips bracketing the transform, so a single wrong bit
+    * in the resize indexing (floor convention sy = y·H/h, sampled
+    * pixels (0,0),(0,2),(2,0),(2,2)) or the re-encode shifts the sums.
+    * The oracle derives the 4 sampled pixels' channel bytes from the
+    * md5 hex directly — it never sees an image, it asserts WHICH source
+    * pixels a correct floor-NN 4×4→2×2 resize must keep. */
+  def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val rgb = new Array[Byte](48)
+        var k = 0
+        while (k < 3) {
+          val dg = md.digest(s"$id~p$k".getBytes("UTF-8"))
+          System.arraycopy(dg, 0, rgb, k * 16, 16)
+          k += 1
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("image/bmp", 4, 4, 0, 0L),
+          MediaPipeline.encodeBmp(4, 4, rgb))
+      }
+    }
+    val resized = MediaPipeline.resizeImage(media, 2, 2)
+    MediaPipeline.imageChannelStats(resized).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        (col("sum_r").cast("double") / lit(4.0)).as("mean_r"),
+        (col("sum_g").cast("double") / lit(4.0)).as("mean_g"),
+        (col("sum_b").cast("double") / lit(4.0)).as("mean_b"))
       .orderBy("doc_id")
   }
 
@@ -2327,6 +2415,94 @@ object DocQueries {
        |       CAST(nll_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000.0 AS avg_nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM oracle: in-row pair derivation (1-based list indexing
+    * over range(1, len)), per-context add-one smoothing quantized to
+    * micro-nats on the model side, exact integer per-doc sums, then the
+    * q25-style dyadic-quantile CCNet bucket over the integer average —
+    * `//` floor-division matches Spark's `div` on the non-negative
+    * sums, and the final CASTs collapse DuckDB's HUGEINT promotions. */
+  private val lmBigramOracle: String =
+    s"""WITH norm AS (SELECT doc_id, lang, $normCoalesceSql AS t FROM documents),
+       |tok AS (SELECT doc_id, lang,
+       |          list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM norm),
+       |idx AS (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS j
+       |        FROM tok WHERE len(tk) >= 2),
+       |pairs AS (SELECT doc_id, lang, tk[j] AS prev, tk[j + 1] AS tok FROM idx),
+       |pc AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM pairs WHERE lang = 'en' GROUP BY 1, 2),
+       |ctx AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS cx FROM pc GROUP BY 1),
+       |vs AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+       |         SELECT prev AS t FROM pairs WHERE lang = 'en'
+       |         UNION ALL SELECT tok FROM pairs WHERE lang = 'en')),
+       |pn AS (SELECT pc.prev, pc.tok,
+       |         CAST(round(1000000.0 * (-ln(CAST(pc.cnt + 1 AS DOUBLE) / CAST(ctx.cx + vs.v AS DOUBLE)))) AS BIGINT) AS nllq
+       |       FROM pc JOIN ctx USING (prev) CROSS JOIN vs),
+       |co AS (SELECT prev,
+       |         CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(cx + v AS DOUBLE)))) AS BIGINT) AS oovq
+       |       FROM ctx CROSS JOIN vs),
+       |sc AS (SELECT p.doc_id,
+       |         COALESCE(pn.nllq, co.oovq,
+       |           CAST(round(1000000.0 * (-ln(CAST(1 AS DOUBLE) / CAST(vs.v AS DOUBLE)))) AS BIGINT)) AS q
+       |       FROM pairs p
+       |       LEFT JOIN pn ON pn.prev = p.prev AND pn.tok = p.tok
+       |       LEFT JOIN co ON co.prev = p.prev
+       |       CROSS JOIN vs),
+       |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |          CAST(SUM(q) AS BIGINT) AS nll_micro FROM sc GROUP BY 1),
+       |aq AS (SELECT doc_id, n_bigrams, nll_micro,
+       |         CAST((nll_micro * 1000000) // n_bigrams AS BIGINT) AS avg_q FROM agg),
+       |cuts AS (SELECT quantile_cont(avg_q, 0.25) AS p25,
+       |                quantile_cont(avg_q, 0.5)  AS p50,
+       |                quantile_cont(avg_q, 0.75) AS p75 FROM aq)
+       |SELECT doc_id, n_bigrams, nll_micro,
+       |       CAST(nll_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0 AS avg_nll,
+       |       CAST(1 + (CASE WHEN avg_q > p25 THEN 1 ELSE 0 END)
+       |              + (CASE WHEN avg_q > p50 THEN 1 ELSE 0 END)
+       |              + (CASE WHEN avg_q > p75 THEN 1 ELSE 0 END) AS BIGINT) AS ppl_bucket
+       |FROM aq CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
+  /** Gopher-rules oracle: the same in-row integer features from one
+    * tokenized scan — 2-gram top count via a correlated max over the
+    * gram list, fixed-point divisions with `//` on non-negative
+    * integers (= Spark's `div`), flags as plain comparisons. */
+  private val gopherRulesOracle: String =
+    s"""WITH norm AS (SELECT doc_id, $normCoalesceSql AS t FROM documents),
+       |tok AS (SELECT doc_id,
+       |          list_filter(string_split(t, ' '), x -> x <> '') AS tk FROM norm),
+       |f AS (SELECT doc_id,
+       |        CAST(len(tk) AS BIGINT) AS n_words,
+       |        CAST(COALESCE((SELECT SUM(len(x)) FROM unnest(tk) u(x)), 0) AS BIGINT) AS sum_len,
+       |        CAST((CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END)
+       |           + (CASE WHEN list_contains(tk, 'a') THEN 1 ELSE 0 END)
+       |           + (CASE WHEN list_contains(tk, 'of') THEN 1 ELSE 0 END)
+       |           + (CASE WHEN list_contains(tk, 'and') THEN 1 ELSE 0 END)
+       |           + (CASE WHEN list_contains(tk, 'to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits,
+       |        CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_words,
+       |        CAST(CASE WHEN len(tk) >= 2 THEN len(tk) - 1 ELSE 0 END AS BIGINT) AS n_grams
+       |      FROM tok),
+       |gi AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS j
+       |       FROM tok WHERE len(tk) >= 2),
+       |gc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM gi GROUP BY doc_id, tk[j] || ' ' || tk[j + 1]),
+       |tg AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_gram FROM gc GROUP BY 1),
+       |ft AS (SELECT f.doc_id, n_words,
+       |         CAST(CASE WHEN n_words > 0 THEN (sum_len * 100) // n_words ELSE 0 END AS BIGINT) AS mean_len_x100,
+       |         stop_hits,
+       |         CAST(CASE WHEN n_words > 0 THEN (alpha_words * 1000000) // n_words ELSE 1000000 END AS BIGINT) AS alpha_ppm,
+       |         CAST(CASE WHEN n_grams > 0 THEN (COALESCE(tg.top_gram, 0) * 1000000) // n_grams ELSE 0 END AS BIGINT) AS rep_ppm
+       |       FROM f LEFT JOIN tg ON tg.doc_id = f.doc_id)
+       |SELECT doc_id, n_words, mean_len_x100, stop_hits, alpha_ppm, rep_ppm,
+       |       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       |       (mean_len_x100 >= 300 AND mean_len_x100 <= 1000) AS r_mean_len,
+       |       (stop_hits >= 2) AS r_stopwords,
+       |       (alpha_ppm >= 800000) AS r_alpha,
+       |       (rep_ppm <= 200000) AS r_repetition,
+       |       ((n_words >= 50 AND n_words <= 100000)
+       |        AND (mean_len_x100 >= 300 AND mean_len_x100 <= 1000)
+       |        AND (stop_hits >= 2) AND (alpha_ppm >= 800000)
+       |        AND (rep_ppm <= 200000)) AS verdict
+       |FROM ft ORDER BY doc_id""".stripMargin
+
   /** DSIR oracle: one tokenized stream, raw + target vocab counts, the
     * per-token (raw − target) NLL delta quantized to micro-nats, exact
     * per-doc integer sums, then the two-stage-quantized Gumbel key and
@@ -2440,6 +2616,8 @@ object DocQueries {
     "doc_bpe_merges" -> bpeOracle,
     "doc_novelty" -> noveltyOracle,
     "doc_lm_score" -> lmScoreOracle,
+    "doc_lm_bigram" -> lmBigramOracle,
+    "doc_gopher_rules" -> gopherRulesOracle,
     "doc_dsir" -> dsirOracle,
     "doc_bm25" -> bm25Oracle,
     "txt_bm25_persisted" -> bm25Oracle, // identical ranking from the stored index
@@ -2716,6 +2894,26 @@ object DocQueries {
         |       CAST(sum_g AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_g,
         |       CAST(sum_b AS DOUBLE) / CAST(16 AS DOUBLE) AS mean_b
         |FROM s ORDER BY doc_id""".stripMargin,
+    // resize keeps source pixels p ∈ {0,2,8,10} (floor-NN 4×4→2×2);
+    // pixel p's channel c lives at byte j = 3p + c of the md5 stream
+    "mm_image_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, j,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~p' || CAST(j // 16 AS VARCHAR)),
+        |                             (j % 16) * 2 + 1, 2) AS BIGINT) AS v
+        |  FROM documents, range(0, 48) r(j)
+        |  WHERE j // 3 IN (0, 2, 8, 10)),
+        |s AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN j % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+        |        CAST(SUM(CASE WHEN j % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+        |        CAST(SUM(CASE WHEN j % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+        |      FROM b GROUP BY 1)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |       sum_r, sum_g, sum_b,
+        |       CAST(sum_r AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_r,
+        |       CAST(sum_g AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_g,
+        |       CAST(sum_b AS DOUBLE) / CAST(4 AS DOUBLE) AS mean_b
+        |FROM s ORDER BY doc_id""".stripMargin,
     "mm_audio_stats" ->
       """WITH b AS (
         |  SELECT doc_id, j,
@@ -2797,6 +2995,8 @@ object DocQueries {
     "doc_bpe_merges" -> docBpeMerges _,
     "doc_novelty" -> docNovelty _,
     "doc_lm_score" -> docLmScore _,
+    "doc_lm_bigram" -> docLmBigram _,
+    "doc_gopher_rules" -> docGopherRules _,
     "doc_dsir" -> docDsir _,
     "doc_bm25" -> docBm25 _,
     "txt_bm25_persisted" -> txtBm25Persisted _,
@@ -2849,6 +3049,7 @@ object DocQueries {
     "doc_chunks" -> docChunks _,
     "mm_blob_stats" -> mmBlobStats _,
     "mm_image_stats" -> mmImageStats _,
+    "mm_image_resize" -> mmImageResize _,
     "mm_audio_stats" -> mmAudioStats _,
     "mm_video_stats" -> mmVideoStats _,
     "mm_media_meta" -> mmMediaMeta _,

@@ -92,4 +92,41 @@ class LangModelSpec extends SparkSpec {
     // token counts still real; the model side is honestly absent
     assert(got.size == 4 && got.values.forall(v => v._1 && v._2))
   }
+
+  // Bigram model over the en slice: pairs (a,a),(a,b) from doc 0 and
+  // (a,c) from doc 1 → cnt(a,a)=1, (a,b)=1, (a,c)=1; ctx(a)=3; vocab
+  // V = |{a,b,c}| = 3 → seen-pair p = 2/6, known-context OOV p = 1/6,
+  // unknown-context OOV p = 1/3
+  test("bigramNll: per-context add-one smoothing with both OOV fallbacks") {
+    val got = LangModel.bigramNll(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_micro"))).toMap
+    val qSeen = nllq(2.0 / 6.0)
+    val qCtxOov = nllq(1.0 / 6.0)
+    val qNoCtx = nllq(1.0 / 3.0)
+    assert(got(0L) == ((2L, 2 * qSeen)))        // (a,a), (a,b)
+    assert(got(1L) == ((1L, qSeen)))            // (a,c)
+    assert(got(2L) == ((1L, qCtxOov)))          // (a,z): context a, pair unseen
+    assert(got(3L) == ((2L, 2 * qNoCtx)))       // (b,b) twice: context b unseen
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("bigramNll: sub-2-token docs are excluded; fluent text scores lower") {
+    val tiny = docs.unionAll(Seq((7L, "en", "a"), (8L, "de", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "text"))
+    val got = LangModel.bigramNll(tiny, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("avg_nll")).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L)) // 7 and 8 have no bigrams
+    // reference-fluent doc 0 (seen pairs, p = 2/6) scores strictly below
+    // doc 2's unseen-pair fallback (p = 1/6)
+    assert(got(0L) < got(2L))
+  }
+
+  test("bigramNll: empty reference slice scores NULL, never a rounded infinity") {
+    val got = LangModel.bigramNll(docs, "doc_id", "text", lit(false))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.isNullAt(r.fieldIndex("nll_micro"))).toMap
+    assert(got.size == 4 && got.values.forall(identity))
+  }
 }
