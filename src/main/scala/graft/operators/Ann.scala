@@ -84,6 +84,48 @@ object Ann {
     topKAgg(cands.crossJoin(broadcast(probes)), k)
   }
 
+  /** [[knnBrute]] over an ALREADY-QUANTIZED integer vector column
+    * (ARRAY<BIGINT>) — the entry point for search in a DERIVED space
+    * ([[randomProject]]'s JL sketch, a stored PQ/SQ8 reconstruction)
+    * where re-quantizing would double-scale. Same plan and selection
+    * as knnBrute: broadcast probes, one dot per pair via the
+    * precomputed norms, bounded top-k aggregate. */
+  def knnBruteQ(df: DataFrame, idCol: String, qCol: String,
+      probePred: Column, k: Int): DataFrame = {
+    val qdf = df.select(col(idCol), col(qCol).as("__q"), probePred.as("__probe"))
+      .withColumn("__n", dotQ(col("__q"), col("__q")))
+    val probes = qdf.filter(col("__probe"))
+      .select(col(idCol).as("probe_id"), col("__q").as("__pq"), col("__n").as("__pn"))
+    val cands = qdf
+      .select(col(idCol).as("neighbor_id"), col("__q").as("__nq"), col("__n").as("__nn"))
+    topKAgg(cands.crossJoin(broadcast(probes)), k)
+  }
+
+  /** Deterministic ±1 sign matrix — the database-friendly
+    * Johnson-Lindenstrauss projection of Achlioptas 2003 (JCSS 66(4):
+    * Rademacher entries satisfy the JL lemma with the same distortion
+    * bounds as Gaussians): row j is output dimension j's signs over the
+    * input dimensions, derived from the [[hashPlanes]] Knuth hash so
+    * any engine reproduces the matrix exactly. */
+  def signPlanes(dimOut: Int, dimIn: Int): Array[Array[Long]] =
+    hashPlanes(dimOut, dimIn).map(_.map(v => if (v >= 0L) 1L else -1L))
+
+  /** RANDOM PROJECTION to `dimOut` integer dimensions: y_j = q·s_j over
+    * the quantized input — exact BIGINT sums (|y_j| ≤ dimIn·1000·|x|max
+    * « 2^53), bit-reproducible anywhere. The 100 TB preprocessing move:
+    * a 64→16 projection shrinks every downstream ANN scan's bytes and
+    * dot-product cost 4× while JL keeps relative distances within the
+    * (1±ε) band, and the matrix is code, not state — nothing to train,
+    * store, or version. Output: (idCol, `outCol` ARRAY<BIGINT>). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      dimOut: Int, dimIn: Int, outCol: String = "rp"): DataFrame = {
+    val signs = signPlanes(dimOut, dimIn)
+    df.select(col(idCol), quantize(col(vecCol)).as("__q"))
+      .select(col(idCol),
+        array(signs.map(s => dotQ(col("__q"), array(s.map(lit): _*))): _*)
+          .as(outCol))
+  }
+
   /** (id, quantized vector, self-dot): the squared norm is computed ONCE
     * per row, not once per candidate pair — at N·candidates pairs that is
     * the difference between 1 and 3 dot products per comparison. */

@@ -34,6 +34,26 @@ object VectorQueries {
         Planes, col("vec_id") < ProbeMax, K)
       .orderBy("probe_id", "rank")
 
+  /** RP output dimensions: 64 → 16 is the 4× JL shrink. */
+  private val RpDim = 16
+
+  /** emb_knn_rp — brute-force top-k in the JOHNSON-LINDENSTRAUSS
+    * projected space (graft.operators.Ann.randomProject: Achlioptas ±1
+    * signs, exact integer sums): the dimensionality-REDUCTION
+    * preprocessing move, orthogonal to the index families — at 100 TB a
+    * 64→16 projection shrinks every downstream scan's bytes and
+    * per-pair dot cost 4× before any index is even built, and the
+    * matrix is code (a Knuth hash), never trained or stored state. The
+    * gate searches the projected space itself, so it measures exactly
+    * what the sketch preserves; its recall against the exact-space
+    * brute search rides in emb_recall beside the index families. */
+  def embKnnRp(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnBruteQ(
+        Ann.randomProject(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          dimOut = RpDim, dimIn = 64),
+        "vec_id", "rp", col("vec_id") < ProbeMax, K)
+      .orderBy("probe_id", "rank")
+
   /** SQ8 refine factor: stage 1 keeps refine·K candidates per probe by
     * the quantized surrogate score before the exact re-rank. */
   private val Sq8Refine = 2
@@ -215,6 +235,7 @@ object VectorQueries {
       "bq" -> embKnnBq(spark, dir),
       "ivf" -> embKnnIvf(spark, dir),
       "lsh" -> embKnnLsh(spark, dir),
+      "rp" -> embKnnRp(spark, dir),
       "sq8" -> embKnnSq8(spark, dir))
     val m = methods.map { case (n, df) =>
       df.select(lit(n).as("method"), col("probe_id"), col("neighbor_id"))
@@ -1003,6 +1024,24 @@ object VectorQueries {
        |        ${dotSql("b.qv", "b.qv")} AS nn
        |      FROM q a, q b WHERE a.vec_id < $ProbeMax AND b.vec_id <> a.vec_id)""".stripMargin)
 
+  /** JL-projected brute oracle: the 16 projected dims spelled out as
+    * exact integer dots against the same ±1 sign literals the Spark
+    * plan compiles in (Ann.signPlanes — code, not state). */
+  private val rpOracle: String = {
+    val projExprs = Ann.signPlanes(RpDim, 64).map { s =>
+      dotSql("qv", s.mkString("[", ", ", "]"))
+    }.mkString(",\n|          ")
+    knnOracle(
+      s"""rp AS (SELECT vec_id,
+         |          [$projExprs] AS pv
+         |       FROM q),
+         |p AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |        ${dotSql("a.pv", "b.pv")} AS d,
+         |        ${dotSql("a.pv", "a.pv")} AS pn,
+         |        ${dotSql("b.pv", "b.pv")} AS nn
+         |      FROM rp a, rp b WHERE a.vec_id < $ProbeMax AND b.vec_id <> a.vec_id)""".stripMargin)
+  }
+
   /** LSH bucket expression over a quantized column named `qv` — the same
     * plane literals the Spark plan uses. */
   private def bucketSqlFor(planes: Array[Array[Long]], qv: String): String =
@@ -1167,9 +1206,11 @@ object VectorQueries {
        |${sub("ivfq", ivfOracle)},
        |${sub("sq8q", sq8Oracle)},
        |${sub("bqq", bqOracle)},
+       |${sub("rpq", rpOracle)},
        |m AS (SELECT 'bq' AS method, probe_id, neighbor_id FROM bqq
        |      UNION ALL SELECT 'ivf', probe_id, neighbor_id FROM ivfq
        |      UNION ALL SELECT 'lsh', probe_id, neighbor_id FROM lshq
+       |      UNION ALL SELECT 'rp', probe_id, neighbor_id FROM rpq
        |      UNION ALL SELECT 'sq8', probe_id, neighbor_id FROM sq8q),
        |h AS (SELECT m.method, CAST(COUNT(*) AS BIGINT) AS n_hits
        |      FROM m JOIN brute b
@@ -1769,6 +1810,7 @@ object VectorQueries {
     "hybrid_persisted" -> hybridPersistedOracle, // both legs from stored indexes
     "emb_knn_filtered" -> lshFilteredOracle,
     "emb_knn_brute" -> bruteOracle,
+    "emb_knn_rp" -> rpOracle,
     "emb_recall" -> recallOracle,
     "emb_knn_lsh" -> lshOracle,
     "emb_knn_lsh_mp" -> lshMpOracle,
@@ -1813,6 +1855,7 @@ object VectorQueries {
     "hybrid_persisted" -> hybridPersisted _,
     "emb_knn_filtered" -> embKnnFiltered _,
     "emb_knn_brute" -> embKnnBrute _,
+    "emb_knn_rp" -> embKnnRp _,
     "emb_recall" -> embRecall _,
     "emb_knn_lsh" -> embKnnLsh _,
     "emb_knn_lsh_mp" -> embKnnLshMp _,

@@ -500,4 +500,30 @@ class AnnSpec extends SparkSpec {
       .collect()
     assert(got.length == 1 && got.head.getAs[Long]("neighbor_id") == 3L)
   }
+
+  test("randomProject: exact integer JL sums; knnBruteQ searches the sketch") {
+    // hand-check one projected coordinate: y_j = Σ_d round(1000·x_d)·s(j,d)
+    val signs = Ann.signPlanes(2, 4)
+    val proj = Ann.randomProject(vecs, "vec_id", "embedding", dimOut = 2, dimIn = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Long]]("rp")).toMap
+    val q1 = Array(900L, 100L, 0L, 0L) // quantize of vec 1
+    (0 until 2).foreach { j =>
+      val want = (0 until 4).map(d => q1(d) * signs(j)(d)).sum
+      assert(proj(1L)(j) == want, s"dim $j")
+    }
+    // a projection at full rank (dimOut >= dimIn) with ±1 rows can still
+    // collapse directions; what MUST hold is partition invariance and
+    // that the sketch search is the brute search of the projected space
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val p8 = Ann.randomProject(vecs, "vec_id", "embedding", dimOut = 8, dimIn = 4)
+    val a = rows(Ann.knnBruteQ(p8, "vec_id", "rp", col("vec_id") < 2, k = 3))
+    val b = rows(Ann.knnBruteQ(
+      Ann.randomProject(vecs.repartition(5), "vec_id", "embedding", 8, 4),
+      "vec_id", "rp", col("vec_id") < 2, k = 3))
+    assert(a == b && a.nonEmpty)
+    // at generous output width the sketch preserves THIS corpus's
+    // nearest-neighbor structure: 0's best neighbor stays 1
+    assert(a.head(1) == 1L)
+  }
 }
