@@ -905,6 +905,91 @@ object DocQueries {
       .orderBy("doc_id", "channel")
   }
 
+  /** mm_audio_resample — REAL audio TRANSFORM gate (graft.operators
+    * .MediaPipeline.resampleAudio — the audio twin of mm_image_resize):
+    * the mm_audio_stats stereo 8 kHz clips go through decode →
+    * nearest-frame resample to 4 kHz → lossless WAV re-encode, and the
+    * RESAMPLED bytes decode AGAIN through the JDK reader for their
+    * per-channel sums — two decode round-trips bracketing the
+    * transform. Floor frame pick src = f·8000/4000 keeps frames
+    * {0,2,4,6,8,10}; the oracle derives exactly those frames' signed
+    * samples from the md5 stream, never touching audio. */
+  def mmAudioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val raw = new Array[Byte](48)
+        var k = 0
+        while (k < 3) {
+          val dg = md.digest(s"$id~a$k".getBytes("UTF-8"))
+          System.arraycopy(dg, 0, raw, k * 16, 16)
+          k += 1
+        }
+        val samples = new Array[Short](24)
+        var i = 0
+        while (i < 24) {
+          samples(i) = (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+          i += 1
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("audio/wav", 0, 0, 8000, 1L),
+          MediaPipeline.encodeWav(8000, 2, samples))
+      }
+    }
+    val resampled = MediaPipeline.resampleAudio(media, 4000)
+    MediaPipeline.audioChannelStats(resampled).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("channel").cast("long").as("channel"),
+        col("sample_rate_hz").cast("long").as("sample_rate_hz"),
+        col("n_frames"), col("sum_samples"),
+        (col("sum_samples").cast("double") / lit(6.0)).as("mean_sample"))
+      .orderBy("doc_id", "channel")
+  }
+
+  /** mm_frame_sample — REAL video TRANSFORM gate (graft.operators
+    * .MediaPipeline.sampleGifFrames — the video twin of
+    * mm_image_resize/mm_audio_resample): the mm_video_stats 4-frame
+    * GIFs decode through the JDK GIF parser, every stride-2 frame
+    * transcodes to a standalone BMP, and the SAMPLED frames decode
+    * AGAIN through ImageIO for their channel sums — gray frames must
+    * come back with sum_r = sum_g = sum_b equal to the md5-derived
+    * pixel sum of exactly frames {0, 2}. A wrong bit anywhere in the
+    * GIF decode, the stride selection, or the BMP transcode shifts a
+    * sum or breaks a parse. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaPipeline
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { id =>
+        val frames = (0 until 4).map { k =>
+          md.digest(s"$id~f$k".getBytes("UTF-8"))
+        }
+        MediaPipeline.MediaRecord(id,
+          MediaPipeline.MediaMeta("image/gif", 4, 4, 0, 4L),
+          MediaPipeline.encodeGif(4, 4, frames))
+      }
+    }
+    // composite id = doc_id·4 + frame_idx keeps the frame through the
+    // single-key channel-stats pass; split back on the way out
+    val sampledBmp = MediaPipeline.sampleGifFrames(media, stride = 2)
+      .map { case (id, idx, bytes) =>
+        MediaPipeline.MediaRecord(id * 4 + idx,
+          MediaPipeline.MediaMeta("image/bmp", 4, 4, 0, 0L), bytes)
+      }
+    MediaPipeline.imageChannelStats(sampledBmp).toDF()
+      .select(expr("media_id div 4").as("doc_id"),
+        expr("media_id % 4").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** mm_video_stats — REAL multi-frame (video-shaped) decode gate
     * (graft.operators.MediaPipeline): every doc becomes a deterministic
     * 4-frame animated GIF (each 4×4 frame's 16 gray pixels = one md5
@@ -2930,6 +3015,39 @@ object DocQueries {
         |       CAST(12 AS BIGINT) AS n_frames, sum_samples,
         |       CAST(sum_samples AS DOUBLE) / CAST(12 AS DOUBLE) AS mean_sample
         |FROM agg ORDER BY doc_id, channel""".stripMargin,
+    // resample keeps frames {0,2,4,6,8,10} (floor pick src = f·2);
+    // sample index k = frame·2 + channel, so kept ⇔ (k//2) % 2 = 0
+    "mm_audio_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id, j,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~a' || CAST(j // 16 AS VARCHAR)),
+        |                             (j % 16) * 2 + 1, 2) AS BIGINT) AS v
+        |  FROM documents, range(0, 48) r(j)),
+        |s AS (SELECT doc_id, CAST(j // 2 AS BIGINT) AS k,
+        |        SUM(CASE WHEN j % 2 = 0 THEN v ELSE 256 * v END) AS raw
+        |      FROM b GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(k % 2 AS BIGINT) AS channel,
+        |          CAST(SUM(CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END) AS BIGINT) AS sum_samples
+        |        FROM s WHERE (k // 2) % 2 = 0 GROUP BY 1, 2)
+        |SELECT doc_id, channel, CAST(4000 AS BIGINT) AS sample_rate_hz,
+        |       CAST(6 AS BIGINT) AS n_frames, sum_samples,
+        |       CAST(sum_samples AS DOUBLE) / CAST(6 AS DOUBLE) AS mean_sample
+        |FROM agg ORDER BY doc_id, channel""".stripMargin,
+    // stride-2 sampling keeps frames {0, 2}; gray pixels decode to
+    // r = g = b = the palette byte
+    "mm_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, k, j,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '~f' || CAST(k AS VARCHAR)),
+        |                             j * 2 + 1, 2) AS BIGINT) AS v
+        |  FROM documents, range(0, 4) fr(k), range(0, 16) px(j)
+        |  WHERE k % 2 = 0)
+        |SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS sum_r,
+        |       CAST(SUM(v) AS BIGINT) AS sum_g,
+        |       CAST(SUM(v) AS BIGINT) AS sum_b
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'gif' END
@@ -3052,6 +3170,8 @@ object DocQueries {
     "mm_image_resize" -> mmImageResize _,
     "mm_audio_stats" -> mmAudioStats _,
     "mm_video_stats" -> mmVideoStats _,
+    "mm_audio_resample" -> mmAudioResample _,
+    "mm_frame_sample" -> mmFrameSample _,
     "mm_media_meta" -> mmMediaMeta _,
     "mm_phash_pairs" -> mmPhashPairs _,
   )
