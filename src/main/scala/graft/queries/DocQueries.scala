@@ -526,6 +526,42 @@ object DocQueries {
       .orderBy("doc_id")
   }
 
+  /** doc_prepare_training — the COMPOSED end-to-end training-data
+    * preparation flagship: everything between a raw corpus and the
+    * batches a trainer reads, in production order and ONE gated query —
+    * (1) the full doc_curate chain (language-ID + quality floor + exact
+    * dedup + LSH near-dup dedup); (2) leak-free train/val/test split of
+    * the survivors (doc_splits' md5 buckets); (3) the TRAIN slice packs
+    * into 2048-token sequences in the deterministic md5 shuffle order
+    * (doc_pack's two-pass distributed prefix sum — never a
+    * single-partition window). Each stage is the SAME operator its
+    * standalone gate exercises, so the composition oracle chains the
+    * standalone oracles verbatim: green means the library's pieces
+    * compose bit-for-bit, not just pass in isolation. */
+  def docPrepareTraining(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val surv = graft.operators.Curate.curate(
+        docs.select("doc_id", "lang", "text"), "doc_id", "text",
+        minQuality = 0.5, minJaccard = 0.5)
+      .select("doc_id")
+    try {
+      val train = Sampling.splitCorpus(surv, "doc_id",
+          Seq("train" -> 240, "val" -> 8, "test" -> 8))
+        .filter(col("split") === "train")
+      val withCounts = train.join(
+        docs.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("token_count")),
+        Seq("doc_id"))
+      Sampling.packSequences(
+          withCounts.select("doc_id", "split", "token_count"),
+          "doc_id", "token_count", budget = 2048)
+        .select(col("doc_id"), col("split"), col("token_count"),
+          col("pack_key"), col("token_start"), col("seq_id"))
+        .orderBy("token_start")
+        .localCheckpoint(true)
+    } finally NearDup.freeCheckpoint(surv)
+  }
+
   /** doc_repetition — Gopher-style repetition features, computed as a
     * PURE MAP (no shuffle, no explode — the grams stay inside their
     * row): most-frequent-2-gram count and share (exact ppm integer),
@@ -1916,6 +1952,31 @@ object DocQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Composed-pipeline oracle: the full curate oracle as a derived
+    * table, the doc_splits bucket CASE restricted to 'train', and the
+    * doc_pack window over the surviving train slice — the standalone
+    * oracles chained verbatim, so the composition gates bit-for-bit. */
+  private lazy val prepareTrainingOracle: String =
+    s"""WITH cur2 AS (SELECT doc_id FROM (
+       |$curateOracle
+       |)),
+       |keyed AS (
+       |  SELECT d.doc_id, 'train' AS split,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS token_count,
+       |         md5(CAST(d.doc_id AS VARCHAR)) AS pack_key
+       |  FROM documents d JOIN cur2 USING (doc_id)
+       |  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS INT) < 240
+       |),
+       |c AS (
+       |  SELECT doc_id, split, token_count, pack_key,
+       |         CAST(COALESCE(SUM(token_count) OVER (ORDER BY pack_key
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+       |  FROM keyed
+       |)
+       |SELECT doc_id, split, token_count, pack_key, token_start,
+       |       token_start // 2048 AS seq_id
+       |FROM c ORDER BY token_start""".stripMargin
+
   /** Curation-v2 oracle: the doc_lang_trained chain (lt..tbest) picks
     * each doc's predicted language, cscore (from curatedCtes) carries
     * the heuristic quality + fingerprint, the doc_lm_score chain
@@ -2711,6 +2772,7 @@ object DocQueries {
     "txt_bm25_compacted" -> bm25CompactedOracle, // fold + cursor handoff == final state
     "doc_pagerank" -> pagerankOracle,
     "doc_curate" -> curateOracle,
+    "doc_prepare_training" -> prepareTrainingOracle,
     "doc_curate_v2" -> curateV2Oracle,
     "doc_curate_v3" -> curateV3Oracle,
     "doc_curate_incremental" -> curateIncrementalOracle,
@@ -3123,6 +3185,7 @@ object DocQueries {
     "txt_bm25_compacted" -> txtBm25Compacted _,
     "doc_pagerank" -> docPagerank _,
     "doc_curate" -> docCurate _,
+    "doc_prepare_training" -> docPrepareTraining _,
     "doc_curate_v2" -> docCurateV2 _,
     "doc_curate_v3" -> docCurateV3 _,
     "doc_curate_incremental" -> docCurateIncremental _,
