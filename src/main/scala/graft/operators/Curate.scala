@@ -152,7 +152,16 @@ object Curate {
             col("nll_micro") <= lit(maxAvgNllMicro) * col("n_tokens"))
         val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
         val exact = filtered.join(canon, Seq("__fp", idCol), "left_semi")
-        val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
+        // near-dup dedup ALSO reads the shared token arrays (the same
+        // equi-join restriction DSIR uses below): minhash shingles are
+        // word-token 3-grams, so this absorbs the one normalize+split
+        // text pass the shared frame had not yet covered — shingle
+        // arrays element-identical, pairs/clusters bit-identical
+        // (oracle-locked).
+        val clusters = NearDup.dupClustersFromTokens(
+          shared.select(col(idCol), col("__toks"))
+            .join(exact.select(col(idCol)), Seq(idCol)),
+          idCol, minJaccard)
         val surv =
           try Transform.dropNearDups(exact, clusters, idCol)
             .drop("__fp", "n_tokens", "nll_micro")
@@ -268,7 +277,11 @@ object Curate {
             col("nll_micro") <= lit(maxAvgNllMicro) * col("n_tokens"))
         val canon = filtered.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
         val exact = filtered.join(canon, Seq("__fp", idCol), "left_semi")
-        val clusters = NearDup.dupClusters(exact, idCol, textCol, minJaccard)
+        // near-dup dedup from the shared token arrays (see curateV2)
+        val clusters = NearDup.dupClustersFromTokens(
+          shared.select(col(idCol), col("__toks"))
+            .join(exact.select(col(idCol)), Seq(idCol)),
+          idCol, minJaccard)
         val surv =
           try Transform.dropNearDups(exact, clusters, idCol)
             .drop("__fp", "n_tokens", "nll_micro")

@@ -241,10 +241,25 @@ object NearDup {
     * should write it to a table. */
   private def verifiedPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int)
+      (verify: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    verifiedPairsImpl(df, shingleArrays(_, idCol, textCol, shingleN),
+      idCol, numHashes, bands)(verify)
+
+  /** [[verifiedPairs]] parameterized over HOW a (subset of the) source
+    * frame becomes per-doc shingle arrays — the seam that lets a
+    * pipeline holding a pre-tokenized corpus scan (Curate's shared
+    * frame) feed the SAME minhash/LSH/verify machinery without paying
+    * the normalize+split text pass a second time. `mkArrays` must
+    * return (idCol, shingles) for any row subset of `src`. */
+  private def verifiedPairsImpl(src: DataFrame,
+      mkArrays: DataFrame => DataFrame, idCol: String,
+      numHashes: Int, bands: Int)
       (verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sigs = minhashSignatures(shingleSets(df, idCol, textCol, shingleN),
-        idCol, numHashes)
+    val shingles = mkArrays(src)
+      .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val sigs = minhashSignatures(shingles, idCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     try {
@@ -255,12 +270,53 @@ object NearDup {
       try {
         // One array row per candidate doc, referenced by both verify
         // sides — checkpoint so the pruned scan runs once.
-        val arrs = candShingleArrays(df, cand, idCol, textCol, shingleN)
+        val candDocs = cand.select(col("doc_a").as(idCol))
+          .union(cand.select(col("doc_b").as(idCol)))
+          .distinct()
+        val arrs = mkArrays(src.join(broadcast(candDocs), Seq(idCol), "left_semi"))
           .localCheckpoint(true)
         try verify(arrs, cand).localCheckpoint(true)
         finally freeCheckpoint(arrs)
       } finally freeCheckpoint(cand)
     } finally sigs.unpersist(false)
+  }
+
+  /** [[shingleArrays]] over a pre-tokenized frame carrying `idCol` and
+    * a raw `__toks` array (the [[graft.functions.Text.tokens]] ∘
+    * normalize ∘ coalesce('') chain, UNFILTERED — the empty-token
+    * filter applies here, so the arrays are element-for-element the
+    * ones the text path builds). */
+  private def shingleArraysFromTokens(tokArrays: DataFrame, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"shingle size must be positive, got $n")
+    val toks = col("__ftoks")
+    tokArrays
+      .select(col(idCol),
+        filter(col("__toks"), t => length(t) > 0).as("__ftoks"))
+      .select(col(idCol),
+        array_distinct(
+          when(size(toks) >= n,
+            transform(sequence(lit(0), size(toks) - n),
+              i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as("shingles"))
+  }
+
+  /** [[minhashPairs]] over a pre-tokenized (`idCol`, `__toks`) frame —
+    * same pairs, same jaccard, no second text pass. */
+  def minhashPairsFromTokens(tokArrays: DataFrame, idCol: String,
+      shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame =
+    verifiedPairsImpl(tokArrays, shingleArraysFromTokens(_, idCol, shingleN),
+      idCol, numHashes, bands)((arrs, cand) => verifyJaccard(arrs, cand, idCol))
+
+  /** [[dupClusters]] over a pre-tokenized (`idCol`, `__toks`) frame. */
+  def dupClustersFromTokens(tokArrays: DataFrame, idCol: String,
+      minJaccard: Double = 0.5, shingleN: Int = 3, numHashes: Int = 12,
+      bands: Int = 6): DataFrame = {
+    val pairs = minhashPairsFromTokens(tokArrays, idCol, shingleN, numHashes, bands)
+      .filter(col("jaccard") >= minJaccard)
+    val cc = connectedComponents(pairs, "doc_a", "doc_b")
+    freeCheckpoint(pairs)
+    cc.select(col("id").as(idCol), col("component").as("cluster_id"))
   }
 
   /** Edit-distance-verified near-dup pairs: the SAME banded minhash
