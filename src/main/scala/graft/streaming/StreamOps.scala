@@ -171,6 +171,47 @@ object StreamOps {
       ()
     }
 
+  /** STREAMING FOLLOWING-INDEX maintenance — the serving-index story
+    * driven by a LIVE STREAM instead of the batch change feed: each
+    * micro-batch of vectors MERGEs into the corpus snapshot store
+    * exactly-once ([[upsertBatchMorExactlyOnce]] — O(batch), marker
+    * paired atomically) and then [[graft.sources.Replica.sync]] pushes
+    * the O(changes) net delta to the delta-index root, so any
+    * `knn*ServeFollow` (LSH/IVF/PQ/SQ8/BQ) serves base + stream-fed
+    * delta with zero corpus re-reads. `initialCursor` seeds the FIRST
+    * sync at the base index's build version (the follow-mode contract:
+    * the delta starts exactly where the frozen base stops); replayed
+    * micro-batches short-circuit on the marker and the cursor makes the
+    * trailing sync a no-op — exactly-once end to end under
+    * at-least-once foreachBatch delivery. Folds
+    * ([[graft.operators.AnnIndex.compactLshFollow]] family) run OFF
+    * this path, exactly as they do for the batch-fed delta. */
+  def streamingAnnFollow(vecs: DataFrame, root: String, table: String,
+      keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      deltaRoot: String, deltaTable: String, initialCursor: Long,
+      appId: String = "default")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      annFollowBatchExactlyOnce(batch, batchId, root, table, keys, ord,
+        deltaRoot, deltaTable, initialCursor, appId)
+      ()
+    }
+
+  /** One micro-batch of [[streamingAnnFollow]] — public so replay
+    * semantics are directly testable. Returns true if the corpus MERGE
+    * published (false = replay skip; the sync after a skip finds no
+    * changes past its cursor and no-ops). */
+  def annFollowBatchExactlyOnce(batch: DataFrame, batchId: Long, root: String,
+      table: String, keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      deltaRoot: String, deltaTable: String, initialCursor: Long,
+      appId: String = "default"): Boolean = {
+    val published = upsertBatchMorExactlyOnce(batch, batchId, root, table,
+      keys, ord, appId)
+    graft.sources.Replica.sync(batch.sparkSession, root, table,
+      deltaRoot, deltaTable, keys, appId, initialCursor)
+    published
+  }
+
   /** One micro-batch of [[streamingAudited]] — public so replay and
     * split semantics are directly testable. Returns true if the batch
     * published (false = replay skip). */

@@ -470,4 +470,55 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshot.read(spark, root, "events_audit").count() == 4L)
     assert(Snapshot.read(spark, root, "events_quarantine").count() == 2L)
   }
+
+  test("streamingAnnFollow keeps the serving index current over a live stream") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Ann, AnnIndex}
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    val base = java.nio.file.Files.createTempDirectory("graft-sann-base").toString + "/idx"
+    val delta = java.nio.file.Files.createTempDirectory("graft-sann-delta").toString
+    val planes = Ann.hashPlanes(3, 4)
+    def vec(id: Long, xs: Float*) = (id, xs.toArray)
+    val corpus0 = Seq(
+      vec(0L, 1.0f, 0.0f, 0.0f, 0.0f), vec(1L, 0.9f, 0.1f, 0.0f, 0.0f),
+      vec(2L, 0.0f, 1.0f, 0.0f, 0.0f), vec(3L, 0.0f, 0.95f, 0.05f, 0.0f),
+      vec(4L, 0.0f, 0.0f, 1.0f, 0.0f)).toDF("vec_id", "embedding")
+    val buildV = Snapshot.commit(spark, root, Map("emb" -> corpus0))
+    AnnIndex.writeLshIndex(Snapshot.read(spark, root, "emb"),
+      "vec_id", "embedding", planes, base)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.streamingAnnFollow(
+        ms.toDF().toDF("vec_id", "embedding"), root, "emb",
+        keys = Seq("vec_id"), ord = Seq(col("vec_id")),
+        deltaRoot = delta, deltaTable = "emb_delta", initialCursor = buildV)
+      .outputMode("update").start()
+    def serve() = AnnIndex.knnLshServeFollow(spark, base, delta, "emb_delta",
+        "vec_id", "embedding", planes, col("vec_id") < 2, k = 3)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    def rebuild() = Ann.knnLsh(Snapshot.read(spark, root, "emb"),
+        "vec_id", "embedding", planes, col("vec_id") < 2, k = 3)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    try {
+      // batch 0: re-upsert vec 1 MOVED into axis-2 territory + a new vec 5
+      ms.addData(vec(1L, 0.0f, 0.98f, 0.02f, 0.0f), vec(5L, -1.0f, 0.0f, 0.0f, 0.0f))
+      q.processAllAvailable()
+      assert(serve() == rebuild(), "served follow != rebuild after batch 0")
+      // batch 1: another wave — vec 5 moves, vec 6 arrives
+      ms.addData(vec(5L, 0.95f, 0.0f, 0.05f, 0.0f), vec(6L, 0.0f, 0.0f, 0.9f, 0.1f))
+      q.processAllAvailable()
+      val after = serve()
+      assert(after == rebuild(), "served follow != rebuild after batch 1")
+      // replaying batch 1 by hand is a marker-gated no-op; the trailing
+      // sync finds nothing past its cursor
+      val replayed = StreamOps.annFollowBatchExactlyOnce(
+        Seq(vec(5L, 0.95f, 0.0f, 0.05f, 0.0f), vec(6L, 0.0f, 0.0f, 0.9f, 0.1f))
+          .toDF("vec_id", "embedding"),
+        batchId = 1L, root, "emb", Seq("vec_id"), Seq(col("vec_id")),
+        delta, "emb_delta", buildV)
+      assert(!replayed, "replayed batch must not publish")
+      assert(serve() == after, "replay must not move the served index")
+    } finally q.stop()
+  }
 }
