@@ -89,6 +89,49 @@ object LangModel {
     nllFromVocab(model.select(col("token").as("__tok"), col("cnt").as("__cnt")),
       tokArrays.select(col(idCol), explode(col("__toks")).as("__tok")), idCol)
 
+  /** Train the bigram model alone: (prev, tok, cnt) over the reference
+    * slice's adjacent token pairs — the persistable artifact of the
+    * bigram train-once/score-forever split. Self-contained: context
+    * totals AND the vocabulary size re-derive from the pair table
+    * (every scoring-relevant token type appears as a prev or a tok),
+    * so [[bigramNllWith]] needs nothing else. */
+  def trainBigram(df: DataFrame, textCol: String,
+      refPred: Column): DataFrame =
+    bigramPairs(df.filter(refPred), textCol)
+      .groupBy(col("__prev").as("prev"), col("__tok").as("tok"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score with a FROZEN bigram model — bit-identical to [[bigramNll]]
+    * run with the same reference slice (the quantized pair/context
+    * tables are equal row-for-row): the CCNet frozen-yardstick contract
+    * at the bigram order. */
+  def bigramNllWith(model: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val pairs = df.select(col(idCol), col(textCol))
+    val exploded = bigramPairs(pairs, textCol, keepCols = Seq(col(idCol)))
+    bigramNllFromModel(
+      model.select(col("prev").as("__prev"), col("tok").as("__tok"),
+        col("cnt").as("__cnt")),
+      exploded, idCol)
+  }
+
+  /** In-row adjacent-pair derivation shared by the inline and frozen
+    * bigram paths: one projected token array, one explode. */
+  private def bigramPairs(df: DataFrame, textCol: String,
+      keepCols: Seq[Column] = Nil): DataFrame = {
+    val tk = col("__tk")
+    df.select(keepCols :+
+        filter(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
+          t => length(t) > 0).as("__tk"): _*)
+      .filter(size(tk) >= 2)
+      .select(keepCols :+ explode(
+        transform(sequence(lit(0), size(tk) - 2),
+          i => struct(element_at(tk, i + 1).as("__prev"),
+                      element_at(tk, i + 2).as("__tok")))).as("__p"): _*)
+      .select(keepCols ++ Seq(
+        col("__p.__prev").as("__prev"), col("__p.__tok").as("__tok")): _*)
+  }
+
   private def nllFromExploded(toks: DataFrame, idCol: String): DataFrame =
     nllFromVocab(
       toks.filter(col("__ref")).groupBy(col("__tok")).agg(count(lit(1)).as("__cnt")),
@@ -132,15 +175,21 @@ object LangModel {
                       element_at(tk, i + 2).as("__tok")))).as("__p"))
       .select(col(idCol), col("__ref"),
         col("__p.__prev").as("__prev"), col("__p.__tok").as("__tok"))
-    val refPairs = pairs.filter(col("__ref"))
-    val pcnt = refPairs.groupBy(col("__prev"), col("__tok"))
+    val pcnt = pairs.filter(col("__ref")).groupBy(col("__prev"), col("__tok"))
       .agg(count(lit(1)).as("__cnt"))
-    // V = unigram vocabulary of the reference slice: every token of a
-    // scoring-eligible ref doc appears as __prev (all but the last) or
-    // __tok (all but the first), so the union of both columns IS the
-    // slice's token-type set over >=2-token docs
-    val vstat = refPairs.select(col("__prev").as("__t"))
-      .union(refPairs.select(col("__tok").as("__t")))
+    bigramNllFromModel(pcnt, pairs.drop("__ref"), idCol)
+  }
+
+  /** Shared bigram scoring core: `pcnt` is the (possibly persisted)
+    * (__prev, __tok, __cnt) pair table; context totals and V re-derive
+    * from it. V = the distinct prev∪tok token set — identical to the
+    * reference slice's unigram vocabulary over >=2-token docs, since
+    * every token of a scoring-eligible ref doc appears as a pair's
+    * prev (all but the last) or tok (all but the first). */
+  private def bigramNllFromModel(pcnt: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val vstat = pcnt.select(col("__prev").as("__t"))
+      .union(pcnt.select(col("__tok").as("__t")))
       .agg(count_distinct(col("__t")).as("__v"))
     val ctx = pcnt.groupBy(col("__prev")).agg(sum(col("__cnt")).as("__ctx"))
     // empty reference slice → __v is 0 (count over no rows) → ln(1/0)

@@ -123,6 +123,23 @@ class LangModelSpec extends SparkSpec {
     assert(got(0L) < got(2L))
   }
 
+  test("trainBigram/bigramNllWith: frozen pair table reproduces bigramNll") {
+    val model = LangModel.trainBigram(docs, "text", col("lang") === "en")
+    assert(model.columns.toSeq == Seq("prev", "tok", "cnt"))
+    assert(model.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      Map(("a", "a") -> 1L, ("a", "b") -> 1L, ("a", "c") -> 1L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("nll_micro"))).sortBy(_._1).toSeq
+    assert(rows(LangModel.bigramNllWith(model, docs, "doc_id", "text")) ==
+      rows(LangModel.bigramNll(docs, "doc_id", "text", col("lang") === "en")))
+    // a batch the model never saw scores by the FROZEN yardstick:
+    // (a,z) = known context a, unseen pair → 1/(ctx(a)+V) = 1/6
+    val batch = Seq((10L, "a z")).toDF("doc_id", "text")
+    assert(rows(LangModel.bigramNllWith(model, batch, "doc_id", "text")) ==
+      Seq((10L, 1L, nllq(1.0 / 6.0))))
+  }
+
   test("bigramNll: empty reference slice scores NULL, never a rounded infinity") {
     val got = LangModel.bigramNll(docs, "doc_id", "text", lit(false))
       .collect().map(r => r.getAs[Long]("doc_id") ->
