@@ -228,6 +228,47 @@ object EventQueries {
       .orderBy("user_id")
   }
 
+  /** events_pattern — ordered-PATTERN detection (the MATCH_RECOGNIZE /
+    * Flink-CEP primitive, relationally): occurrences of
+    * `view → purchase` within 1 hour on the same user with NO `click`
+    * strictly between them, matched skip-till-next (each anchoring view
+    * takes its EARLIEST qualifying purchase). The scalable batch form
+    * of a sequence pattern is three co-keyed joins, never a per-user
+    * event array or a state machine: (1) A⋈B equi-join on user_id with
+    * the time window as a residual predicate; (2) the negation is an
+    * ANTI join of the (A,B) pairs against C rows falling inside each
+    * pair's open interval — same user_id key, so all three legs reuse
+    * ONE hash partitioning (no re-shuffle, the funnel discipline);
+    * (3) skip-till-next is a per-anchor window over the bounded match
+    * set (≤ matches rows, never events). At 100 TB nothing here holds
+    * a user's history in memory — Flink's CEP state machine is the
+    * STREAMING form of this exact join tree. */
+  def eventsPattern(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    def ofType(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val a = ofType("view").select(col("user_id"),
+      col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = ofType("purchase").select(col("user_id"),
+      col("event_id").as("b_id"), col("ts").as("b_ts"))
+    val c = ofType("click").select(col("user_id"),
+      col("ts").as("c_ts"))
+    val pairs = a.join(b, Seq("user_id"))
+      .filter(col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+    val clean = pairs.join(c,
+      pairs("user_id") === c("user_id") &&
+        col("c_ts") > col("a_ts") && col("c_ts") < col("b_ts"),
+      "left_anti")
+    val w = Window.partitionBy("a_id").orderBy(col("b_ts"), col("b_id"))
+    clean.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+      .orderBy("user_id", "a_id")
+  }
+
   /** events_paths — top user-journey prefixes: each user's first 5
     * events (by ts, event_id — a total order, so the path string is
     * deterministic) joined into an `a>b>c` path, counted across users,
@@ -382,6 +423,25 @@ object EventQueries {
         |            ELSE 200000 // (n_touches - 2) END AS BIGINT) AS u_ppm,
         |  (cents * 1000000) // n_touches AS linear_micros
         |FROM r ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    "events_pattern" ->
+      """WITH e AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+        |p AS (
+        |  SELECT a.user_id, a.event_id AS a_id, a.ts AS a_ts,
+        |         b.event_id AS b_id, b.ts AS b_ts
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |  WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM e c
+        |      WHERE c.user_id = a.user_id AND c.event_type = 'click'
+        |        AND c.ts > a.ts AND c.ts < b.ts)
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+        |    ORDER BY b_ts, b_id) AS rn FROM p
+        |)
+        |SELECT user_id, a_id, a_ts, b_id, b_ts,
+        |       CAST(epoch_ns(b_ts) // 1000 - epoch_ns(a_ts) // 1000 AS BIGINT) AS gap_us
+        |FROM r WHERE rn = 1 ORDER BY user_id, a_id""".stripMargin,
     "events_paths" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
@@ -649,6 +709,7 @@ object EventQueries {
     "events_purchase_window" -> eventsPurchaseWindow _,
     "events_attribution" -> eventsAttribution _,
     "events_paths" -> eventsPaths _,
+    "events_pattern" -> eventsPattern _,
     "events_gapfill" -> eventsGapfill _,
     "events_anomaly" -> eventsAnomaly _,
     "events_attribution_weighted" -> eventsAttributionWeighted _,
