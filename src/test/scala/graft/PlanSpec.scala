@@ -122,6 +122,13 @@ class PlanSpec extends SparkSpec {
       || "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size <= 4, plan)
   }
 
+  test("events_pattern plans keyed joins only; the negation is an ANTI join") {
+    val plan = planOf(graft.queries.EventQueries.eventsPattern(spark, dir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("etl_apply_cdc plans keyed joins only: no cartesian, no nested loop") {
     val plan = planOf(EtlQueries.applyCdcOrders(spark, dir))
     assert(!plan.contains("CartesianProduct"), plan)
