@@ -462,6 +462,44 @@ object EtlQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** etl_time_travel — PINNED-VERSION reads next to the moving head
+    * (graft.sources.Snapshot.readAt): the audit/repro primitive every
+    * versioned store owes its users — "what did this table say WHEN the
+    * model trained?" — gated as values, not just specs. A base commit
+    * is followed by an erasure and a merge-on-read MERGE; the gate then
+    * reads BOTH the pinned base version and the current head in one
+    * result (per-status counts + exact cent sums per snapshot tag).
+    * Version resolution is O(manifests); the pinned read plans exactly
+    * like a head read of that version — same segment scans, same
+    * tombstone shadow as of then — so time travel costs nothing extra
+    * at any scale. The oracle reconstructs both states relationally. */
+  def timeTravelGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snaptt", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = Snapshot.commit(spark, root, Map("orders_tt" ->
+      o.filter(col("o_orderkey") % 3 === 1)))
+    Snapshot.deleteWhere(spark, root, "orders_tt",
+      col("o_orderkey") % 5 === 1, Seq("o_orderkey"))
+    Snapshot.upsertMergeOnRead(spark, root, "orders_tt",
+      o.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(500.0)),
+      Seq("o_orderkey"))
+    val asof = Snapshot.readAt(spark, root, "orders_tt", v1)
+      .withColumn("snap", lit("v1"))
+    val head = Snapshot.read(spark, root, "orders_tt")
+      .withColumn("snap", lit("head"))
+    asof.unionByName(head)
+      .groupBy(col("snap"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents_total"))
+      .orderBy("snap", "o_orderstatus")
+  }
+
   /** etl_stats_agg — METADATA-ONLY aggregate gate
     * (graft.sources.Snapshot.statsAgg): the orders table is committed in
     * two stats-bearing segments and `COUNT(*) / MIN / MAX` are answered
@@ -1002,6 +1040,23 @@ object EtlQueries {
         |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |), head AS (
+        |  SELECT * FROM v1 WHERE o_orderkey % 5 <> 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |), tagged AS (
+        |  SELECT 'v1' AS snap, o_orderstatus, o_totalprice FROM v1
+        |  UNION ALL
+        |  SELECT 'head', o_orderstatus, o_totalprice FROM head
+        |)
+        |SELECT snap, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_total
+        |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_stats_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS table_rows,
         |       MIN(o_orderkey) AS min_o_orderkey,
@@ -1207,6 +1262,7 @@ object EtlQueries {
     "etl_sync_replica" -> syncReplica _,
     "etl_rollback" -> rollbackRestore _,
     "etl_stats_agg" -> statsAggGate _,
+    "etl_time_travel" -> timeTravelGate _,
     "etl_zorder_box" -> zorderBox _,
     "etl_ivm_agg" -> ivmAgg _,
     "etl_ivm_join" -> ivmJoin _,
