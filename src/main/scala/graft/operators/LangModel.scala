@@ -149,9 +149,12 @@ object LangModel {
     * partition order.
     *
     * Scale shape: the model is one hash-aggregate over reference PAIRS
-    * (distinct-bigram-sized — broadcast here; at a 100 TB corpus the
-    * pair table outgrows the driver and the join hint drops, AQE plans
-    * a shuffle join on (prev,tok)), the context table folds from it
+    * (distinct-bigram-sized — its scoring join carries NO broadcast
+    * hint, so AQE broadcasts it while the measured size fits and plans
+    * a shuffle join on (prev,tok) once a 100 TB corpus's pair table
+    * outgrows the driver; only the provably small frames — vstat is one
+    * row, ctx ≤ vocab — keep explicit hints), the context table folds
+    * from it
     * (≤vocab rows), and pairs are built IN THE ROW (transform over the
     * token array — the doc_repetition idiom) so the exploded frame is a
     * pure map of the corpus scan, never a self-join. Docs with fewer
@@ -206,7 +209,11 @@ object LangModel {
           (col("__ctx") + vNull).cast("double"))).cast("long").as("__oovq"))
     val globalOov = round(lit(1e6) * -log(lit(1.0) / vNull.cast("double")))
       .cast("long")
-    pairs.join(broadcast(pairNll), Seq("__prev", "__tok"), "left_outer")
+    // no hint on the pair-table join: an explicit broadcast() is honored
+    // regardless of estimated size, so at corpus scale it would OOM the
+    // driver instead of degrading — unhinted, AQE broadcasts while small
+    // and falls back to a shuffle join on (__prev, __tok) when not
+    pairs.join(pairNll, Seq("__prev", "__tok"), "left_outer")
       .join(broadcast(ctxOov), Seq("__prev"), "left_outer")
       .crossJoin(broadcast(vstat))
       .select(col(idCol),
