@@ -744,12 +744,49 @@ object DocQueries {
     * the integer avg score, 3 doubles broadcast back, codegen'd
     * comparisons; never the single-partition sort NTILE plans to). Ties
     * land in the lower bucket by value, so equal scores never split. */
-  def docLmBigram(spark: SparkSession, dir: String): DataFrame = {
-    val scored = graft.operators.LangModel.bigramNll(
+  def docLmBigram(spark: SparkSession, dir: String): DataFrame =
+    lmBigramBuckets(graft.operators.LangModel.bigramNll(
       Tables.documents(spark, dir).select("doc_id", "lang", "text"),
-      "doc_id", "text", refPred = col("lang") === "en")
-      // integer micro-nat average: exact, order-proof bucket key
-      .withColumn("avg_q", expr("(nll_micro * 1000000) div n_bigrams"))
+      "doc_id", "text", refPred = col("lang") === "en"))
+
+  /** doc_lm_bigram_stored — the persisted-artifact serve path of
+    * doc_lm_bigram, mirroring doc_curate_incremental_stored's move:
+    * the frozen pair table (LangModel.trainBigram) is COMMITTED to a
+    * snapshot root and scoring runs through the READ-BACK artifact
+    * (LangModel.bigramNllWith) — the train-once/score-forever split
+    * exercised through storage, not just driver memory. Gated against
+    * the IDENTICAL oracle as doc_lm_bigram: the parquet round-trip of
+    * the quantized pair counts must be value-preserving or the micro-
+    * nat sums (and CCNet buckets) shift. */
+  def docLmBigramStored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "lmbigramstore", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val d = Tables.documents(spark, dir).select("doc_id", "lang", "text")
+    Snapshot.commit(spark, root, Map(
+      "lm_pairs" -> graft.operators.LangModel.trainBigram(
+        d, "text", refPred = col("lang") === "en")))
+    lmBigramBuckets(graft.operators.LangModel.bigramNllWith(
+      Snapshot.read(spark, root, "lm_pairs"), d, "doc_id", "text"))
+  }
+
+  /** Shared CCNet-bucket tail of the two bigram-LM gates: exact integer
+    * micro-nat average, dyadic-quartile cuts, codegen'd comparisons. */
+  private def lmBigramBuckets(scoredNll: DataFrame): DataFrame = {
+    val scored = scoredNll
+      // integer micro-nat average: exact, order-proof bucket key.
+      // Divide BEFORE scaling (quotient*1e6 + scaled remainder): the
+      // naive (nll_micro * 1000000) div n_bigrams wraps a signed long
+      // once nll_micro > ~9.2e12 (a ~500k-bigram doc) while DuckDB
+      // silently promotes to HUGEINT — the engines would diverge on
+      // bucket assignment exactly where the bit-exact contract matters.
+      // Exact: for nll = q*n + r (0<=r<n), floor(nll*S/n) = q*S +
+      // floor(r*S/n); every intermediate stays < 1e18.
+      .withColumn("avg_q", expr(
+        "(nll_micro div n_bigrams) * 1000000" +
+          " + ((nll_micro % n_bigrams) * 1000000) div n_bigrams"))
     val cuts = scored
       .agg(expr("percentile(avg_q, array(0.25D, 0.5D, 0.75D))").as("__q"))
       .select(
@@ -2596,7 +2633,9 @@ object DocQueries {
        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        |          CAST(SUM(q) AS BIGINT) AS nll_micro FROM sc GROUP BY 1),
        |aq AS (SELECT doc_id, n_bigrams, nll_micro,
-       |         CAST((nll_micro * 1000000) // n_bigrams AS BIGINT) AS avg_q FROM agg),
+       |         CAST((nll_micro // n_bigrams) * 1000000
+       |              + ((nll_micro % n_bigrams) * 1000000) // n_bigrams
+       |              AS BIGINT) AS avg_q FROM agg),
        |cuts AS (SELECT quantile_cont(avg_q, 0.25) AS p25,
        |                quantile_cont(avg_q, 0.5)  AS p50,
        |                quantile_cont(avg_q, 0.75) AS p75 FROM aq)
@@ -2763,6 +2802,7 @@ object DocQueries {
     "doc_novelty" -> noveltyOracle,
     "doc_lm_score" -> lmScoreOracle,
     "doc_lm_bigram" -> lmBigramOracle,
+    "doc_lm_bigram_stored" -> lmBigramOracle, // stored pair table == inline train
     "doc_gopher_rules" -> gopherRulesOracle,
     "doc_dsir" -> dsirOracle,
     "doc_bm25" -> bm25Oracle,
@@ -3176,6 +3216,7 @@ object DocQueries {
     "doc_novelty" -> docNovelty _,
     "doc_lm_score" -> docLmScore _,
     "doc_lm_bigram" -> docLmBigram _,
+    "doc_lm_bigram_stored" -> docLmBigramStored _,
     "doc_gopher_rules" -> docGopherRules _,
     "doc_dsir" -> docDsir _,
     "doc_bm25" -> docBm25 _,
