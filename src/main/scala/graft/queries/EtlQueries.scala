@@ -530,6 +530,44 @@ object EtlQueries {
       Seq("o_orderkey", "o_date", "o_orderstatus"))
   }
 
+  /** etl_stats_agg_money — the decimal/timestamp extension of
+    * etl_stats_agg: o_totalprice is committed AS `decimal(18,2)` (money
+    * kept exact — no cents cast) and o_orderdate as a raw timestamp,
+    * in two stats-bearing segments; `COUNT(*) / MIN / MAX` again answer
+    * metadata-only, exercising the serialized-bound comparator
+    * (BigDecimal re-parse, `Timestamp.valueOf` re-parse) across the
+    * segment fold for both newly supported stats types. The oracle
+    * recomputes from the raw rows with the same casts. */
+  def statsAggMoney(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshot
+    val root = Tables.scratchDir(spark, "snapstats_money", dir)
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_price"),
+        // parquet NTZ → session-TZ TIMESTAMP (1:1 under the UTC session;
+        // the engine also stats NTZ directly — SnapshotSpec)
+        col("o_orderdate").cast("timestamp").as("o_ts"))
+    val statsCols = Map("orders_money" -> Seq("o_price", "o_ts"))
+    Snapshot.commit(spark, root,
+      Map("orders_money" -> o.filter(col("o_orderkey") % 4 =!= 0)),
+      statsCols = statsCols)
+    Snapshot.commitAppend(spark, root,
+      appends = Map("orders_money" -> o.filter(col("o_orderkey") % 4 === 0)),
+      statsCols = statsCols)
+    // decimal stays exact inside the store; the gate output casts to
+    // double at the boundary (the repo-wide dsum convention — both
+    // engines round the same decimal to the same nearest double)
+    Snapshot.statsAgg(spark, root, "orders_money", Seq("o_price", "o_ts"))
+      .select(col("table_rows"),
+        col("min_o_price").cast("double").as("min_o_price"),
+        col("min_o_ts"),
+        col("max_o_price").cast("double").as("max_o_price"),
+        col("max_o_ts"))
+  }
+
   /** etl_zorder_box — Z-ORDER clustering + MULTI-DIM skipping gate
     * (graft.sources.Cluster.clusteredCommit +
     * graft.sources.Snapshot.readPrunedMulti): orders are committed
@@ -1066,6 +1104,13 @@ object EtlQueries {
         |       MAX(CAST(o_orderdate AS DATE)) AS max_o_date,
         |       MAX(o_orderstatus) AS max_o_orderstatus
         |FROM orders""".stripMargin,
+    "etl_stats_agg_money" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS table_rows,
+        |       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_o_price,
+        |       MIN(o_orderdate) AS min_o_ts,
+        |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_o_price,
+        |       MAX(o_orderdate) AS max_o_ts
+        |FROM orders""".stripMargin,
     "etl_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
@@ -1262,6 +1307,7 @@ object EtlQueries {
     "etl_sync_replica" -> syncReplica _,
     "etl_rollback" -> rollbackRestore _,
     "etl_stats_agg" -> statsAggGate _,
+    "etl_stats_agg_money" -> statsAggMoney _,
     "etl_time_travel" -> timeTravelGate _,
     "etl_zorder_box" -> zorderBox _,
     "etl_ivm_agg" -> ivmAgg _,

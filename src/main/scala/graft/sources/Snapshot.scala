@@ -67,6 +67,14 @@ object Snapshot {
   private val CommitsDir = "_commits"
   private val DataDir = "data"
   private val Header = "GRAFT-SNAPSHOT v1"
+  private val CheckpointName = "_checkpoint"
+  private val CkptHeader = "GRAFT-CHECKPOINT v1"
+
+  /** Manifest-file reads since process start (checkpoint included) —
+    * instrumentation for the O(1)-head-resolution contract: a spec can
+    * diff it around a read and assert the checkpoint short-circuits the
+    * O(commits) listing walk. */
+  private[graft] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -94,6 +102,7 @@ object Snapshot {
   /** Parse a manifest file; None if torn (missing header or footer, or
     * footer count disagreeing with the entries). */
   private def parseManifest(fs: FileSystem, p: Path): Option[Map[String, String]] = {
+    manifestFileReads.incrementAndGet()
     val text =
       try {
         val in = fs.open(p)
@@ -112,16 +121,115 @@ object Snapshot {
     else None
   }
 
+  /** Parsed `_commits/_checkpoint`: the newest complete version on any
+    * chain at write time plus the main head AS OF that version (inline
+    * table map, so resolving main needs no further manifest read). */
+  private case class Ckpt(max: Long, main: Option[(Long, Map[String, String])])
+
+  private def checkpointPath(root: String): Path =
+    new Path(new Path(root, CommitsDir), CheckpointName)
+
+  /** Read the checkpoint; None if absent or torn (same header+footer
+    * tear discipline as manifests). ADVISORY ONLY — a missing or stale
+    * checkpoint degrades to the listing walk, never to a wrong answer:
+    * manifests are write-once under the claim protocol, so a checkpoint
+    * true at its write instant stays true for every version <= max, and
+    * [[scanState]] re-resolves anything committed after it. */
+  private def readCheckpoint(fs: FileSystem, root: String): Option[Ckpt] = {
+    val p = checkpointPath(root)
+    val text =
+      try {
+        val in = fs.open(p)
+        manifestFileReads.incrementAndGet()
+        try scala.io.Source.fromInputStream(in, UTF_8.name()).mkString
+        finally in.close()
+      } catch { case _: IOException => return None }
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != CkptHeader) return None
+    val footer = lines.last
+    if (!footer.startsWith("END ")) return None
+    val body = lines.tail.init
+    if (!Try(footer.stripPrefix("END ").toLong).toOption.contains(body.size.toLong))
+      return None
+    val fields = body.map(_.split("\t", -1))
+    val max = fields.collectFirst { case Array("max", v) => Try(v.toLong).toOption }
+      .flatten.getOrElse(return None)
+    val mainV = fields.collectFirst { case Array("main", v) => Try(v.toLong).toOption }
+      .flatten
+    val entries = fields.collect { case Array("T", t, rel) => t -> rel }.toMap
+    if (mainV.exists(_ > max)) return None
+    Some(Ckpt(max, mainV.map(_ -> entries)))
+  }
+
+  /** Best-effort checkpoint publish (temp file + rename; every failure
+    * swallowed — the manifest is the only commit point, the checkpoint
+    * only accelerates reads). Racing writers may interleave so the
+    * survivor can be the OLDER of two checkpoints; that only loses
+    * recency, which the forward probe in [[scanState]] recovers. */
+  private def writeCheckpoint(fs: FileSystem, root: String, ck: Ckpt): Unit =
+    try {
+      val dest = checkpointPath(root)
+      val tmp = new Path(dest.getParent, s"$CheckpointName.${UUID.randomUUID()}.tmp")
+      val body = Seq(s"max\t${ck.max}") ++
+        ck.main.toSeq.flatMap { case (v, m) =>
+          s"main\t$v" +: m.toSeq.sorted.map { case (t, rel) => s"T\t$t\t$rel" }
+        }
+      val out = fs.create(tmp, true)
+      try out.write((CkptHeader +: body :+ s"END ${body.size}").mkString("\n")
+        .getBytes(UTF_8))
+      finally out.close()
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    } catch { case _: IOException => () }
+
+  /** (newest complete version on ANY chain, main-chain head) — resolved
+    * through the checkpoint when one exists: one checkpoint read plus
+    * parses of only the manifests committed AFTER it (normally zero),
+    * instead of listing an O(commits) `_commits` dir on every read. The
+    * streaming sinks commit once per micro-batch, so a year of 1-minute
+    * batches is ~500k commit files — head resolution must not scale
+    * with that. Correctness of the bounded walk: a slot is only ever
+    * claimed one past the newest COMPLETE manifest, so complete
+    * manifests sit slot-contiguous above `ck.max` and a forward
+    * EXISTENCE probe (no file reads) finds the top of the log; parsing
+    * down from there classifies the post-checkpoint window (torn slots
+    * skipped, branch manifests passed over for main resolution) and
+    * falls back to the checkpoint's inline main head when the window
+    * holds no newer main commit. No checkpoint (legacy root, or torn
+    * write) → the full listing walk. */
+  private def scanState(fs: FileSystem, root: String): (Long, Option[(Long, Map[String, String])]) =
+    readCheckpoint(fs, root) match {
+      case Some(ck) =>
+        var top = ck.max
+        while (fs.exists(manifestPath(root, top + 1L))) top += 1L
+        var newestComplete = ck.max
+        var sawComplete = false
+        var newerMain: Option[(Long, Map[String, String])] = None
+        var v = top
+        while (v > ck.max && newerMain.isEmpty) {
+          parseManifest(fs, manifestPath(root, v)) match {
+            case Some(m) =>
+              if (!sawComplete) { newestComplete = v; sawComplete = true }
+              if (!m.contains(BranchKey)) newerMain = Some(v -> m)
+            case None => () // torn top-of-log claim — skip, keep walking
+          }
+          v -= 1L
+        }
+        (newestComplete, newerMain.orElse(ck.main))
+      case None =>
+        val all = versions(fs, root)
+        val parsed = all.view.flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
+        val newestComplete = parsed.headOption.map(_._1).getOrElse(0L)
+        (newestComplete, parsed.filterNot(_._2.contains(BranchKey)).headOption)
+    }
+
   /** Newest COMPLETE committed version and its table map — MAIN chain
     * only: manifests tagged with a [[BranchKey]] meta-entry belong to a
     * named branch and are invisible to every main-chain reader/writer
     * (manifests written before branching existed carry no tag and are
     * main by construction). */
   private def current(fs: FileSystem, root: String): Option[(Long, Map[String, String])] =
-    versions(fs, root).view
-      .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
-      .filterNot { case (_, m) => m.contains(BranchKey) }
-      .headOption
+    scanState(fs, root)._2
 
   /** Newest committed version, if any. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
@@ -1231,9 +1339,34 @@ object Snapshot {
 
   /** Column types the skipping stats support: ordering of the serialized
     * min/max must be reconstructible engine-independently. Dates
-    * serialize ISO (lexicographic == chronological); numerics re-parse. */
+    * serialize ISO (lexicographic == chronological); numerics re-parse;
+    * timestamps serialize `java.sql.Timestamp.toString` (session-zone
+    * wall time, re-parsed by `Timestamp.valueOf` for comparisons) and
+    * decimals serialize as exact `BigDecimal` strings — so money and
+    * event-time columns carry skipping stats directly, no cents/epoch
+    * cast needed. */
   private val StatsTypes = Set("tinyint", "smallint", "int", "bigint",
-    "float", "double", "string", "date")
+    "float", "double", "string", "date", "timestamp", "timestamp_ntz")
+
+  /** `decimal(p,s)` at any precision/scale is supported beside the fixed
+    * [[StatsTypes]] names; everything else still rejects loudly. */
+  private def statsSupported(t: String): Boolean =
+    StatsTypes.contains(t) || t.startsWith("decimal(")
+
+  /** Engine-independent ordering of two serialized stat bounds of
+    * declared type `t` — the single comparator every stats consumer
+    * (file pruning, metadata aggregates) folds with. */
+  private def statCmp(t: String, a: String, b: String): Int = t match {
+    case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
+    case "float" | "double" => a.toDouble.compareTo(b.toDouble)
+    case "timestamp" =>
+      java.sql.Timestamp.valueOf(a).compareTo(java.sql.Timestamp.valueOf(b))
+    case "timestamp_ntz" => // serialized LocalDateTime.toString (ISO-8601)
+      java.time.LocalDateTime.parse(a).compareTo(java.time.LocalDateTime.parse(b))
+    case d if d.startsWith("decimal") =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b) // string, date (ISO): lexicographic
+  }
 
   private def statsPath(root: String, rel: String): Path =
     new Path(new Path(root, rel), StatsName)
@@ -1263,8 +1396,9 @@ object Snapshot {
     val d = spark.read.parquet(new Path(root, rel).toString)
     cols.foreach { c =>
       val t = d.schema(c).dataType.simpleString
-      require(StatsTypes.contains(t),
-        s"snapshot stats: column '$c' has unsupported type $t (supported: ${StatsTypes.mkString(", ")})")
+      require(statsSupported(t),
+        s"snapshot stats: column '$c' has unsupported type $t (supported: ${
+          StatsTypes.toSeq.sorted.mkString(", ")}, decimal(p,s))")
     }
     val aggs = count(lit(1)).as("__cnt") +:
       cols.flatMap(c => Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
@@ -1302,9 +1436,15 @@ object Snapshot {
   private val BloomName = "_graft_bloom"
 
   /** Column types the bloom sidecar supports. Integral columns insert
-    * their long value; strings insert xxhash64(value) (seed 42, the
-    * `functions.xxhash64` default) — probe-side hashing must match. */
-  private val BloomTypes = Set("tinyint", "smallint", "int", "bigint", "string")
+    * their long value; strings, timestamps and decimals insert
+    * xxhash64(value) (seed 42, the `functions.xxhash64` default, which
+    * hashes a timestamp's micros and a decimal's unscaled form) —
+    * probe-side hashing must rebuild the identical Catalyst literal. */
+  private val BloomTypes = Set("tinyint", "smallint", "int", "bigint",
+    "string", "timestamp", "timestamp_ntz")
+
+  private def bloomSupported(t: String): Boolean =
+    BloomTypes.contains(t) || t.startsWith("decimal(")
 
   private def bloomPath(root: String, rel: String): Path =
     new Path(new Path(root, rel), BloomName)
@@ -1329,12 +1469,13 @@ object Snapshot {
     val d = spark.read.parquet(new Path(root, rel).toString)
     val types = cols.map(c => c -> d.schema(c).dataType.simpleString).toMap
     cols.foreach { c =>
-      require(BloomTypes.contains(types(c)),
+      require(bloomSupported(types(c)),
         s"snapshot bloom: column '$c' has unsupported type ${types(c)} " +
-          s"(supported: ${BloomTypes.mkString(", ")})")
+          s"(supported: ${BloomTypes.toSeq.sorted.mkString(", ")}, decimal(p,s))")
     }
     def input(c: String) = types(c) match {
-      case "string" => xxhash64(col(c))
+      case "string" | "timestamp" | "timestamp_ntz" => xxhash64(col(c))
+      case d if d.startsWith("decimal") => xxhash64(col(c))
       case _ => col(c).cast("long")
     }
     val aggs = cols.map(c =>
@@ -1384,11 +1525,39 @@ object Snapshot {
 
   /** The long a probe value inserts/probes under — MUST mirror
     * [[writeBloom]]'s input expression exactly (same xxhash64 seed). */
-  private def bloomProbeHash(t: String, value: Any): Long = t match {
-    case "string" =>
-      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
-      XxHash64(Seq(CLit(String.valueOf(value))), 42L).eval(null).asInstanceOf[Long]
-    case _ => String.valueOf(value).toLong
+  private def bloomProbeHash(t: String, value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+    def xx(lit: CLit): Long = XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long]
+    t match {
+      case "string" => xx(CLit(String.valueOf(value)))
+      case "timestamp" =>
+        // same micros the column-side xxhash64 hashed: accept a
+        // Timestamp or its `Timestamp.toString` wall-time form
+        val ts = value match {
+          case x: java.sql.Timestamp => x
+          case s => java.sql.Timestamp.valueOf(String.valueOf(s))
+        }
+        xx(CLit.create(ts, org.apache.spark.sql.types.TimestampType))
+      case "timestamp_ntz" =>
+        val ldt = value match {
+          case x: java.time.LocalDateTime => x
+          case s => java.time.LocalDateTime.parse(
+            String.valueOf(s).replace(' ', 'T'))
+        }
+        xx(CLit.create(ldt, org.apache.spark.sql.types.TimestampNTZType))
+      case d if d.startsWith("decimal") =>
+        // rebuild the exact Decimal(p,s) the column carried so the
+        // unscaled form (what xxhash64 hashes) matches bit-for-bit
+        val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(d)
+        val bd = value match {
+          case x: java.math.BigDecimal => x
+          case x: BigDecimal => x.bigDecimal
+          case s => new java.math.BigDecimal(String.valueOf(s))
+        }
+        xx(CLit.create(bd, dt))
+      case _ => String.valueOf(value).toLong
+    }
   }
 
   /** Read `table` keeping only the files whose Bloom filter says
@@ -1487,11 +1656,7 @@ object Snapshot {
       throw new IllegalArgumentException(
         s"snapshot: no table '$table' at $root (have: ${byName.keys.toSeq.sorted.mkString(", ")})"))
     val fs = fsOf(spark, root)
-    def cmp(t: String, a: String, b: String): Int = t match {
-      case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
-      case "float" | "double" => a.toDouble.compareTo(b.toDouble)
-      case _ => a.compareTo(b) // string, date (ISO): lexicographic
-    }
+    def cmp(t: String, a: String, b: String): Int = statCmp(t, a, b)
     // per SEGMENT: a stats sidecar prunes that segment's files; a
     // segment without stats reads whole (soundness over savings).
     // None = "whole segment survives" (distinct from Some(all files):
@@ -1579,11 +1744,7 @@ object Snapshot {
       s"snapshot statsAgg: table '$table' carries merge-on-read tombstones — " +
         "metadata stats would count suppressed rows; compactTable first")
     val fs = fsOf(spark, root)
-    def cmp(t: String, a: String, b: String): Int = t match {
-      case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
-      case "float" | "double" => a.toDouble.compareTo(b.toDouble)
-      case _ => a.compareTo(b) // string, date (ISO): lexicographic
-    }
+    def cmp(t: String, a: String, b: String): Int = statCmp(t, a, b)
     var totalRows = 0L
     // col -> (type, lo, hi); None bounds = tracked but all-NULL so far
     val folded = scala.collection.mutable.LinkedHashMap[String, (String, Option[(String, String)])]()
@@ -1838,7 +1999,11 @@ object Snapshot {
       removals: Set[String] = Set.empty): Long = {
     val deadline = System.currentTimeMillis() + claimWaitMs
     while (true) {
-      val base = chainHead(fs, root, branch)
+      val (maxComplete, mainHead) = scanState(fs, root)
+      val base = branch match {
+        case None => mainHead
+        case _ => chainHead(fs, root, branch)
+      }
       val baseV = base.map(_._1).getOrElse(0L)
       expectBase.foreach { e =>
         if (baseV != e) throw new IllegalStateException(
@@ -1851,9 +2016,6 @@ object Snapshot {
       // at a far-away slot stays ignored, while a torn claim on the
       // target slot itself is waited on (the adjacency that prevents the
       // lost-update shadowing described above)
-      val maxComplete = versions(fs, root)
-        .collectFirst { case (v, p) if parseManifest(fs, p).isDefined => v }
-        .getOrElse(0L)
       val next = maxComplete + 1L
       val target = manifestPath(root, next)
       fs.mkdirs(target.getParent)
@@ -1881,7 +2043,19 @@ object Snapshot {
             case e: IOException if e.getMessage != null &&
               e.getMessage.contains("already exists") => false
           }
-        if (claimed) return next
+        if (claimed) {
+          // Publish the checkpoint AFTER the durable commit (its loss is
+          // harmless). Main commits inline their own table map; a branch
+          // commit carries forward the main head resolved at claim time —
+          // still the newest main <= next, since no commit can have landed
+          // between our claim and now (any racer waits on our slot).
+          val ckMain = branch match {
+            case None => Some(next -> merged)
+            case Some(_) => mainHead
+          }
+          writeCheckpoint(fs, root, Ckpt(next, ckMain))
+          return next
+        }
         // Lost the create race for this slot — loop: the winner's commit
         // will advance our base (or show up as the in-flight claim above).
       }

@@ -1010,4 +1010,133 @@ class SnapshotSpec extends SparkSpec {
     // nothing above may have published: the table is intact
     assert(Snapshot.read(spark, root, "t").count() == 1L)
   }
+
+  test("decimal and timestamp columns carry skipping stats, blooms, and statsAgg") {
+    import org.apache.spark.sql.functions.{col, expr, input_file_name}
+    val root = freshRoot()
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    // money as decimal(9,2) and event time as timestamp, both monotone
+    // in id — no cents/epoch casts anywhere below
+    val base = spark.range(0L, 400L).toDF("id")
+      .withColumn("price", expr("CAST(id * 0.25 AS DECIMAL(9,2))"))
+      .withColumn("ts", expr(
+        "timestampadd(HOUR, CAST(id AS INT), timestamp'2026-01-01 00:00:00')"))
+      .withColumn("tsn", expr("CAST(ts AS TIMESTAMP_NTZ)"))
+    // RANGE layout: disjoint per-file min/max → range stats prune
+    Snapshot.commit(spark, root,
+      Map("r" -> base.repartitionByRange(4, col("id")),
+          // HASH layout: ranges can't prune, blooms can
+          "h" -> base.repartition(4, col("id"))),
+      statsCols = Map("r" -> Seq("price", "ts", "tsn")),
+      bloomCols = Map("h" -> Seq("price", "ts", "tsn")),
+      bloomBits = 1L << 14)
+    val pPruned = Snapshot.readPruned(spark, root, "r", "price",
+      new java.math.BigDecimal("10.00"), new java.math.BigDecimal("20.00"))
+    assert(pPruned.inputFiles.length < 4, "decimal range should prune files")
+    assert(pPruned.filter(col("price").between("10.00", "20.00")).count() == 41L)
+    val tPruned = Snapshot.readPruned(spark, root, "r", "ts",
+      java.sql.Timestamp.valueOf("2026-01-01 05:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+    assert(tPruned.inputFiles.length < 4, "timestamp range should prune files")
+    assert(tPruned.filter(col("id").between(5, 10)).count() == 6L)
+    // bloom point probes on the hash layout (121 * 0.25 = 30.25)
+    val pProbe = Snapshot.readPrunedEq(spark, root, "h", "price",
+      new java.math.BigDecimal("30.25"))
+    assert(pProbe.filter(col("price") === "30.25").count() == 1L)
+    assert(filesRead(pProbe) < 4, "decimal bloom probe should skip files")
+    val tProbe = Snapshot.readPrunedEq(spark, root, "h", "ts",
+      java.sql.Timestamp.valueOf("2026-01-01 07:00:00"))
+    assert(tProbe.filter(col("id") === 7L).count() == 1L)
+    assert(filesRead(tProbe) < 4, "timestamp bloom probe should skip files")
+    // timestamp_ntz: range prune and bloom probe both work too
+    val nPruned = Snapshot.readPruned(spark, root, "r", "tsn",
+      java.time.LocalDateTime.parse("2026-01-01T05:00:00"),
+      java.time.LocalDateTime.parse("2026-01-01T10:00:00"))
+    assert(nPruned.inputFiles.length < 4, "ntz range should prune files")
+    assert(nPruned.filter(col("id").between(5, 10)).count() == 6L)
+    val nProbe = Snapshot.readPrunedEq(spark, root, "h", "tsn",
+      "2026-01-01 07:00:00")
+    assert(nProbe.filter(col("id") === 7L).count() == 1L)
+    assert(filesRead(nProbe) < 4, "ntz bloom probe should skip files")
+    // metadata-only aggregate folds the serialized bounds exactly
+    val agg = Snapshot.statsAgg(spark, root, "r", Seq("price", "ts")).head()
+    assert(agg.getAs[Long]("table_rows") == 400L)
+    assert(agg.getAs[java.math.BigDecimal]("min_price")
+      .compareTo(new java.math.BigDecimal("0.00")) == 0)
+    assert(agg.getAs[java.math.BigDecimal]("max_price")
+      .compareTo(new java.math.BigDecimal("99.75")) == 0)
+    assert(agg.getAs[java.sql.Timestamp]("min_ts") ==
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(agg.getAs[java.sql.Timestamp]("max_ts") ==
+      java.sql.Timestamp.valueOf("2026-01-17 15:00:00"))
+    // loud-reject contract preserved for still-unsupported types
+    val bad = base.withColumn("flag", col("id") % 2 === 0)
+    intercept[IllegalArgumentException](Snapshot.commit(spark, root,
+      Map("x" -> bad), statsCols = Map("x" -> Seq("flag"))))
+    intercept[IllegalArgumentException](Snapshot.commit(spark, root,
+      Map("x" -> base.withColumn("d", col("id").cast("double"))),
+      bloomCols = Map("x" -> Seq("d"))))
+  }
+
+  test("checkpoint: a 1,000-commit root resolves its head reading <= 2 manifest files") {
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    Snapshot.commit(spark, root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    // metadata-only commits (rollback re-points old segments) grow the
+    // log to 1,000 versions without 998 parquet writes — the shape of a
+    // streaming sink committing one manifest per micro-batch
+    (3L to 1000L).foreach(_ => Snapshot.rollbackTo(spark, root, v1))
+    assert(Files.list(Paths.get(root, "_commits"))
+      .filter(p => p.getFileName.toString.endsWith(".manifest")).count() == 1000L)
+    val before = Snapshot.manifestFileReads.get()
+    assert(Snapshot.currentVersion(spark, root).contains(1000L))
+    val reads = Snapshot.manifestFileReads.get() - before
+    assert(reads <= 2L, s"head resolution read $reads manifest files, want <= 2")
+    // and the resolved head serves the right bytes (v1's content)
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("checkpoint: stale, torn, or missing checkpoints degrade, never lie") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val ckpt = Paths.get(root, "_commits", "_checkpoint")
+    val staleBytes = Files.readAllBytes(ckpt) // true as of v1
+    Snapshot.commit(spark, root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    Snapshot.commit(spark, root, Map("t" -> Seq((3L, "c")).toDF("id", "v")))
+    // STALE (a crashed committer published v2/v3's manifests but not the
+    // checkpoint): the forward probe finds the newer slots
+    Files.write(ckpt, staleBytes)
+    assert(Snapshot.currentVersion(spark, root).contains(3L))
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // TORN: half-written checkpoint is skipped for the listing walk
+    Files.write(ckpt, "GRAFT-CHECKPOINT v1\nmax\t9".getBytes(UTF_8))
+    assert(Snapshot.currentVersion(spark, root).contains(3L))
+    // MISSING (legacy root): full fallback
+    Files.delete(ckpt)
+    assert(Snapshot.currentVersion(spark, root).contains(3L))
+    // and the next commit restores O(1) resolution
+    Snapshot.commit(spark, root, Map("t" -> Seq((4L, "d")).toDF("id", "v")))
+    val before = Snapshot.manifestFileReads.get()
+    assert(Snapshot.currentVersion(spark, root).contains(4L))
+    assert(Snapshot.manifestFileReads.get() - before <= 2L)
+  }
+
+  test("checkpoint: branch commits carry the main head forward inline") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    Snapshot.createBranch(spark, root, "audit")
+    Snapshot.commitBranch(spark, root, "audit",
+      Map("t" -> Seq((9L, "z")).toDF("id", "v")))
+    Snapshot.commitBranch(spark, root, "audit",
+      Map("t" -> Seq((8L, "y")).toDF("id", "v")))
+    // the checkpoint head is a branch version, but main resolution still
+    // answers from the inline main entries without walking branch slots
+    val before = Snapshot.manifestFileReads.get()
+    assert(Snapshot.currentVersion(spark, root).contains(1L))
+    assert(Snapshot.manifestFileReads.get() - before <= 2L)
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(Snapshot.readBranch(spark, root, "audit", "t").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L))
+  }
 }
