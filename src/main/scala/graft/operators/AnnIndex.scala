@@ -216,6 +216,57 @@ object AnnIndex {
           "discard it and re-run the fold (the old base+delta pair kept serving)")
   }
 
+  /** DELTA-OVERHEAD PROBE result for a base+delta follow pair —
+    * the scheduling half of the follow → fold lifecycle. Serving a
+    * follow costs the frozen-base scan plus an anti-join of `touched`
+    * keys plus a union of `live` re-encoded rows, so the marginal
+    * serve-time overhead over a freshly-folded base grows with
+    * (live + touched) / base — [[overhead]]. An operator polls
+    * [[AnnIndex.followDeltaStats]] after each sync and triggers the
+    * family's `compact*Follow` once overhead crosses its budget
+    * (e.g. 0.2): a fold is a full O(base) rebuild write, so folding on
+    * a timer wastes rebuilds while never folding lets serve cost creep
+    * without bound. */
+  case class FollowDeltaStats(baseRows: Long, deltaLiveRows: Long,
+      deltaTouchedKeys: Long, syncCursor: Option[Long]) {
+    /** Serve-time rows added/suppressed per base row; +∞ for an empty
+      * base (any delta dominates — fold immediately). */
+    def overhead: Double =
+      if (baseRows == 0L) Double.PositiveInfinity
+      else (deltaLiveRows + deltaTouchedKeys).toDouble / baseRows
+    /** The poll-side fold trigger. */
+    def shouldFold(budget: Double): Boolean = overhead > budget
+  }
+
+  /** Measure a follow pair's delta overhead WITHOUT serving a query:
+    * `live` = the delta table's resolved row count (O(batch)),
+    * `touched` = the exact anti-join frame the serve path builds
+    * (tombstone shadow keys ∪ live keys, O(touched)), `base` = the
+    * frozen base's parquet row count (footer metadata — no column
+    * scan). Family-agnostic: every follow family (LSH/IVF/PQ/SQ8/BQ
+    * here, the BM25 postings follow in
+    * [[graft.operators.TextIndex]]) resolves serve rows the same
+    * base-minus-touched-plus-live way, so the same three counts answer
+    * "is it time to fold?" for each. `syncCursor` is None for a
+    * never-synced delta root (nothing to fold yet — the fold itself
+    * would throw). */
+  def followDeltaStats(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String): FollowDeltaStats = {
+    import graft.sources.Snapshot
+    val live = Snapshot.read(spark, deltaRoot, deltaTable)
+    val liveKeys = live.select(col(idCol))
+    val touched = Snapshot.shadowedKeys(spark, deltaRoot, deltaTable) match {
+      case Some(shadow) => shadow.select(col(idCol)).unionByName(liveKeys).distinct()
+      case None => liveKeys.distinct()
+    }
+    FollowDeltaStats(
+      baseRows = spark.read.parquet(basePath).count(),
+      deltaLiveRows = live.count(),
+      deltaTouchedKeys = touched.count(),
+      syncCursor = graft.sources.Replica.cursor(spark, deltaRoot))
+  }
+
   /** Centroid-assignment column of the persisted IVF layout. */
   val CentCol = "cent"
 

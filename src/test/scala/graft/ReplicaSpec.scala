@@ -106,6 +106,40 @@ class ReplicaSpec extends SparkSpec {
       Seq("vec_id"), initialCursor = buildV).isEmpty)
   }
 
+  test("followDeltaStats: the delta-overhead probe tracks live+touched vs base") {
+    import graft.operators.{Ann, AnnIndex}
+    val corpus = freshRoot()
+    val delta = freshRoot()
+    val baseIdx = Files.createTempDirectory("replica-probebase").toString
+    val planes = Ann.hashPlanes(nPlanes = 4, dim = 8)
+    def vec(i: Long) = Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)
+    val all = (0L until 64L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val buildV = Snapshot.commit(spark, corpus,
+      Map("emb" -> all.filter(col("vec_id") < 48L)))
+    AnnIndex.writeLshIndex(Snapshot.read(spark, corpus, "emb"),
+      "vec_id", "embedding", planes, baseIdx)
+    Snapshot.deleteWhere(spark, corpus, "emb",
+      col("vec_id") % 11 === 0, Seq("vec_id"))
+    Snapshot.upsertMergeOnRead(spark, corpus, "emb",
+      all.filter(col("vec_id") >= 48L || col("vec_id") % 13 === 1),
+      Seq("vec_id"))
+    assert(Replica.sync(spark, corpus, "emb", delta, "emb_delta",
+      Seq("vec_id"), initialCursor = buildV).isDefined)
+    val stats = AnnIndex.followDeltaStats(spark, baseIdx, delta, "emb_delta", "vec_id")
+    // the probe's counts ARE the serve path's frame sizes
+    assert(stats.baseRows == spark.read.parquet(baseIdx).count())
+    assert(stats.deltaLiveRows == Snapshot.read(spark, delta, "emb_delta").count())
+    assert(stats.deltaLiveRows > 0L)
+    // touched ⊇ the live keys (plus erased ids), all distinct
+    assert(stats.deltaTouchedKeys >= stats.deltaLiveRows)
+    assert(stats.syncCursor.isDefined)
+    assert(stats.overhead > 0.0)
+    assert(stats.shouldFold(budget = 0.0) && !stats.shouldFold(budget = 1e9))
+    // pure arithmetic of the trigger
+    assert(AnnIndex.FollowDeltaStats(100L, 10L, 15L, Some(1L)).overhead == 0.25)
+    assert(AnnIndex.FollowDeltaStats(0L, 1L, 1L, None).overhead.isPosInfinity)
+  }
+
   test("knnIvfServeFollow: frozen-codebook base+delta equals a rebuild") {
     import graft.operators.{Ann, AnnIndex}
     val corpus = freshRoot()
