@@ -86,6 +86,36 @@ object AnnIndex {
     Ann.topKAgg(cands.join(broadcast(probes), BucketCol), k)
   }
 
+  /** Multi-probe top-k search from the PERSISTED index: each probe
+    * searches its own bucket plus every Hamming-1 neighbor bucket (own
+    * + nPlanes probes) — the recall knob the emb_recall harness
+    * measures, applied to the production build-once-serve-many path
+    * that [[knnLshServe]] anchors. On the gate corpus the measured
+    * sweep (r ∈ {4..12} planes, Hamming-1) put single-bucket LSH at
+    * 0.08 recall@5 and this configuration at 0.56 — past the 0.5 floor
+    * — while scanning ~34% of brute; more planes only trade recall
+    * away faster than cost on near-random embeddings, so the tuned
+    * default stays at the anchor's plane count and spends the recall
+    * budget on probes (see emb_knn_lsh_tuned). The probe side explodes
+    * to its nPlanes+1 bucket ids BEFORE the broadcast, so the stored
+    * bucket partitions are still dynamically pruned to exactly the
+    * probed buckets; the candidate side is untouched. `nPlanes` must
+    * match the build's plane count (the stored bucket space is
+    * 2^nPlanes). */
+  def knnLshServeMultiProbe(index: DataFrame, idCol: String, nPlanes: Int,
+      probePred: Column, k: Int, candPred: Column = lit(true)): DataFrame = {
+    val masks = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val probes = index.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(QCol).as("__pq"),
+        col(NCol).as("__pn"),
+        explode(transform(masks, m => col(BucketCol).bitwiseXOR(m)))
+          .as(BucketCol))
+    val cands = index.filter(candPred)
+      .select(col(idCol).as("neighbor_id"), col(QCol).as("__nq"),
+        col(NCol).as("__nn"), col(BucketCol))
+    Ann.topKAgg(cands.join(broadcast(probes), BucketCol), k)
+  }
+
   /** Top-k LSH search from a FROZEN base index + a FOLLOWING delta — a
     * serving index that tracks a MUTATING corpus without rebuilds: the
     * base is the persisted index ([[writeLshIndex]]) built from a
