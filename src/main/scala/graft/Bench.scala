@@ -127,7 +127,45 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = byName.map { case (_, ss) => median(ss.map(_._3)) }.sum
     val discarded = if (runs >= 2) 1 else 0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"warmup_runs_discarded":$discarded,"sf":"$sfDir"}"""
+    // Ratio vs the FROZEN per-query baseline (artifacts/BASELINE_BENCH_
+    // sf0.1.json, committed by the refresh protocol; override with
+    // SPARK_GRAFT_BASELINE). This makes the "within 2x" perf gate
+    // mechanical: a regression surfaces as its ratio in the bench line
+    // itself instead of ad-hoc diffing of round snapshots. Applied only
+    // when the baseline was recorded at the SAME sf dir; queries new
+    // since the freeze have no ratio (they extend the surface, they
+    // can't regress it).
+    def round3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "artifacts/BASELINE_BENCH_sf0.1.json")
+    val baseline: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get(basePath))
+        if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+        else {
+          val tail = txt.substring(txt.indexOf("\"queries\":{") + 11)
+          val body = tail.substring(0, tail.indexOf('}'))
+          """"([^"]+)":([0-9.eE+\-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val ratioTail = if (baseline.isEmpty) "" else {
+      val pairs = byName.flatMap { case (k, ss) =>
+        baseline.get(k).filter(_ > 0.0)
+          .map(b => k -> round3(median(ss.map(_._3)) / b))
+      }
+      val rs = pairs.map { case (k, r) => s"\"" + k + "\":" + r }
+        .mkString("{", ",", "}")
+      val worst = pairs.sortBy(-_._2).headOption
+        .map { case (k, r) => s""","worst_ratio":{"query":"$k","ratio":$r}""" }
+        .getOrElse("")
+      val sharedBase = pairs.map { case (k, _) => baseline(k) }.sum
+      val sharedNow = byName.collect {
+        case (k, ss) if baseline.contains(k) => median(ss.map(_._3))
+      }.sum
+      s""","ratios":$rs,"total_vs_baseline":${round3(sharedNow / sharedBase)}$worst"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"warmup_runs_discarded":$discarded,"sf":"$sfDir"$ratioTail}"""
     println(json)
     // The r7 artifact captured only an sbt-log tail and truncated the
     // per-query map — always ALSO write the full JSON line to a file.
