@@ -486,11 +486,15 @@ object Snapshot {
 
   private def relsAt(spark: SparkSession, root: String, version: Long): Map[String, String] = {
     val fs = fsOf(spark, root)
-    val manifest = versions(fs, root)
-      .collectFirst { case (v, p) if v == version => p }
-      .getOrElse(throw new IllegalArgumentException(
+    // versioned slots have deterministic names — resolve the manifest
+    // with ONE direct path probe, not an O(commits) directory listing
+    // (mainVersionsBetween calls this per version in a change-feed
+    // range; a listing per step made that O(range x commits))
+    val manifest = manifestPath(root, version)
+    if (!fs.exists(manifest))
+      throw new IllegalArgumentException(
         s"snapshot: no version $version at $root (have: ${
-          versions(fs, root).map(_._1).sorted.mkString(", ")})"))
+          versions(fs, root).map(_._1).sorted.mkString(", ")})")
     parseManifest(fs, manifest)
       .getOrElse(throw new IllegalStateException(
         s"snapshot: version $version at $root is torn/incomplete"))
