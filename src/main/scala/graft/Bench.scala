@@ -1,78 +1,66 @@
 package graft
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // Single-shot timings proved noisy enough to mislead (r7 verdict #3:
-    // 4-8x phantom "regressions"). Default to 3 runs per query and report
-    // the per-query MEDIAN, with min/max spread recorded alongside.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    // The heavy doc_*/emb_* families carried 10-35x min/max spreads in the
-    // r9 driver run (pure-map queries cannot intrinsically vary that much
-    // — machine contention during their alphabetical stretch). More
-    // samples per heavy query so the median survives a bad pass.
-    // (a 1-run quick-iterate session stays 1-run everywhere)
-    val heavyRuns = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_RUNS")
-      .map(_.toInt).getOrElse(if (runs <= 1) 1 else 5).max(runs)
-    def runsFor(name: String): Int =
-      if (name.startsWith("doc_") || name.startsWith("emb_")) heavyRuns else runs
+  /** One timed measurement of one query on one pass. */
+  final case class Sample(name: String, pass: Int, sec: Double, err: Option[String])
+
+  /** Fresh bench session — local[cpus], UTC-pinned (the TIMESTAMP_NTZ
+    * normalization in Tables is only 1:1 with the verified oracle runs
+    * under UTC), shuffle partitions = cpus. Shared by main and by the
+    * re-init path in [[runSamples]]. */
+  def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Session timezone pinned like Verify/SparkSpec: the TIMESTAMP_NTZ
-      // normalization in Tables is only 1:1 with the verified oracle runs
-      // under UTC — an unpinned Bench on a non-UTC host would bench
-      // different hour buckets than the ones correctness verified.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Absorb one-time costs (janino/codegen init, parquet footer reader,
-    // shuffle service, localCheckpoint block-manager setup) before timing
-    // — the first measured query otherwise carries ~5 s of JVM warmup
-    // that is not its own. Touch every table family: the query list is
-    // timed in sorted order, so whichever name sorts first would absorb
-    // the warmup of its whole input family (measured ~3 s on the first
-    // doc_* query). Each warmup has its OWN try so one missing table
-    // (e.g. an sfDir without documents.parquet) doesn't skip the rest.
-    def warm(a: => Unit): Unit = try a catch { case _: Throwable => () }
-    warm(spark.read.parquet(s"$sfDir/region.parquet").count())
-    warm(SparkEntry.entry(spark).count())
-    warm(graft.model.Tables.documents(spark, sfDir).count())
-    warm(graft.model.Tables.embeddings(spark, sfDir).count())
-    warm(graft.model.Tables.events(spark, sfDir).count())
-    warm(spark.range(10).localCheckpoint(true).count())
-    // A failing query must be VISIBLE: it is timed, but its error lands
-    // in an "errors" map instead of silently reporting a fast run.
-    // Sorted-key order: hash-map order changes as the query map grows,
-    // which confounds round-over-round per-query deltas with warmup /
-    // cache position. Sorted order is stable across rounds.
-    // Local-iteration filter (same contract as Verify): unset for the
-    // driver's full run.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-    // run-major order (full pass 1, full pass 2, ...) so a query's repeats
-    // don't feed each other's caches back-to-back. Heavy families run in
-    // the extra passes alone (pass > runs times only doc_*/emb_*).
-    val maxRuns = names.map { case (n, _) => runsFor(n) }.max
-    // Per-sample trace (SPARK_GRAFT_BENCH_TRACE=1): one stderr line per
-    // (query, pass) with wall time and the JVM GC-time delta across the
-    // sample — the direct instrument for attributing a heavy-tail pass
-    // to collection pressure vs plan re-derivation (r10 verdict task 6).
-    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    spark
+  }
+
+  /** Run-major measurement loop, ISOLATED per query: a query that kills
+    * the SparkContext (an executor OOM in local mode stops the whole
+    * local context) is recorded as its own error, and the NEXT sample
+    * gets a fresh session from `newSession` — the r12 sf1 rerun showed
+    * one SparkException on emb_near_dup_banded cascading into
+    * IllegalStateException on the next three queries because every later
+    * `fn(spark, ...)` touched the stopped context. `warm` re-runs on
+    * every fresh session so the replacement's one-time costs (parquet
+    * footers, broadcast infra) are not charged to the innocent query
+    * that happens to run first on it. */
+  def runSamples(names: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String, runsFor: String => Int, trace: Boolean,
+      newSession: () => SparkSession,
+      warm: SparkSession => Unit = _ => ()): Seq[Sample] = {
     def gcMillis(): Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
-    val samples = (1 to maxRuns).flatMap { pass =>
+    var spark = newSession()
+    warm(spark)
+    def freshIfDead(): Unit =
+      if (spark.sparkContext.isStopped) {
+        // Clear the stopped session from the builder's caches so
+        // getOrCreate builds a real replacement instead of handing the
+        // corpse back.
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        warm(spark)
+      }
+    if (names.isEmpty) return Nil
+    val maxRuns = names.map { case (n, _) => runsFor(n) }.max
+    (1 to maxRuns).flatMap { pass =>
       names.filter { case (name, _) => pass <= runsFor(name) }
         .map { case (name, fn) =>
+          freshIfDead()
           val gc0 = if (trace) gcMillis() else 0L
           val t0 = System.nanoTime()
+          // A failing query must be VISIBLE: it is timed, but its error
+          // lands in the sample instead of silently reporting a fast run.
           val err =
             try {
               val df = fn(spark, sfDir)
@@ -83,49 +71,99 @@ object Bench {
               None
             }
             catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-          val sample = (name, pass, (System.nanoTime() - t0) / 1e9, err)
+          val sample = Sample(name, pass, (System.nanoTime() - t0) / 1e9, err)
           if (trace) System.err.println(
-            f"[trace] $name pass=$pass wall=${sample._3}%.3f gc_ms=${gcMillis() - gc0}")
+            f"[trace] $name pass=$pass wall=${sample.sec}%.3f gc_ms=${gcMillis() - gc0}")
           // Sweep EVERY persisted block (not just the Curate-released
           // frame) outside the timer: a leaked localCheckpoint from one
           // query otherwise crowds executor memory and taxes every later
           // query's measurement — the r9 driver bench charged 47 s of
-          // such cross-query noise to innocent pure-map queries.
-          spark.sparkContext.getPersistentRDDs.values
+          // such cross-query noise to innocent pure-map queries. The
+          // sweep itself must survive a query that stopped the context.
+          try spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
-          // Collect between samples, OUTSIDE the timer: the unpersist
-          // sweep frees block-manager entries but the heap garbage from
+          catch { case _: Throwable => () }
+          // Collect between samples, OUTSIDE the timer: heap garbage from
           // a heavy neighbor (checkpoint blocks, broadcast values,
           // shuffle buffers) otherwise lands as collection pressure
-          // inside the NEXT query's measurement — the r10 driver bench
-          // charged 2.5-4x heavy-tail passes to doc_lang_trained /
-          // doc_simhash64_pairs this way (solo runs are 1.2x-tight with
-          // gc_ms two orders below the wall delta; trace-verified).
+          // inside the NEXT query's measurement (r10, trace-verified).
           System.gc()
           sample
         }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Single-shot timings proved noisy enough to mislead (r7 verdict #3:
+    // 4-8x phantom "regressions"). Default to 3 runs per query and report
+    // the per-query MEDIAN, with min/max spread recorded alongside.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // The heavy doc_*/emb_* families carried 10-35x min/max spreads in the
+    // r9 driver run (machine contention during their alphabetical
+    // stretch) — more samples per heavy query so the median survives a
+    // bad pass. (a 1-run quick-iterate session stays 1-run everywhere)
+    val heavyRuns = sys.env.get("SPARK_GRAFT_BENCH_HEAVY_RUNS")
+      .map(_.toInt).getOrElse(if (runs <= 1) 1 else 5).max(runs)
+    def runsFor(name: String): Int =
+      if (name.startsWith("doc_") || name.startsWith("emb_")) heavyRuns else runs
+    // Absorb one-time costs (janino/codegen init, parquet footer reader,
+    // shuffle service, localCheckpoint block-manager setup) before timing
+    // — the first measured query otherwise carries ~5 s of JVM warmup
+    // that is not its own. Touch every table family: the query list is
+    // timed in sorted order, so whichever name sorts first would absorb
+    // the warmup of its whole input family (measured ~3 s on the first
+    // doc_* query). Each warmup has its OWN try so one missing table
+    // (e.g. an sfDir without documents.parquet) doesn't skip the rest.
+    def warmAll(spark: SparkSession): Unit = {
+      def warm(a: => Unit): Unit = try a catch { case _: Throwable => () }
+      warm(spark.read.parquet(s"$sfDir/region.parquet").count())
+      warm(SparkEntry.entry(spark).count())
+      warm(graft.model.Tables.documents(spark, sfDir).count())
+      warm(graft.model.Tables.embeddings(spark, sfDir).count())
+      warm(graft.model.Tables.events(spark, sfDir).count())
+      warm(spark.range(10).localCheckpoint(true).count())
+    }
+    // Sorted-key order: hash-map order changes as the query map grows,
+    // which confounds round-over-round per-query deltas with warmup /
+    // cache position. Sorted order is stable across rounds.
+    // Local-iteration filter (same contract as Verify): unset for the
+    // driver's full run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Per-sample trace (SPARK_GRAFT_BENCH_TRACE=1): one stderr line per
+    // (query, pass) with wall time and the JVM GC-time delta across the
+    // sample — the direct instrument for attributing a heavy-tail pass
+    // to collection pressure vs plan re-derivation (r10 verdict task 6).
+    val trace = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    // run-major order (full pass 1, full pass 2, ...) so a query's repeats
+    // don't feed each other's caches back-to-back. Heavy families run in
+    // the extra passes alone (pass > runs times only doc_*/emb_*).
+    val samples =
+      runSamples(names, sfDir, runsFor, trace, () => buildSession(cpus), warmAll)
     // Pass 1 is each query's OWN codegen/broadcast warmup (the heaviest
     // queries measured a first run 2x their steady state even after the
     // table-family warm() block) — with 2+ passes it is excluded from
     // both the median and the spread, so round-over-round deltas compare
     // steady states, not warmup luck. Errors stay visible from any pass.
-    val timed = if (runs >= 2) samples.filter(_._2 >= 2) else samples
-    val byName = timed.groupBy(_._1).toSeq.sortBy(_._1)
+    val timed = if (runs >= 2) samples.filter(_.pass >= 2) else samples
+    val byName = timed.groupBy(_.name).toSeq.sortBy(_._1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val qs = byName.map { case (k, ss) => s"\"" + k + "\":" + median(ss.map(_._3)) }
+    val qs = byName.map { case (k, ss) => s"\"" + k + "\":" + median(ss.map(_.sec)) }
       .mkString("{", ",", "}")
     val spread = byName.map { case (k, ss) =>
-      s"\"" + k + "\":[" + ss.map(_._3).min + "," + ss.map(_._3).max + "]"
+      s"\"" + k + "\":[" + ss.map(_.sec).min + "," + ss.map(_.sec).max + "]"
     }.mkString("{", ",", "}")
-    val errs = samples.groupBy(_._1).toSeq.sortBy(_._1)
-      .flatMap { case (k, ss) => ss.flatMap(_._4).headOption.map(e =>
+    val errs = samples.groupBy(_.name).toSeq.sortBy(_._1)
+      .flatMap { case (k, ss) => ss.flatMap(_.err).headOption.map(e =>
         s"\"" + k + "\":\"" + e + "\"")
       }.mkString("{", ",", "}")
-    val total = byName.map { case (_, ss) => median(ss.map(_._3)) }.sum
+    val total = byName.map { case (_, ss) => median(ss.map(_.sec)) }.sum
     val discarded = if (runs >= 2) 1 else 0
     // Ratio vs the FROZEN per-query baseline (artifacts/BASELINE_BENCH_
     // sf0.1.json, committed by the refresh protocol; override with
@@ -149,20 +187,23 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
-    val ratioTail = if (baseline.isEmpty) "" else {
-      val pairs = byName.flatMap { case (k, ss) =>
-        baseline.get(k).filter(_ > 0.0)
-          .map(b => k -> round3(median(ss.map(_._3)) / b))
-      }
-      val rs = pairs.map { case (k, r) => s"\"" + k + "\":" + r }
+    // Numerator and denominator over the SAME key set (baseline value
+    // > 0): a zero-valued baseline entry previously inflated the
+    // numerator while vanishing from the denominator, and an all-zero
+    // baseline emitted NaN — invalid JSON.
+    val pairs = byName.flatMap { case (k, ss) =>
+      baseline.get(k).filter(_ > 0.0)
+        .map(b => (k, median(ss.map(_.sec)), b))
+    }
+    val sharedBase = pairs.map(_._3).sum
+    val ratioTail = if (pairs.isEmpty || sharedBase <= 0.0) "" else {
+      val rs = pairs.map { case (k, m, b) => s"\"" + k + "\":" + round3(m / b) }
         .mkString("{", ",", "}")
-      val worst = pairs.sortBy(-_._2).headOption
+      val worst = pairs.map { case (k, m, b) => (k, round3(m / b)) }
+        .sortBy(-_._2).headOption
         .map { case (k, r) => s""","worst_ratio":{"query":"$k","ratio":$r}""" }
         .getOrElse("")
-      val sharedBase = pairs.map { case (k, _) => baseline(k) }.sum
-      val sharedNow = byName.collect {
-        case (k, ss) if baseline.contains(k) => median(ss.map(_._3))
-      }.sum
+      val sharedNow = pairs.map(_._2).sum
       s""","ratios":$rs,"total_vs_baseline":${round3(sharedNow / sharedBase)}$worst"""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"warmup_runs_discarded":$discarded,"sf":"$sfDir"$ratioTail}"""
@@ -172,6 +213,6 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try Files.writeString(Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] cannot write $out: $e") }
-    spark.stop()
+    SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -425,18 +425,34 @@ object VectorQueries {
   val BandedPlanes: Array[Array[Array[Long]]] =
     Ann.hashPlanes(nPlanes = 6, dim = 64).grouped(3).toArray
 
-  /** emb_near_dup_banded — the banded SCALE path for embedding
-    * near-dup pairs (graft.operators.Ann.nearDupPairsBanded): b
-    * independent sign-LSH tables, candidates dedup on ids BEFORE the
+  /** The banded ANCHOR gate's corpus bound: the gate's 3-plane/8-bucket
+    * tables are deliberately tiny (its job is candidate-front
+    * EQUIVALENCE with the oracle, not scale), so past ~2k vectors its
+    * ΣC(occ,2) front grows quadratically — the r12 sf1 bench measured
+    * it slowest-in-suite at 68.5 s and flaky at the executor-memory
+    * edge (one SparkException cascading into three downstream
+    * IllegalStateExceptions). 2000 is exactly the sf0.1 corpus, so
+    * sf ≤ 0.1 results (and the frozen sf0.1 baseline) are unchanged
+    * while sf ≥ 1 pays sf0.1's bounded cost. The UNBOUNDED banded
+    * operator stays measured at production sizing in
+    * emb_near_dup_banded_scaled (r ∝ log2(n/targetBucket) — L116). */
+  val BandedAnchorMax = 2000L
+
+  /** emb_near_dup_banded — the banded candidate-front ANCHOR for
+    * embedding near-dup pairs (graft.operators.Ann.nearDupPairsBanded):
+    * b independent sign-LSH tables, candidates dedup on ids BEFORE the
     * exact-cosine verify. The fixed-plane single-table gate
     * (emb_near_dup, and emb_dup_clusters built on it) stays as the
     * cross-engine anchor; this gate pins the banded candidate front —
     * the oracle replays both tables' buckets as an OR-join, the same
     * pair set the Spark side reaches through the exploded (table,
-    * bucket) equi-join + distinct. */
+    * bucket) equi-join + distinct. Corpus bounded to
+    * [[BandedAnchorMax]] (see its scaladoc); the scale path is
+    * emb_near_dup_banded_scaled. */
   def embNearDupBanded(spark: SparkSession, dir: String): DataFrame =
-    Ann.nearDupPairsBanded(Tables.embeddings(spark, dir), "vec_id", "embedding",
-        BandedPlanes, threshold = 0.4)
+    Ann.nearDupPairsBanded(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < BandedAnchorMax),
+        "vec_id", "embedding", BandedPlanes, threshold = 0.4)
       .orderBy("id_a", "id_b")
 
   /** 2 tables × 10 planes (one deterministic 20-plane draw) — the
@@ -818,11 +834,17 @@ object VectorQueries {
     * quantization at query time. The keyword leg is BM25 top-20 from
     * the inverted text index (graft.operators.TextIndex — the postings
     * scan statically prunes to the query terms' buckets); the vector
-    * leg is LSH top-20 around probe vec_id=0 from the stored ANN index
-    * (graft.operators.AnnIndex — dynamically-pruned bucket scan).
-    * Fused by the identical 1/(60+rank) arithmetic as hybrid_search.
-    * This is what a deployed retrieval endpoint runs per request at
-    * 100 TB: two index probes and a 40-row fuse. */
+    * leg is the RECALL-TUNED multi-probe LSH top-20 around probe
+    * vec_id=0 from the stored ANN index
+    * (graft.operators.AnnIndex.knnLshServeMultiProbe — own bucket +
+    * Hamming-1 neighbors, still a dynamically-pruned bucket scan). The
+    * single-bucket serve emb_recall measured at 0.08 recall@5 would
+    * hand RRF a fuse input missing ~90% of true neighbors; the
+    * multi-probe configuration is the ≥0.5-recall default
+    * emb_knn_lsh_tuned proved. Fused by the identical 1/(60+rank)
+    * arithmetic as hybrid_search. This is what a deployed retrieval
+    * endpoint runs per request at 100 TB: two index probes (one
+    * nPlanes+1 buckets wide) and a 40-row fuse. */
   def hybridPersisted(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{AnnIndex, TextIndex}
     val tpath = Tables.scratchDir(spark, "hybtxt", dir)
@@ -832,8 +854,8 @@ object VectorQueries {
     val vpath = Tables.scratchDir(spark, "hybann", dir)
     AnnIndex.writeLshIndex(Tables.embeddings(spark, dir), "vec_id", "embedding",
       Planes, vpath)
-    val vecTop = AnnIndex.knnLshServe(spark.read.parquet(vpath), "vec_id",
-        col("vec_id") === 0, k = 20)
+    val vecTop = AnnIndex.knnLshServeMultiProbe(spark.read.parquet(vpath),
+        "vec_id", Planes.length, col("vec_id") === 0, k = 20)
       .select(col("neighbor_id").as("doc_id"), col("rank"))
     Ann.rrfFuse(kwTop, vecTop, "doc_id", k = 10)
       .orderBy(col("rrf_score").desc, col("doc_id"))
@@ -1284,12 +1306,15 @@ object VectorQueries {
   /** Banded near-dup oracle: both tables' buckets as columns, the pair
     * front an OR of per-table bucket equality (one row per pair by
     * construction — the relational twin of Spark's explode + distinct),
-    * exact verify identical to the single-table oracle. */
+    * exact verify identical to the single-table oracle. `corpusWhere`
+    * mirrors the Spark side's anchor corpus bound ([[BandedAnchorMax]]). */
   private def nearDupBandedOracleFor(
-      tables: Array[Array[Array[Long]]]): String =
+      tables: Array[Array[Array[Long]]],
+      corpusWhere: String = "TRUE"): String =
     s"""WITH $qCte,
        |b AS (SELECT vec_id, qv, ${bucketSqlFor(tables(0), "qv")} AS b0,
-       |             ${bucketSqlFor(tables(1), "qv")} AS b1 FROM q),
+       |             ${bucketSqlFor(tables(1), "qv")} AS b1 FROM q
+       |      WHERE $corpusWhere),
        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        |        ${dotSql("a.qv", "c.qv")} AS d,
        |        ${dotSql("a.qv", "a.qv")} AS pn,
@@ -1301,7 +1326,7 @@ object VectorQueries {
        |WHERE cosine_sim >= CAST(0.4 AS DOUBLE) ORDER BY id_a, id_b""".stripMargin
 
   private val nearDupBandedOracle: String =
-    nearDupBandedOracleFor(BandedPlanes)
+    nearDupBandedOracleFor(BandedPlanes, s"vec_id < $BandedAnchorMax")
 
   private val lshMpOracle: String = {
     val expanded = ("bucket" +: Planes.indices.map(i => s"xor(bucket, ${1L << i})"))
@@ -1762,6 +1787,10 @@ object VectorQueries {
   private val hybridPersistedOracle: String = {
     val terms = HybridTerms
     val idx = terms.indices
+    // the tuned vector leg's probed bucket set: own bucket + Hamming-1
+    // (mirrors AnnIndex.knnLshServeMultiProbe — same masks as lshMpOracle)
+    val mpBuckets = ("bucket" +: Planes.indices.map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(", ")
@@ -1787,12 +1816,14 @@ object VectorQueries {
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
        |  FROM sc) WHERE r <= 20),
        |b AS (SELECT vec_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+       |pb AS (SELECT vec_id, qv, unnest($mpBuckets) AS bucket FROM b
+       |       WHERE vec_id = 0),
        |p AS (SELECT c.vec_id AS doc_id,
        |        ${dotSql("a.qv", "c.qv")} AS d,
        |        ${dotSql("a.qv", "a.qv")} AS pn,
        |        ${dotSql("c.qv", "c.qv")} AS nn
-       |      FROM b a JOIN b c ON a.bucket = c.bucket
-       |      WHERE a.vec_id = 0 AND c.vec_id <> 0),
+       |      FROM pb a JOIN b c ON a.bucket = c.bucket
+       |      WHERE c.vec_id <> 0),
        |s AS (SELECT doc_id, $cosineSql AS cosine_sim FROM p),
        |vr AS (SELECT doc_id, r FROM (
        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, doc_id) AS r

@@ -76,6 +76,13 @@ object Snapshot {
     * O(commits) listing walk. */
   private[graft] val manifestFileReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Manifest BYTES written since process start — instrumentation for
+    * the bounded-commit-cost contract: with delta manifests a
+    * metadata-only commit writes O(changed tables) text, not the full
+    * O(tables × segments) map, and a spec diffs this counter across a
+    * commit run to assert it. */
+  private[graft] val manifestBytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -121,10 +128,83 @@ object Snapshot {
     else None
   }
 
+  /** Meta-entry marking a DELTA manifest; its value is the version of
+    * the chain's last FULL manifest, which the delta's entries layer
+    * over. Written by [[commitManifestOn]] whenever the cumulative diff
+    * since that full manifest fits [[FullDeltaMax]] entries — so a
+    * metadata-only commit (a streaming sink's per-micro-batch manifest,
+    * a rollback, an append) writes O(changed tables) text instead of
+    * re-encoding the full O(tables × segments) table map every time
+    * (the write-side twin of the read checkpoint; Delta Lake's
+    * JSON-commits + periodic parquet checkpoint and Iceberg's manifest
+    * lists bound the same growth). Resolution ([[resolveManifest]]) is
+    * at most ONE further manifest read — a delta's base is always FULL,
+    * never another delta. */
+  private val DeltaBaseKey = "~delta_base"
+
+  /** Delta-entry key prefix for an APPEND to a table's segment list:
+    * `~app:<table> → seg1,seg2` appends those segments to the base's
+    * rel — so a log-structured table with 1,000 accumulated segments
+    * costs each append commit only the NEW segment names since the last
+    * full manifest, not the whole list re-encoded. */
+  private val DeltaAppPrefix = "~app:"
+
+  /** Delta-entry VALUE marking a table removed relative to the full
+    * base ('~' can't start a real rel — rels are `data/...` paths). */
+  private val RemovedVal = "~removed"
+
+  /** Cumulative-delta entry budget: past this the commit writes a FULL
+    * manifest (re-anchoring future deltas), so resolution work and
+    * per-commit text both stay bounded while full-map rewrites amortize
+    * to 1-in-~FullDeltaMax commits on a hot chain. */
+  private val FullDeltaMax = 32
+
+  /** Resolve a raw manifest to its FULL table map: full manifests
+    * return as-is; a delta layers its entries over the full base named
+    * by [[DeltaBaseKey]] (one further read, never a chain walk). Throws
+    * if the base is missing/torn — [[vacuum]] always retains the full
+    * base of every retained delta, so this only fires on external
+    * tampering. */
+  private def resolveManifest(fs: FileSystem, root: String,
+      m: Map[String, String]): Map[String, String] =
+    m.get(DeltaBaseKey) match {
+      case None => m
+      case Some(bv) =>
+        val base = parseManifest(fs, manifestPath(root, bv.toLong))
+          .getOrElse(throw new IllegalStateException(
+            s"snapshot: delta manifest's full base v$bv is missing or torn at $root"))
+        resolveDelta(base, m)
+    }
+
+  /** Layer a delta manifest's update/append/removal entries over its
+    * FULL base map. Entry semantics are key-disjoint by construction
+    * (a delta never holds both `t` and `~app:t`), so application order
+    * doesn't matter. */
+  private def resolveDelta(base: Map[String, String],
+      delta: Map[String, String]): Map[String, String] = {
+    var out = base
+    delta.foreach {
+      case (DeltaBaseKey, _) => ()
+      case (k, RemovedVal) => out -= k
+      case (k, v) if k.startsWith(DeltaAppPrefix) =>
+        val t = k.stripPrefix(DeltaAppPrefix)
+        out += t -> out.get(t).map(r => s"$r,$v").getOrElse(v)
+      case (k, v) => out += k -> v
+    }
+    out
+  }
+
   /** Parsed `_commits/_checkpoint`: the newest complete version on any
-    * chain at write time plus the main head AS OF that version (inline
-    * table map, so resolving main needs no further manifest read). */
-  private case class Ckpt(max: Long, main: Option[(Long, Map[String, String])])
+    * chain at write time, the main head AS OF that version (inline
+    * table map, so resolving main needs no further manifest read), and —
+    * when the root has carried a checkpoint since birth — every branch's
+    * head version (`branches = Some(...)`, complete as of `max`), so
+    * branch head resolution is also O(1) instead of an O(commits)
+    * listing walk. `branches = None` marks a legacy root whose branch
+    * inventory below `max` is unknown — branch resolution there falls
+    * back to the listing walk, never to a wrong answer. */
+  private case class Ckpt(max: Long, main: Option[(Long, Map[String, String])],
+      branches: Option[Map[String, Long]])
 
   private def checkpointPath(root: String): Path =
     new Path(new Path(root, CommitsDir), CheckpointName)
@@ -158,7 +238,21 @@ object Snapshot {
       .flatten
     val entries = fields.collect { case Array("T", t, rel) => t -> rel }.toMap
     if (mainV.exists(_ > max)) return None
-    Some(Ckpt(max, mainV.map(_ -> entries)))
+    // branch heads: `bn` declares the count (its PRESENCE marks the
+    // inventory as complete — a checkpoint written before branch
+    // tracking existed has no bn line and stays branches = None); each
+    // `B name version` names one live chain head
+    val bn = fields.collectFirst { case Array("bn", n) => Try(n.toLong).toOption }.flatten
+    val bEntries = fields.collect { case Array("B", b, v) =>
+      Try(v.toLong).toOption.map(b -> _)
+    }.flatten.toMap
+    val branches = bn match {
+      case None => None
+      case Some(n) =>
+        if (bEntries.size.toLong != n || bEntries.values.exists(_ > max)) return None
+        Some(bEntries)
+    }
+    Some(Ckpt(max, mainV.map(_ -> entries), branches))
   }
 
   /** Best-effort checkpoint publish (temp file + rename; every failure
@@ -173,6 +267,9 @@ object Snapshot {
       val body = Seq(s"max\t${ck.max}") ++
         ck.main.toSeq.flatMap { case (v, m) =>
           s"main\t$v" +: m.toSeq.sorted.map { case (t, rel) => s"T\t$t\t$rel" }
+        } ++
+        ck.branches.toSeq.flatMap { bs =>
+          s"bn\t${bs.size}" +: bs.toSeq.sorted.map { case (b, v) => s"B\t$b\t$v" }
         }
       val out = fs.create(tmp, true)
       try out.write((CkptHeader +: body :+ s"END ${body.size}").mkString("\n")
@@ -182,22 +279,32 @@ object Snapshot {
       if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
     } catch { case _: IOException => () }
 
-  /** (newest complete version on ANY chain, main-chain head) — resolved
-    * through the checkpoint when one exists: one checkpoint read plus
-    * parses of only the manifests committed AFTER it (normally zero),
-    * instead of listing an O(commits) `_commits` dir on every read. The
-    * streaming sinks commit once per micro-batch, so a year of 1-minute
-    * batches is ~500k commit files — head resolution must not scale
-    * with that. Correctness of the bounded walk: a slot is only ever
-    * claimed one past the newest COMPLETE manifest, so complete
-    * manifests sit slot-contiguous above `ck.max` and a forward
-    * EXISTENCE probe (no file reads) finds the top of the log; parsing
-    * down from there classifies the post-checkpoint window (torn slots
-    * skipped, branch manifests passed over for main resolution) and
-    * falls back to the checkpoint's inline main head when the window
-    * holds no newer main commit. No checkpoint (legacy root, or torn
-    * write) → the full listing walk. */
-  private def scanState(fs: FileSystem, root: String): (Long, Option[(Long, Map[String, String])]) =
+  /** One resolved look at a root's commit log: newest complete version
+    * on ANY chain, the RESOLVED main head, the checkpoint it was
+    * resolved through (None on legacy/torn-checkpoint roots), and the
+    * branch heads seen in the post-checkpoint window (the piece
+    * [[commitManifestOn]] folds into the next checkpoint so its branch
+    * inventory stays complete even when a racer's checkpoint write was
+    * lost). */
+  private case class ScanState(maxComplete: Long,
+      mainHead: Option[(Long, Map[String, String])],
+      ck: Option[Ckpt], windowBranches: Map[String, Long])
+
+  /** Scan the commit log — resolved through the checkpoint when one
+    * exists: one checkpoint read plus parses of only the manifests
+    * committed AFTER it (normally zero), instead of listing an
+    * O(commits) `_commits` dir on every read. The streaming sinks
+    * commit once per micro-batch, so a year of 1-minute batches is
+    * ~500k commit files — head resolution must not scale with that.
+    * Correctness of the bounded walk: a slot is only ever claimed one
+    * past the newest COMPLETE manifest, so complete manifests sit
+    * slot-contiguous above `ck.max` and a forward EXISTENCE probe (no
+    * file reads) finds the top of the log; parsing down from there
+    * classifies the post-checkpoint window (torn slots skipped, branch
+    * manifests recorded by chain) and falls back to the checkpoint's
+    * inline main head when the window holds no newer main commit. No
+    * checkpoint (legacy root, or torn write) → the full listing walk. */
+  private def scanState(fs: FileSystem, root: String): ScanState =
     readCheckpoint(fs, root) match {
       case Some(ck) =>
         var top = ck.max
@@ -205,31 +312,42 @@ object Snapshot {
         var newestComplete = ck.max
         var sawComplete = false
         var newerMain: Option[(Long, Map[String, String])] = None
+        var winBranches = Map.empty[String, Long]
         var v = top
-        while (v > ck.max && newerMain.isEmpty) {
+        while (v > ck.max) {
           parseManifest(fs, manifestPath(root, v)) match {
             case Some(m) =>
               if (!sawComplete) { newestComplete = v; sawComplete = true }
-              if (!m.contains(BranchKey)) newerMain = Some(v -> m)
+              m.get(BranchKey) match {
+                case Some(b) =>
+                  if (!winBranches.contains(b)) winBranches += b -> v
+                case None =>
+                  if (newerMain.isEmpty) newerMain = Some(v -> m)
+              }
             case None => () // torn top-of-log claim — skip, keep walking
           }
           v -= 1L
         }
-        (newestComplete, newerMain.orElse(ck.main))
+        val head = newerMain
+          .map { case (hv, m) => hv -> resolveManifest(fs, root, m) }
+          .orElse(ck.main)
+        ScanState(newestComplete, head, Some(ck), winBranches)
       case None =>
         val all = versions(fs, root)
         val parsed = all.view.flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
         val newestComplete = parsed.headOption.map(_._1).getOrElse(0L)
-        (newestComplete, parsed.filterNot(_._2.contains(BranchKey)).headOption)
+        val head = parsed.filterNot(_._2.contains(BranchKey)).headOption
+          .map { case (hv, m) => hv -> resolveManifest(fs, root, m) }
+        ScanState(newestComplete, head, None, Map.empty)
     }
 
-  /** Newest COMPLETE committed version and its table map — MAIN chain
-    * only: manifests tagged with a [[BranchKey]] meta-entry belong to a
-    * named branch and are invisible to every main-chain reader/writer
-    * (manifests written before branching existed carry no tag and are
-    * main by construction). */
+  /** Newest COMPLETE committed version and its RESOLVED table map — MAIN
+    * chain only: manifests tagged with a [[BranchKey]] meta-entry belong
+    * to a named branch and are invisible to every main-chain
+    * reader/writer (manifests written before branching existed carry no
+    * tag and are main by construction). */
   private def current(fs: FileSystem, root: String): Option[(Long, Map[String, String])] =
-    scanState(fs, root)._2
+    scanState(fs, root).mainHead
 
   /** Newest committed version, if any. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] =
@@ -443,12 +561,27 @@ object Snapshot {
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, root)
+    // delta manifests share full bases — memoize base parses so a
+    // 1,000-delta log costs O(versions + distinct bases) reads
+    val baseMemo = scala.collection.mutable.Map.empty[Long, Option[Map[String, String]]]
     versions(fs, root)
       .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
-      .map { case (v, m) =>
+      .map { case (v, raw) =>
+        val m = raw.get(DeltaBaseKey) match {
+          case None => raw
+          case Some(bv) =>
+            baseMemo.getOrElseUpdate(bv.toLong,
+                parseManifest(fs, manifestPath(root, bv.toLong)))
+              .map(base => resolveDelta(base, raw))
+              // torn base: best-effort inventory of the delta's own
+              // update entries (append/removal markers dropped)
+              .getOrElse(raw.filterNot { case (k, v) =>
+                k == DeltaBaseKey || k.startsWith(DeltaAppPrefix) || v == RemovedVal
+              })
+        }
         val user = m.keySet.filter(!isMetaKey(_))
         val shadows = m.keySet.filter(isDelKey)
-        (v, if (m.contains(BranchKey)) 1L else 0L, user.size.toLong,
+        (v, if (raw.contains(BranchKey)) 1L else 0L, user.size.toLong,
           user.toSeq.sorted.mkString(","), shadows.size.toLong,
           (user ++ shadows).toSeq.map(k => relDirs(m(k)).length.toLong).sum)
       }
@@ -495,9 +628,10 @@ object Snapshot {
       throw new IllegalArgumentException(
         s"snapshot: no version $version at $root (have: ${
           versions(fs, root).map(_._1).sorted.mkString(", ")})")
-    parseManifest(fs, manifest)
+    val m = parseManifest(fs, manifest)
       .getOrElse(throw new IllegalStateException(
         s"snapshot: version $version at $root is torn/incomplete"))
+    resolveManifest(fs, root, m)
   }
 
   /** Read one table as of `version` — how a pipeline pins its input
@@ -1132,7 +1266,10 @@ object Snapshot {
       .flatMap(t => t._3.get(BranchKey).map(_ -> t))
       .groupBy(_._1).values.toSeq
       .map(_.head) // parsed is newest-first: head = the branch's head
-      .collect { case (_, t) if !t._3.contains(BranchDroppedKey) => t }
+      // dropped-check on the RESOLVED head (a re-created branch's delta
+      // carries the dropped marker only as a removal entry)
+      .collect { case (_, t)
+          if !resolveManifest(fs, root, t._3).contains(BranchDroppedKey) => t }
     val cursorFloor: Option[Long] =
       if (respectCursors && current(fs, root).exists(_._2.contains("_curate")))
         read(spark, root, "_curate")
@@ -1145,12 +1282,20 @@ object Snapshot {
     val retained = mains.filter { case (v, _, _) =>
       cursorFloor.exists(v >= _)
     } ++ mains.take(keepLast) ++ liveBranchHeads
-    val kept = retained.map(_._2).toSet
+    // a retained DELTA manifest resolves through its full base: that
+    // base manifest file must survive the sweep, and the data dirs it
+    // contributes to the resolved state are live. Keep-set compares by
+    // VERSION (listStatus paths are scheme-qualified, constructed paths
+    // are not — Path equality would silently sweep the bases).
+    val baseVersions = retained.flatMap { case (_, _, m) =>
+      m.get(DeltaBaseKey).map(_.toLong)
+    }.toSet
+    val keptVersions = retained.map(_._1).toSet ++ baseVersions
     val referenced = retained
-      .flatMap { case (_, _, m) => m.valuesIterator }
+      .flatMap { case (_, _, m) => resolveManifest(fs, root, m).valuesIterator }
       .filterNot(_.isEmpty) // branch meta entries carry non-path values
       .flatMap(relDirs).toSet
-    all.collect { case (_, p) if !kept.contains(p) => fs.delete(p, false) }
+    all.collect { case (v, p) if !keptVersions.contains(v) => fs.delete(p, false) }
     val dataRoot = new Path(root, DataDir)
     if (fs.exists(dataRoot))
       for {
@@ -1174,14 +1319,20 @@ object Snapshot {
       !branch.exists(c => c == '~' || c == '\t' || c == '\n' || c == ','),
       s"snapshot: invalid branch name '$branch'")
 
-  /** Live branch names, newest-forked first. */
+  /** Live branch names, newest-forked first. The dropped-marker check
+    * runs on each branch's RESOLVED head: a re-created branch's delta
+    * head carries `BranchDroppedKey → removed`, which only resolution
+    * can tell apart from a live marker. */
   def branches(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
     versions(fs, root)
       .flatMap { case (_, p) => parseManifest(fs, p) }
       .flatMap(m => m.get(BranchKey).map(_ -> m))
       .groupBy(_._1).toSeq
-      .collect { case (b, heads) if !heads.head._2.contains(BranchDroppedKey) => b }
+      .collect {
+        case (b, heads)
+            if !resolveManifest(fs, root, heads.head._2).contains(BranchDroppedKey) => b
+      }
       .sorted
   }
 
@@ -1344,13 +1495,49 @@ object Snapshot {
   /** Column types the skipping stats support: ordering of the serialized
     * min/max must be reconstructible engine-independently. Dates
     * serialize ISO (lexicographic == chronological); numerics re-parse;
-    * timestamps serialize `java.sql.Timestamp.toString` (session-zone
-    * wall time, re-parsed by `Timestamp.valueOf` for comparisons) and
-    * decimals serialize as exact `BigDecimal` strings — so money and
+    * timestamps serialize EPOCH MICROS (zone-free — see [[statSer]]);
+    * timestamp_ntz serializes `LocalDateTime.toString` (zone-free ISO)
+    * and decimals serialize as exact `BigDecimal` strings — so money and
     * event-time columns carry skipping stats directly, no cents/epoch
     * cast needed. */
   private val StatsTypes = Set("tinyint", "smallint", "int", "bigint",
     "float", "double", "string", "date", "timestamp", "timestamp_ntz")
+
+  /** Canonical ZONE-INDEPENDENT serialization of a stat bound of declared
+    * type `t`, shared by the sidecar writer ([[writeStats]]) and the
+    * probe side ([[readPrunedMulti]]). TIMESTAMP bounds serialize as
+    * epoch micros: the previous `java.sql.Timestamp.toString` wall-time
+    * form depended on the writer JVM's default zone (and was ambiguous
+    * inside a DST fall-back overlap), so a root written and read under
+    * different JVM/session zones could unsoundly SKIP files holding
+    * matching rows. Every other supported type's natural string form is
+    * already engine-independent. */
+  private def statSer(t: String, v: Any): String = t match {
+    case "timestamp" => String.valueOf(tsMicros(v))
+    case _ => String.valueOf(v)
+  }
+
+  /** Epoch micros of a timestamp bound/probe in any shape callers hand
+    * in: java.sql.Timestamp (what collect() returns under the default
+    * java8API=false), java.time.Instant (java8API=true), an epoch-micros
+    * long or its string form (the serialized sidecar bound), or — for
+    * sidecars written before the micros format — the legacy
+    * `Timestamp.toString` wall form, parsed under the JVM default zone
+    * (exactly how those sidecars were written, so legacy roots keep
+    * resolving on the machine convention that wrote them). */
+  private def tsMicros(v: Any): Long = v match {
+    case x: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(x)
+    case x: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(x)
+    case x: Long => x
+    case x: Int => x.toLong
+    case other =>
+      val s = String.valueOf(other)
+      if (s.nonEmpty && s.matches("[+-]?[0-9]+")) s.toLong
+      else org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(java.sql.Timestamp.valueOf(s))
+  }
 
   /** `decimal(p,s)` at any precision/scale is supported beside the fixed
     * [[StatsTypes]] names; everything else still rejects loudly. */
@@ -1363,8 +1550,9 @@ object Snapshot {
   private def statCmp(t: String, a: String, b: String): Int = t match {
     case "tinyint" | "smallint" | "int" | "bigint" => a.toLong.compareTo(b.toLong)
     case "float" | "double" => a.toDouble.compareTo(b.toDouble)
-    case "timestamp" =>
-      java.sql.Timestamp.valueOf(a).compareTo(java.sql.Timestamp.valueOf(b))
+    case "timestamp" => // epoch micros ([[statSer]]); legacy wall forms
+      // from pre-micros sidecars parse through the same tsMicros funnel
+      tsMicros(a).compareTo(tsMicros(b))
     case "timestamp_ntz" => // serialized LocalDateTime.toString (ISO-8601)
       java.time.LocalDateTime.parse(a).compareTo(java.time.LocalDateTime.parse(b))
     case d if d.startsWith("decimal") =>
@@ -1420,7 +1608,8 @@ object Snapshot {
         val hi = r.getAs[Any](s"__max_$c")
         // an all-NULL file has no usable bounds: no line → never pruned
         if (lo == null || hi == null) None
-        else Some(s"${enc(f)}\t${enc(c)}\t${types(c)}\t${enc(lo)}\t${enc(hi)}")
+        else Some(s"${enc(f)}\t${enc(c)}\t${types(c)}\t${
+          enc(statSer(types(c), lo))}\t${enc(statSer(types(c), hi))}")
       }
     }
     // segment totals: row count (files with rows sum to it — empty part
@@ -1535,13 +1724,10 @@ object Snapshot {
     t match {
       case "string" => xx(CLit(String.valueOf(value)))
       case "timestamp" =>
-        // same micros the column-side xxhash64 hashed: accept a
-        // Timestamp or its `Timestamp.toString` wall-time form
-        val ts = value match {
-          case x: java.sql.Timestamp => x
-          case s => java.sql.Timestamp.valueOf(String.valueOf(s))
-        }
-        xx(CLit.create(ts, org.apache.spark.sql.types.TimestampType))
+        // same micros the column-side xxhash64 hashed: tsMicros accepts
+        // a Timestamp/Instant (zone-free conversion), epoch micros, or
+        // the legacy wall-time string form
+        xx(CLit(tsMicros(value), org.apache.spark.sql.types.TimestampType))
       case "timestamp_ntz" =>
         val ldt = value match {
           case x: java.time.LocalDateTime => x
@@ -1670,13 +1856,16 @@ object Snapshot {
       val segPath = new Path(root, seg).toString
       val survivors = preds.foldLeft(Option.empty[Set[String]]) {
         case (acc, (column, lo, hi)) =>
-          val (loS, hiS) = (String.valueOf(lo), String.valueOf(hi))
           fileStats(fs, root, seg, column) match {
             case None => acc // no stats for this column → cannot prune here
             case Some(stats) =>
+              // probe bounds canonicalize PER LINE under the line's
+              // declared type ([[statSer]]): a Timestamp probe compares
+              // as zone-free micros, never as wall-time text
               val keep = stats.collect {
                 case (f, (t, mn, mx))
-                    if cmp(t, mx, loS) >= 0 && cmp(t, mn, hiS) <= 0 => f
+                    if cmp(t, mx, statSer(t, lo)) >= 0 &&
+                      cmp(t, mn, statSer(t, hi)) <= 0 => f
               }.toSet
               Some(acc.fold(keep)(_ intersect keep))
           }
@@ -1794,14 +1983,21 @@ object Snapshot {
         }
       }
     }
+    // reconstruct a typed value from the serialized bound: timestamps
+    // come back from zone-free micros (timestamp_micros), never from a
+    // wall-time string cast under the session zone
+    def boundCol(t: String, v: String): org.apache.spark.sql.Column =
+      if (t == "timestamp")
+        org.apache.spark.sql.functions.timestamp_micros(lit(tsMicros(v)))
+      else lit(v).cast(t)
     val outCols = lit(totalRows).as("table_rows") +: cols.map { c =>
       folded(c) match {
-        case (t, Some((lo, _))) => lit(lo).cast(t).as(s"min_$c")
+        case (t, Some((lo, _))) => boundCol(t, lo).as(s"min_$c")
         case (t, None) => lit(null).cast(t).as(s"min_$c")
       }
     } ++: cols.map { c =>
       folded(c) match {
-        case (t, Some((_, hi))) => lit(hi).cast(t).as(s"max_$c")
+        case (t, Some((_, hi))) => boundCol(t, hi).as(s"max_$c")
         case (t, None) => lit(null).cast(t).as(s"max_$c")
       }
     }
@@ -1985,16 +2181,31 @@ object Snapshot {
       removals: Set[String] = Set.empty): Long =
     commitManifestOn(fs, root, None, updates, expectBase, removals)
 
-  /** Newest COMPLETE manifest of `branch`'s chain (None = main). Unlike
-    * [[branchHead]] this sees dropped heads — the raw chain lookup. */
+  /** Newest COMPLETE manifest of `branch`'s chain (None = main), with
+    * its RESOLVED table map. Unlike [[branchHead]] this sees dropped
+    * heads — the raw chain lookup. Branch resolution rides the
+    * checkpoint's branch inventory when the root has carried one since
+    * birth (`ck.branches` defined): the post-checkpoint window names
+    * any newer head, else the inventory does — O(1) reads, the same
+    * contract main heads got in r12. A legacy root (no inventory) falls
+    * back to the O(commits) listing walk, never to a wrong answer. */
   private def chainHead(fs: FileSystem, root: String,
       branch: Option[String]): Option[(Long, Map[String, String])] =
     branch match {
       case None => current(fs, root)
       case Some(b) =>
-        versions(fs, root).view
-          .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
-          .find(_._2.get(BranchKey).contains(b))
+        val st = scanState(fs, root)
+        val raw: Option[(Long, Map[String, String])] = st.ck.flatMap(_.branches) match {
+          case Some(inventory) =>
+            st.windowBranches.get(b).orElse(inventory.get(b)).flatMap { hv =>
+              parseManifest(fs, manifestPath(root, hv)).map(hv -> _)
+            }
+          case None =>
+            versions(fs, root).view
+              .flatMap { case (v, p) => parseManifest(fs, p).map(v -> _) }
+              .find(_._2.get(BranchKey).contains(b))
+        }
+        raw.map { case (v, m) => v -> resolveManifest(fs, root, m) }
     }
 
   private def commitManifestOn(fs: FileSystem, root: String,
@@ -2003,7 +2214,8 @@ object Snapshot {
       removals: Set[String] = Set.empty): Long = {
     val deadline = System.currentTimeMillis() + claimWaitMs
     while (true) {
-      val (maxComplete, mainHead) = scanState(fs, root)
+      val st = scanState(fs, root)
+      val (maxComplete, mainHead) = (st.maxComplete, st.mainHead)
       val base = branch match {
         case None => mainHead
         case _ => chainHead(fs, root, branch)
@@ -2014,6 +2226,55 @@ object Snapshot {
           s"snapshot commit conflict at $root: expected base version $e, found $baseV")
       }
       val merged = (base.map(_._2).getOrElse(Map.empty) ++ updates) -- removals
+      // Raw manifest body: a DELTA against the chain's last FULL
+      // manifest when the cumulative diff fits the budget — so a
+      // streaming sink's per-micro-batch commit writes O(changed
+      // tables) text, not the full O(tables × segments) map re-encoded
+      // — else the FULL merged map (first commit on the chain, diff
+      // outgrew [[FullDeltaMax]], or the head manifest is unreadable).
+      val rawBody: Map[String, String] = base match {
+        case None => merged
+        case Some((headV, headResolved)) =>
+          parseManifest(fs, manifestPath(root, headV)) match {
+            case None => merged // unreadable head — full is always sound
+            case Some(headRaw) =>
+              val fullBaseV = headRaw.get(DeltaBaseKey).map(_.toLong).getOrElse(headV)
+              // carry the head's cumulative diff, fold this commit in
+              var d = if (headRaw.contains(DeltaBaseKey)) headRaw - DeltaBaseKey
+                      else Map.empty[String, String]
+              updates.foreach { case (t, newRel) =>
+                val appKey = DeltaAppPrefix + t
+                headResolved.get(t) match {
+                  case Some(oldRel) if newRel == oldRel => () // no-op entry
+                  case Some(oldRel) if newRel.startsWith(oldRel + ",") =>
+                    // an APPEND: record only the new segment names
+                    val suffix = newRel.substring(oldRel.length + 1)
+                    if (d.get(t).exists(_ != RemovedVal)) d += t -> s"${d(t)},$suffix"
+                    else if (d.contains(appKey)) d += appKey -> s"${d(appKey)},$suffix"
+                    else d += appKey -> suffix
+                  case _ => // replace / create / resurrect: full new rel
+                    d -= appKey
+                    d += t -> newRel
+                }
+              }
+              removals.foreach { t =>
+                d -= (DeltaAppPrefix + t)
+                d += t -> RemovedVal
+              }
+              // the chain tag must ride the RAW manifest — scanState and
+              // vacuum classify chains without resolving
+              branch.foreach(b => d += BranchKey -> b)
+              // rotate to FULL when the delta stops paying for itself:
+              // past the entry budget, or its TEXT is no longer well
+              // under the full map's (an append-heavy carried diff can
+              // be 1 entry yet carry the whole segment list)
+              def textLen(m: Map[String, String]): Long =
+                m.iterator.map { case (k, v) => (k.length + v.length + 2).toLong }.sum
+              val delta = d + (DeltaBaseKey -> fullBaseV.toString)
+              if (d.size > FullDeltaMax || textLen(delta) * 2L > textLen(merged)) merged
+              else delta
+          }
+      }
       // claim ONE PAST the newest complete manifest of ANY chain — on a
       // branchless root this is exactly the old claim-baseV+1 protocol
       // (main head IS the newest complete manifest), and torn junk parked
@@ -2037,9 +2298,10 @@ object Snapshot {
             val out = fs.create(target, false)
             try {
               val body = (Header +:
-                merged.toSeq.sorted.map { case (t, rel) => s"$t\t$rel" } :+
-                s"END ${merged.size}").mkString("\n")
+                rawBody.toSeq.sorted.map { case (t, rel) => s"$t\t$rel" } :+
+                s"END ${rawBody.size}").mkString("\n")
               out.write(body.getBytes(UTF_8))
+              manifestBytesWritten.addAndGet(body.length.toLong)
             } finally out.close()
             true
           } catch {
@@ -2057,7 +2319,17 @@ object Snapshot {
             case None => Some(next -> merged)
             case Some(_) => mainHead
           }
-          writeCheckpoint(fs, root, Ckpt(next, ckMain))
+          // Branch inventory: complete as of `next` when it was complete
+          // as of the old checkpoint (window heads folded in — they cover
+          // commits whose own checkpoint write was lost), or on a fresh
+          // root's very first commit. A legacy root (pre-inventory
+          // checkpoint, or none with existing commits) stays None —
+          // branch resolution there keeps the listing walk.
+          val ckBranches: Option[Map[String, Long]] = (st.ck match {
+            case Some(ck) => ck.branches
+            case None => if (maxComplete == 0L) Some(Map.empty[String, Long]) else None
+          }).map(_ ++ st.windowBranches ++ branch.map(_ -> next))
+          writeCheckpoint(fs, root, Ckpt(next, ckMain, ckBranches))
           return next
         }
         // Lost the create race for this slot — loop: the winner's commit

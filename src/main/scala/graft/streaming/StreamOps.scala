@@ -212,6 +212,90 @@ object StreamOps {
     published
   }
 
+  /** The ACTIVE (frozen base, following delta) pair of a budget-folded
+    * follow lifecycle: which base path serves, which delta root follows
+    * it, the sync cursor the pair is seeded at (the base build version
+    * for generation 0, the fold's handoff cursor after), and how many
+    * folds have re-anchored the pair. */
+  final case class AnnFollowPair(basePath: String, deltaRoot: String,
+      cursor: Long, generation: Int)
+
+  /** One micro-batch of the BUDGET-FOLDED streaming follow — the loop
+    * closure of [[graft.operators.AnnIndex.followDeltaStats]], which
+    * until now was measurement-only: first the exactly-once MERGE + sync
+    * of [[annFollowBatchExactlyOnce]] against the ACTIVE pair, then the
+    * fold TRIGGER — when the post-sync delta overhead
+    * ((live + touched) / base) crosses `foldBudget`, the LSH fold
+    * ([[graft.operators.AnnIndex.compactLshFollow]]) runs OFF the
+    * serving path (the old pair keeps serving until this returns), and
+    * the returned pair names the fresh frozen base plus a FRESH delta
+    * root seeded at the fold's handoff cursor — the next micro-batch's
+    * sync replays exactly the changes the fold did not absorb. Folding
+    * on a timer wastes O(base) rebuild writes; never folding lets serve
+    * cost creep without bound — the budget is the knob in between.
+    * Serving equals a from-scratch rebuild across any number of folds
+    * (StreamingSpec gates it). */
+  def annFollowBatchBudgeted(batch: DataFrame, batchId: Long, root: String,
+      table: String, keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
+      deltaTable: String, pair: AnnFollowPair, idCol: String, vecCol: String,
+      planes: Array[Array[Long]], workDir: String, foldBudget: Double,
+      appId: String = "default"): AnnFollowPair = {
+    import graft.operators.AnnIndex
+    annFollowBatchExactlyOnce(batch, batchId, root, table, keys, ord,
+      pair.deltaRoot, deltaTable, pair.cursor, appId)
+    val spark = batch.sparkSession
+    // a fresh post-fold delta root stays EMPTY until its first
+    // publishing sync (a replayed batch's trailing sync no-ops) —
+    // nothing to measure, nothing to fold
+    if (!graft.sources.Snapshot.tables(spark, pair.deltaRoot).contains(deltaTable))
+      return pair
+    val stats = AnnIndex.followDeltaStats(spark, pair.basePath,
+      pair.deltaRoot, deltaTable, idCol)
+    if (stats.syncCursor.isEmpty || !stats.shouldFold(foldBudget)) pair
+    else {
+      val gen = pair.generation + 1
+      val newBase = s"$workDir/base-$gen"
+      val cur = AnnIndex.compactLshFollow(spark, pair.basePath,
+        pair.deltaRoot, deltaTable, idCol, vecCol, planes, newBase)
+      AnnFollowPair(newBase, s"$workDir/delta-$gen", cur, gen)
+    }
+  }
+
+  /** STREAMING follow WITH the fold scheduler wired in: holds the active
+    * [[AnnFollowPair]] across micro-batches (each batch may advance it
+    * through [[annFollowBatchBudgeted]]) and exposes it to the serving
+    * side — `serve` always answers from the CURRENT pair, so a fold
+    * landing between two queries is invisible except for the smaller
+    * delta. One instance per follower, like the query it wraps. */
+  final class AnnFollowFolding(root: String, table: String, keys: Seq[String],
+      ord: Seq[org.apache.spark.sql.Column], deltaTable: String,
+      idCol: String, vecCol: String, planes: Array[Array[Long]],
+      workDir: String, foldBudget: Double, initial: AnnFollowPair,
+      appId: String = "default") {
+    @volatile private var active: AnnFollowPair = initial
+    def current: AnnFollowPair = active
+    def writer(vecs: DataFrame)
+        : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        active = annFollowBatchBudgeted(batch, batchId, root, table, keys,
+          ord, deltaTable, active, idCol, vecCol, planes, workDir,
+          foldBudget, appId)
+        ()
+      }
+    def serve(spark: org.apache.spark.sql.SparkSession, probePred: Column,
+        k: Int): DataFrame = {
+      val p = active // one volatile read: base and delta from the SAME pair
+      // a just-folded pair's fresh delta root is empty until the next
+      // publishing sync — the new base alone IS the corpus at the cursor
+      if (graft.sources.Snapshot.tables(spark, p.deltaRoot).contains(deltaTable))
+        graft.operators.AnnIndex.knnLshServeFollow(spark, p.basePath,
+          p.deltaRoot, deltaTable, idCol, vecCol, planes, probePred, k)
+      else
+        graft.operators.AnnIndex.knnLshServe(
+          spark.read.parquet(p.basePath), idCol, probePred, k)
+    }
+  }
+
   /** One micro-batch of [[streamingAudited]] — public so replay and
     * split semantics are directly testable. Returns true if the batch
     * published (false = replay skip). */

@@ -1079,6 +1079,37 @@ class SnapshotSpec extends SparkSpec {
       bloomCols = Map("x" -> Seq("d"))))
   }
 
+  test("timestamp stats bounds are zone-independent across writer/reader JVM zones") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val root = freshRoot()
+    val tzDefault = java.util.TimeZone.getDefault
+    try {
+      // WRITE under one JVM default zone: bounds must serialize zone-free
+      // (epoch micros), not as New-York wall text
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val base = spark.range(0L, 400L).toDF("id")
+        .withColumn("ts", expr(
+          "timestampadd(HOUR, CAST(id AS INT), timestamp'2026-01-01 00:00:00')"))
+      Snapshot.commit(spark, root,
+        Map("r" -> base.repartitionByRange(4, col("id"))),
+        statsCols = Map("r" -> Seq("ts")))
+      // READ under a far-away zone: with wall-time bounds the 14h skew
+      // mis-orders the ranges and files holding matching rows get skipped
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+      def utc(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+      val pruned = Snapshot.readPruned(spark, root, "r", "ts",
+        utc("2026-01-01T05:00:00Z"), utc("2026-01-01T10:00:00Z"))
+      assert(pruned.inputFiles.length < 4, "range should still prune files")
+      assert(pruned.filter(col("id").between(5, 10)).count() == 6L,
+        "no file holding matching rows may be skipped under a shifted zone")
+      val agg = Snapshot.statsAgg(spark, root, "r", Seq("ts")).head()
+      assert(agg.getAs[java.sql.Timestamp]("min_ts").toInstant ==
+        java.time.Instant.parse("2026-01-01T00:00:00Z"))
+      assert(agg.getAs[java.sql.Timestamp]("max_ts").toInstant ==
+        java.time.Instant.parse("2026-01-17T15:00:00Z"))
+    } finally java.util.TimeZone.setDefault(tzDefault)
+  }
+
   test("checkpoint: a 1,000-commit root resolves its head reading <= 2 manifest files") {
     val root = freshRoot()
     val v1 = Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
@@ -1120,6 +1151,97 @@ class SnapshotSpec extends SparkSpec {
     val before = Snapshot.manifestFileReads.get()
     assert(Snapshot.currentVersion(spark, root).contains(4L))
     assert(Snapshot.manifestFileReads.get() - before <= 2L)
+  }
+
+  test("delta manifests: commit cost stays O(changed tables) as segments accumulate") {
+    val root = freshRoot()
+    // a LOG-STRUCTURED table accumulating segments: 40 appends — under
+    // full-map-per-commit encoding every later commit would re-encode
+    // all 40 segment paths (~2 KB each), forever
+    Snapshot.commit(spark, root, Map("big" -> Seq((0L, "x")).toDF("id", "v")))
+    (1 to 39).foreach(i => Snapshot.commitAppend(spark, root,
+      Map("big" -> Seq((i.toLong, "x")).toDF("id", "v"))))
+    assert(Snapshot.read(spark, root, "big").count() == 40L)
+    // now a hot little table commits 60 times beside it — the shape of
+    // a streaming marker/progress table next to a big corpus
+    val before = Snapshot.manifestBytesWritten.get()
+    (1 to 60).foreach(i => Snapshot.commit(spark, root,
+      Map("t" -> Seq((i.toLong, "y")).toDF("id", "v"))))
+    val bytes = Snapshot.manifestBytesWritten.get() - before
+    // each commit's manifest must carry the CHANGED table only, not
+    // big's 40-segment list re-encoded: ~200 B/commit as a delta vs
+    // ~2 KB/commit full (60 commits: ~12 KB delta vs ~120 KB full)
+    assert(bytes < 60L * 600L,
+      s"60 single-table commits wrote $bytes manifest bytes — delta manifests should stay O(changed tables)")
+    // the state those deltas encode is exactly right
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(60L))
+    assert(Snapshot.read(spark, root, "big").count() == 40L)
+    // time travel resolves mid-delta versions
+    val vMid = Snapshot.currentVersion(spark, root).get - 10L
+    assert(Snapshot.readAt(spark, root, "t", vMid).collect()
+      .map(_.getLong(0)).toSeq == Seq(50L))
+    // head resolution is still O(1) through the checkpoint
+    val r0 = Snapshot.manifestFileReads.get()
+    assert(Snapshot.currentVersion(spark, root).contains(100L))
+    assert(Snapshot.manifestFileReads.get() - r0 <= 2L)
+    // vacuum keeps every retained delta resolvable (its full base file
+    // survives the sweep) and the head keeps serving
+    Snapshot.vacuum(spark, root, keepLast = 3)
+    assert(Snapshot.read(spark, root, "t").collect().map(_.getLong(0)).toSeq == Seq(60L))
+    assert(Snapshot.read(spark, root, "big").count() == 40L)
+  }
+
+  test("delta manifests: the cumulative diff rotates to a full manifest past the budget") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t0" -> Seq((0L, "a")).toDF("id", "v")))
+    // each commit introduces a NEW table (plus its shadow-clear removal
+    // entry), growing the cumulative diff until it outgrows the budget
+    // and a full manifest re-anchors — state must stay exact throughout
+    (1 to 40).foreach(i => Snapshot.commit(spark, root,
+      Map(s"t$i" -> Seq((i.toLong, "a")).toDF("id", "v"))))
+    val tables = Snapshot.tables(spark, root)
+    assert(tables.keySet == (0 to 40).map(i => s"t$i").toSet)
+    (0 to 40 by 10).foreach { i =>
+      assert(Snapshot.read(spark, root, s"t$i").collect()
+        .map(_.getLong(0)).toSeq == Seq(i.toLong))
+    }
+    // at least one post-rotation manifest is FULL (carries no delta tag):
+    // the newest manifests' raw text proves both forms exist in the log
+    import scala.jdk.CollectionConverters._
+    val texts = Files.list(Paths.get(root, "_commits")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".manifest"))
+      .map(p => new String(Files.readAllBytes(p), UTF_8)).toSeq
+    assert(texts.exists(_.contains("~delta_base")), "expected delta manifests in the log")
+    assert(texts.count(!_.contains("~delta_base")) >= 2,
+      "expected full-manifest rotations once the diff outgrew the budget")
+  }
+
+  test("checkpoint: branch heads resolve O(1) on a high-commit root") {
+    val root = freshRoot()
+    val v1 = Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    Snapshot.commit(spark, root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    Snapshot.createBranch(spark, root, "audit")
+    Snapshot.commitBranch(spark, root, "audit",
+      Map("t" -> Seq((9L, "z")).toDF("id", "v")))
+    // bury the branch head under 500 metadata-only main commits — the
+    // streaming-sink shape the r12 ADVICE flagged: branch writers were
+    // still paying an O(commits) listing walk per resolution
+    (1 to 500).foreach(_ => Snapshot.rollbackTo(spark, root, v1))
+    val before = Snapshot.manifestFileReads.get()
+    assert(Snapshot.readBranch(spark, root, "audit", "t").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
+    val reads = Snapshot.manifestFileReads.get() - before
+    assert(reads <= 4L,
+      s"branch head resolution read $reads manifest files on a 500-commit root, want <= 4")
+    // and a branch COMMIT on the same root stays cheap too
+    val before2 = Snapshot.manifestFileReads.get()
+    Snapshot.commitBranch(spark, root, "audit",
+      Map("t" -> Seq((8L, "y")).toDF("id", "v")))
+    val reads2 = Snapshot.manifestFileReads.get() - before2
+    assert(reads2 <= 8L,
+      s"branch commit read $reads2 manifest files on a 500-commit root, want <= 8")
+    assert(Snapshot.readBranch(spark, root, "audit", "t").collect()
+      .map(_.getLong(0)).toSeq == Seq(8L))
   }
 
   test("checkpoint: branch commits carry the main head forward inline") {

@@ -521,4 +521,69 @@ class StreamingSpec extends SparkSpec {
       assert(serve() == after, "replay must not move the served index")
     } finally q.stop()
   }
+
+  test("budget-folded follow: the fold fires off-path, hands off the cursor, keeps serving") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Ann, AnnIndex}
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-fann").toString
+    val work = java.nio.file.Files.createTempDirectory("graft-fann-work").toString
+    val planes = Ann.hashPlanes(3, 4)
+    def vec(id: Long, xs: Float*) = (id, xs.toArray)
+    // base corpus: 5 vectors → with a 0.5 overhead budget, ~3 delta rows
+    // trip the fold
+    val corpus0 = Seq(
+      vec(0L, 1.0f, 0.0f, 0.0f, 0.0f), vec(1L, 0.9f, 0.1f, 0.0f, 0.0f),
+      vec(2L, 0.0f, 1.0f, 0.0f, 0.0f), vec(3L, 0.0f, 0.95f, 0.05f, 0.0f),
+      vec(4L, 0.0f, 0.0f, 1.0f, 0.0f)).toDF("vec_id", "embedding")
+    val buildV = Snapshot.commit(spark, root, Map("emb" -> corpus0))
+    val base0 = s"$work/base-0"
+    AnnIndex.writeLshIndex(Snapshot.read(spark, root, "emb"),
+      "vec_id", "embedding", planes, base0)
+    val follower = new StreamOps.AnnFollowFolding(root, "emb",
+      keys = Seq("vec_id"), ord = Seq(col("vec_id")), deltaTable = "emb_delta",
+      idCol = "vec_id", vecCol = "embedding", planes = planes,
+      workDir = work, foldBudget = 0.5,
+      initial = StreamOps.AnnFollowPair(base0, s"$work/delta-0", buildV, 0))
+    def served() = follower.serve(spark, col("vec_id") < 2, k = 3)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    def rebuild() = Ann.knnLsh(Snapshot.read(spark, root, "emb"),
+        "vec_id", "embedding", planes, col("vec_id") < 2, k = 3)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = follower.writer(ms.toDF().toDF("vec_id", "embedding"))
+      .outputMode("update").start()
+    try {
+      // batch 0: 1 new vector — overhead 1/5 = 0.2, under budget: NO fold
+      ms.addData(vec(5L, -1.0f, 0.0f, 0.0f, 0.0f))
+      q.processAllAvailable()
+      assert(follower.current.generation == 0, "under-budget delta must not fold")
+      assert(served() == rebuild(), "served != rebuild before any fold")
+      // batch 1: two more changes — live=3, touched=3, base=5 → 1.2 > 0.5:
+      // the fold fires off-path and the pair re-anchors
+      ms.addData(vec(6L, 0.0f, 0.0f, 0.9f, 0.1f),
+        vec(1L, 0.0f, 0.98f, 0.02f, 0.0f))
+      q.processAllAvailable()
+      assert(follower.current.generation == 1, "over-budget delta must fold")
+      assert(follower.current.basePath == s"$work/base-1")
+      // the folded base holds the corpus at the handoff cursor: serving
+      // from (newBase, freshDelta) equals a from-scratch rebuild
+      assert(served() == rebuild(), "served != rebuild after the fold")
+      // the handoff cursor seeded the fresh delta where the fold stopped:
+      // the corpus keeps mutating and the NEXT sync replays exactly the
+      // post-fold changes — nothing dropped, nothing double-applied
+      ms.addData(vec(5L, 0.95f, 0.0f, 0.05f, 0.0f),
+        vec(7L, 0.0f, 0.9f, 0.1f, 0.0f))
+      q.processAllAvailable()
+      assert(served() == rebuild(), "served != rebuild after post-fold changes")
+      // the new base alone (no delta resolution) already holds the
+      // handoff-version corpus — the fold wrote the resolved rows
+      val baseOnly = AnnIndex.knnLshServe(
+          spark.read.parquet(follower.current.basePath), "vec_id",
+          col("vec_id") < 2, k = 3)
+        .orderBy("probe_id", "rank").collect()
+      assert(baseOnly.nonEmpty)
+    } finally q.stop()
+  }
 }
