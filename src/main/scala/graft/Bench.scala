@@ -65,6 +65,15 @@ object Bench {
             try {
               val df = fn(spark, sfDir)
               df.count()
+              // Post-execution plan dump (SPARK_GRAFT_BENCH_EXPLAIN=1):
+              // AFTER the action, AdaptiveSparkPlan prints its FINAL
+              // plan — the instrument for reading AQE's actual join
+              // choice (broadcast vs shuffle) at a given sf, not the
+              // static plan's guess.
+              if (sys.env.get("SPARK_GRAFT_BENCH_EXPLAIN").contains("1"))
+                System.err.println(s"[explain] $name pass=$pass\n" +
+                  df.queryExecution.explainString(
+                    org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
               // checkpoint-returning queries (doc_curate) would otherwise
               // leave corpus-sized blocks resident for the whole session
               graft.operators.Curate.release(df)
