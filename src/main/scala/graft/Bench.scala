@@ -61,10 +61,20 @@ object Bench {
           val t0 = System.nanoTime()
           // A failing query must be VISIBLE: it is timed, but its error
           // lands in the sample instead of silently reporting a fast run.
+          // The measured wall stops at `tSec`, captured right after the
+          // action (+ the query's own checkpoint release) — the explain
+          // dump below runs OUTSIDE it, so an EXPLAIN=1 run's numbers
+          // stay comparable with normal runs (the dump used to execute
+          // inside the timer and inflate every measured query).
+          var tSec = 0.0
           val err =
             try {
               val df = fn(spark, sfDir)
               df.count()
+              // checkpoint-returning queries (doc_curate) would otherwise
+              // leave corpus-sized blocks resident for the whole session
+              graft.operators.Curate.release(df)
+              tSec = (System.nanoTime() - t0) / 1e9
               // Post-execution plan dump (SPARK_GRAFT_BENCH_EXPLAIN=1):
               // AFTER the action, AdaptiveSparkPlan prints its FINAL
               // plan — the instrument for reading AQE's actual join
@@ -74,13 +84,13 @@ object Bench {
                 System.err.println(s"[explain] $name pass=$pass\n" +
                   df.queryExecution.explainString(
                     org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-              // checkpoint-returning queries (doc_curate) would otherwise
-              // leave corpus-sized blocks resident for the whole session
-              graft.operators.Curate.release(df)
               None
             }
-            catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-          val sample = Sample(name, pass, (System.nanoTime() - t0) / 1e9, err)
+            catch { case e: Throwable =>
+              tSec = (System.nanoTime() - t0) / 1e9
+              Some(e.getClass.getSimpleName)
+            }
+          val sample = Sample(name, pass, tSec, err)
           if (trace) System.err.println(
             f"[trace] $name pass=$pass wall=${sample.sec}%.3f gc_ms=${gcMillis() - gc0}")
           // Sweep EVERY persisted block (not just the Curate-released
@@ -99,6 +109,49 @@ object Bench {
           System.gc()
           sample
         }
+    }
+  }
+
+  private def round3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+
+  /** The baseline-comparison tail of the bench JSON line (or "" without
+    * a usable baseline): per-query ratios, the shared-key total ratio,
+    * and two headline extremes —
+    *
+    *  - `worst_ratio`, FLOORED at `floorSec` of baseline wall: every
+    *    r13 ratio above 1.3 was a 0.45-1.1 s query whose ratio is pure
+    *    scheduler/GC jitter (the top "regression" was 1.87x on a 0.59 s
+    *    query), and unfloored it would eventually cross the 2x gate on
+    *    a loaded run with no code change;
+    *  - `worst_abs`, the largest median-minus-baseline wall delta, NO
+    *    floor — a sub-second query that regresses enough to matter in
+    *    wall terms surfaces here.
+    *
+    * Numerator and denominator run over the SAME key set (baseline
+    * value > 0): a zero-valued baseline entry previously inflated the
+    * numerator while vanishing from the denominator, and an all-zero
+    * baseline emitted NaN — invalid JSON. */
+  def ratioTail(medians: Seq[(String, Double)], baseline: Map[String, Double],
+      floorSec: Double = 1.0): String = {
+    val pairs = medians.flatMap { case (k, m) =>
+      baseline.get(k).filter(_ > 0.0).map(b => (k, m, b))
+    }
+    val sharedBase = pairs.map(_._3).sum
+    if (pairs.isEmpty || sharedBase <= 0.0) "" else {
+      val rs = pairs.map { case (k, m, b) => s"\"" + k + "\":" + round3(m / b) }
+        .mkString("{", ",", "}")
+      val worst = pairs.filter(_._3 >= floorSec)
+        .map { case (k, m, b) => (k, round3(m / b)) }
+        .sortBy(-_._2).headOption
+        .map { case (k, r) =>
+          s""","worst_ratio":{"query":"$k","ratio":$r,"floor_sec":$floorSec}""" }
+        .getOrElse("")
+      val worstAbs = pairs.map { case (k, m, b) => (k, round3(m - b)) }
+        .sortBy(-_._2).headOption
+        .map { case (k, d) => s""","worst_abs":{"query":"$k","delta_sec":$d}""" }
+        .getOrElse("")
+      val sharedNow = pairs.map(_._2).sum
+      s""","ratios":$rs,"total_vs_baseline":${round3(sharedNow / sharedBase)}$worst$worstAbs"""
     }
   }
 
@@ -182,7 +235,6 @@ object Bench {
     // when the baseline was recorded at the SAME sf dir; queries new
     // since the freeze have no ratio (they extend the surface, they
     // can't regress it).
-    def round3(x: Double): Double = math.round(x * 1000.0) / 1000.0
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "artifacts/BASELINE_BENCH_sf0.1.json")
     val baseline: Map[String, Double] =
@@ -196,26 +248,14 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
-    // Numerator and denominator over the SAME key set (baseline value
-    // > 0): a zero-valued baseline entry previously inflated the
-    // numerator while vanishing from the denominator, and an all-zero
-    // baseline emitted NaN — invalid JSON.
-    val pairs = byName.flatMap { case (k, ss) =>
-      baseline.get(k).filter(_ > 0.0)
-        .map(b => (k, median(ss.map(_.sec)), b))
-    }
-    val sharedBase = pairs.map(_._3).sum
-    val ratioTail = if (pairs.isEmpty || sharedBase <= 0.0) "" else {
-      val rs = pairs.map { case (k, m, b) => s"\"" + k + "\":" + round3(m / b) }
-        .mkString("{", ",", "}")
-      val worst = pairs.map { case (k, m, b) => (k, round3(m / b)) }
-        .sortBy(-_._2).headOption
-        .map { case (k, r) => s""","worst_ratio":{"query":"$k","ratio":$r}""" }
-        .getOrElse("")
-      val sharedNow = pairs.map(_._2).sum
-      s""","ratios":$rs,"total_vs_baseline":${round3(sharedNow / sharedBase)}$worst"""
-    }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"warmup_runs_discarded":$discarded,"sf":"$sfDir"$ratioTail}"""
+    val medians = byName.map { case (k, ss) => k -> median(ss.map(_.sec)) }
+    val tail = ratioTail(medians, baseline)
+    // `cpus` is stamped into the line because it CONFOUNDS comparisons:
+    // the r13 committed sf1 bench was measured core-starved and read the
+    // CPU-bound pair family 2.5x slower (doc_jaccard_join 31 -> 78 s)
+    // while the small-query bulk ran ~10% faster — unexplainable from
+    // the JSON alone until the core count travels with the numbers.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"runs":$runs,"warmup_runs_discarded":$discarded,"cpus":"$cpus","sf":"$sfDir"$tail}"""
     println(json)
     // The r7 artifact captured only an sbt-log tail and truncated the
     // per-query map — always ALSO write the full JSON line to a file.

@@ -74,7 +74,17 @@ object AnnIndex {
     * ties to the lowest neighbor id) — hash-identical results, asserted
     * by the emb_knn_lsh_persisted gate. `candPred` restricts the
     * searchable side (metadata-filtered serving); both predicates may
-    * reference any stored column. */
+    * reference any stored column.
+    *
+    * RECALL NOTE: single-bucket selection is the ANCHOR configuration —
+    * its job (and that of every gate calling it: persisted /
+    * incremental / follow / compacted) is candidate-front EQUIVALENCE
+    * with the cross-engine oracle, which measured 0.08 recall@5 on the
+    * gate corpus. Production serving answers through
+    * [[knnLshServeMultiProbe]] / [[knnLshServeFollowMultiProbe]]
+    * (>=0.5 recall at ~34% of brute cost — the emb_knn_lsh_tuned
+    * sweep), as hybrid_persisted and the streaming
+    * [[graft.streaming.StreamOps.AnnFollowFamily.lsh]] lifecycle do. */
   def knnLshServe(index: DataFrame, idCol: String, probePred: Column,
       k: Int, candPred: Column = lit(true)): DataFrame = {
     val probes = index.filter(probePred)
@@ -141,6 +151,23 @@ object AnnIndex {
     val (served, _) = lshFollowResolved(spark, basePath, deltaRoot,
       deltaTable, idCol, vecCol, planes)
     knnLshServe(served, idCol, probePred, k, candPred)
+  }
+
+  /** [[knnLshServeFollow]] at the RECALL-TUNED multi-probe selection
+    * ([[knnLshServeMultiProbe]] — own bucket + every Hamming-1
+    * neighbor): the same base-minus-touched-plus-live resolution, the
+    * same delta materialization keeping runtime filters on the base
+    * scan, but answering at the >=0.5-recall configuration the
+    * emb_knn_lsh_tuned sweep proved instead of single-bucket's 0.08.
+    * The production follow SERVE default — single-bucket follow stays
+    * as the candidate-front anchor. */
+  def knnLshServeFollowMultiProbe(spark: org.apache.spark.sql.SparkSession,
+      basePath: String, deltaRoot: String, deltaTable: String,
+      idCol: String, vecCol: String, planes: Array[Array[Long]],
+      probePred: Column, k: Int, candPred: Column = lit(true)): DataFrame = {
+    val (served, _) = lshFollowResolved(spark, basePath, deltaRoot,
+      deltaTable, idCol, vecCol, planes)
+    knnLshServeMultiProbe(served, idCol, planes.length, probePred, k, candPred)
   }
 
   /** The resolved serving rows of a following LSH index — base rows

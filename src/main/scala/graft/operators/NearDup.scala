@@ -448,9 +448,23 @@ object NearDup {
     * prefix, and verify all read the same materialized frame). Docs
     * with fewer than `shingleN` tokens have no shingles and join
     * nothing. Output: (doc_a, doc_b, n_common, n_union, jaccard) with
-    * jaccard the one pinned IEEE division. */
+    * jaccard the one pinned IEEE division.
+    *
+    * PRODUCTION SIZING — the knobs that bound the candidate front at
+    * corpus scale (measured decades in artifacts/SCALING_sf01_sf1.md):
+    * τ is quadratic leverage (prefix length |x| − ⌈τ|x|⌉ + 1, so the
+    * prefix-key collision mass scales ~(1−τ)² — τ=4/5 explodes 2.5×
+    * fewer keys and ~6× fewer candidate pairs than the τ=1/2 anchor);
+    * `minShingles` is the min-length cut — a doc with fewer distinct
+    * hashed shingles joins NOTHING (tiny docs pair promiscuously:
+    * nearly their whole set is prefix, and their pairs are the least
+    * meaningful at a near-dup τ); rarest-first ordering is fixed (it
+    * is what keeps join keys off the boilerplate-hot shingles). The
+    * doc_jaccard_join gate anchors τ=1/2 with no cut;
+    * doc_jaccard_join_scaled gates the production configuration. */
   def jaccardJoinExact(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, tauNum: Long = 1L, tauDen: Long = 2L): DataFrame = {
+      shingleN: Int = 3, tauNum: Long = 1L, tauDen: Long = 2L,
+      minShingles: Long = 0L): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"tau must be a rational in (0, 1]: $tauNum/$tauDen")
     // sets of 31-bit HASHED shingles (the DedupState representation):
@@ -466,12 +480,17 @@ object NearDup {
             .bitwiseAND(lit(MinhashPrime))))).as("__hb"))
       .filter(col("__hb").isNotNull)
     val freq = sh.groupBy("__hb").agg(count(lit(1)).as("__df"))
+    // the min-length cut applies AFTER the frequency join (global
+    // shingle frequencies count the whole corpus — the rare-first order
+    // must not depend on which docs clear the cut) and BEFORE the
+    // checkpoint, so prefix explode AND verify both see only kept docs
     val ordered = sh.join(freq, "__hb")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("__hb")))).as("__o"))
       .select(col(idCol),
         expr("transform(__o, s -> s.__hb)").as("__sh"),
         size(col("__o")).cast("long").as("__n"))
+      .filter(col("__n") >= lit(minShingles))
       .localCheckpoint(true)
     try {
       val prefLen = expr(

@@ -291,6 +291,22 @@ object DocQueries {
       shingleN = 3, tauNum = 1L, tauDen = 2L)
       .orderBy("doc_a", "doc_b")
 
+  /** doc_jaccard_join_scaled — the SAME exact PPJoin at PRODUCTION
+    * SIZING (the L116 pattern: doc_jaccard_join stays the τ=1/2
+    * no-cut anchor; this gate pins the knobs a 100 TB deployment
+    * turns): τ = 4/5 — prefix length |x| − ⌈0.8|x|⌉ + 1 ≈ |x|/5, a
+    * 2.5× smaller explode and ~(1−τ)²-scaled (~6× smaller) candidate
+    * front than the anchor's — and minShingles = 8, the min-length
+    * cut dropping tiny docs whose near-whole-set prefixes pair
+    * promiscuously. Completeness at the configured τ is the same
+    * pigeonhole argument; the oracle replays the identical pipeline
+    * (rational bound arithmetic, HAVING cut, size filter, exact
+    * verify). */
+  def docJaccardJoinScaled(spark: SparkSession, dir: String): DataFrame =
+    NearDup.jaccardJoinExact(Tables.documents(spark, dir), "doc_id", "text",
+      shingleN = 3, tauNum = 4L, tauDen = 5L, minShingles = 8L)
+      .orderBy("doc_a", "doc_b")
+
   /** doc_dedupe_incremental — batch-vs-corpus dedup via the PERSISTED
     * state path (graft.operators.DedupState): corpus = even doc_ids,
     * batch = odd; the corpus side is reduced ONCE to its signature state
@@ -1666,9 +1682,11 @@ object DocQueries {
 
   /** PPJoin oracle: the exact-join pipeline from first principles —
     * global rare-first shingle order, rational prefix bound
-    * ⌈τn⌉ = (num·n + den − 1) // den with τ = 1/2, size filter,
-    * in-list intersection verify. Mirrors NearDup.jaccardJoinExact. */
-  private val jaccardJoinOracle: String =
+    * ⌈τn⌉ = (num·n + den − 1) // den, size filter, min-length cut,
+    * in-list intersection verify. Mirrors NearDup.jaccardJoinExact at
+    * the same (tauNum, tauDen, minShingles). */
+  private def jaccardJoinOracleFor(tauNum: Long, tauDen: Long,
+      minShingles: Long): String =
     s"""WITH ${shingleCtes()},
        |shb AS (SELECT DISTINCT doc_id,
        |          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) & 2147483647 AS hb
@@ -1676,14 +1694,15 @@ object DocQueries {
        |f AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS df FROM shb GROUP BY 1),
        |arr AS (SELECT doc_id, list(shb.hb ORDER BY df, shb.hb) AS sh_arr,
        |          CAST(COUNT(*) AS BIGINT) AS n
-       |        FROM shb JOIN f USING (hb) GROUP BY 1),
+       |        FROM shb JOIN f USING (hb) GROUP BY 1
+       |        HAVING COUNT(*) >= $minShingles),
        |pref AS (SELECT doc_id, n,
-       |           unnest(sh_arr[1 : CAST(n - ((1 * n + 2 - 1) // 2) + 1 AS BIGINT)]) AS hb
+       |           unnest(sh_arr[1 : CAST(n - (($tauNum * n + $tauDen - 1) // $tauDen) + 1 AS BIGINT)]) AS hb
        |         FROM arr),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM pref a JOIN pref b
        |           ON a.hb = b.hb AND a.doc_id < b.doc_id
-       |         WHERE LEAST(a.n, b.n) * 2 >= GREATEST(a.n, b.n) * 1),
+       |         WHERE LEAST(a.n, b.n) * $tauDen >= GREATEST(a.n, b.n) * $tauNum),
        |v AS (SELECT c.doc_a, c.doc_b,
        |        CAST(len(list_intersect(aa.sh_arr, ab.sh_arr)) AS BIGINT) AS n_common,
        |        aa.n + ab.n - len(list_intersect(aa.sh_arr, ab.sh_arr)) AS n_union
@@ -1692,8 +1711,10 @@ object DocQueries {
        |      JOIN arr ab ON ab.doc_id = c.doc_b)
        |SELECT doc_a, doc_b, n_common, CAST(n_union AS BIGINT) AS n_union,
        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
-       |FROM v WHERE n_common * 2 >= n_union * 1
+       |FROM v WHERE n_common * $tauDen >= n_union * $tauNum
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val jaccardJoinOracle: String = jaccardJoinOracleFor(1L, 2L, 0L)
 
   /** Containment oracle: the same candidate/overlap CTEs, with the
     * per-side ratios next to jaccard. */
@@ -2833,6 +2854,7 @@ object DocQueries {
     "doc_minhash_pairs" -> minhashOracle,
     "doc_containment_pairs" -> containmentOracle,
     "doc_jaccard_join" -> jaccardJoinOracle,
+    "doc_jaccard_join_scaled" -> jaccardJoinOracleFor(4L, 5L, 8L),
     "doc_dedupe_incremental" -> dedupeIncrementalOracle,
     "doc_dup_clusters" -> dupClustersOracle,
     "doc_dedupe_keep_best" -> dedupeKeepBestOracle,
@@ -3243,6 +3265,7 @@ object DocQueries {
     "doc_minhash_pairs" -> docMinhashPairs _,
     "doc_containment_pairs" -> docContainmentPairs _,
     "doc_jaccard_join" -> docJaccardJoin _,
+    "doc_jaccard_join_scaled" -> docJaccardJoinScaled _,
     "doc_dedupe_incremental" -> docDedupeIncremental _,
     "doc_dup_clusters" -> docDupClusters _,
     "doc_dedupe_keep_best" -> docDedupeKeepBest _,

@@ -1291,7 +1291,17 @@ object Snapshot {
       m.get(DeltaBaseKey).map(_.toLong)
     }.toSet
     val keptVersions = retained.map(_._1).toSet ++ baseVersions
-    val referenced = retained
+    // a kept full-base manifest is REFERENCED TOO: its file survives the
+    // sweep (a retained delta resolves through it), so readAt at that
+    // version must keep working — without its own resolved rels in the
+    // keep-set, a table the delta later replaced would have its base
+    // segments swept and the visibly-surviving version would fail
+    // MID-READ with missing parquet paths instead of the clean
+    // 'no version' error a swept manifest gives.
+    val keptBaseManifests = parsed.collect {
+      case t @ (v, _, _) if baseVersions.contains(v) => t
+    }
+    val referenced = (retained ++ keptBaseManifests)
       .flatMap { case (_, _, m) => resolveManifest(fs, root, m).valuesIterator }
       .filterNot(_.isEmpty) // branch meta entries carry non-path values
       .flatMap(relDirs).toSet
@@ -1304,6 +1314,22 @@ object Snapshot {
         rel = s"$DataDir/${tableDir.getPath.getName}/${child.getPath.getName}"
         if !referenced.contains(rel)
       } fs.delete(child.getPath, true)
+    // Prune the checkpoint's branch inventory of entries whose head
+    // manifest this sweep just deleted (a dropped branch's heads are
+    // never retained): the inventory otherwise only GROWS — every
+    // checkpoint rewrite carries the dangling `B name version` forever
+    // and every chainHead lookup on that name pays a wasted
+    // parseManifest of a deleted file before returning None. Entries
+    // ABOVE the checkpoint's max are structurally impossible (inventory
+    // is complete as of max), so keptVersions is the full keep test.
+    // Vacuum's contract (no commit in flight) covers the rewrite race.
+    readCheckpoint(fs, root).foreach { ck =>
+      ck.branches.foreach { inv =>
+        val pruned = inv.filter { case (_, v) => keptVersions.contains(v) }
+        if (pruned.size != inv.size)
+          writeCheckpoint(fs, root, ck.copy(branches = Some(pruned)))
+      }
+    }
   }
 
   // ---- BRANCHES (write-audit-publish) --------------------------------

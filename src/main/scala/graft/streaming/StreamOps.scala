@@ -220,25 +220,72 @@ object StreamOps {
   final case class AnnFollowPair(basePath: String, deltaRoot: String,
       cursor: Long, generation: Int)
 
+  /** The FAMILY HOOKS of the budget-folded follow lifecycle — the three
+    * operations that differ between index families while the probe
+    * ([[graft.operators.AnnIndex.followDeltaStats]]), the trigger
+    * arithmetic, and the pair/generation bookkeeping stay shared:
+    * `fold` compacts the active pair into a fresh frozen base and
+    * returns the handoff cursor; `serveFollow` answers a query from the
+    * live (base, delta) pair; `serveBase` answers from a base alone (a
+    * just-folded pair's delta root is empty until its first publishing
+    * sync). Each hook captures its family's frozen parameters
+    * (hyperplanes, codebook path convention, nProbe) in its closure. */
+  final case class AnnFollowFamily(
+      fold: (org.apache.spark.sql.SparkSession, AnnFollowPair, String) => Long,
+      serveFollow: (org.apache.spark.sql.SparkSession, AnnFollowPair, Column, Int) => DataFrame,
+      serveBase: (org.apache.spark.sql.SparkSession, String, Column, Int) => DataFrame)
+
+  object AnnFollowFamily {
+    import graft.operators.AnnIndex
+
+    /** LSH hooks: [[graft.operators.AnnIndex.compactLshFollow]] +
+      * RECALL-TUNED multi-probe serving (own bucket + every Hamming-1
+      * neighbor — the >=0.5-recall configuration emb_knn_lsh_tuned
+      * proved; the lifecycle used to demo at single-bucket's 0.08). */
+    def lsh(deltaTable: String, idCol: String, vecCol: String,
+        planes: Array[Array[Long]]): AnnFollowFamily = AnnFollowFamily(
+      fold = (s, p, newBase) => AnnIndex.compactLshFollow(s, p.basePath,
+        p.deltaRoot, deltaTable, idCol, vecCol, planes, newBase),
+      serveFollow = (s, p, pred, k) => AnnIndex.knnLshServeFollowMultiProbe(
+        s, p.basePath, p.deltaRoot, deltaTable, idCol, vecCol, planes, pred, k),
+      serveBase = (s, base, pred, k) => AnnIndex.knnLshServeMultiProbe(
+        s.read.parquet(base), idCol, planes.length, pred, k))
+
+    /** IVF hooks: [[graft.operators.AnnIndex.compactIvfFollow]] (the
+      * fold copies the TRAINED codebook verbatim to the new base — the
+      * frozen-parameter obligation the streaming path re-asserts in
+      * StreamingSpec) + nProbe-list serving. */
+    def ivf(deltaTable: String, idCol: String, vecCol: String,
+        nProbe: Int): AnnFollowFamily = AnnFollowFamily(
+      fold = (s, p, newBase) => AnnIndex.compactIvfFollow(s, p.basePath,
+        p.deltaRoot, deltaTable, idCol, vecCol, newBase),
+      serveFollow = (s, p, pred, k) => AnnIndex.knnIvfServeFollow(
+        s, p.basePath, p.deltaRoot, deltaTable, idCol, vecCol, pred, k, nProbe),
+      serveBase = (s, base, pred, k) => AnnIndex.knnIvfServe(
+        s.read.parquet(base), s.read.parquet(base + "_codebook"),
+        idCol, pred, k, nProbe))
+  }
+
   /** One micro-batch of the BUDGET-FOLDED streaming follow — the loop
     * closure of [[graft.operators.AnnIndex.followDeltaStats]], which
     * until now was measurement-only: first the exactly-once MERGE + sync
     * of [[annFollowBatchExactlyOnce]] against the ACTIVE pair, then the
     * fold TRIGGER — when the post-sync delta overhead
-    * ((live + touched) / base) crosses `foldBudget`, the LSH fold
-    * ([[graft.operators.AnnIndex.compactLshFollow]]) runs OFF the
-    * serving path (the old pair keeps serving until this returns), and
-    * the returned pair names the fresh frozen base plus a FRESH delta
-    * root seeded at the fold's handoff cursor — the next micro-batch's
-    * sync replays exactly the changes the fold did not absorb. Folding
-    * on a timer wastes O(base) rebuild writes; never folding lets serve
-    * cost creep without bound — the budget is the knob in between.
-    * Serving equals a from-scratch rebuild across any number of folds
-    * (StreamingSpec gates it). */
+    * ((live + touched) / base) crosses `foldBudget`, the family's fold
+    * ([[AnnFollowFamily.fold]] — LSH, IVF, or any other
+    * `compact*Follow`) runs OFF the serving path (the old pair keeps
+    * serving until this returns), and the returned pair names the fresh
+    * frozen base plus a FRESH delta root seeded at the fold's handoff
+    * cursor — the next micro-batch's sync replays exactly the changes
+    * the fold did not absorb. Folding on a timer wastes O(base) rebuild
+    * writes; never folding lets serve cost creep without bound — the
+    * budget is the knob in between. Serving equals a from-scratch
+    * rebuild across any number of folds (StreamingSpec gates it for LSH
+    * and IVF). */
   def annFollowBatchBudgeted(batch: DataFrame, batchId: Long, root: String,
       table: String, keys: Seq[String], ord: Seq[org.apache.spark.sql.Column],
-      deltaTable: String, pair: AnnFollowPair, idCol: String, vecCol: String,
-      planes: Array[Array[Long]], workDir: String, foldBudget: Double,
+      deltaTable: String, pair: AnnFollowPair, idCol: String,
+      family: AnnFollowFamily, workDir: String, foldBudget: Double,
       appId: String = "default"): AnnFollowPair = {
     import graft.operators.AnnIndex
     annFollowBatchExactlyOnce(batch, batchId, root, table, keys, ord,
@@ -255,8 +302,7 @@ object StreamOps {
     else {
       val gen = pair.generation + 1
       val newBase = s"$workDir/base-$gen"
-      val cur = AnnIndex.compactLshFollow(spark, pair.basePath,
-        pair.deltaRoot, deltaTable, idCol, vecCol, planes, newBase)
+      val cur = family.fold(spark, pair, newBase)
       AnnFollowPair(newBase, s"$workDir/delta-$gen", cur, gen)
     }
   }
@@ -266,33 +312,113 @@ object StreamOps {
     * through [[annFollowBatchBudgeted]]) and exposes it to the serving
     * side — `serve` always answers from the CURRENT pair, so a fold
     * landing between two queries is invisible except for the smaller
-    * delta. One instance per follower, like the query it wraps. */
+    * delta. One instance per follower, like the query it wraps.
+    *
+    * RESTART-DURABLE: the active pair is PERSISTED under `workDir`
+    * (`_active_pair`, temp-file + rename) the moment a fold advances
+    * it, BEFORE any micro-batch can sync into the new generation's
+    * delta root, and rehydrated lazily on the instance's first batch or
+    * serve. Without this a streaming-query restart from its checkpoint
+    * would resume at `initial` (generation 0) while post-fold batches —
+    * marked done in the engine's offset log, never replayed — were
+    * synced only into a later generation's delta root: serve() would
+    * silently answer without them. A torn or unparsable marker fails
+    * LOUDLY (it cannot tell generation 3 from 4; serving a stale pair
+    * silently drops acknowledged writes). */
   final class AnnFollowFolding(root: String, table: String, keys: Seq[String],
       ord: Seq[org.apache.spark.sql.Column], deltaTable: String,
-      idCol: String, vecCol: String, planes: Array[Array[Long]],
+      idCol: String, family: AnnFollowFamily,
       workDir: String, foldBudget: Double, initial: AnnFollowPair,
       appId: String = "default") {
     @volatile private var active: AnnFollowPair = initial
+    @volatile private var hydrated = false
     def current: AnnFollowPair = active
+
+    private val MarkerHeader = "graft-follow-pair-v1"
+    private def markerPath = new org.apache.hadoop.fs.Path(workDir, "_active_pair")
+
+    private def fsOf(spark: org.apache.spark.sql.SparkSession) =
+      markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Persist `p` as the durable active pair. Called AFTER a fold
+      * completes and BEFORE the in-memory flip — a crash in between
+      * re-fires the (idempotent) fold trigger on the next batch, while
+      * a crash before the write is safe because nothing has synced into
+      * the new delta root yet (the old pair still serves every
+      * acknowledged batch). */
+    private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+        p: AnnFollowPair): Unit = {
+      val fs = fsOf(spark)
+      val tmp = new org.apache.hadoop.fs.Path(workDir,
+        s"_active_pair.${java.util.UUID.randomUUID()}.tmp")
+      val body = Seq(MarkerHeader, p.basePath, p.deltaRoot,
+        p.cursor.toString, p.generation.toString, "END").mkString("\n")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(markerPath, false)
+      if (!fs.rename(tmp, markerPath))
+        throw new IllegalStateException(
+          s"AnnFollowFolding: cannot publish active-pair marker at $markerPath")
+    }
+
+    /** Read the persisted pair; None when no fold has ever landed.
+      * Malformed content throws — see the class scaladoc. */
+    private def readMarker(
+        spark: org.apache.spark.sql.SparkSession): Option[AnnFollowPair] = {
+      val fs = fsOf(spark)
+      if (!fs.exists(markerPath)) return None
+      val in = fs.open(markerPath)
+      val text =
+        try scala.io.Source.fromInputStream(in,
+          java.nio.charset.StandardCharsets.UTF_8.name()).mkString
+        finally in.close()
+      text.split("\n", -1).toSeq.filter(_.nonEmpty) match {
+        case Seq(MarkerHeader, base, delta, cur, gen, "END") =>
+          Some(AnnFollowPair(base, delta, cur.toLong, gen.toInt))
+        case _ => throw new IllegalStateException(
+          s"AnnFollowFolding: torn or foreign active-pair marker at " +
+            s"$markerPath — refusing to serve a possibly-stale pair " +
+            "(acknowledged post-fold batches would be silently missing); " +
+            "restore or remove the marker deliberately")
+      }
+    }
+
+    /** First-touch rehydration: a restarted process resumes at the
+      * persisted pair instead of `initial`. A marker OLDER than the
+      * in-memory pair (this instance folded past it but the marker
+      * write was the durable one) never rolls `active` back. */
+    private def ensureHydrated(spark: org.apache.spark.sql.SparkSession): Unit =
+      if (!hydrated) synchronized {
+        if (!hydrated) {
+          readMarker(spark).foreach { p =>
+            if (p.generation > active.generation) active = p
+          }
+          hydrated = true
+        }
+      }
+
     def writer(vecs: DataFrame)
         : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
       vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-        active = annFollowBatchBudgeted(batch, batchId, root, table, keys,
-          ord, deltaTable, active, idCol, vecCol, planes, workDir,
-          foldBudget, appId)
+        ensureHydrated(batch.sparkSession)
+        val next = annFollowBatchBudgeted(batch, batchId, root, table, keys,
+          ord, deltaTable, active, idCol, family, workDir, foldBudget, appId)
+        if (next.generation != active.generation)
+          writeMarker(batch.sparkSession, next)
+        active = next
         ()
       }
     def serve(spark: org.apache.spark.sql.SparkSession, probePred: Column,
         k: Int): DataFrame = {
+      ensureHydrated(spark)
       val p = active // one volatile read: base and delta from the SAME pair
       // a just-folded pair's fresh delta root is empty until the next
       // publishing sync — the new base alone IS the corpus at the cursor
       if (graft.sources.Snapshot.tables(spark, p.deltaRoot).contains(deltaTable))
-        graft.operators.AnnIndex.knnLshServeFollow(spark, p.basePath,
-          p.deltaRoot, deltaTable, idCol, vecCol, planes, probePred, k)
+        family.serveFollow(spark, p, probePred, k)
       else
-        graft.operators.AnnIndex.knnLshServe(
-          spark.read.parquet(p.basePath), idCol, probePred, k)
+        family.serveBase(spark, p.basePath, probePred, k)
     }
   }
 

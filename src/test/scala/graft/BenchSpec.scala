@@ -50,6 +50,28 @@ class BenchSpec extends AnyFunSuite {
     assert(!SparkSpec.session.sparkContext.isStopped)
   }
 
+  test("ratioTail: worst_ratio is floored at 1s baseline, worst_abs is not") {
+    // q_small: 0.5 s baseline ballooning 2x — jitter-scale, must NOT be
+    // the headline ratio; q_big: 5 s baseline at 1.3x — the floored
+    // worst; q_creep: biggest absolute delta (+2 s) at a smaller ratio.
+    val medians = Seq("q_small" -> 1.0, "q_big" -> 6.5, "q_creep" -> 12.0)
+    val baseline = Map("q_small" -> 0.5, "q_big" -> 5.0, "q_creep" -> 10.0)
+    val tail = Bench.ratioTail(medians, baseline)
+    assert(tail.contains(""""worst_ratio":{"query":"q_big","ratio":1.3,"floor_sec":1.0}"""),
+      s"floored worst_ratio must skip the sub-second 2x query, got: $tail")
+    assert(tail.contains(""""worst_abs":{"query":"q_creep","delta_sec":2.0"""),
+      s"worst_abs must report the largest wall delta, got: $tail")
+    assert(tail.contains(""""q_small":2.0"""),
+      "per-query ratios keep every query, floored or not")
+  }
+
+  test("ratioTail: all-sub-floor baselines emit no worst_ratio but keep worst_abs") {
+    val tail = Bench.ratioTail(Seq("q" -> 0.9), Map("q" -> 0.3))
+    assert(!tail.contains("worst_ratio"), s"no query clears the floor: $tail")
+    assert(tail.contains(""""worst_abs":{"query":"q","delta_sec":0.6"""), tail)
+    assert(tail.contains(""""total_vs_baseline":3.0"""), tail)
+  }
+
   test("repeated kills across passes re-isolate every time") {
     val samples = Bench.runSamples(
       Seq("a_kill" -> killer, "b_ok" -> healthy),

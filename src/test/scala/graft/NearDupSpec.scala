@@ -336,5 +336,28 @@ class NearDupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
       .toMap
     assert(re == want)
+
+    // PRODUCTION SIZING (the doc_jaccard_join_scaled configuration):
+    // τ = 4/5 with the minShingles = 8 min-length cut — completeness
+    // holds at any rational τ by the same pigeonhole argument, and the
+    // cut must drop BOTH a short doc's candidacy and its verify rows
+    val gotScaled = NearDup.jaccardJoinExact(corpus, "doc_id", "text",
+        shingleN = 3, tauNum = 4L, tauDen = 5L, minShingles = 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val wantScaled = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia < ib && sa.size >= 8 && sb.size >= 8
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 5 >= uni * 4 // jaccard >= 4/5 exactly
+    } yield (ia, ib) -> (inter, uni)).toMap
+    assert(gotScaled == wantScaled,
+      s"got ${gotScaled.size} pairs at tau=4/5, want ${wantScaled.size}")
+    assert(wantScaled.nonEmpty,
+      "scaled test corpus produced no qualifying pairs — not a real check")
+    assert(wantScaled.size < want.size,
+      "tau=4/5 must be strictly more selective than the tau=1/2 anchor here")
   }
 }

@@ -1216,6 +1216,89 @@ class SnapshotSpec extends SparkSpec {
       "expected full-manifest rotations once the diff outgrew the budget")
   }
 
+  test("delta manifests: head reads stay bounded under a DEEP un-rotated delta chain") {
+    val root = freshRoot()
+    // five cold tables anchor the full base; one hot table then commits
+    // 120 times — each commit's diff stays 1 entry, so the chain never
+    // trips the rotation budget and every head is a delta 120 layers
+    // after its full base. Resolution must NOT walk the chain: a delta
+    // carries the CUMULATIVE diff against its full base, so any version
+    // resolves reading exactly (its manifest + the full base).
+    Snapshot.commit(spark, root, (0 to 4).map(i =>
+      s"cold$i" -> Seq((i.toLong, "c")).toDF("id", "v")).toMap)
+    (1 to 120).foreach(i => Snapshot.commit(spark, root,
+      Map("hot" -> Seq((i.toLong, "h")).toDF("id", "v"))))
+    val head = Snapshot.currentVersion(spark, root).get
+    // deep-chain proof: the head manifest itself is a delta
+    val headText = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", f"v$head%010d.manifest")), UTF_8)
+    assert(headText.contains("~delta_base"), "expected the head to be a delta")
+    val r0 = Snapshot.manifestFileReads.get()
+    assert(Snapshot.readAt(spark, root, "hot", head).collect()
+      .map(_.getLong(0)).toSeq == Seq(120L))
+    val headReads = Snapshot.manifestFileReads.get() - r0
+    assert(headReads <= 3L,
+      s"head table resolution read $headReads manifest files 120 deltas past " +
+        "the last rotation, want <= 3 (delta + full base + checkpoint)")
+    // and a MID-CHAIN time travel pays the same bounded cost
+    val r1 = Snapshot.manifestFileReads.get()
+    assert(Snapshot.readAt(spark, root, "hot", head - 60L).collect()
+      .map(_.getLong(0)).toSeq == Seq(60L))
+    assert(Snapshot.manifestFileReads.get() - r1 <= 3L,
+      "mid-chain resolution must be (delta + full base), never a chain walk")
+  }
+
+  test("vacuum: a delta's kept full base stays READABLE, not just visible") {
+    val root = freshRoot()
+    // five tables in the full base, then a delta REPLACING one of them:
+    // the base's segment for 'a' is referenced by the base version only
+    val v1 = Snapshot.commit(spark, root,
+      Map("a" -> Seq((1L, "old")).toDF("id", "v")) ++
+        (0 to 3).map(i => s"pad$i" -> Seq((i.toLong, "p")).toDF("id", "v")))
+    val v2 = Snapshot.commit(spark, root, Map("a" -> Seq((2L, "new")).toDF("id", "v")))
+    val v2Text = new String(Files.readAllBytes(
+      Paths.get(root, "_commits", f"v$v2%010d.manifest")), UTF_8)
+    assert(v2Text.contains("~delta_base"), "expected v2 to commit as a delta")
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    // the base manifest survived the sweep (v2 resolves through it) —
+    // so EVERY table it names must still read, including the one the
+    // delta replaced (its segments are referenced by v1 alone; sweeping
+    // them would fail this read MID-SCAN with missing parquet paths)
+    assert(Snapshot.readAt(spark, root, "a", v1).collect()
+      .map(_.getString(1)).toSeq == Seq("old"))
+    (0 to 3).foreach(i => assert(
+      Snapshot.readAt(spark, root, s"pad$i", v1).count() == 1L))
+    assert(Snapshot.readAt(spark, root, "a", v2).collect()
+      .map(_.getString(1)).toSeq == Seq("new"))
+  }
+
+  test("vacuum prunes dropped branches from the checkpoint inventory") {
+    val root = freshRoot()
+    Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    Snapshot.createBranch(spark, root, "dead")
+    Snapshot.commitBranch(spark, root, "dead",
+      Map("t" -> Seq((9L, "z")).toDF("id", "v")))
+    Snapshot.createBranch(spark, root, "live")
+    Snapshot.dropBranch(spark, root, "dead")
+    Snapshot.commit(spark, root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    val ckpt = Paths.get(root, "_commits", "_checkpoint")
+    assert(new String(Files.readAllBytes(ckpt), UTF_8).contains("B\tdead"),
+      "pre-vacuum: the dropped branch still rides the inventory")
+    Snapshot.vacuum(spark, root, keepLast = 1)
+    val text = new String(Files.readAllBytes(ckpt), UTF_8)
+    // the dropped branch's manifests were swept — its inventory entry
+    // would otherwise dangle FOREVER: carried by every checkpoint
+    // rewrite, and every chainHead('dead') paying a wasted parse of a
+    // deleted file before returning None
+    assert(!text.contains("B\tdead"),
+      s"dangling dropped-branch entry survived vacuum: $text")
+    assert(text.contains("B\tlive"), s"live branch must survive the prune: $text")
+    assert(Snapshot.branches(spark, root) == Seq("live"))
+    // the live branch keeps resolving through the pruned checkpoint
+    assert(Snapshot.readBranch(spark, root, "live", "t").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("checkpoint: branch heads resolve O(1) on a high-commit root") {
     val root = freshRoot()
     val v1 = Snapshot.commit(spark, root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))

@@ -543,13 +543,19 @@ class StreamingSpec extends SparkSpec {
       "vec_id", "embedding", planes, base0)
     val follower = new StreamOps.AnnFollowFolding(root, "emb",
       keys = Seq("vec_id"), ord = Seq(col("vec_id")), deltaTable = "emb_delta",
-      idCol = "vec_id", vecCol = "embedding", planes = planes,
+      idCol = "vec_id",
+      family = StreamOps.AnnFollowFamily.lsh("emb_delta", "vec_id", "embedding", planes),
       workDir = work, foldBudget = 0.5,
       initial = StreamOps.AnnFollowPair(base0, s"$work/delta-0", buildV, 0))
     def served() = follower.serve(spark, col("vec_id") < 2, k = 3)
       .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
-    def rebuild() = Ann.knnLsh(Snapshot.read(spark, root, "emb"),
-        "vec_id", "embedding", planes, col("vec_id") < 2, k = 3)
+    // the lifecycle serves at the RECALL-TUNED multi-probe configuration,
+    // so the ground truth is a multi-probe serve over an index rebuilt
+    // from the corpus's current state
+    def rebuild() = AnnIndex.knnLshServeMultiProbe(
+        AnnIndex.lshIndexRows(Snapshot.read(spark, root, "emb"),
+          "vec_id", "embedding", planes),
+        "vec_id", planes.length, col("vec_id") < 2, k = 3)
       .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
     val ms = MemoryStream[(Long, Array[Float])]
     val q = follower.writer(ms.toDF().toDF("vec_id", "embedding"))
@@ -584,6 +590,113 @@ class StreamingSpec extends SparkSpec {
           col("vec_id") < 2, k = 3)
         .orderBy("probe_id", "rank").collect()
       assert(baseOnly.nonEmpty)
+
+      // RESTART: a new instance constructed at `initial` (generation 0,
+      // what a streaming-query restart from its checkpoint does) must
+      // rehydrate to the persisted post-fold pair on first touch — the
+      // post-fold batches above were synced ONLY into generation 1's
+      // delta root and the engine will never replay them, so serving
+      // from the generation-0 pair would silently miss them.
+      val restarted = new StreamOps.AnnFollowFolding(root, "emb",
+        keys = Seq("vec_id"), ord = Seq(col("vec_id")), deltaTable = "emb_delta",
+        idCol = "vec_id",
+        family = StreamOps.AnnFollowFamily.lsh("emb_delta", "vec_id", "embedding", planes),
+        workDir = work, foldBudget = 0.5,
+        initial = StreamOps.AnnFollowPair(base0, s"$work/delta-0", buildV, 0))
+      val restartServed = restarted.serve(spark, col("vec_id") < 2, k = 3)
+        .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+      assert(restarted.current.generation == follower.current.generation,
+        "restart must rehydrate the persisted post-fold pair")
+      assert(restarted.current == follower.current,
+        "restart must resume at exactly the live follower's active pair")
+      assert(restartServed == rebuild(),
+        "restarted serve must include post-fold acknowledged batches")
+    } finally q.stop()
+
+    // a TORN marker fails loudly instead of serving a possibly-stale pair
+    // (written through the Hadoop FS — a nio write would leave a stale
+    // .crc sidecar and fail as a ChecksumException before the parser)
+    val markerP = new org.apache.hadoop.fs.Path(work, "_active_pair")
+    val hfs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(markerP, true)
+    try out.write("garbage\n".getBytes("UTF-8")) finally out.close()
+    val torn = new StreamOps.AnnFollowFolding(root, "emb",
+      keys = Seq("vec_id"), ord = Seq(col("vec_id")), deltaTable = "emb_delta",
+      idCol = "vec_id",
+      family = StreamOps.AnnFollowFamily.lsh("emb_delta", "vec_id", "embedding", planes),
+      workDir = work, foldBudget = 0.5,
+      initial = StreamOps.AnnFollowPair(s"$work/base-0", s"$work/delta-0", buildV, 0))
+    intercept[IllegalStateException] {
+      torn.serve(spark, col("vec_id") < 2, k = 3)
+    }
+  }
+
+  test("budget-folded follow generalizes to the IVF family with its frozen codebook") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Ann, AnnIndex}
+    import graft.sources.Snapshot
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-fivf").toString
+    val work = java.nio.file.Files.createTempDirectory("graft-fivf-work").toString
+    def vec(i: Long) = Array.tabulate(8)(j => ((i * 7 + j * 13) % 23).toFloat / 23f)
+    def rows(ids: Long*) = ids.map(i => (i, i % 3, vec(i)))
+    // base corpus: 6 vectors → with a 0.5 budget, ~3 delta rows trip the fold
+    val buildV = Snapshot.commit(spark, root,
+      Map("emb" -> rows(0L, 1L, 2L, 3L, 4L, 5L).toDF("vec_id", "label", "embedding")))
+    val atBuild = Snapshot.read(spark, root, "emb")
+    val base0 = s"$work/base-0"
+    // codebook trained on the BUILD-TIME state, frozen for the lifetime
+    AnnIndex.writeIvfIndex(atBuild, "vec_id", "embedding",
+      Ann.ivfCodebook(atBuild, "label", "embedding"), base0)
+    val frozenCodebook = spark.read.parquet(base0 + "_codebook")
+      .orderBy("cb_label").collect().map(_.toSeq).toSeq
+    val follower = new StreamOps.AnnFollowFolding(root, "emb",
+      keys = Seq("vec_id"), ord = Seq(col("vec_id")), deltaTable = "emb_delta",
+      idCol = "vec_id",
+      family = StreamOps.AnnFollowFamily.ivf("emb_delta", "vec_id", "embedding", nProbe = 2),
+      workDir = work, foldBudget = 0.5,
+      initial = StreamOps.AnnFollowPair(base0, s"$work/delta-0", buildV, 0))
+    def served() = follower.serve(spark, col("vec_id") < 2, k = 3)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    // ground truth: rebuild over the corpus's CURRENT state with the SAME
+    // frozen codebook (deterministically re-derived from the build-time
+    // state — ivfCodebook is exact integer arithmetic)
+    def rebuild() = {
+      val cb = Ann.ivfCodebook(
+        Snapshot.readAt(spark, root, "emb", buildV), "label", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft-fivf-rb").toString
+      AnnIndex.writeIvfIndex(Snapshot.read(spark, root, "emb"),
+        "vec_id", "embedding", cb, idx)
+      AnnIndex.knnIvfServe(spark.read.parquet(idx),
+          spark.read.parquet(idx + "_codebook"), "vec_id",
+          col("vec_id") < 2, k = 3, nProbe = 2)
+        .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    }
+    val ms = MemoryStream[(Long, Long, Array[Float])]
+    val q = follower.writer(ms.toDF().toDF("vec_id", "label", "embedding"))
+      .outputMode("update").start()
+    try {
+      // batch 0: 1 new vector — 1/6 overhead, under budget: no fold
+      ms.addData(rows(6L): _*)
+      q.processAllAvailable()
+      assert(follower.current.generation == 0, "under-budget delta must not fold")
+      assert(served() == rebuild(), "served != rebuild before any fold")
+      // batch 1: two more changes (one new, one moved) — over budget: fold
+      ms.addData((7L, 7L % 3, vec(7L)), (1L, 1L % 3, vec(17L)))
+      q.processAllAvailable()
+      assert(follower.current.generation == 1, "over-budget delta must fold")
+      // the fold copied the TRAINED codebook verbatim — the IVF frozen-
+      // parameter obligation, re-asserted through the streaming path
+      val foldedCodebook = spark.read
+        .parquet(follower.current.basePath + "_codebook")
+        .orderBy("cb_label").collect().map(_.toSeq).toSeq
+      assert(foldedCodebook == frozenCodebook,
+        "fold must copy the frozen codebook verbatim, never retrain")
+      assert(served() == rebuild(), "served != rebuild after the fold")
+      // post-fold stream keeps flowing into the fresh delta root
+      ms.addData(rows(8L): _*)
+      q.processAllAvailable()
+      assert(served() == rebuild(), "served != rebuild after post-fold changes")
     } finally q.stop()
   }
 }
