@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Profile {
   private final case class JobRec(id: Int, start: Long, var end: Long,
-      desc: String, var taskMs: Long, var tasks: Int)
+      desc: String, var taskMs: Long, var tasks: Int,
+      var stages: List[String] = Nil)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,6 +56,7 @@ object Profile {
         Option(byId.get(jid)).foreach { r =>
           r.taskMs += e.stageInfo.taskMetrics.executorRunTime
           r.tasks += e.stageInfo.numTasks
+          r.stages ::= e.stageInfo.name.takeWhile(_ != '\n')
         }
       }
     })
@@ -81,7 +83,9 @@ object Profile {
             val gap = if (prevEnd == 0L) 0L else (j.start - prevEnd).max(0L)
             sumJob += dur; sumGap += gap
             prevEnd = j.end.max(prevEnd)
-            val d = if (j.desc.length > 90) j.desc.take(90) + "…" else j.desc
+            val stageNames = j.stages.reverse.mkString(" | ")
+            val d0 = if (j.desc.nonEmpty) j.desc else stageNames
+            val d = if (d0.length > 110) d0.take(110) + "…" else d0
             println(f"  job ${j.id}%4d wall=${dur}%5d ms gap_before=${gap}%5d ms taskTime=${j.taskMs}%6d ms tasks=${j.tasks}%4d  $d")
           }
           println(f"  [sum] jobWall=${sumJob} ms  driverGaps=${sumGap} ms  outside=${wallMs - sumJob - sumGap}%.0f ms")

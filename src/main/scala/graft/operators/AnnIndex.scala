@@ -367,11 +367,13 @@ object AnnIndex {
     * collection nor the codebook derivation. */
   def writeIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, path: String): Unit = {
-    ivfIndexRows(df, idCol, vecCol, codebook)
-      .write.mode("overwrite").partitionBy(CentCol).parquet(path)
-    Ann.pivotCodebook(codebook)
-      .select(col("cb_label"), col("__cv").as("cv"), col("__cc").as("cc"))
-      .write.mode("overwrite").parquet(path + "_codebook")
+    // independent writes — run as concurrent jobs (guide §2.6)
+    Par.inParallel(Seq(
+      () => ivfIndexRows(df, idCol, vecCol, codebook)
+        .write.mode("overwrite").partitionBy(CentCol).parquet(path),
+      () => Ann.pivotCodebook(codebook)
+        .select(col("cb_label"), col("__cv").as("cv"), col("__cc").as("cc"))
+        .write.mode("overwrite").parquet(path + "_codebook")))
   }
 
   /** INCREMENTAL IVF maintenance: append a NEW batch's inverted-list
@@ -460,8 +462,9 @@ object AnnIndex {
     val (served, codebook, deltaRows) = ivfFollowResolved(spark, basePath,
       deltaRoot, deltaTable, idCol, vecCol)
     try {
-      served.write.mode("overwrite").partitionBy(CentCol).parquet(newBasePath)
-      codebook.write.mode("overwrite").parquet(newBasePath + "_codebook")
+      Par.inParallel(Seq(
+        () => served.write.mode("overwrite").partitionBy(CentCol).parquet(newBasePath),
+        () => codebook.write.mode("overwrite").parquet(newBasePath + "_codebook")))
     } finally NearDup.freeCheckpoint(deltaRows)
     requireCursorStable(spark, deltaRoot, cur, "compactIvfFollow")
     cur
@@ -507,12 +510,13 @@ object AnnIndex {
     * over the new batch with the SAME stored codebooks — O(batch). */
   def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, dim: Int, m: Int, path: String): Unit = {
-    pqIndexRows(df, idCol, vecCol, codebooks, dim, m)
-      .write.mode("overwrite").parquet(path)
-    codebooks
-      .select(col(SubspaceCol), col("cluster"),
-        col("__cv").as("cv"), col("__cc").as("cc"))
-      .write.mode("overwrite").parquet(path + "_codebook")
+    Par.inParallel(Seq(
+      () => pqIndexRows(df, idCol, vecCol, codebooks, dim, m)
+        .write.mode("overwrite").parquet(path),
+      () => codebooks
+        .select(col(SubspaceCol), col("cluster"),
+          col("__cv").as("cv"), col("__cc").as("cc"))
+        .write.mode("overwrite").parquet(path + "_codebook")))
   }
 
   /** INCREMENTAL PQ maintenance: append a NEW batch's code rows to an
@@ -600,8 +604,9 @@ object AnnIndex {
     val (codes, codebooks, deltaCodes) = pqFollowResolved(spark, basePath,
       deltaRoot, deltaTable, idCol, vecCol, dim, m)
     try {
-      codes.write.mode("overwrite").parquet(newBasePath)
-      codebooks.write.mode("overwrite").parquet(newBasePath + "_codebook")
+      Par.inParallel(Seq(
+        () => codes.write.mode("overwrite").parquet(newBasePath),
+        () => codebooks.write.mode("overwrite").parquet(newBasePath + "_codebook")))
     } finally NearDup.freeCheckpoint(deltaCodes)
     requireCursorStable(spark, deltaRoot, cur, "compactPqFollow")
     cur
@@ -788,8 +793,9 @@ object AnnIndex {
     val (codes, params, deltaCodes) = sq8FollowResolved(spark, basePath,
       deltaRoot, deltaTable, idCol, vecCol)
     try {
-      codes.write.mode("overwrite").parquet(newBasePath)
-      params.write.mode("overwrite").parquet(newBasePath + "_params")
+      Par.inParallel(Seq(
+        () => codes.write.mode("overwrite").parquet(newBasePath),
+        () => params.write.mode("overwrite").parquet(newBasePath + "_params")))
     } finally NearDup.freeCheckpoint(deltaCodes)
     requireCursorStable(spark, deltaRoot, cur, "compactSq8Follow")
     cur
@@ -898,8 +904,9 @@ object AnnIndex {
     val (codes, params, deltaCodes) = bqFollowResolved(spark, basePath,
       deltaRoot, deltaTable, idCol, vecCol)
     try {
-      codes.write.mode("overwrite").parquet(newBasePath)
-      params.write.mode("overwrite").parquet(newBasePath + "_params")
+      Par.inParallel(Seq(
+        () => codes.write.mode("overwrite").parquet(newBasePath),
+        () => params.write.mode("overwrite").parquet(newBasePath + "_params")))
     } finally NearDup.freeCheckpoint(deltaCodes)
     requireCursorStable(spark, deltaRoot, cur, "compactBqFollow")
     cur

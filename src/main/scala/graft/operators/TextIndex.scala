@@ -97,8 +97,11 @@ object TextIndex {
   def writeTextIndex(df: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
     withIndexFrames(df, idCol, textCol) { (posts, docs) =>
-      posts.write.mode("overwrite").partitionBy(TbCol).parquet(path)
-      docs.write.mode("overwrite").parquet(path + "_docs")
+      // both frames read the same materialized tokenize checkpoint —
+      // independent writes, run as concurrent jobs (guide §2.6)
+      Par.inParallel(Seq(
+        () => posts.write.mode("overwrite").partitionBy(TbCol).parquet(path),
+        () => docs.write.mode("overwrite").parquet(path + "_docs")))
     }
 
   /** INCREMENTAL index maintenance: append a NEW batch's postings and
@@ -110,8 +113,9 @@ object TextIndex {
   def appendTextIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String): Unit =
     withIndexFrames(batch, idCol, textCol) { (posts, docs) =>
-      posts.write.mode("append").partitionBy(TbCol).parquet(path)
-      docs.write.mode("append").parquet(path + "_docs")
+      Par.inParallel(Seq(
+        () => posts.write.mode("append").partitionBy(TbCol).parquet(path),
+        () => docs.write.mode("append").parquet(path + "_docs")))
     }
 
   /** Top-k BM25 served from the PERSISTED index: zero tokenization — the
@@ -227,8 +231,9 @@ object TextIndex {
     val (posts, docs, deltaPosts, deltaDocs) = textFollowResolved(spark,
       basePath, deltaRoot, deltaTable, idCol, textCol)
     try {
-      posts.write.mode("overwrite").partitionBy(TbCol).parquet(newBasePath)
-      docs.write.mode("overwrite").parquet(newBasePath + "_docs")
+      Par.inParallel(Seq(
+        () => posts.write.mode("overwrite").partitionBy(TbCol).parquet(newBasePath),
+        () => docs.write.mode("overwrite").parquet(newBasePath + "_docs")))
     } finally {
       NearDup.freeCheckpoint(deltaPosts)
       NearDup.freeCheckpoint(deltaDocs)

@@ -114,8 +114,15 @@ object Replica {
           Snapshot.read(spark, dstRoot, MarkerTable).unionByName(markerNew)
             .groupBy(col("app_id")).agg(max(col("src_version")).as("src_version"))
         else markerNew
-      val nUps = ups.limit(1).count()
-      val nDels = dels.limit(1).count()
+      // ONE pass over the checkpointed netted feed answers both
+      // "any upserts?" and "any deletes?" (was two limit(1).count()
+      // jobs — each action pays planning + job latency)
+      val flags = last.agg(
+        max(when(col(Snapshot.ChangeTypeCol) === "insert", 1L).otherwise(0L)),
+        max(when(col(Snapshot.ChangeTypeCol) === "delete", 1L).otherwise(0L)))
+        .head()
+      val nUps = if (flags.isNullAt(0)) 0L else flags.getLong(0)
+      val nDels = if (flags.isNullAt(1)) 0L else flags.getLong(1)
       Snapshot.applyChanges(spark, dstRoot, dstTable, keyCols,
         upserts = if (nUps > 0) Some(ups) else None,
         deleteKeys = if (nDels > 0) Some(dels) else None,

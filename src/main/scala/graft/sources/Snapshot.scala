@@ -677,10 +677,15 @@ object Snapshot {
     require(newTables.nonEmpty, "snapshot commit: no tables given")
     newTables.keys.foreach(requireCommittableName)
     val fs = fsOf(spark, root)
-    val written = newTables.map { case (t, df) =>
-      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
-        bloomCols.getOrElse(t, Seq.empty), bloomBits)
-    }
+    // independent table writes run as CONCURRENT jobs (each is a small
+    // single-digit-task job; serialized they pay per-job latency +
+    // driver gaps once per table — a 4-artifact commit measured ~4x the
+    // single-table commit wall). Failure leaves only unreferenced files.
+    val written = graft.operators.Par.inParallel(newTables.toSeq.map {
+      case (t, df) => () =>
+        t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
+          bloomCols.getOrElse(t, Seq.empty), bloomBits)
+    }).toMap
     // a replace supersedes any accumulated merge-on-read deletes: the
     // new contents are what the caller wants readable, verbatim
     commitManifest(fs, root, written, expectBase,
@@ -746,15 +751,17 @@ object Snapshot {
         }
       }
     }
-    val appended = appends.map { case (t, df) =>
-      val seg = writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
-        bloomCols.getOrElse(t, Seq.empty), bloomBits)
-      t -> baseRels.get(t).map(old => s"$old,$seg").getOrElse(seg)
-    }
-    val replaced = replaces.map { case (t, df) =>
-      t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
-        bloomCols.getOrElse(t, Seq.empty), bloomBits)
-    }
+    // appended segments and replaced tables are ALL independent writes —
+    // run them as one pool of concurrent jobs (see [[commit]])
+    val segs = graft.operators.Par.inParallel(
+      (appends.toSeq ++ replaces.toSeq).map { case (t, df) => () =>
+        t -> writeData(spark, root, t, df, statsCols.getOrElse(t, Seq.empty),
+          bloomCols.getOrElse(t, Seq.empty), bloomBits)
+      }).toMap
+    val appended = appends.keys.map { t =>
+      t -> baseRels.get(t).map(old => s"$old,${segs(t)}").getOrElse(segs(t))
+    }.toMap
+    val replaced = replaces.keys.map(t => t -> segs(t)).toMap
     commitManifest(fs, root, appended ++ replaced, Some(pinnedBase),
       removals = replaces.keySet.map(delKey))
   }
@@ -931,10 +938,16 @@ object Snapshot {
           s"snapshot applyChanges: upsert batch must be unique on (${keyCols.mkString(", ")}) — " +
             s"$n rows but $nk distinct keys")
       }
-      val replaced = replaces.map { case (t, df) =>
-        t -> writeData(spark, root, t, df)
+      // ALL data writes of this commit (replaced tables, the batch
+      // segment, the tombstone fold) are independent — staged as thunks
+      // below and run as ONE pool of concurrent jobs (see [[commit]]).
+      // Entry keys cannot collide: replaces excludes `table`, and
+      // tombstone-shadow keys carry '~' which committable names reject.
+      val writeJobs = Seq.newBuilder[() => (String, String)]
+      replaces.foreach { case (t, df) =>
+        writeJobs += (() => t -> writeData(spark, root, t, df))
       }
-      val updates: Map[String, String] = baseRels.get(table) match {
+      baseRels.get(table) match {
         case None =>
           // first ingest: create the table from the batch — no prior
           // segments to suppress, so upsert keys need NO tombstones
@@ -947,17 +960,13 @@ object Snapshot {
           // empty key-schema segment so the shadow has a table to
           // shadow (later appends widen the schema).
           val dataDf = batchP.orElse(deleteKeys.map(_.limit(0)))
-          dataDf match {
-            case None => Map.empty // replaces-only commit
-            case Some(df) =>
-              val entry = Map(table ->
-                writeData(spark, root, table, df, statsCols, bloomCols, bloomBits))
-              deleteKeys match {
-                case None => entry
-                case Some(d) =>
-                  entry + (delKey(table) -> writeData(spark, root, delKey(table),
-                    d.distinct().withColumn(CovCol, lit(Long.MaxValue))))
-              }
+          dataDf.foreach { df =>
+            writeJobs += (() => table ->
+              writeData(spark, root, table, df, statsCols, bloomCols, bloomBits))
+            deleteKeys.foreach { d =>
+              writeJobs += (() => delKey(table) -> writeData(spark, root,
+                delKey(table), d.distinct().withColumn(CovCol, lit(Long.MaxValue))))
+            }
           }
         case Some(rel) =>
           val nSegs = relDirs(rel).length.toLong
@@ -973,30 +982,31 @@ object Snapshot {
               case (u, d) => u.orElse(d)
             }
           }
-          touched match {
-            case None => Map.empty
-            case Some(newTomb) =>
-              val folded = tombstoneKeys(spark, root, baseRels, table) match {
-                case None => newTomb
-                case Some(prior) =>
-                  val priorKeys = prior.columns.filterNot(_ == CovCol).toSeq
-                  require(priorKeys.sorted == keyCols.sorted,
-                    s"snapshot applyChanges: key columns ${keyCols.mkString(",")} differ " +
-                      s"from the table's prior tombstones (${priorKeys.mkString(",")}) — " +
-                      "compact the table before changing keys")
-                  prior.join(newTomb.select(keyCols.map(col): _*).distinct(),
-                    keyCols, "left_anti").unionByName(newTomb)
-              }
-              val dataEntry = batchP.map { bp =>
-                table -> s"$rel,${writeData(spark, root, table, bp, statsCols, bloomCols, bloomBits)}"
-              }
-              val delSeg = writeData(spark, root, delKey(table), folded)
-              dataEntry.toMap + (delKey(table) -> delSeg)
+          touched.foreach { newTomb =>
+            val folded = tombstoneKeys(spark, root, baseRels, table) match {
+              case None => newTomb
+              case Some(prior) =>
+                val priorKeys = prior.columns.filterNot(_ == CovCol).toSeq
+                require(priorKeys.sorted == keyCols.sorted,
+                  s"snapshot applyChanges: key columns ${keyCols.mkString(",")} differ " +
+                    s"from the table's prior tombstones (${priorKeys.mkString(",")}) — " +
+                    "compact the table before changing keys")
+                prior.join(newTomb.select(keyCols.map(col): _*).distinct(),
+                  keyCols, "left_anti").unionByName(newTomb)
+            }
+            batchP.foreach { bp =>
+              writeJobs += (() => table ->
+                s"$rel,${writeData(spark, root, table, bp, statsCols, bloomCols, bloomBits)}")
+            }
+            writeJobs += (() => delKey(table) ->
+              writeData(spark, root, delKey(table), folded))
           }
       }
-      require(updates.nonEmpty || replaced.nonEmpty,
+      val jobs = writeJobs.result()
+      require(jobs.nonEmpty,
         "snapshot applyChanges: nothing to commit (no upserts, deletes, or replaces)")
-      commitManifest(fs, root, updates ++ replaced, Some(pinnedBase))
+      val entries = graft.operators.Par.inParallel(jobs).toMap
+      commitManifest(fs, root, entries, Some(pinnedBase))
     } finally batchP.foreach(_.unpersist())
   }
 
