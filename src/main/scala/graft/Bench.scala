@@ -15,6 +15,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE's partition coalescing floors partitions at minPartitionSize
+      // (default 1m) — right when stage cost tracks BYTES, but it
+      // collapses per-row-EXPENSIVE small-byte stages (candidate-pair
+      // verify via array_intersect/levenshtein, 64-way signature votes:
+      // a few hundred KB in, seconds of CPU) to 1-2 tasks while the
+      // rest of the machine idles. 64k keeps parallelismFirst (on by
+      // default) effective for those stages; at production volumes
+      // totalBytes/parallelism is far above either floor, so this is
+      // the identity there — scale-adaptive, not a local[32] tune.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

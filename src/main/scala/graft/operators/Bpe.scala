@@ -84,7 +84,8 @@ object Bpe {
       numMerges: Int): (Seq[DataFrame], DataFrame) = {
     require(numMerges >= 1 && numMerges <= 256,
       s"numMerges must be in 1..256, got $numMerges")
-    val words = df
+    // Par.spread: tokenize is the dense map; word counts are exact
+    val words = Par.spread(df)
       .select(explode(Text.tokens(Text.normalize(col(textCol)))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))

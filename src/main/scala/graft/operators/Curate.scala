@@ -56,7 +56,10 @@ object Curate {
       !keep.contains("__fp"),
       "curate: input must not already carry lang_pred/quality_score/__fp")
     val t = col(textCol)
-    val scored = docs.select(keep.map(col) ++ Seq(
+    // Par.spread BEFORE the scoring projection: the lang/quality regex
+    // trees are the dense map and would otherwise fuse into a one-task
+    // scan (identity on production inputs; gates below are exact)
+    val scored = Par.spread(docs).select(keep.map(col) ++ Seq(
       Text.langId(t).as("lang_pred"),
       Text.qualityScore(t).as("quality_score"),
       Text.fingerprint(t).as("__fp")): _*)
@@ -126,7 +129,13 @@ object Curate {
     // operators build, so every stage's result is bit-identical to its
     // standalone gated query. At 100 TB this intermediate would be
     // written to a table instead (the `scored` note below).
-    val shared = docs
+    // spread once at entry: the shared tokenize/trigram scan AND the
+    // scored-frame quality/fingerprint regexes are the dense maps; the
+    // spread also sets the shared CHECKPOINT's partition count, so every
+    // downstream token consumer (LM, classifier, DSIR, minhash) reads it
+    // parallel instead of inheriting a one-task scan's single block
+    val docsS = Par.spread(docs)
+    val shared = docsS
       .select(col(idCol), col(langCol),
         split(lower(col(textCol)), "").as("__ch"),
         Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__toks"))
@@ -137,7 +146,7 @@ object Curate {
       shared.select(col(idCol), col(langCol).as("lang"), col("__grams")), idCol)
     val lm = LangModel.unigramNllFromTokens(shared, idCol, col(langCol) === "en")
     try {
-      val scored = docs
+      val scored = docsS
         .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
         .join(lm.select(col(idCol), col("n_tokens"), col("nll_micro")),
           Seq(idCol), "left_outer")
@@ -224,7 +233,9 @@ object Curate {
     val keep = docs.columns.toSeq
     Seq("lang_pred", "margin", "n_tokens", "nll_micro", "__fp").foreach { c =>
       require(!keep.contains(c), s"curateV3: input must not already carry '$c'") }
-    val shared = docs
+    // spread once at entry (see [[curateV2]])
+    val docsS = Par.spread(docs)
+    val shared = docsS
       .select(col(idCol), col(langCol), dsirTargetPred.as("__tgt"),
         split(lower(col(textCol)), "").as("__ch"),
         Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__toks"))
@@ -262,7 +273,7 @@ object Curate {
           val r = margins.agg(expr("percentile(margin, 0.5D)").as("__mcut")).head()
           lit(if (r.isNullAt(0)) 0.0 else r.getDouble(0))
         } else lit(0L).cast("double")
-      val scored = docs
+      val scored = docsS
         .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
         .join(lm.select(col(idCol), col("n_tokens"), col("nll_micro")),
           Seq(idCol), "left_outer")
@@ -348,7 +359,9 @@ object Curate {
     (Seq("lang_pred", "quality_score", "n_tokens", "nll_micro", "__fp") ++
       DedupState.StateCols).foreach { c =>
       require(!keep.contains(c), s"curateDelta: input must not already carry '$c'") }
-    val shared = batch
+    // spread once at entry (see [[curateV2]])
+    val batchS = Par.spread(batch)
+    val shared = batchS
       .select(col(idCol),
         split(lower(col(textCol)), "").as("__ch"),
         Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__toks"))
@@ -360,7 +373,7 @@ object Curate {
         shared.select(col(idCol), col("__grams")), idCol)
       val lmScores = LangModel.scoreWithFromTokens(lm,
         shared.select(col(idCol), col("__toks")), idCol)
-      val scored = batch
+      val scored = batchS
         .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
         .join(lmScores.select(col(idCol), col("n_tokens"), col("nll_micro")),
           Seq(idCol), "left_outer")

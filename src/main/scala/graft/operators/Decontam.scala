@@ -44,7 +44,9 @@ object Decontam {
     // interpreted — same rows either way since the shingle array is
     // already per-doc distinct (and shingleSets carries the
     // explode_outer guard against the inferred-filter pitfall)
-    NearDup.shingleSets(df, idCol, textCol, n)
+    // Par.spread: tokenize+shingle+md5 is the dense map; the overlap
+    // counts downstream are exact integers
+    NearDup.shingleSets(Par.spread(df), idCol, textCol, n)
       .select(col(idCol), md5(col("shingle").cast("binary")).as("gram_hash"))
 
   /** Corpus documents sharing at least `minHits` DISTINCT n-gram hashes

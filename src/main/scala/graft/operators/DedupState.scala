@@ -70,7 +70,9 @@ object DedupState {
       require(!docs.columns.contains(c),
         s"input already has a column named the reserved state column '$c'") }
     val toks = col("__toks")
-    val withSh = docs
+    // Par.spread: the in-row shingle/signature derivation is the dense
+    // map (pure per-row arrays — partitioning-invariant by construction)
+    val withSh = Par.spread(docs)
       .withColumn("__toks",
         filter(Text.tokens(Text.normalize(col(textCol))), t => length(t) > 0))
       // distinct the STRINGS before hashing (one md5 per distinct

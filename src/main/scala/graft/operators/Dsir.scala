@@ -55,7 +55,8 @@ object Dsir {
     * like the empty string, so every input row comes back. */
   def logRatios(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column): DataFrame =
-    logRatiosCore(df.select(col(idCol), targetPred.as("__tgt"),
+    // Par.spread: tokenize is the dense map; counts are exact integers
+    logRatiosCore(Par.spread(df).select(col(idCol), targetPred.as("__tgt"),
       explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok")),
       idCol)
 

@@ -39,7 +39,9 @@ object LangModel {
     * a bare explode would silently drop NULL-text docs. */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
       refPred: Column): DataFrame =
-    nllFromExploded(df.select(col(idCol), refPred.as("__ref"),
+    // Par.spread at every text entry of this model family: tokenize is
+    // the dense map; token/pair counts are exact integers
+    nllFromExploded(Par.spread(df).select(col(idCol), refPred.as("__ref"),
       explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit(""))))).as("__tok")),
       idCol)
 
@@ -60,7 +62,7 @@ object LangModel {
     * map-side-combined aggregate run at model-build time; the table is
     * vocabulary-sized and broadcasts to every later [[scoreWith]]. */
   def train(df: DataFrame, textCol: String, refPred: Column): DataFrame =
-    df.filter(refPred)
+    Par.spread(df).filter(refPred)
       .select(explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))))
         .as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
@@ -76,7 +78,7 @@ object LangModel {
   def scoreWith(model: DataFrame, df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     nllFromVocab(model.select(col("token").as("__tok"), col("cnt").as("__cnt")),
-      df.select(col(idCol),
+      Par.spread(df).select(col(idCol),
         explode(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))))
           .as("__tok")),
       idCol)
@@ -120,7 +122,7 @@ object LangModel {
   private def bigramPairs(df: DataFrame, textCol: String,
       keepCols: Seq[Column] = Nil): DataFrame = {
     val tk = col("__tk")
-    df.select(keepCols :+
+    Par.spread(df).select(keepCols :+
         filter(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
           t => length(t) > 0).as("__tk"): _*)
       .filter(size(tk) >= 2)
@@ -165,7 +167,7 @@ object LangModel {
   def bigramNll(df: DataFrame, idCol: String, textCol: String,
       refPred: Column): DataFrame = {
     val tk = col("__tk")
-    val pairs = df
+    val pairs = Par.spread(df)
       .select(col(idCol), refPred.as("__ref"),
         filter(Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
           t => length(t) > 0).as("__tk"))

@@ -51,7 +51,8 @@ object LangProfile {
     * trigrams by frequency, rank 1-based, ties broken lexically. */
   def profiles(df: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, s"profile size k must be positive, got $k")
-    df.select(col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
+    Par.spread(df)
+      .select(col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
       .select(col("lang"), explode(charTrigrams(col("__ch"))).as("gram"))
       .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("__c"))
       .withColumn("rank", row_number().over(
@@ -87,7 +88,10 @@ object LangProfile {
     * [[Curate.release]]). */
   def classify(df: DataFrame, idCol: String, langCol: String, textCol: String,
       k: Int = 64): DataFrame =
-    classifyFromCounts(df
+    // Par.spread: the char-split + trigram explode is the dense map and
+    // would otherwise fuse into a one-task scan; all downstream
+    // aggregates are exact integer counts/ranks
+    classifyFromCounts(Par.spread(df)
       .select(col(idCol), col(langCol).as("lang"), split(lower(col(textCol)), "").as("__ch"))
       .select(col(idCol), col("lang"), explode(charTrigrams(col("__ch"))).as("gram")),
       idCol, k)
@@ -125,7 +129,7 @@ object LangProfile {
     * rank) and be trained with the same `k`. */
   def classifyWith(prof: DataFrame, df: DataFrame, idCol: String,
       textCol: String, k: Int = 64): DataFrame =
-    classifyWithFromGrams(prof, df
+    classifyWithFromGrams(prof, Par.spread(df)
       .select(col(idCol), split(lower(col(textCol)), "").as("__ch"))
       .select(col(idCol), explode(charTrigrams(col("__ch"))).as("gram")),
       idCol, k)

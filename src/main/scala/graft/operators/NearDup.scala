@@ -63,7 +63,10 @@ object NearDup {
     * distinct fingerprint with the canonical (minimum) id and group size.
     * Single hash-aggregate — the classic exact-dedup plan at any scale. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+    // spread: the normalize-regex + md5 map is the whole cost; min/count
+    // aggregates are exact under any partitioning
+    Par.spread(df)
+      .select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
@@ -256,7 +259,13 @@ object NearDup {
       numHashes: Int, bands: Int)
       (verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val shingles = mkArrays(src)
+    // spread ONCE at entry: the signature pass and the pruned verify
+    // pass both tokenize from this frame, and a one-row-group scan
+    // would fuse that CPU-dense derivation into a single task (see
+    // [[Par.spread]] — identity on production inputs; every aggregate
+    // below is an exact integer min/count, so results are unchanged)
+    val srcS = Par.spread(src)
+    val shingles = mkArrays(srcS)
       .select(col(idCol), explode_outer(col("shingles")).as("shingle"))
       .filter(col("shingle").isNotNull)
     val sigs = minhashSignatures(shingles, idCol, numHashes)
@@ -273,7 +282,7 @@ object NearDup {
         val candDocs = cand.select(col("doc_a").as(idCol))
           .union(cand.select(col("doc_b").as(idCol)))
           .distinct()
-        val arrs = mkArrays(src.join(broadcast(candDocs), Seq(idCol), "left_semi"))
+        val arrs = mkArrays(srcS.join(broadcast(candDocs), Seq(idCol), "left_semi"))
           .localCheckpoint(true)
         try verify(arrs, cand).localCheckpoint(true)
         finally freeCheckpoint(arrs)
@@ -338,7 +347,10 @@ object NearDup {
       maxDist: Int, shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     import org.apache.spark.storage.StorageLevel
-    val sigs = minhashSignatures(shingleSets(df, idCol, textCol, shingleN),
+    // spread once: feeds the signature tokenize AND the pruned
+    // normalize pass below (see [[Par.spread]]; exact aggregates only)
+    val dfS = Par.spread(df)
+    val sigs = minhashSignatures(shingleSets(dfS, idCol, textCol, shingleN),
         idCol, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
@@ -348,7 +360,7 @@ object NearDup {
         val candDocs = cand.select(col("doc_a").as(idCol))
           .union(cand.select(col("doc_b").as(idCol)))
           .distinct()
-        val norms = df.join(broadcast(candDocs), Seq(idCol), "left_semi")
+        val norms = dfS.join(broadcast(candDocs), Seq(idCol), "left_semi")
           .select(col(idCol), Text.normalize(col(textCol)).as("__nt"))
           .localCheckpoint(true)
         try {
@@ -473,25 +485,35 @@ object NearDup {
     // Hashing + dedup happen IN THE ROW (transform + array_distinct —
     // a rare post-hash collision merges identically in the oracle,
     // which applies the same md5&2^31-1 then DISTINCT).
-    val sh = shingleArrays(df, idCol, textCol, shingleN)
+    // Par.spread: a one-row-group corpus scan otherwise fuses the whole
+    // normalize→tokenize→shingle→md5 derivation into ONE task (identity
+    // on production inputs whose scans split); downstream aggregates
+    // are exact integer counts/sorts, so partitioning cannot change
+    // results. The hashed-shingle rows are then CHECKPOINTED so the
+    // text pass runs ONCE — lazily, `freq` and the `ordered` join each
+    // re-derived it (two full tokenize passes, the dominant map cost).
+    val sh = shingleArrays(Par.spread(df), idCol, textCol, shingleN)
       .select(col(idCol), explode_outer(array_distinct(
         transform(col("shingles"), s =>
           conv(substring(md5(s), 1, 8), 16, 10).cast("long")
             .bitwiseAND(lit(MinhashPrime))))).as("__hb"))
       .filter(col("__hb").isNotNull)
-    val freq = sh.groupBy("__hb").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
     // the min-length cut applies AFTER the frequency join (global
     // shingle frequencies count the whole corpus — the rare-first order
     // must not depend on which docs clear the cut) and BEFORE the
     // checkpoint, so prefix explode AND verify both see only kept docs
-    val ordered = sh.join(freq, "__hb")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__hb")))).as("__o"))
-      .select(col(idCol),
-        expr("transform(__o, s -> s.__hb)").as("__sh"),
-        size(col("__o")).cast("long").as("__n"))
-      .filter(col("__n") >= lit(minShingles))
-      .localCheckpoint(true)
+    val ordered = try {
+      val freq = sh.groupBy("__hb").agg(count(lit(1)).as("__df"))
+      sh.join(freq, "__hb")
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(struct(col("__df"), col("__hb")))).as("__o"))
+        .select(col(idCol),
+          expr("transform(__o, s -> s.__hb)").as("__sh"),
+          size(col("__o")).cast("long").as("__n"))
+        .filter(col("__n") >= lit(minShingles))
+        .localCheckpoint(true)
+    } finally freeCheckpoint(sh)
     try {
       val prefLen = expr(
         s"CAST(__n - (($tauNum * __n + $tauDen - 1) div $tauDen) + 1 AS INT)")
@@ -537,7 +559,10 @@ object NearDup {
     require(k > 0 && w > 0, s"k and w must be positive, got k=$k w=$w")
     import org.apache.spark.sql.expressions.Window
     val toks = col("__toks")
-    val positioned = df
+    // spread: tokenize + per-position k-gram md5 is the dense map; the
+    // downstream window is keyed (id, pos) — order-pinned, so
+    // partitioning cannot change fingerprints
+    val positioned = Par.spread(df)
       .select(col(idCol),
         filter(Text.tokens(Text.normalize(col(textCol))), t => length(t) > 0).as("__toks"))
       .select(col(idCol),
@@ -725,7 +750,10 @@ object NearDup {
       numHashes: Int = 12, bands: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clusters = dupClusters(df, idCol, textCol, minJaccard, shingleN, numHashes, bands)
-    val lab = df.select(col(idCol), score.as("score"))
+    // spread BEFORE the score projection so the dense score expression
+    // (quality regexes at the doc_dedupe_keep_best call site) evaluates
+    // after the exchange, across all cores — not fused into the scan
+    val lab = Par.spread(df).select(col(idCol), score.as("score"))
       .join(clusters, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col("score"))
@@ -760,17 +788,21 @@ object NearDup {
       minJaccard: Double = 0.5,
       shingleN: Int = 3, numHashes: Int = 12, bands: Int = 6): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val cfp = corpus.select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
+    // spread both inputs once at entry: fingerprint + shingle tokenize
+    // are the dense maps and each side feeds several passes (see
+    // [[Par.spread]]; aggregates below are exact integer min/count)
+    val corpusS = Par.spread(corpus)
+    val cfp = corpusS.select(Text.fingerprint(col(textCol)).as("__fp")).distinct()
     // persisted: the exact-dedup side (one corpus scan + distinct + one
     // anti-join) feeds THREE consumers — the batch signature build, the
     // candidate shingle arrays, and the returned anti-join — and would
     // otherwise re-run the corpus scan per consumer
-    val survivors = batch
+    val survivors = Par.spread(batch)
       .withColumn("__fp", Text.fingerprint(col(textCol)))
       .join(cfp, Seq("__fp"), "left_anti")
       .drop("__fp")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cSigs = minhashSignatures(shingleSets(corpus, idCol, textCol, shingleN),
+    val cSigs = minhashSignatures(shingleSets(corpusS, idCol, textCol, shingleN),
         idCol, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
     val bSigs = minhashSignatures(shingleSets(survivors, idCol, textCol, shingleN),
         idCol, numHashes).persist(StorageLevel.MEMORY_AND_DISK)
@@ -786,7 +818,7 @@ object NearDup {
         .localCheckpoint(true)
       try {
         val cArrs = shingleArrays(
-          corpus.join(broadcast(cand.select(col("__corpus_id").as(idCol)).distinct()),
+          corpusS.join(broadcast(cand.select(col("__corpus_id").as(idCol)).distinct()),
             Seq(idCol), "left_semi"), idCol, textCol, shingleN)
         val bArrs = shingleArrays(
           survivors.join(broadcast(cand.select(col("__batch_id").as(idCol)).distinct()),
@@ -826,7 +858,10 @@ object NearDup {
     * (band shift+mask, XOR, bit_count, ordering) is sign-agnostic. */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     require(bits > 0 && bits <= 64, s"bits must be in 1..64, got $bits")
-    val tok = df
+    // spread: the tokenize map and (post-distinct) the 2-md5 + 64-vote
+    // derivation are per-row-expensive; votes are exact integer sums,
+    // so partitioning cannot change the fingerprint
+    val tok = Par.spread(df)
       // outer + post-filter: a plain explode's inferred filter would
       // inline the normalize chain twice (see shingleSets)
       .select(col(idCol), explode_outer(Text.tokens(Text.normalize(col(textCol)))).as("tk"))

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.util.concurrent.{Callable, ExecutionException, Executors}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Parallelism helpers the optimizer cannot supply on its own — both are
   * SCALE-ADAPTIVE (identity / same-cost at production scale, a win at
@@ -28,9 +28,9 @@ object Par {
     * floating-point cross-row SUM/AVG (the add order would change the
     * last bits). Every call site is oracle-gated, which is what proves
     * the invariance held. */
-  def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  def spread[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions >= p) ds else ds.repartition(p)
   }
 
   /** Pin a CPU-dense exchange's width: repartition by `cols` at the

@@ -64,7 +64,9 @@ object QualityClassifier {
     * hash are separate projections (the HOF re-evaluation pitfall). */
   private def bucketed(docs: DataFrame, textCol: String,
       numFeatures: Int): DataFrame =
-    docs
+    // Par.spread: tokenize+bucket is the dense map; the perceptron's
+    // full-batch updates are exact integer sums — partitioning-invariant
+    Par.spread(docs)
       .select(docs.columns.map(col) :+
         Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))).as("__tk"): _*)
       .select(docs.columns.map(col) :+

@@ -77,7 +77,9 @@ object SubstrDedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_tokens"))).as("__spans"))
     val tk = col("__tk")
-    docs
+    // spread: the excision pass re-tokenizes and rebuilds text in-row —
+    // per-row expensive, exact
+    Par.spread(docs)
       // NULL text coalesces to '' (n_tokens=0, clean_text='') — the same
       // NULL contract every sibling text operator applies before
       // tokenizing; without it a NULL-text doc rides through as NULL
@@ -111,7 +113,10 @@ object SubstrDedup {
       textCol: String, minTokens: Int): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
     val tk = col("__tk")
-    val grams = docs
+    // Par.spread: tokenize + per-window md5 is the dense map; the seed
+    // count and the (id, pos)-keyed window are exact under any
+    // partitioning
+    val grams = Par.spread(docs)
       .select(col(idCol), filter(
         Text.tokens(Text.normalize(coalesce(col(textCol), lit("")))),
         t => length(t) > 0).as("__tk"))

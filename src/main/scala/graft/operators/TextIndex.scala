@@ -67,7 +67,11 @@ object TextIndex {
     tokenized(df, idCol, textCol).select(col(idCol), col(DlCol))
 
   private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), Text.tokens(Text.normalize(col(textCol))).as("__t"))
+    // Par.spread: the normalize/tokenize map dominates index builds and
+    // would otherwise fuse into a one-task scan; it also sets the
+    // checkpoint's partition count for the postings explode downstream
+    Par.spread(df)
+      .select(col(idCol), Text.tokens(Text.normalize(col(textCol))).as("__t"))
       .withColumn(DlCol, size(col("__t")).cast("long"))
 
   /** Postings + doc rows off ONE tokenized, checkpointed pass — the

@@ -125,7 +125,9 @@ object DocQueries {
     // the unigram marginals are then ROW SUMS of the (vocab²-bounded)
     // pair-count frame — the normalize/tokenize chain, the expensive
     // part at corpus scale, runs once instead of once per marginal.
-    val tk = Tables.documents(spark, dir)
+    // Par.spread: the tokenize+zip bigram derivation is the dense map;
+    // pair counts and marginals are exact integers
+    val tk = graft.operators.Par.spread(Tables.documents(spark, dir))
       .select(concat(array(lit("^")),
         filter(Text.tokens(Text.normalize(coalesce(col("text"), lit("")))),
           t => length(t) > 0),
@@ -642,7 +644,9 @@ object DocQueries {
   def docTfidf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tk = col("__tk")
-    val tf = Tables.documents(spark, dir)
+    // Par.spread: the per-distinct-token tf scan is quadratic in doc
+    // length — the densest pure map in the pack; counts/ranks are exact
+    val tf = graft.operators.Par.spread(Tables.documents(spark, dir))
       // token array projected FIRST: HOF lambdas re-evaluate captured
       // subexpressions per element (the shingleSets 8× pitfall)
       .select(col("doc_id"),
@@ -879,7 +883,11 @@ object DocQueries {
   def mmImageStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
@@ -920,7 +928,11 @@ object DocQueries {
   def mmImageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
@@ -963,7 +975,11 @@ object DocQueries {
   def mmAudioStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
@@ -1006,7 +1022,11 @@ object DocQueries {
   def mmAudioResample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
@@ -1051,7 +1071,11 @@ object DocQueries {
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
@@ -1095,7 +1119,11 @@ object DocQueries {
   def mmVideoStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>
@@ -1147,7 +1175,11 @@ object DocQueries {
   def mmMediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.MediaPipeline
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       def fill(n: Int, seed: String): Array[Byte] = {
@@ -1202,7 +1234,11 @@ object DocQueries {
   def mmPhashPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.operators.{MediaPipeline, NearDup}
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // Par.spread on the id longs: the synthesize→encode→decode chain
+    // downstream is the dense map and would otherwise fuse into a
+    // one-task scan; stats are exact integer pixel/sample sums
+    val ids = graft.operators.Par.spread(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long])
     val media = ids.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { id =>

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Direct runner for graft mains (Profile/Bench/Verify) — same JVM flags
+# as build.sbt's forked run, but without sbt startup/lock (lets a
+# measurement run while another sbt command owns the build).
+# Usage: tools/run_graft.sh graft.Profile query1 query2 ...
+set -euo pipefail
+CLASSES="$(dirname "$0")/../target/scala-2.13/classes"
+OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke \
+  java.base/java.lang.reflect java.base/java.io java.base/java.net \
+  java.base/java.nio java.base/java.util java.base/java.util.concurrent \
+  java.base/java.util.concurrent.atomic java.base/sun.nio.ch \
+  java.base/sun.nio.cs java.base/sun.security.action \
+  java.base/sun.util.calendar; do
+  OPENS="$OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  "-Xmx${SPARK_DRIVER_MEM:-8g}" \
+  -cp "$CLASSES:/opt/spark/jars/*" "$@"
